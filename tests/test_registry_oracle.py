@@ -1,0 +1,29 @@
+"""Differential test of EVERY registry query against its DuckDB oracle at
+sf0.01 — the local mirror of the driver's t2 correctness gate, and the
+reference's own (aspirational) pandas-differential strategy done properly
+(reference: tests/test_simple_rpc.py:112-131, excluded from its CI)."""
+
+from __future__ import annotations
+
+import pytest
+
+from parqueryd_spark import queries as Q
+from tests.compare import assert_same_result
+from tests.conftest import SF_CORRECT
+
+CASES = sorted(Q.REGISTRY)
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_query_matches_oracle(spark, duck, name):
+    q = Q.REGISTRY[name]
+    sdf = q.fn(spark, SF_CORRECT)
+    assert sdf is not None
+    if q.oracle is None:
+        # non-SQL-expressible: the driver does a rows-only check; here just
+        # assert the query runs and has a stable schema
+        assert sdf.columns
+        sdf.limit(10).collect()
+        return
+    oracle_pdf = duck.execute(q.oracle).df()
+    assert_same_result(sdf, oracle_pdf)
