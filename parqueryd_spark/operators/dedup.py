@@ -1,0 +1,220 @@
+"""Deduplication operators for LLM training-data pipelines (north-star scope):
+exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (100 TB documents):
+
+- **exact_dedup**: hash-groupBy on a content digest — one shuffle keyed by the
+  digest (never by the raw text), map-side partial agg.
+- **ngram_jaccard_pairs**: shingle inverted-index join (explode -> equi-join on
+  shingle -> pair counts). Cost is sum over shingles of df^2 — fine for corpus
+  near-dup detection after LSH banding; provided here as the *exact* path.
+- **minhash_lsh_pairs**: the scale path. Per doc: 1 pass computing H minhashes
+  JVM-side (xxhash64 + affine rehash, array_min over higher-order functions —
+  no Python, no MLlib vector materialization), band into b buckets, equi-join
+  on (band, bucket-hash). Candidate count is controlled by banding; each
+  candidate is verified with exact Jaccard so precision is 1.0 and recall is
+  1-(1-s^r)^b (~1 for s>=0.9 with 16x4).
+- **simhash**: 32-bit token-hash bit-vote signature; near-dup candidates match
+  on at least one of 4 exact 8-bit bands (guarantees hamming<=3 pairs are
+  candidates), verified by true hamming distance.
+
+All signatures derive from F.xxhash64 — deterministic across runs/cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from parqueryd_spark.operators.text import shingles, tokens
+
+# Prime field for the affine minhash rehash family h_i(x) = (a_i*x + b_i) mod P.
+# 2^31-1 keeps a*x + b far below 2^63 (ANSI mode would error on long overflow);
+# collision probability within a doc's shingle set (~10^3 values in 2^31) is
+# negligible for minhash purposes.
+_PRIME_P = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate groups by content digest; keeps the lowest id as the
+    canonical representative. Returns (digest, n_copies, keep_id)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col).cast("long").alias("_id"))
+        .groupBy("digest")
+        .agg(F.count("*").alias("n_copies"), F.min("_id").alias("keep_id"))
+    )
+
+
+def _shingle_df(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), k)).alias("s")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard >= threshold via shingle inverted index.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b. The join is on the shingle
+    value (an equi-join Catalyst can shuffle-hash), never a cross join.
+    """
+    sh = _shingle_df(df, id_col, text_col, k)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n"))
+    common = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnsRenamed({"doc": "id_a", "n": "na"}), "id_a")
+        .join(sizes.withColumnsRenamed({"doc": "id_b", "n": "nb"}), "id_b")
+        .withColumn("jaccard", F.col("common") / (F.col("na") + F.col("nb") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signature(text_col, k: int = 3, num_hashes: int = 64):
+    """Array of num_hashes minhash values, fully JVM-side: xxhash64 per shingle,
+    then an affine rehash per hash function, array_min over the shingle set."""
+    sh = shingles(text_col, k)
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME_P)))
+    sigs = []
+    for i in range(num_hashes):
+        a, b = 2 * i + 1, 7919 * (i + 1)
+        sigs.append(F.array_min(F.transform(base, lambda x: F.pmod(a * x + b, F.lit(_PRIME_P)))))
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified with exact Jaccard.
+
+    Candidate generation: split the signature into ``bands`` bands of
+    ``num_hashes//bands`` rows, hash each band, equi-join on (band_id, hash).
+    Verification: exact Jaccard on the candidates only (precision 1.0).
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    rows = num_hashes // bands
+    docs = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_text")).withColumn(
+        "sig", minhash_signature(F.col("_text"), k, num_hashes)
+    )
+    banded = docs.select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws("_", F.slice("sig", b * rows + 1, rows))).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bh")
+    candidates = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+    sh = _shingle_df(df, id_col, text_col, k)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n"))
+    # exact verify: join candidate pairs back to shingle sets
+    a_sh = sh.withColumnsRenamed({"doc": "id_a", "s": "sh"})
+    b_sh = sh.withColumnsRenamed({"doc": "id_b", "s": "sh"})
+    common = (
+        candidates.join(a_sh, "id_a").join(b_sh, ["id_b", "sh"]).groupBy("id_a", "id_b").agg(
+            F.count("*").alias("common")
+        )
+    )
+    return (
+        common.join(sizes.withColumnsRenamed({"doc": "id_a", "n": "na"}), "id_a")
+        .join(sizes.withColumnsRenamed({"doc": "id_b", "n": "nb"}), "id_b")
+        .withColumn("jaccard", F.col("common") / (F.col("na") + F.col("nb") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(text_col, bits: int = 32, k: int = 3) -> F.Column:
+    """SimHash signature over k-gram *shingles*: per bit position, sign of the
+    vote sum over shingle hashes. Pure higher-order functions — one pass.
+
+    Shingles, not raw tokens: on a small-vocabulary corpus every document
+    shares most of the token set, so token-level signatures collapse to near
+    identical values; shingle sets differ like their Jaccard similarity does.
+    """
+    hashed = F.transform(shingles(text_col, k), lambda t: F.xxhash64(t))
+    bit_cols = []
+    for b in range(bits):
+        vote = F.aggregate(
+            hashed,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+        bit_cols.append(F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out + c
+    return out
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 48, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup candidates via 4-band SimHash blocking, verified by true
+    hamming distance (<= max_hamming guarantees candidacy when bands=4 and
+    max_hamming <= 3 by pigeonhole). Returns (id_a, id_b, hamming)."""
+    band_bits = bits // 4
+    mask = (1 << band_bits) - 1
+    sigs = df.select(F.col(id_col).alias("doc"), simhash(F.col(text_col), bits).alias("sig"))
+    banded = sigs.select(
+        "doc",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("sig", i * band_bits).bitwiseAND(F.lit(mask)).alias("bh"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "sig", "bb.band", "bb.bh")
+    pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,97 @@
+"""Relational operators beyond the reference's surface (SURVEY.md §2.2).
+
+The reference has no joins/windows/sorts/set-ops at all (verified absent:
+controller.py:483-553, worker.py:266-302); Spark provides them natively. This
+module adds only what Spark lacks as a built-in — currently the **as-of join**
+— plus thin scale-aware helpers.
+
+Scale notes (100 TB posture):
+
+- ``topk`` compiles to TakeOrderedAndProject: per-partition heap + driver merge
+  of k rows, never a full sort.
+- ``asof_join`` is the union+window formulation: ONE shuffle on the key column
+  (no per-key loop, no broadcast of the big side), which scales linearly with
+  rows and is skew-tolerant under AQE. The alternative (range/theta join) would
+  be a broadcast-nested-loop — quadratic. applyInPandas would pay Arrow
+  transfer for something expressible JVM-side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def topk(df: DataFrame, order_by: Sequence[Column | str], k: int) -> DataFrame:
+    """Global top-k. orderBy+limit => TakeOrderedAndProject (heap per partition,
+    merge-of-k at the driver) — the scalable form of "sort then take"."""
+    return df.orderBy(*order_by).limit(k)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str] | None = None,
+    tolerance_seconds: float | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward (most-recent-prior, inclusive) as-of join, pure DataFrame ops.
+
+    For each left row, attach the right row with the greatest ``right_ts`` <=
+    ``left_ts`` within the same ``on`` key group (optionally within
+    ``tolerance_seconds``). Matches DuckDB's ``ASOF LEFT JOIN`` semantics.
+
+    Implementation: tag both sides, union, and take ``last(value, ignorenulls)``
+    over a window ordered by (ts, tag) — right rows at an equal timestamp sort
+    before left rows, making the join inclusive. One shuffle total.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in set(on) and c != right_ts]
+    out_names = {c: f"{c}{suffix}" if c in left.columns else c for c in right_cols}
+    ts_out = f"{right_ts}{suffix}" if right_ts in left.columns else right_ts
+
+    lhs = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("__tag"),
+        F.col(left_ts).alias("__ts"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
+    )
+    rhs = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in set(on)],
+        *[F.col(k_) for k_ in on],
+        F.lit(0).alias("__tag"),
+        F.col(right_ts).alias("__ts"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.col(right_ts).alias("__r_ts"),
+    ).select(*lhs.columns)  # align column order for unionByName safety
+
+    w = (
+        W.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__tag").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    unioned = lhs.unionByName(rhs)
+    filled = unioned.select(
+        *[c for c in left.columns],
+        F.col("__tag"),
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}") for c in right_cols],
+        F.last("__r_ts", ignorenulls=True).over(w).alias("__f_ts"),
+    ).filter(F.col("__tag") == 1)
+
+    result_cols = [F.col(c) for c in left.columns]
+    match_ok = F.col("__f_ts").isNotNull()
+    if tolerance_seconds is not None:
+        match_ok = match_ok & (
+            F.col(left_ts).cast("double") - F.col("__f_ts").cast("double") <= F.lit(tolerance_seconds)
+        )
+    for c in right_cols:
+        result_cols.append(F.when(match_ok, F.col(f"__f_{c}")).alias(out_names[c]))
+    result_cols.append(F.when(match_ok, F.col("__f_ts")).alias(ts_out))
+    return filled.select(*result_cols)

@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns (north-star scope).
+
+The embeddings table carries ``array<float>`` vectors. All arithmetic casts to
+double first and uses higher-order functions (zip_with + aggregate) — JVM-side,
+sequential left-to-right summation, which makes results bit-reproducible against
+engines that do the same (the DuckDB oracle uses list_dot_product on DOUBLE[]).
+
+Scale design (100 TB / billions of vectors):
+
+- **brute-force top-k**: queries x corpus as a broadcast join (queries are
+  small), per-partition partial top-k via window rank. Exact; the baseline.
+- **IVF bucketing**: coarse-quantize the corpus to its nearest centroid
+  (broadcast centroid list, one map pass), then search only the query's
+  ``nprobe`` closest buckets — corpus scan cost drops by ~n_centroids/nprobe.
+  Centroids here are taken deterministically from the corpus itself (first K
+  by id) so the operator is reproducible without an iterative k-means fit;
+  plug in MLlib KMeans centroids for production quality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double(vec) -> F.Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a) -> F.Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a, b) -> F.Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector (self excluded).
+
+    Broadcast the (small) query set; rank with a window partitioned by query id,
+    tie-broken by neighbor id for determinism. Returns
+    (query_id, neighbor_id, cosine_sim, rank).
+    """
+    from pyspark.sql import Window as W
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (max cosine, deterministic
+    tie-break on centroid id). One broadcast-join map pass over the corpus."""
+    from pyspark.sql import Window as W
+
+    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    cen = centroids.select(F.col(centroid_id), as_double(F.col(vec_col)).alias("cv"))
+    scored = c.crossJoin(F.broadcast(cen)).withColumn("sim", cosine(F.col("v"), F.col("cv")))
+    w = W.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col(centroid_id).asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, centroid_id)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k: IVF coarse quantization with deterministic centroids
+    (the first ``n_centroids`` corpus vectors by id), probing the query's
+    ``nprobe`` nearest buckets. Returns (query_id, neighbor_id, cosine_sim, rank)."""
+    from pyspark.sql import Window as W
+
+    centroids = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
+    )
+    assignment = ivf_assign(corpus, centroids, id_col, vec_col)
+    bucketed = corpus.join(assignment, id_col)
+
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
+    cen = centroids.select("centroid_id", as_double(F.col(vec_col)).alias("cv"))
+    w_probe = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cen))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    scored = (
+        bucketed.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("cv"),
+            "centroid_id",
+        )
+        .join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine_sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """All pairs with cosine >= threshold (embedding near-dup detection).
+
+    Exact form: self cross-join with id ordering. At scale, run ivf_assign
+    first and only compare within buckets (same shape as minhash banding).
+    Returns (id_a, id_b, cosine_sim)."""
+    v = vectors.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    a = v.withColumnsRenamed({"id": "id_a", "v": "va"})
+    b = v.withColumnsRenamed({"id": "id_b", "v": "vb"})
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )

@@ -1,0 +1,111 @@
+"""Text-analysis operators for LLM training-data pipelines (north-star scope,
+BASELINE.json): tokenization, token counting, quality scoring, language ID,
+document fingerprinting.
+
+Everything here is a pure Column expression over built-in functions — JVM-side,
+whole-stage-codegen'd, zero Python in the hot path — so a 100 TB documents
+table is processed at scan speed with no Arrow transfer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets (n-gram-heuristic language ID).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+# Deterministic tie-break: first language in this order wins ties.
+LANG_ORDER = ["en", "es", "de", "fr"]
+
+STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is", "it"]
+
+# BPE-ish token pattern: runs of letters/digits, or any single non-space symbol.
+TOKEN_REGEX = "[a-zA-Z0-9]+|[^a-zA-Z0-9 ]"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (single-space convention of the corpus)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def regex_token_count(text: Column | str) -> Column:
+    """BPE-ish token count: letter/digit runs + individual symbols."""
+    return F.regexp_count(F.col(text) if isinstance(text, str) else text, F.lit(TOKEN_REGEX))
+
+
+def _marker_hits(toks: Column, markers: list[str]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Marker-word hit count per language over the token array."""
+    toks = tokens(text)
+    return {lang: _marker_hits(toks, LANG_MARKERS[lang]) for lang in LANG_ORDER}
+
+
+def predict_lang(text: Column | str) -> Column:
+    """argmax over lang_scores with deterministic tie-break (LANG_ORDER);
+    'unknown' when no marker hits at all."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    expr = F.lit("unknown")
+    for lang in reversed(LANG_ORDER):  # earlier langs overwrite later on ties
+        expr = F.when((scores[lang] > 0) & (scores[lang] == best), lang).otherwise(expr)
+    return expr
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    toks = tokens(text)
+    arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))) / F.size(toks)
+
+
+def punct_ratio(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return (F.length(c) - F.length(F.regexp_replace(c, "[.,!?;:]", ""))) / F.length(c)
+
+
+def mean_token_len(text: Column | str) -> Column:
+    toks = tokens(text)
+    return F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.size(toks)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1]-ish quality heuristic: length band + stopword presence -
+    punctuation excess. Deliberately simple arithmetic so the DuckDB oracle can
+    reproduce it exactly."""
+    c = F.col(text) if isinstance(text, str) else text
+    length_score = F.least(F.length(c) / F.lit(400.0), F.lit(1.0))
+    return length_score * 0.5 + stopword_ratio(c) * 0.5 - punct_ratio(c)
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct token
+    set — a canonical-bag-of-words content hash, reproducible in any engine."""
+    toks = tokens(text)
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """k-gram token shingles (distinct), the unit for Jaccard/MinHash dedup."""
+    toks = tokens(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+    )

@@ -1,0 +1,74 @@
+"""Named query registry — the driver-facing coverage surface.
+
+Every implemented operator from SURVEY.md §2 (plus the north-star extensions)
+gets one entry: a ``(spark, sf_dir) -> DataFrame`` callable and, where the
+semantics are ANSI-SQL-expressible, a DuckDB oracle SQL string over the same
+parquet tables (pre-registered views: region nation customer supplier part
+orders lineitem events documents embeddings).
+
+Column-name contract: every computed column is aliased identically in the Spark
+plan and the oracle SQL (the driver's compare sorts columns by name before
+hashing values). Oracle-authoring gotcha: CAST integer sums to BIGINT (DuckDB
+sums ints into HUGEINT).
+
+Domain modules register themselves via the ``@query`` decorator on import:
+``core`` (parqueryd parity), ``relational`` (joins/windows/sorts/set ops),
+``scalars`` (string/date/math/json functions), ``text`` (analysis),
+``dedup``, ``similarity``, ``events`` (time-series/streaming-equivalent).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => non-SQL-expressible, driver does rows-only check
+    bench: bool = False  # include in bench.py headline set
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def query(name: str, oracle: str | None, bench: bool = False):
+    def deco(fn):
+        REGISTRY[name] = Query(name, fn, oracle, bench)
+        return fn
+
+    return deco
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+
+
+def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in REGISTRY.items() if q.bench}
+
+
+# Register all domain modules (import order = registry order).
+from parqueryd_spark.queries import core  # noqa: E402,F401
+from parqueryd_spark.queries import relational  # noqa: E402,F401
+from parqueryd_spark.queries import scalars  # noqa: E402,F401
+from parqueryd_spark.queries import text  # noqa: E402,F401
+from parqueryd_spark.queries import dedup  # noqa: E402,F401
+from parqueryd_spark.queries import similarity  # noqa: E402,F401
+from parqueryd_spark.queries import events  # noqa: E402,F401
+
+# Flagship re-export for __spark_entry__.entry()
+from parqueryd_spark.queries.core import q1_pricing_summary  # noqa: E402,F401

@@ -1,55 +1,18 @@
-"""Named query registry — the driver-facing coverage surface.
-
-Every implemented operator from SURVEY.md §2 (plus the north-star extensions)
-gets one entry here: a ``(spark, sf_dir) -> DataFrame`` callable and, where the
-semantics are ANSI-SQL-expressible, a DuckDB oracle SQL string over the same
-parquet tables (pre-registered views: region nation customer supplier part
-orders lineitem events documents embeddings).
-
-Column-name contract: every computed column is aliased identically in the Spark
-plan and the oracle SQL (the driver's compare sorts columns by name before
-hashing values).
-"""
+"""Core parity queries: the reference's groupby(filenames, groupby_cols,
+agg_list, where_terms, aggregate=) surface (SURVEY.md §2 O1-O7)."""
 
 from __future__ import annotations
 
 import os
-from collections.abc import Callable
-from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
 from parqueryd_spark.core import aggregate_files
-from parqueryd_spark.sources.parquet import load_table
-
-
-@dataclass
-class Query:
-    name: str
-    fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # None => non-SQL-expressible, driver does rows-only check
-    bench: bool = False  # include in bench.py headline set
-
-
-REGISTRY: dict[str, Query] = {}
-
-
-def query(name: str, oracle: str | None, bench: bool = False):
-    def deco(fn):
-        REGISTRY[name] = Query(name, fn, oracle, bench)
-        return fn
-
-    return deco
+from parqueryd_spark.queries import query, table_path
 
 
 def _li(sf_dir: str) -> str:
-    return os.path.join(sf_dir, "lineitem.parquet")
-
-
-# ---------------------------------------------------------------------------
-# Core parity: the reference's groupby(filenames, groupby_cols, agg_list,
-# where_terms, aggregate=) surface (SURVEY.md §2 O1-O7).
-# ---------------------------------------------------------------------------
+    return table_path(sf_dir, "lineitem")
 
 
 @query(
@@ -280,15 +243,3 @@ def global_agg_no_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["l_orderkey", "count", "cnt"],
         ],
     )
-
-
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.fn for name, q in REGISTRY.items()}
-
-
-def oracle_sql() -> dict[str, str]:
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
-
-
-def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.fn for name, q in REGISTRY.items() if q.bench}

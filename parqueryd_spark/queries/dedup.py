@@ -1,0 +1,85 @@
+"""Deduplication queries over the documents table (north-star scope).
+
+Oracle notes: the exact n-gram Jaccard oracle mirrors the inverted-index
+formulation in SQL. The MinHash query's output is LSH candidates *verified with
+exact Jaccard*, so with the banding parameters used (16 bands x 4 rows, and the
+corpus's near-dup pairs all at s >= 0.9 where recall is 1-(1-s^4)^16 ~ 1-1e-15)
+it equals the exact all-pairs result — the oracle asserts exactly that.
+SimHash signatures are engine-specific (xxhash64) => rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from parqueryd_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from parqueryd_spark.queries import query
+from parqueryd_spark.sources.parquet import load_table
+
+# Shared oracle: exact all-pairs 3-gram-shingle Jaccard >= 0.8 via inverted index.
+_EXACT_JACCARD_SQL = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                   for i in range(1, greatest(len(t)-2, 1)+1)])) AS s
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, c / (sa.n + sb.n - c) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE c / (sa.n + sb.n - c) >= 0.8
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text)             AS digest,
+           count(*)              AS n_copies,
+           min(doc_id)           AS keep_id
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content digest, keep lowest doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+@query("dedup_ngram_jaccard", oracle=_EXACT_JACCARD_SQL, bench=True)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (shingle inverted-index join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+
+
+@query("dedup_minhash_lsh", oracle=_EXACT_JACCARD_SQL, bench=True)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates verified with exact Jaccard — the 100 TB dedup
+    path; equals the exact result at the corpus's similarity profile (see
+    module docstring for the recall argument)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", k=3, num_hashes=64, bands=16, threshold=0.8)
+
+
+@query("dedup_simhash", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banding near-dup candidates (rows-only check: the 48-bit
+    xxhash64-vote signature is not reproducible in ANSI SQL)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, "doc_id", "text", bits=48, max_hamming=3)

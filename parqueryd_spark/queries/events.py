@@ -1,0 +1,113 @@
+"""Time-series / windowed aggregation over the events table — the batch
+equivalents of the Structured Streaming operators in
+:mod:`parqueryd_spark.streaming` (same plans minus the watermark; streaming
+parity is asserted in tests/test_streaming.py with an availableNow trigger).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from parqueryd_spark.queries import query
+from parqueryd_spark.sources.parquet import load_table
+
+
+@query(
+    "events_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(event_id) AS n_events,
+           sum(value)      AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    bench=True,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window x event_type. Same plan streams with
+    readStream+withWatermark (streaming/windows.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("event_id").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+@query(
+    "events_sliding_window",
+    oracle="""
+    SELECT window_start, count(event_id) AS n_events, sum(value) AS sum_value
+    FROM (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_id, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes') AS window_start,
+             event_id, value FROM events
+    )
+    GROUP BY 1
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h length, 30m slide): each event lands in 2 windows;
+    the oracle expresses the same as a union of two offset tumbling bucketings."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("event_id").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+@query(
+    "events_sessionization",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*)   AS n_events,
+           min(ts)    AS session_start,
+           max(ts)    AS session_end,
+           sum(value) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via gaps-and-islands window
+    functions — deterministic and SQL-expressible, unlike session_window's
+    struct output. One shuffle on user_id. The streaming twin
+    (session_window + watermark) is exercised in tests/test_streaming.py."""
+    ev = load_table(spark, sf_dir, "events")
+    w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w_order)
+    new_session = (
+        F.when(prev_ts.isNull() | (F.col("ts").cast("double") - prev_ts.cast("double") > 1800), 1)
+        .otherwise(0)
+    )
+    w_run = (
+        W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sessions = ev.select("user_id", "event_id", "ts", "value", new_session.alias("new_session")).withColumn(
+        "session_id", F.sum("new_session").over(w_run).cast("long")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.sum("value").alias("sum_value"),
+    )

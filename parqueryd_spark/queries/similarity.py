@@ -1,0 +1,70 @@
+"""Similarity-search queries over the embeddings table (north-star scope):
+brute-force cosine top-k (exact baseline), IVF-bucketed ANN (scale path),
+embedding near-dup pairs.
+
+Both engines compute double-precision sequential dot products over the same
+float inputs (Spark: zip_with+aggregate after cast; DuckDB: list_dot_product on
+DOUBLE[]), so similarities agree to the bit and rank ties break identically on
+neighbor id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parqueryd_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_near_dup_pairs,
+    ivf_topk,
+)
+from parqueryd_spark.queries import query
+from parqueryd_spark.sources.parquet import load_table
+
+_COS_SQL = (
+    "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    "    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
+)
+
+
+@query(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_COS_SQL} AS cosine_sim,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY {_COS_SQL} DESC, b.vec_id ASC) AS rank
+      FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+      WHERE a.vec_id < 5
+    ) WHERE rank <= 5
+    """,
+    bench=True,
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for query vectors vec_id<5."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+@query("ann_ivf_topk", oracle=None)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-5 (scale path; rows-only check — approximate
+    by design, recall asserted against the exact baseline in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), n_centroids=16, nprobe=4, k=5)
+
+
+@query(
+    "embedding_near_dup",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_SQL} AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.93
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All embedding pairs with cosine >= 0.93 (embedding-space near-dup)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, threshold=0.93)

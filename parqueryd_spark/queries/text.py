@@ -1,0 +1,119 @@
+"""Text-analysis queries over the documents table (north-star scope):
+token stats, quality scoring, language ID, fingerprinting — each with an exact
+DuckDB oracle mirroring the same arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parqueryd_spark.operators import text as T
+from parqueryd_spark.queries import query
+from parqueryd_spark.sources.parquet import load_table
+
+_STOP_SQL = "('the','a','an','and','of','to','in','is','it')"
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT lang,
+           count(doc_id)                                        AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT)    AS total_tokens,
+           avg(len(string_split(text, ' ')))                    AS avg_tokens,
+           max(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]'))) AS max_regex_tokens,
+           avg(n_chars)                                         AS avg_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    bench=True,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) aggregated per language."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("doc_id").alias("n_docs"),
+        F.sum(T.token_count("text")).cast("long").alias("total_tokens"),
+        F.avg(T.token_count("text")).alias("avg_tokens"),
+        F.max(T.regex_token_count("text")).alias("max_regex_tokens"),
+        F.avg("n_chars").alias("avg_chars"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    SELECT source,
+           avg(
+             least(length(text) / 400.0, 1.0) * 0.5
+             + (len(list_filter(string_split(text, ' '), t -> t IN {_STOP_SQL}))
+                / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5
+             - ((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                / CAST(length(text) AS DOUBLE))
+           ) AS avg_quality,
+           count(doc_id) AS n_docs
+    FROM documents
+    GROUP BY source
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristic (length band + stopword ratio - punctuation ratio)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.avg(T.quality_score("text")).alias("avg_quality"),
+        F.count("doc_id").alias("n_docs"),
+    )
+
+
+_LANG_SCORE_SQL = {
+    lang: f"len(list_filter(string_split(text, ' '), t -> t IN ({', '.join(repr(m) for m in ms)})))"
+    for lang, ms in T.LANG_MARKERS.items()
+}
+_BEST_SQL = f"greatest({', '.join(_LANG_SCORE_SQL[lang] for lang in T.LANG_ORDER)})"
+_PRED_SQL = "CASE "
+for _lang in T.LANG_ORDER:
+    _PRED_SQL += f"WHEN {_LANG_SCORE_SQL[_lang]} > 0 AND {_LANG_SCORE_SQL[_lang]} = {_BEST_SQL} THEN '{_lang}' "
+_PRED_SQL += "ELSE 'unknown' END"
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    SELECT {_PRED_SQL} AS pred_lang,
+           count(doc_id) AS n_docs,
+           count(CASE WHEN {_PRED_SQL} = lang THEN 1 END) AS n_label_match
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID (n-gram heuristic) with deterministic
+    tie-break, compared against the table's lang label."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = T.predict_lang("text")
+    return docs.select(pred.alias("pred_lang"), "lang").groupBy("pred_lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(F.col("pred_lang") == F.col("lang"), 1)).alias("n_label_match"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             AS fingerprint,
+           length(text) AS text_len
+    FROM documents
+    WHERE doc_id < 100
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical bag-of-words md5 fingerprint (order-insensitive content hash)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id",
+        T.fingerprint("text").alias("fingerprint"),
+        F.length("text").alias("text_len"),
+    )

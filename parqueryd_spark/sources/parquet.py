@@ -70,5 +70,18 @@ def read_parquet(
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver testdata table (TESTDATA.md) by name."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Load one driver testdata table (TESTDATA.md) by name.
+
+    The events table carries parquet TIMESTAMP(NANOS) which Spark's vectorized
+    reader rejects; read nanos as long and convert to a microsecond timestamp
+    with exact integer division (``div``, not ``/`` — a double would lose
+    precision at 1e18), matching DuckDB's ns->us truncation on read.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
