@@ -1,0 +1,107 @@
+"""Structured Streaming over the events table.
+
+The reference is strictly batch request/response (SURVEY.md §2.2: no streaming
+of any kind); this module is north-star scope. The streaming plans intentionally
+mirror the batch queries in :mod:`parqueryd_spark.queries.events` — same window
+specs, same aggregates — so batch/stream parity is a testable property
+(tests/test_streaming.py runs the stream with an availableNow trigger and
+compares against the batch result).
+
+Scale posture: file-source streaming with ``maxFilesPerTrigger`` backpressure;
+watermarks bound state (late events beyond the watermark are dropped — state
+size is O(open windows x keys), not O(stream length)); session windows use the
+native ``session_window`` operator whose state merges adjacent sessions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Spark's file stream source needs an explicit schema; ts arrives as raw
+# TIMESTAMP(NANOS) parquet => long (nanosAsLong), converted on read.
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """readStream over a directory of events parquet files. A single-file path
+    is accepted too (streamed from its parent dir with a glob filter — the file
+    source itself requires a directory)."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    df = reader.parquet(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stream_tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1h window x event_type with watermark-bounded state — the
+    streaming twin of queries.events.events_tumbling_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("event_id").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def stream_sliding_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Sliding (1h, 30m) window counts — twin of events_sliding_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("event_id").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+def stream_session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Native session windows (30-min inactivity gap) per user; state merges
+    adjacent sessions as events arrive."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("event_id").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drain a streaming DataFrame into an in-memory sink with an availableNow
+    trigger (process-everything-then-stop) and return the sink as a DataFrame.
+    Test/driver harness path; production sinks would be parquet/Delta/Kafka."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)
