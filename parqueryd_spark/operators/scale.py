@@ -1,0 +1,77 @@
+"""Scale operators: skew mitigation and co-located (bucketed) joins.
+
+These address the two failure modes that appear only at cluster scale — a
+skewed shuffle key melting one executor, and a repeated fact-fact join paying
+its shuffle every query. Neither exists in the reference (its unit of
+parallelism is a whole file, controller.py:628-645); they're table stakes for
+the 100 TB posture.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_groupby_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation for skewed group keys.
+
+    ``aggs`` maps output column -> (input column, method) where method is one of
+    sum/count/min/max (the mergeable set; avg = sum+count composed by callers).
+    Phase 1 groups on (key, salt) spreading each hot key over ``salt_buckets``
+    reducers; phase 2 merges per-salt partials. Two small shuffles instead of
+    one melted reducer.
+
+    Note: AQE's skew handling covers *joins*; aggregation skew still needs
+    salting when a handful of keys dominate (e.g. grouping 100 TB of web docs
+    by domain).
+    """
+    merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    phase1_fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    salted = df.withColumn("__salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt_buckets)))
+    p1 = salted.groupBy(*keys, "__salt").agg(
+        *[phase1_fn[m](c).alias(out) for out, (c, m) in aggs.items()]
+    )
+    return p1.groupBy(*keys).agg(
+        *[merge_fn[m](out).alias(out) for out, (c, m) in aggs.items()]
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: Sequence[str],
+    num_buckets: int = 32,
+    sort_by: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (and optionally sorted) on its join key.
+
+    Two tables bucketed identically on the join key equi-join WITHOUT a shuffle
+    (and without even a sort if sorted) — the 100 TB answer to "this fact-fact
+    join runs every hour". Requires saveAsTable (bucket metadata lives in the
+    catalog, not the parquet files).
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: Column | Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two pre-bucketed catalog tables; with matching bucketing the plan
+    shows no Exchange on either side (asserted in tests/test_scale.py)."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)

@@ -70,6 +70,7 @@ from parqueryd_spark.queries import dedup  # noqa: E402,F401
 from parqueryd_spark.queries import similarity  # noqa: E402,F401
 from parqueryd_spark.queries import events  # noqa: E402,F401
 from parqueryd_spark.queries import multimodal  # noqa: E402,F401
+from parqueryd_spark.queries import tpch  # noqa: E402,F401
 
 # Flagship re-export for __spark_entry__.entry()
 from parqueryd_spark.queries.core import q1_pricing_summary  # noqa: E402,F401
