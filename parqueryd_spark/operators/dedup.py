@@ -13,10 +13,10 @@ Scale design (100 TB documents):
   no Python, no MLlib vector materialization), band into b buckets, equi-join
   on (band, bucket-hash). Candidate count is controlled by banding; each
   candidate is verified with exact Jaccard so precision is 1.0 and recall is
-  1-(1-s^r)^b (~1 for s>=0.9 with 16x4).
-- **simhash**: 32-bit token-hash bit-vote signature; near-dup candidates match
-  on at least one of 4 exact 8-bit bands (guarantees hamming<=3 pairs are
-  candidates), verified by true hamming distance.
+  1-(1-s^r)^b (~1-5e-8 at s=0.8 with 32 bands x 4 rows).
+- **simhash**: 48-bit shingle-hash bit-vote signature; near-dup candidates
+  match on at least one of 4 exact 12-bit bands (guarantees hamming<=3 pairs
+  are candidates), verified by true hamming distance.
 
 All signatures derive from F.xxhash64 — deterministic across runs/cluster.
 """
@@ -24,6 +24,7 @@ All signatures derive from F.xxhash64 — deterministic across runs/cluster.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from parqueryd_spark.operators.text import shingles, tokens
@@ -54,17 +55,38 @@ def _shingle_df(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.8
 ) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard >= threshold via shingle inverted index.
+    """Exact all-pairs n-gram Jaccard >= threshold, with prefix filtering.
 
-    Returns (id_a, id_b, jaccard) with id_a < id_b. The join is on the shingle
-    value (an equi-join Catalyst can shuffle-hash), never a cross join.
+    Candidate generation uses the PPJoin-family prefix-filter theorem: order
+    each doc's shingles by a global total order (their hash); two sets with
+    Jaccard >= t MUST share at least one shingle among each one's first
+    floor((1-t)*|S|)+1 shingles. Joining only those prefixes shrinks the
+    inverted-index join by ~(1-t) squared while remaining exact; candidates are
+    then verified with true Jaccard over the full sets (precision 1.0).
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     sh = _shingle_df(df, id_col, text_col, k)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n"))
+
+    w = W.partitionBy("doc").orderBy(F.xxhash64("s"), F.col("s"))
+    prefix = (
+        sh.withColumn("rn", F.row_number().over(w))
+        .join(sizes, "doc")
+        .filter(F.col("rn") <= F.floor((1 - threshold) * F.col("n")) + 1)
+        .select("doc", "s")
+    )
+    candidates = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+    a_sh = sh.withColumnsRenamed({"doc": "id_a", "s": "sh"})
+    b_sh = sh.withColumnsRenamed({"doc": "id_b", "s": "sh"})
     common = (
-        sh.alias("a")
-        .join(sh.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        candidates.join(a_sh, "id_a")
+        .join(b_sh, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("common"))
     )
     return (
@@ -76,7 +98,7 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signature(text_col, k: int = 3, num_hashes: int = 64):
+def minhash_signature(text_col, k: int = 3, num_hashes: int = 128):
     """Array of num_hashes minhash values, fully JVM-side.
 
     ONE aggregate pass over the shingle hashes with a num_hashes-wide running
@@ -103,8 +125,8 @@ def minhash_lsh_pairs(
     id_col: str,
     text_col: str,
     k: int = 3,
-    num_hashes: int = 64,
-    bands: int = 16,
+    num_hashes: int = 128,
+    bands: int = 32,
     threshold: float = 0.8,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact Jaccard.

@@ -2,8 +2,8 @@
 
 Oracle notes: the exact n-gram Jaccard oracle mirrors the inverted-index
 formulation in SQL. The MinHash query's output is LSH candidates *verified with
-exact Jaccard*, so with the banding parameters used (16 bands x 4 rows, and the
-corpus's near-dup pairs all at s >= 0.9 where recall is 1-(1-s^4)^16 ~ 1-1e-15)
+exact Jaccard*, so with the banding parameters used (32 bands x 4 rows, and the
+corpus's near-dup pairs all at s >= 0.9 where recall is 1-(1-s^4)^32)
 it equals the exact all-pairs result — the oracle asserts exactly that.
 SimHash signatures are engine-specific (xxhash64) => rows-only check.
 """
@@ -74,7 +74,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     path; equals the exact result at the corpus's similarity profile (see
     module docstring for the recall argument)."""
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, "doc_id", "text", k=3, num_hashes=64, bands=16, threshold=0.8)
+    return minhash_lsh_pairs(docs, "doc_id", "text", k=3, num_hashes=128, bands=32, threshold=0.8)
 
 
 @query("dedup_simhash", oracle=None)

@@ -125,6 +125,28 @@ def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "groupby_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.50) AS median_price,
+           quantile_cont(l_extendedprice, 0.75) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def groupby_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    quantile_cont). At 100 TB prefer percentile_approx (mergeable sketch, no
+    per-group sort buffer); exact form kept here for oracle parity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
+        F.expr("percentile(l_extendedprice, 0.50)").alias("median_price"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("p75"),
+    )
+
+
+@query(
     "case_when_bucketing",
     oracle="""
     SELECT CASE WHEN l_quantity < 10 THEN 'small'
