@@ -39,6 +39,7 @@ def aggregate_files(
     where_terms: Sequence[Sequence] | None = None,
     aggregate: bool = True,
     data_dir: str | None = None,
+    shard_merge: str = "global",
 ) -> DataFrame | None:
     """Run the reference's ``groupby`` call shape over parquet shards.
 
@@ -50,27 +51,57 @@ def aggregate_files(
       projection is groupby cols + agg input cols, the column set the reference
       materializes (worker.py:382-384).
 
+    ``shard_merge`` selects the cross-shard semantics:
+
+    - ``"global"`` (default): one correct global aggregation over all shards —
+      Spark's partial+final merge (our documented deviation from O7).
+    - ``"concat"``: bug-for-bug reference parity — aggregate each shard
+      independently and UNION ALL the partials WITHOUT re-aggregation, so
+      duplicate group keys across shards survive into the result, exactly as
+      the reference controller's ``pa.concat_tables`` does
+      (controller.py:276-294; client-side re-agg was never implemented,
+      rpc.py:208).
+
     Missing shards are silently ignored; if none exist, returns ``None``
     (reference empty-result protocol — callers may prefer
     :meth:`ParquetEngine.groupby`, which returns an empty DataFrame instead).
     """
+    if shard_merge not in ("global", "concat"):
+        raise ValueError(f"shard_merge must be 'global' or 'concat', got {shard_merge!r}")
+
+    from parqueryd_spark.sources.parquet import resolve_paths
+
+    pred = compile_where_terms(where_terms)
+    triples = normalize_agg_list(agg_list)
+
+    def _one(df: DataFrame) -> DataFrame:
+        if pred is not None:
+            df = df.filter(pred)
+        if not aggregate:
+            proj: list[str] = []
+            for c in list(groupby_cols) + [t[0] for t in triples]:
+                if c not in proj:
+                    proj.append(c)
+            return df.select(*proj)
+        aggs = compile_agg_list(agg_list)
+        if groupby_cols:
+            return df.groupBy(*groupby_cols).agg(*aggs)
+        return df.agg(*aggs)
+
+    if shard_merge == "concat" and aggregate:
+        existing = resolve_paths(paths, data_dir=data_dir)
+        if not existing:
+            return None
+        parts = [_one(spark.read.parquet(p)) for p in existing]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     df = read_parquet(spark, paths, data_dir=data_dir)
     if df is None:
         return None
-    pred = compile_where_terms(where_terms)
-    if pred is not None:
-        df = df.filter(pred)
-    triples = normalize_agg_list(agg_list)
-    if not aggregate:
-        proj: list[str] = []
-        for c in list(groupby_cols) + [t[0] for t in triples]:
-            if c not in proj:
-                proj.append(c)
-        return df.select(*proj)
-    aggs = compile_agg_list(agg_list)
-    if groupby_cols:
-        return df.groupBy(*groupby_cols).agg(*aggs)
-    return df.agg(*aggs)
+    return _one(df)
 
 
 class ParquetEngine:
@@ -115,8 +146,18 @@ class ParquetEngine:
         return "pong"
 
     def info(self) -> dict:
-        """Cluster topology snapshot (controller.py:683-701 analog)."""
+        """Cluster topology snapshot (controller.py:683-701 analog). Includes
+        the data_dir's parquet file list — the files_map equivalent (workers
+        advertise their data files, worker.py:155-168; here shared storage
+        makes every file visible to every executor)."""
+        import os
+
         sc = self.spark.sparkContext
+        data_files: list[str] = []
+        if self.data_dir and os.path.isdir(self.data_dir):
+            data_files = sorted(
+                f for f in os.listdir(self.data_dir) if f.endswith(".parquet")
+            )
         return {
             "app_name": sc.appName,
             "app_id": sc.applicationId,
@@ -124,7 +165,29 @@ class ParquetEngine:
             "default_parallelism": sc.defaultParallelism,
             "spark_version": self.spark.version,
             "data_dir": self.data_dir,
+            "data_files": data_files,
         }
+
+    def apply_pandas(
+        self,
+        filenames,
+        fn,
+        schema,
+    ) -> DataFrame:
+        """Typed replacement for the reference's ``execute_code`` RPC
+        (controller.py:524-530 — arbitrary dotted-path import on a worker,
+        documented as an accepted RCE tradeoff, README.md:119-125). Here user
+        code runs as an Arrow-batched ``mapInPandas`` over the data instead:
+        ``fn(iterator_of_pandas_batches) -> iterator_of_pandas_batches`` with a
+        declared output ``schema`` — sandbox-equivalent to any other Spark job,
+        no dynamic import surface.
+        """
+        from parqueryd_spark.sources.parquet import read_parquet
+
+        df = read_parquet(self.spark, filenames, data_dir=self.data_dir)
+        if df is None:
+            return self.spark.createDataFrame([], schema=schema)
+        return df.mapInPandas(fn, schema=schema)
 
     def loglevel(self, level: str) -> None:
         """Propagate log level (controller.py:498-510 analog)."""

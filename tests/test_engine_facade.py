@@ -1,0 +1,58 @@
+"""ParquetEngine facade parity: concat shard-merge mode, info files_map,
+apply_pandas (the typed execute_code replacement)."""
+
+from __future__ import annotations
+
+import os
+
+from parqueryd_spark.core import ParquetEngine, aggregate_files
+from tests.conftest import SF_SMOKE
+
+
+def test_concat_shard_merge_reproduces_reference_duplicates(spark, tmp_path):
+    """shard_merge='concat' reproduces the reference O7 artifact: per-shard
+    partials concatenated, duplicate group keys surviving (controller.py:276-294)."""
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(os.path.join(SF_SMOKE, "lineitem.parquet"))
+    n = table.num_rows
+    shards = []
+    for i in range(3):
+        p = str(tmp_path / f"s{i}.parquet")
+        pq.write_table(table.slice(i * n // 3, (i + 1) * n // 3 - i * n // 3), p)
+        shards.append(p)
+
+    args = (["l_returnflag"], [["l_quantity", "sum", "s"]])
+    concat = aggregate_files(spark, shards, *args, shard_merge="concat").toPandas()
+    glob = aggregate_files(spark, shards, *args, shard_merge="global").toPandas()
+    # 3 groups per shard -> 9 rows concat vs 3 rows global
+    assert len(concat) == 3 * len(glob)
+    # and the partials sum to the global answer
+    assert abs(concat.groupby("l_returnflag")["s"].sum().sum() - glob["s"].sum()) < 1e-6
+
+
+def test_info_lists_data_files(spark):
+    eng = ParquetEngine(spark, data_dir=SF_SMOKE)
+    info = eng.info()
+    assert "lineitem.parquet" in info["data_files"]
+    assert info["spark_version"] == spark.version
+    assert eng.ping() == "pong"
+
+
+def test_apply_pandas_replaces_execute_code(spark):
+    eng = ParquetEngine(spark, data_dir=SF_SMOKE)
+
+    def double_qty(batches):
+        for pdf in batches:
+            out = pdf[["l_orderkey"]].copy()
+            out["qty2"] = pdf["l_quantity"] * 2
+            yield out
+
+    out = eng.apply_pandas(["lineitem.parquet"], double_qty, "l_orderkey long, qty2 double")
+    row = out.limit(1).collect()[0]
+    assert row.qty2 is not None
+    assert out.count() == spark.read.parquet(os.path.join(SF_SMOKE, "lineitem.parquet")).count()
+
+    # all-missing: empty DataFrame with the declared schema, not an error
+    empty = eng.apply_pandas(["nope.parquet"], double_qty, "l_orderkey long, qty2 double")
+    assert empty.count() == 0 and empty.columns == ["l_orderkey", "qty2"]
