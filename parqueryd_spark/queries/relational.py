@@ -324,6 +324,35 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "salted_skew_groupby",
+    oracle="""
+    SELECT l_returnflag,
+           sum(l_quantity)      AS sum_qty,
+           count(l_orderkey)    AS cnt,
+           max(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def salted_skew_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/scale.py) — semantics-preserving
+    skew mitigation, so the oracle is the plain GROUP BY. lineitem's 3-value
+    l_returnflag key IS maximally skewed: every row lands on one of 3 reducers
+    unsalted; salting spreads each key over 16 before the merge."""
+    from parqueryd_spark.operators.scale import salted_groupby_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_groupby_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "cnt": ("l_orderkey", "count"),
+            "max_price": ("l_extendedprice", "max"),
+        },
+    )
+
+
+@query(
     "asof_join_events",
     oracle="""
     SELECT p.event_id, p.user_id, p.ts,

@@ -99,6 +99,30 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_edit_distance",
+    oracle="""
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+    WHERE a.p_partkey < 60 AND b.p_partkey < 60
+      AND levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein near-match pairs over short strings (typo-level dedup for
+    names/titles; shingle methods cover long documents)."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 60)
+    a = part.select(F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"))
+    b = part.select(F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 4)
+        .select("id_a", "id_b", "edit_dist")
+    )
+
+
+@query(
     "text_fingerprint",
     oracle="""
     SELECT doc_id,
