@@ -80,6 +80,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp_micros yields TIMESTAMP (session-tz rendered); force UTC so
+        # wall-clock values match DuckDB's naive read even under a non-UTC
+        # driver session. (NTZ would be cleaner but watermarks and double-casts
+        # require plain TIMESTAMP.)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(path)

@@ -48,6 +48,7 @@ def read_events_stream(
     if os.path.isfile(path):
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = reader.parquet(path)
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
