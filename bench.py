@@ -30,14 +30,20 @@ def main() -> None:
 
     spark = get_spark("parqueryd_spark-bench")
 
+    def run_once(fn) -> float:
+        t0 = time.perf_counter()
+        # one full materialization of every result row, no driver collect cost
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
     bench = Q.bench_queries()
     timings: dict[str, float] = {}
     for name, fn in bench.items():
         fn(spark, sf_dir).count()  # warm-up: JVM, codegen, file listing
-        t0 = time.perf_counter()
-        # one full materialization of every result row, no driver collect cost
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = run_once(fn)
+        if best < 2.0:  # fast queries: 2 more trials, report steady-state min
+            best = min(best, run_once(fn), run_once(fn))
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(

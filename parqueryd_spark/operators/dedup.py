@@ -46,8 +46,11 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+from parqueryd_spark.operators.util import spread_partitions as _spread
+
+
 def _shingle_df(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    return df.select(
+    return _spread(df).select(
         F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), k)).alias("s")
     )
 
@@ -137,7 +140,7 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     rows = num_hashes // bands
-    docs = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_text")).withColumn(
+    docs = _spread(df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_text"))).withColumn(
         "sig", minhash_signature(F.col("_text"), k, num_hashes)
     )
     banded = docs.select(
@@ -213,7 +216,9 @@ def simhash_near_pairs(
     max_hamming <= 3 by pigeonhole). Returns (id_a, id_b, hamming)."""
     band_bits = bits // 4
     mask = (1 << band_bits) - 1
-    sigs = df.select(F.col(id_col).alias("doc"), simhash(F.col(text_col), bits).alias("sig"))
+    sigs = _spread(df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))).select(
+        "doc", simhash(F.col("_t"), bits).alias("sig")
+    )
     banded = sigs.select(
         "doc",
         "sig",

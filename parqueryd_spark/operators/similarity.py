@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from parqueryd_spark.operators.util import spread_partitions
+
 
 def as_double(vec) -> F.Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -59,7 +61,9 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv"))
+    c = spread_partitions(
+        corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv"))
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine_sim", cosine(F.col("qv"), F.col("cv")))
@@ -83,7 +87,7 @@ def ivf_assign(
     tie-break on centroid id). One broadcast-join map pass over the corpus."""
     from pyspark.sql import Window as W
 
-    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    c = spread_partitions(corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("v")))
     cen = centroids.select(F.col(centroid_id), as_double(F.col(vec_col)).alias("cv"))
     scored = c.crossJoin(F.broadcast(cen)).withColumn("sim", cosine(F.col("v"), F.col("cv")))
     w = W.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col(centroid_id).asc())
@@ -155,7 +159,9 @@ def cosine_near_dup_pairs(
     Exact form: self cross-join with id ordering. At scale, run ivf_assign
     first and only compare within buckets (same shape as minhash banding).
     Returns (id_a, id_b, cosine_sim)."""
-    v = vectors.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    v = spread_partitions(
+        vectors.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    )
     a = v.withColumnsRenamed({"id": "id_a", "v": "va"})
     b = v.withColumnsRenamed({"id": "id_b", "v": "vb"})
     return (
