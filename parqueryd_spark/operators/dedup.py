@@ -24,7 +24,6 @@ All signatures derive from F.xxhash64 — deterministic across runs/cluster.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from parqueryd_spark.operators.text import shingles, tokens
@@ -71,12 +70,16 @@ def ngram_jaccard_pairs(
     sh = _shingle_df(df, id_col, text_col, k)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n"))
 
-    w = W.partitionBy("doc").orderBy(F.xxhash64("s"), F.col("s"))
-    prefix = (
-        sh.withColumn("rn", F.row_number().over(w))
-        .join(sizes, "doc")
-        .filter(F.col("rn") <= F.floor((1 - threshold) * F.col("n")) + 1)
-        .select("doc", "s")
+    # Per-row prefix extraction: hash-sort the shingle array and slice the
+    # first floor((1-t)*n)+1 — all array-side, no explode+window shuffle.
+    sh_arr = shingles(F.col(text_col), k)
+    sorted_sh = F.array_sort(
+        F.transform(sh_arr, lambda s: F.struct(F.xxhash64(s).alias("h"), s.alias("s")))
+    )
+    prefix_len = (F.floor((1 - threshold) * F.size(sh_arr)) + 1).cast("int")
+    prefix = _spread(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.transform(F.slice(sorted_sh, F.lit(1), prefix_len), lambda x: x["s"])).alias("s"),
     )
     candidates = (
         prefix.alias("a")
