@@ -40,25 +40,33 @@ def asof_join(
     right_cols: Sequence[str] | None = None,
     tolerance_seconds: float | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward (most-recent-prior, inclusive) as-of join, pure DataFrame ops.
+    """As-of join (inclusive), pure DataFrame ops.
 
-    For each left row, attach the right row with the greatest ``right_ts`` <=
-    ``left_ts`` within the same ``on`` key group (optionally within
-    ``tolerance_seconds``). Matches DuckDB's ``ASOF LEFT JOIN`` semantics.
+    ``direction="backward"`` (default): for each left row, attach the right row
+    with the greatest ``right_ts`` <= ``left_ts`` within the same ``on`` key
+    group — DuckDB ``ASOF LEFT JOIN`` semantics. ``direction="forward"``: the
+    smallest ``right_ts`` >= ``left_ts``. ``tolerance_seconds`` bounds the
+    time gap in either direction.
 
-    Implementation: tag both sides, union, and take ``last(value, ignorenulls)``
-    over a window ordered by (ts, tag) — right rows at an equal timestamp sort
-    before left rows, making the join inclusive. One shuffle total.
+    Implementation: tag both sides, union, and take the nearest non-null right
+    value over a window ordered by (ts, tag) — the tag ordering makes equal
+    timestamps inclusive. One shuffle total.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in set(on) and c != right_ts]
     out_names = {c: f"{c}{suffix}" if c in left.columns else c for c in right_cols}
     ts_out = f"{right_ts}{suffix}" if right_ts in left.columns else right_ts
 
+    # backward: right sorts before left at equal ts (inclusive via last-over
+    # preceding frame); forward: right sorts after left (first-over following)
+    left_tag, right_tag = (1, 0) if direction == "backward" else (0, 1)
     lhs = left.select(
         *[F.col(c) for c in left.columns],
-        F.lit(1).alias("__tag"),
+        F.lit(left_tag).alias("__tag"),
         F.col(left_ts).alias("__ts"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
         F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
@@ -66,31 +74,34 @@ def asof_join(
     rhs = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in set(on)],
         *[F.col(k_) for k_ in on],
-        F.lit(0).alias("__tag"),
+        F.lit(right_tag).alias("__tag"),
         F.col(right_ts).alias("__ts"),
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
         F.col(right_ts).alias("__r_ts"),
     ).select(*lhs.columns)  # align column order for unionByName safety
 
-    w = (
-        W.partitionBy(*on)
-        .orderBy(F.col("__ts").asc(), F.col("__tag").asc())
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    base_w = W.partitionBy(*on).orderBy(F.col("__ts").asc(), F.col("__tag").asc())
+    if direction == "backward":
+        w = base_w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        nearest = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = base_w.rowsBetween(W.currentRow, W.unboundedFollowing)
+        nearest = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
     unioned = lhs.unionByName(rhs)
     filled = unioned.select(
         *[c for c in left.columns],
         F.col("__tag"),
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}") for c in right_cols],
-        F.last("__r_ts", ignorenulls=True).over(w).alias("__f_ts"),
-    ).filter(F.col("__tag") == 1)
+        *[nearest(f"__r_{c}").alias(f"__f_{c}") for c in right_cols],
+        nearest("__r_ts").alias("__f_ts"),
+    ).filter(F.col("__tag") == left_tag)
 
     result_cols = [F.col(c) for c in left.columns]
     match_ok = F.col("__f_ts").isNotNull()
     if tolerance_seconds is not None:
-        match_ok = match_ok & (
-            F.col(left_ts).cast("double") - F.col("__f_ts").cast("double") <= F.lit(tolerance_seconds)
-        )
+        gap = F.col(left_ts).cast("double") - F.col("__f_ts").cast("double")
+        if direction == "forward":
+            gap = -gap
+        match_ok = match_ok & (gap <= F.lit(tolerance_seconds))
     for c in right_cols:
         result_cols.append(F.when(match_ok, F.col(f"__f_{c}")).alias(out_names[c]))
     result_cols.append(F.when(match_ok, F.col("__f_ts")).alias(ts_out))

@@ -98,6 +98,29 @@ def ivf_assign(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Fit MLlib KMeans over the embedding column and return a centroids
+    DataFrame shaped like corpus rows (centroid_id, vec_col). The production
+    IVF coarse quantizer; seeded for reproducibility."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(as_double(F.col(vec_col))).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
+    spark = corpus.sparkSession
+    rows = [
+        (i, [float(x) for x in center]) for i, center in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(rows, f"centroid_id int, {vec_col} array<double>")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -106,17 +129,23 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    centroid_mode: str = "first_k",
 ) -> DataFrame:
-    """Approximate top-k: IVF coarse quantization with deterministic centroids
-    (the first ``n_centroids`` corpus vectors by id), probing the query's
-    ``nprobe`` nearest buckets. Returns (query_id, neighbor_id, cosine_sim, rank)."""
+    """Approximate top-k: IVF coarse quantization, probing the query's
+    ``nprobe`` nearest buckets. ``centroid_mode``: ``"first_k"`` takes the
+    first n_centroids corpus vectors by id (deterministic, fit-free);
+    ``"kmeans"`` fits MLlib KMeans (better bucket balance => better recall at
+    the same nprobe). Returns (query_id, neighbor_id, cosine_sim, rank)."""
     from pyspark.sql import Window as W
 
-    centroids = (
-        corpus.orderBy(F.col(id_col).asc())
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
-    )
+    if centroid_mode == "kmeans":
+        centroids = kmeans_centroids(corpus, n_centroids, id_col, vec_col)
+    else:
+        centroids = (
+            corpus.orderBy(F.col(id_col).asc())
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
+        )
     assignment = ivf_assign(corpus, centroids, id_col, vec_col)
     bucketed = corpus.join(assignment, id_col)
 

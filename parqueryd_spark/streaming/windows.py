@@ -91,6 +91,36 @@ def stream_session_windows(events: DataFrame, gap: str = "30 minutes", watermark
     )
 
 
+def stream_stream_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    window_seconds: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase joined to clicks by the same
+    user within the preceding ``window_seconds``. Both sides carry watermarks
+    plus the time-range join condition, which lets Spark expire join state —
+    the requirement for unbounded-stream joins."""
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    cond = (
+        (p.user_id == c.c_user_id)
+        & (c.click_ts <= p.purchase_ts)
+        & (c.click_ts >= p.purchase_ts - F.expr(f"INTERVAL {window_seconds} SECONDS"))
+    )
+    return p.join(c, cond, "inner").select(
+        "purchase_id", "user_id", "purchase_ts", "click_ts", "click_value"
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> DataFrame:

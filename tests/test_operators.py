@@ -47,13 +47,19 @@ def test_ivf_recall_vs_bruteforce(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     exact = brute_force_topk(emb, queries, k=5).toPandas()
-    approx = ivf_topk(emb, queries, n_centroids=16, nprobe=4, k=5).toPandas()
     exact_pairs = set(zip(exact.query_id, exact.neighbor_id))
-    approx_pairs = set(zip(approx.query_id, approx.neighbor_id))
-    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+
+    def recall(mode: str) -> float:
+        approx = ivf_topk(emb, queries, n_centroids=16, nprobe=4, k=5, centroid_mode=mode).toPandas()
+        pairs = set(zip(approx.query_id, approx.neighbor_id))
+        return len(exact_pairs & pairs) / len(exact_pairs)
+
     # nprobe=4 of 16 buckets; random-ish embeddings make coarse quantization
     # weak, but recall must beat the 25%-of-corpus scan baseline convincingly
-    assert recall >= 0.4, f"IVF recall {recall:.2f}"
+    r_first = recall("first_k")
+    assert r_first >= 0.4, f"IVF(first_k) recall {r_first:.2f}"
+    r_kmeans = recall("kmeans")
+    assert r_kmeans >= 0.4, f"IVF(kmeans) recall {r_kmeans:.2f}"
 
 
 def test_asof_join_tolerance(spark, tmp_path):
@@ -71,6 +77,22 @@ def test_asof_join_tolerance(spark, tmp_path):
         .collect()
     )
     assert [r.v for r in out_tol] == [None, None, "c"]
+    # forward: nearest following right event (inclusive)
+    fwd = (
+        asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts", direction="forward")
+        .orderBy("k", "ts")
+        .collect()
+    )
+    assert [r.v for r in fwd] == ["b", None, None]
+    fwd_tol = (
+        asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            direction="forward", tolerance_seconds=10,
+        )
+        .orderBy("k", "ts")
+        .collect()
+    )
+    assert [r.v for r in fwd_tol] == [None, None, None]
 
 
 def test_sink_roundtrip_and_empty_protocol(spark, tmp_path):

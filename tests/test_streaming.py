@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from parqueryd_spark.queries.events import events_sliding_window, events_tumbling_window
 from parqueryd_spark.streaming.stateful import stream_running_totals
@@ -60,6 +61,42 @@ def test_stream_session_windows(spark, events_stream):
     per_user = out.groupby("user_id")["n_events"].sum()
     for uid, n in per_user.items():
         assert n == raw[uid]
+
+
+def test_stream_stream_join_matches_batch(spark, events_stream):
+    from parqueryd_spark.streaming.windows import stream_stream_join
+
+    import os
+
+    from parqueryd_spark.sources.parquet import load_table
+
+    purchases = events_stream.filter(F.col("event_type") == "purchase")
+    clicks = events_stream.filter(F.col("event_type") == "click")
+    got = _sorted(
+        run_stream_to_memory(
+            stream_stream_join(purchases, clicks), "t_ssjoin", output_mode="append"
+        ).toPandas()
+    )
+    ev = load_table(spark, SF_SMOKE, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"), F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    want = _sorted(
+        p.join(
+            c,
+            (p.user_id == c.c_user_id)
+            & (c.click_ts <= p.purchase_ts)
+            & (c.click_ts >= p.purchase_ts - F.expr("INTERVAL 3600 SECONDS")),
+        )
+        .select("purchase_id", "user_id", "purchase_ts", "click_ts", "click_value")
+        .toPandas()
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
 def test_stream_stateful_running_totals(spark, events_stream):
