@@ -101,24 +101,31 @@ def ivf_assign(
 def kmeans_centroids(
     corpus: DataFrame,
     n_centroids: int,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 10,
 ) -> DataFrame:
     """Fit MLlib KMeans over the embedding column and return a centroids
     DataFrame shaped like corpus rows (centroid_id, vec_col). The production
-    IVF coarse quantizer; seeded for reproducibility."""
+    IVF coarse quantizer. Cosine distance matches the metric the buckets are
+    probed with (Euclidean clustering of unnormalized vectors would split
+    same-direction vectors across buckets). Seeded + fixed training partition
+    count for machine-independent reproducibility (KMeans|| init samples per
+    partition)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    train = corpus.select(array_to_vector(as_double(F.col(vec_col))).alias("features"))
-    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
+    train = corpus.select(
+        array_to_vector(as_double(F.col(vec_col))).alias("features")
+    ).repartition(8)
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, distanceMeasure="cosine"
+    ).fit(train)
     spark = corpus.sparkSession
     rows = [
         (i, [float(x) for x in center]) for i, center in enumerate(model.clusterCenters())
     ]
-    return spark.createDataFrame(rows, f"centroid_id int, {vec_col} array<double>")
+    return spark.createDataFrame(rows, f"centroid_id int, `{vec_col}` array<double>")
 
 
 def ivf_topk(
@@ -138,8 +145,10 @@ def ivf_topk(
     the same nprobe). Returns (query_id, neighbor_id, cosine_sim, rank)."""
     from pyspark.sql import Window as W
 
+    if centroid_mode not in ("first_k", "kmeans"):
+        raise ValueError(f"centroid_mode must be 'first_k' or 'kmeans', got {centroid_mode!r}")
     if centroid_mode == "kmeans":
-        centroids = kmeans_centroids(corpus, n_centroids, id_col, vec_col)
+        centroids = kmeans_centroids(corpus, n_centroids, vec_col=vec_col)
     else:
         centroids = (
             corpus.orderBy(F.col(id_col).asc())

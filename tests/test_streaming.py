@@ -66,8 +66,6 @@ def test_stream_session_windows(spark, events_stream):
 def test_stream_stream_join_matches_batch(spark, events_stream):
     from parqueryd_spark.streaming.windows import stream_stream_join
 
-    import os
-
     from parqueryd_spark.sources.parquet import load_table
 
     purchases = events_stream.filter(F.col("event_type") == "purchase")
