@@ -48,6 +48,37 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
+@query(
+    "embedding_array_ops",
+    oracle="""
+    SELECT label,
+           count(vec_id)                                   AS n,
+           avg(CAST(embedding[1] AS DOUBLE))               AS avg_first,
+           max(len(embedding))                             AS max_len,
+           avg(list_aggregate(CAST(embedding[1:8] AS DOUBLE[]), 'sum')) AS avg_head_sum,
+           max(CAST(list_aggregate(CAST(embedding AS DOUBLE[]), 'max') AS DOUBLE)) AS max_elem
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def embedding_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function coverage over the ArrayType(Float) column: element_at,
+    size, slice, aggregate, array_max — all JVM higher-order functions."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    head_sum = F.aggregate(
+        F.transform(F.slice("embedding", 1, 8), lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.groupBy("label").agg(
+        F.count("vec_id").alias("n"),
+        F.avg(F.element_at("embedding", 1).cast("double")).alias("avg_first"),
+        F.max(F.size("embedding")).alias("max_len"),
+        F.avg(head_sum).alias("avg_head_sum"),
+        F.max(F.array_max("embedding").cast("double")).alias("max_elem"),
+    )
+
+
 @query("ann_ivf_topk", oracle=None)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-5 (scale path; rows-only check — approximate
