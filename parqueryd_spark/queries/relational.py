@@ -217,6 +217,63 @@ def window_running_and_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_analytics_extended",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           lead(o_totalprice) OVER w                  AS next_price,
+           first_value(o_totalprice) OVER w           AS first_price,
+           ntile(4) OVER w                            AS quartile,
+           CAST(percent_rank() OVER w AS DOUBLE)      AS pct_rank,
+           CAST(cume_dist() OVER w AS DOUBLE)         AS cume
+    FROM orders
+    WHERE o_custkey < 20
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_analytics_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead / first_value / ntile / percent_rank / cume_dist over a fully
+    ordered window (deterministic via the o_orderkey tie-break)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 20)
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).cast("double").alias("pct_rank"),
+        F.cume_dist().over(w).cast("double").alias("cume"),
+    )
+
+
+@query(
+    "string_agg_ordered",
+    oracle="""
+    SELECT c_mktsegment,
+           string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority) AS priorities,
+           count(o_orderkey) AS n
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_set -> array_sort -> concat_ws makes
+    the nondeterministic collection order deterministic (the only safe way to
+    emit aggregated strings from a distributed engine)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.concat_ws("|", F.array_sort(F.collect_set("o_orderpriority"))).alias("priorities"),
+            F.count("o_orderkey").alias("n"),
+        )
+    )
+
+
+@query(
     "set_intersect_except",
     oracle="""
     WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
