@@ -101,6 +101,89 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame_payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Resize every payload to (width, height) via mapInPandas.
+
+    STUB codec: the fake 'resized' payload is a deterministic digest of
+    (payload, dims) so downstream plumbing (dedup on resized bytes, size
+    accounting) is exercised without a real image library.
+    """
+
+    def _resize(batches):
+        import hashlib as _hl
+
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = [
+                _hl.sha256(bytes(p) + f"{width}x{height}".encode()).digest()
+                for p in pdf["payload"]
+            ]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": payloads,
+                    "width": _pd.array([width] * len(pdf), dtype="int32"),
+                    "height": _pd.array([height] * len(pdf), dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, max_frames: int = 4) -> DataFrame:
+    """Sample up to ``max_frames`` frames per video payload (1-in/N-out row
+    explosion through mapInPandas — the batch shape a real ffmpeg frame
+    sampler needs). STUB: frame count derives from the payload digest; each
+    fake frame is a per-index digest."""
+
+    def _sample(batches):
+        import hashlib as _hl
+
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, mtype, p in zip(pdf["media_id"], pdf["media_type"], pdf["payload"]):
+                if mtype != "video":
+                    continue
+                raw = bytes(p)
+                n = 1 + _hl.sha256(raw).digest()[0] % max_frames
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(_hl.sha256(raw + bytes([i])).digest())
+            yield _pd.DataFrame(
+                {
+                    "media_id": _pd.array(ids, dtype="int64"),
+                    "frame_index": _pd.array(idxs, dtype="int32"),
+                    "frame_payload": frames,
+                }
+            )
+
+    return media.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
 def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
     """mapInPandas feature extraction over the payload column.
 

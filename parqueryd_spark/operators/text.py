@@ -100,6 +100,20 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
 
 
+def winnow_fingerprints(text: Column | str, k: int = 3, window: int = 4) -> Column:
+    """Winnowing document fingerprint: the set of per-window minimum shingle
+    hashes (Schleimer et al.'s local fingerprinting scheme, rolling-hash
+    family). Near-identical documents share most fingerprints; used for
+    plagiarism-style containment detection. Pure higher-order functions."""
+    hashed = F.transform(shingles(text, k), lambda s: F.xxhash64(s))
+    n = F.size(hashed)
+    win_mins = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),
+        lambda i: F.array_min(F.slice(hashed, i + 1, window)),
+    )
+    return F.array_distinct(win_mins)
+
+
 def shingles(text: Column | str, k: int = 3) -> Column:
     """k-gram token shingles (distinct), the unit for Jaccard/MinHash dedup."""
     toks = tokens(text)

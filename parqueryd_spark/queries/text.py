@@ -122,6 +122,17 @@ def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("text_winnow_fingerprint", oracle=None)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash family) fingerprint counts per document
+    (rows-only: xxhash64-based prints are not reproducible in ANSI SQL; the
+    overlap property is asserted in tests/test_operators.py)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id", F.size(T.winnow_fingerprints("text")).alias("n_fingerprints")
+    )
+
+
 @query(
     "text_fingerprint",
     oracle="""

@@ -95,6 +95,47 @@ def test_asof_join_tolerance(spark, tmp_path):
     assert [r.v for r in fwd_tol] == [None, None, None]
 
 
+def test_resize_and_frame_sample_stubs(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 30)
+    media = media_from_documents(docs)
+    from parqueryd_spark.operators.multimodal import resize_media, sample_frames
+
+    resized = resize_media(media, 16, 16).toPandas()
+    assert len(resized) == media.count()
+    assert (resized["width"] == 16).all()
+    assert resized["payload"].map(len).eq(32).all()  # sha256 digest stub
+    # deterministic across repartitioning
+    r2 = resize_media(media.repartition(5), 16, 16).toPandas()
+    assert set(map(bytes, r2["payload"])) == set(map(bytes, resized["payload"]))
+
+    frames = sample_frames(media).toPandas()
+    n_videos = media.filter(F.col("media_type") == "video").count()
+    assert frames["media_id"].nunique() == n_videos
+    assert frames["frame_index"].min() == 0
+    per = frames.groupby("media_id")["frame_index"].max()
+    assert (per <= 3).all()  # max_frames=4 -> indices 0..3
+
+
+def test_winnow_fingerprint_overlap(spark):
+    """Near-dup documents (known Jaccard >= 0.9 pairs) must share most
+    winnowing fingerprints; unrelated docs must not."""
+    from parqueryd_spark.operators.text import winnow_fingerprints
+    from parqueryd_spark.queries.dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, SF_SMOKE).toPandas()
+    assert len(pairs) > 0
+    docs = load_table(spark, SF_SMOKE, "documents")
+    fp = {
+        r.doc_id: set(r.fp)
+        for r in docs.select("doc_id", winnow_fingerprints("text").alias("fp")).collect()
+    }
+    a, b = int(pairs.iloc[0].id_a), int(pairs.iloc[0].id_b)
+    overlap = len(fp[a] & fp[b]) / len(fp[a] | fp[b])
+    assert overlap > 0.7, f"near-dup winnow overlap {overlap:.2f}"
+    unrelated = len(fp[a] & fp[(a + 7) % 400]) / len(fp[a] | fp[(a + 7) % 400])
+    assert unrelated < 0.3, f"unrelated winnow overlap {unrelated:.2f}"
+
+
 def test_sink_roundtrip_and_empty_protocol(spark, tmp_path):
     li = load_table(spark, SF_SMOKE, "lineitem").limit(100)
     path = str(tmp_path / "out")
