@@ -28,7 +28,7 @@ from parqueryd_spark.functions.compile import (
     compile_where_terms,
     normalize_agg_list,
 )
-from parqueryd_spark.sources.parquet import read_parquet
+from parqueryd_spark.sources.parquet import read_parquet, resolve_paths
 
 
 def aggregate_files(
@@ -69,10 +69,11 @@ def aggregate_files(
     if shard_merge not in ("global", "concat"):
         raise ValueError(f"shard_merge must be 'global' or 'concat', got {shard_merge!r}")
 
-    from parqueryd_spark.sources.parquet import resolve_paths
-
+    # validate the full call shape BEFORE shard resolution so a malformed query
+    # raises consistently whether or not its shards exist
     pred = compile_where_terms(where_terms)
     triples = normalize_agg_list(agg_list)
+    aggs = compile_agg_list(agg_list) if aggregate else None
 
     def _one(df: DataFrame) -> DataFrame:
         if pred is not None:
@@ -83,7 +84,6 @@ def aggregate_files(
                 if c not in proj:
                     proj.append(c)
             return df.select(*proj)
-        aggs = compile_agg_list(agg_list)
         if groupby_cols:
             return df.groupBy(*groupby_cols).agg(*aggs)
         return df.agg(*aggs)
@@ -182,8 +182,6 @@ class ParquetEngine:
         declared output ``schema`` — sandbox-equivalent to any other Spark job,
         no dynamic import surface.
         """
-        from parqueryd_spark.sources.parquet import read_parquet
-
         df = read_parquet(self.spark, filenames, data_dir=self.data_dir)
         if df is None:
             return self.spark.createDataFrame([], schema=schema)

@@ -51,15 +51,17 @@ def compile_where_terms(where_terms: Sequence[Sequence] | None) -> Column | None
             raise QueryCompileError(f"where term must be [col, op, value], got {term!r}")
         col_name, op, value = term
         col = F.col(col_name)
-        op_key = str(op).strip().lower()
+        if not isinstance(op, str):
+            raise QueryCompileError(f"where op must be a string, got {op!r} in term {term!r}")
+        op_key = op.strip().lower()
         if op_key in ("in", "not in"):
             if not isinstance(value, (list, tuple, set)):
                 value = [value]
             pred = col.isin(*value)
             if op_key == "not in":
                 pred = ~pred
-        elif op in _COMPARE_OPS:
-            pred = _COMPARE_OPS[op](col, F.lit(value))
+        elif op_key in _COMPARE_OPS:
+            pred = _COMPARE_OPS[op_key](col, F.lit(value))
         else:
             raise QueryCompileError(f"unsupported where op {op!r} in term {term!r}")
         preds.append(pred)

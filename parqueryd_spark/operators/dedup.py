@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from parqueryd_spark.operators.text import shingles, tokens
+from parqueryd_spark.operators.util import spread_partitions as _spread
 
 # Prime field for the affine minhash rehash family h_i(x) = (a_i*x + b_i) mod P.
 # 2^31-1 keeps a*x + b far below 2^63 (ANSI mode would error on long overflow);
@@ -38,14 +39,13 @@ _PRIME_P = (1 << 31) - 1
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact duplicate groups by content digest; keeps the lowest id as the
     canonical representative. Returns (digest, n_copies, keep_id)."""
+    # no cast on the id: min() works for any orderable id type, and casting a
+    # string/UUID id to long would silently null every keep_id
     return (
-        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col).cast("long").alias("_id"))
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col).alias("_id"))
         .groupBy("digest")
         .agg(F.count("*").alias("n_copies"), F.min("_id").alias("keep_id"))
     )
-
-
-from parqueryd_spark.operators.util import spread_partitions as _spread
 
 
 def _shingle_df(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
@@ -76,7 +76,10 @@ def ngram_jaccard_pairs(
     sorted_sh = F.array_sort(
         F.transform(sh_arr, lambda s: F.struct(F.xxhash64(s).alias("h"), s.alias("s")))
     )
-    prefix_len = (F.floor((1 - threshold) * F.size(sh_arr)) + 1).cast("int")
+    # +1e-9 guards the double-arithmetic shortfall: (1-0.8)*n computes as
+    # 0.19999999999999996*n, and floor() would lose one prefix element for
+    # n divisible by 5, breaking the exactness guarantee at the threshold
+    prefix_len = (F.floor((1 - threshold) * F.size(sh_arr) + 1e-9) + 1).cast("int")
     prefix = _spread(df).select(
         F.col(id_col).alias("doc"),
         F.explode(F.transform(F.slice(sorted_sh, F.lit(1), prefix_len), lambda x: x["s"])).alias("s"),
@@ -142,6 +145,11 @@ def minhash_lsh_pairs(
     Verification: exact Jaccard on the candidates only (precision 1.0).
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of bands ({bands}); "
+            "otherwise signature rows are silently dropped or banding degenerates"
+        )
     rows = num_hashes // bands
     docs = _spread(df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_text"))).withColumn(
         "sig", minhash_signature(F.col("_text"), k, num_hashes)

@@ -56,8 +56,15 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    reserved = {c for c in list(left.columns) + list(right.columns) if c.startswith("__")}
+    if reserved:
+        raise ValueError(f"asof_join reserves '__'-prefixed column names; found {sorted(reserved)}")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in set(on) and c != right_ts]
+    else:
+        # right_ts is always emitted separately as ts_out; listing it again in
+        # right_cols would produce two identically-named output columns
+        right_cols = [c for c in right_cols if c != right_ts]
     out_names = {c: f"{c}{suffix}" if c in left.columns else c for c in right_cols}
     ts_out = f"{right_ts}{suffix}" if right_ts in left.columns else right_ts
 
