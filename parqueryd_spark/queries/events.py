@@ -62,6 +62,50 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_gap_filled_hourly",
+    oracle="""
+    WITH bounds AS (
+      SELECT time_bucket(INTERVAL '1 hour', min(ts)) AS lo,
+             time_bucket(INTERVAL '1 hour', max(ts)) AS hi
+      FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour_start FROM bounds
+    ), agg AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+             count(event_id) AS n_events, sum(value) AS sum_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT s.hour_start,
+           COALESCE(a.n_events, 0)    AS n_events,
+           COALESCE(a.sum_value, 0.0) AS sum_value
+    FROM spine s LEFT JOIN agg a ON a.hour_start = s.hour_start
+    """,
+)
+def events_gap_filled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a generated hourly spine (sequence + explode)
+    left-joined to the windowed aggregate, empty hours filled with zeros —
+    the resampling primitive dashboards need. The spine is tiny and broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"), F.date_trunc("hour", F.max("ts")).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour_start")
+    )
+    agg = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("event_id").alias("n"), F.sum("value").alias("s"))
+        .select(F.col("w.start").alias("hour_start"), "n", "s")
+    )
+    return spine.join(agg, "hour_start", "left").select(
+        "hour_start",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.coalesce(F.col("s"), F.lit(0.0)).alias("sum_value"),
+    )
+
+
+@query(
     "events_sessionization",
     oracle="""
     WITH flagged AS (

@@ -294,6 +294,49 @@ def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "having_filter",
+    oracle="""
+    SELECT l_partkey, count(l_orderkey) AS n, sum(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING count(l_orderkey) >= 25 AND sum(l_quantity) > 500
+    """,
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING) — a filter above the agg in the plan,
+    which Catalyst cannot push below it."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_partkey")
+        .agg(F.count("l_orderkey").alias("n"), F.sum("l_quantity").alias("sum_qty"))
+        .filter((F.col("n") >= 25) & (F.col("sum_qty") > 500))
+    )
+
+
+@query(
+    "scalar_subquery_above_avg",
+    oracle="""
+    SELECT p_brand, count(p_partkey) AS n_above_avg, max(p_retailprice) AS max_price
+    FROM part
+    WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+    GROUP BY p_brand
+    """,
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery pattern (rows above the global average) — expressed as a
+    broadcast cross-join of the 1-row aggregate, the plan Spark produces for a
+    scalar subquery anyway."""
+    part = load_table(spark, sf_dir, "part")
+    avg_price = part.agg(F.avg("p_retailprice").alias("__avg"))
+    return (
+        part.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("p_retailprice") > F.col("__avg"))
+        .groupBy("p_brand")
+        .agg(F.count("p_partkey").alias("n_above_avg"), F.max("p_retailprice").alias("max_price"))
+    )
+
+
+@query(
     "rollup_agg",
     oracle="""
     SELECT l_returnflag, l_linestatus,
