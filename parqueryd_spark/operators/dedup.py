@@ -54,6 +54,32 @@ def _shingle_df(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     )
 
 
+def _verify_jaccard(
+    candidates: DataFrame, df: DataFrame, id_col: str, text_col: str, k: int, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (id_a, id_b) pairs.
+
+    Joins the candidate list (small) to per-doc shingle ARRAYS and computes
+    intersection sizes JVM-side — two joins proportional to the candidate
+    count, instead of re-exploding and shuffling every shingle of every doc.
+    Returns (id_a, id_b, jaccard) filtered to >= threshold.
+    """
+    docs_arr = _spread(df).select(
+        F.col(id_col).alias("doc"), shingles(F.col(text_col), k).alias("sh")
+    )
+    return (
+        candidates.join(docs_arr.withColumnsRenamed({"doc": "id_a", "sh": "sa"}), "id_a")
+        .join(docs_arr.withColumnsRenamed({"doc": "id_b", "sh": "sb"}), "id_b")
+        .withColumn("common", F.size(F.array_intersect("sa", "sb")))
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.size("sa") + F.size("sb") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.8
 ) -> DataFrame:
@@ -67,9 +93,6 @@ def ngram_jaccard_pairs(
     then verified with true Jaccard over the full sets (precision 1.0).
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    sh = _shingle_df(df, id_col, text_col, k)
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("n"))
-
     # Per-row prefix extraction: hash-sort the shingle array and slice the
     # first floor((1-t)*n)+1 — all array-side, no explode+window shuffle.
     sh_arr = shingles(F.col(text_col), k)
@@ -90,21 +113,7 @@ def ngram_jaccard_pairs(
         .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .distinct()
     )
-    a_sh = sh.withColumnsRenamed({"doc": "id_a", "s": "sh"})
-    b_sh = sh.withColumnsRenamed({"doc": "id_b", "s": "sh"})
-    common = (
-        candidates.join(a_sh, "id_a")
-        .join(b_sh, ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("common"))
-    )
-    return (
-        common.join(sizes.withColumnsRenamed({"doc": "id_a", "n": "na"}), "id_a")
-        .join(sizes.withColumnsRenamed({"doc": "id_b", "n": "nb"}), "id_b")
-        .withColumn("jaccard", F.col("common") / (F.col("na") + F.col("nb") - F.col("common")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verify_jaccard(candidates, df, id_col, text_col, k, threshold)
 
 
 def minhash_signature(text_col, k: int = 3, num_hashes: int = 128):
@@ -177,23 +186,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .distinct()
     )
-    sh = _shingle_df(df, id_col, text_col, k)
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("n"))
-    # exact verify: join candidate pairs back to shingle sets
-    a_sh = sh.withColumnsRenamed({"doc": "id_a", "s": "sh"})
-    b_sh = sh.withColumnsRenamed({"doc": "id_b", "s": "sh"})
-    common = (
-        candidates.join(a_sh, "id_a").join(b_sh, ["id_b", "sh"]).groupBy("id_a", "id_b").agg(
-            F.count("*").alias("common")
-        )
-    )
-    return (
-        common.join(sizes.withColumnsRenamed({"doc": "id_a", "n": "na"}), "id_a")
-        .join(sizes.withColumnsRenamed({"doc": "id_b", "n": "nb"}), "id_b")
-        .withColumn("jaccard", F.col("common") / (F.col("na") + F.col("nb") - F.col("common")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verify_jaccard(candidates, df, id_col, text_col, k, threshold)
 
 
 def simhash(text_col, bits: int = 32, k: int = 3) -> F.Column:
