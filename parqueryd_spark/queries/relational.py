@@ -337,6 +337,25 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "set_union_distinct",
+    oracle="""
+    SELECT k, count(*) AS n FROM (
+      SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 45
+      UNION
+      SELECT s_suppkey AS k FROM supplier WHERE s_acctbal > 4000
+    ) GROUP BY k
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION with distinct semantics (vs the shard-merge UNION ALL of O7)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    a = lineitem.filter(F.col("l_quantity") > 45).select(F.col("l_suppkey").alias("k"))
+    b = supplier.filter(F.col("s_acctbal") > 4000).select(F.col("s_suppkey").cast("long").alias("k"))
+    return a.union(b).distinct().groupBy("k").agg(F.count("*").alias("n"))
+
+
+@query(
     "rollup_agg",
     oracle="""
     SELECT l_returnflag, l_linestatus,
