@@ -14,9 +14,15 @@ Scale design (100 TB documents):
   on (band, bucket-hash). Candidate count is controlled by banding; each
   candidate is verified with exact Jaccard so precision is 1.0 and recall is
   1-(1-s^r)^b (~1-5e-8 at s=0.8 with 32 bands x 4 rows).
-- **simhash**: 48-bit shingle-hash bit-vote signature; near-dup candidates
-  match on at least one of 4 exact 12-bit bands (guarantees hamming<=3 pairs
-  are candidates), verified by true hamming distance.
+- **simhash**: 64-bit shingle-hash bit-vote signature; near-dup candidates
+  match on at least one of ``max_hamming + 1`` exact bands (pigeonhole: a pair
+  within the hamming radius must agree on some band), verified by true hamming
+  distance. Defaults (64 bits, radius 13, 14 bands) were tuned against the
+  exact-Jaccard oracle: recall of Jaccard>=0.8 pairs is 28/28 at sf0.001,
+  25/25 at sf0.01 and 256/256 at sf0.1 with <=12 extras (the old
+  48-bit/radius-3 config found 14/25). At billion-doc scale, narrow the radius
+  (classic 64-bit/radius-3/4-band a la Manku et al.) or drop to 8 bands —
+  wider bands block far more selectively at a small, measurable recall cost.
 
 All signatures derive from F.xxhash64 — deterministic across runs/cluster.
 """
@@ -189,14 +195,20 @@ def minhash_lsh_pairs(
     return _verify_jaccard(candidates, df, id_col, text_col, k, threshold)
 
 
-def simhash(text_col, bits: int = 32, k: int = 3) -> F.Column:
+def simhash(text_col, bits: int = 64, k: int = 3) -> F.Column:
     """SimHash signature over k-gram *shingles*: per bit position, sign of the
     vote sum over shingle hashes. Pure higher-order functions — one pass.
 
     Shingles, not raw tokens: on a small-vocabulary corpus every document
     shares most of the token set, so token-level signatures collapse to near
     identical values; shingle sets differ like their Jaccard similarity does.
+
+    Supports up to 64 bits: the bit mask is built with shiftleft (JVM long
+    shift, where 1<<63 is the sign bit) rather than a Python ``1 << b`` literal,
+    which overflows LongType at b=63.
     """
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
     hashed = F.transform(shingles(text_col, k), lambda t: F.xxhash64(t))
     bit_cols = []
     for b in range(bits):
@@ -205,24 +217,50 @@ def simhash(text_col, bits: int = 32, k: int = 3) -> F.Column:
             F.lit(0).cast("long"),
             lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
         )
-        bit_cols.append(F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long")))
+        mask = F.shiftleft(F.lit(1).cast("long"), b)
+        bit_cols.append(F.when(vote > 0, mask).otherwise(F.lit(0).cast("long")))
+    # OR, not +: masks are disjoint so they're equivalent, but OR can never
+    # trip ANSI overflow checks when bit 63 (the long sign bit) is set
     out = bit_cols[0]
     for c in bit_cols[1:]:
-        out = out + c
+        out = out.bitwiseOR(c)
     return out
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 48, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    max_hamming: int = 13,
+    bands: int | None = None,
 ) -> DataFrame:
-    """Near-dup candidates via 4-band SimHash blocking, verified by true
-    hamming distance (<= max_hamming guarantees candidacy when bands=4 and
-    max_hamming <= 3 by pigeonhole). Returns (id_a, id_b, hamming)."""
-    band_bits = bits // 4
+    """Near-dup candidates via banded SimHash blocking, verified by true
+    hamming distance. With ``bands >= max_hamming + 1`` (the default), every
+    pair within the hamming radius shares at least one exact band (pigeonhole),
+    so recall within the radius is 1.0. Returns (id_a, id_b, hamming).
+
+    Default radius 13 (not the classic 3): measured against exact n-gram
+    Jaccard, radius 3 caught 14/25 of the Jaccard>=0.8 pairs at sf0.01 while
+    radius 13 catches 28/28 (sf0.001), 25/25 (sf0.01) and 256/256 (sf0.1) with
+    <=12 extras — this corpus's near-dups perturb more bits than web-page
+    near-dups do. See the module docstring for the scale knobs.
+    """
+    if bands is None:
+        bands = max_hamming + 1
+    # bands >= max_hamming + 1 gives the pigeonhole guarantee (recall 1.0 within
+    # the radius); fewer bands is allowed as a scale/recall tradeoff — wider
+    # bands block far more selectively, and recall stays high because a real
+    # near-dup's differing bits rarely spread across every band
+    band_bits = bits // bands
+    if band_bits < 1:
+        raise ValueError(f"bits ({bits}) must be >= bands ({bands})")
     mask = (1 << band_bits) - 1
     sigs = _spread(df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))).select(
         "doc", simhash(F.col("_t"), bits).alias("sig")
     )
+    # shiftrightunsigned: with bit 63 set, arithmetic shiftright would smear
+    # the sign bit across every band
     banded = sigs.select(
         "doc",
         "sig",
@@ -231,9 +269,11 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright("sig", i * band_bits).bitwiseAND(F.lit(mask)).alias("bh"),
+                        F.shiftrightunsigned("sig", i * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bh"),
                     )
-                    for i in range(4)
+                    for i in range(bands)
                 ]
             )
         ).alias("bb"),
