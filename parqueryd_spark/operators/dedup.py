@@ -65,13 +65,18 @@ def _verify_jaccard(
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate (id_a, id_b) pairs.
 
-    Joins the candidate list (small) to per-doc shingle ARRAYS and computes
-    intersection sizes JVM-side — two joins proportional to the candidate
-    count, instead of re-exploding and shuffling every shingle of every doc.
-    Returns (id_a, id_b, jaccard) filtered to >= threshold.
+    Joins the candidate list (small) to per-doc shingle-HASH arrays and
+    computes intersection sizes JVM-side — two joins proportional to the
+    candidate count, instead of re-exploding and shuffling every shingle of
+    every doc. Arrays hold xxhash64 longs, not shingle strings: ~10x less data
+    through the join shuffle and long-vs-long array_intersect instead of
+    string comparisons (collisions within a ~100-element set are ~1e-15 —
+    negligible against a 64-bit hash). Returns (id_a, id_b, jaccard) filtered
+    to >= threshold.
     """
     docs_arr = _spread(df).select(
-        F.col(id_col).alias("doc"), shingles(F.col(text_col), k).alias("sh")
+        F.col(id_col).alias("doc"),
+        F.transform(shingles(F.col(text_col), k), lambda s: F.xxhash64(s)).alias("sh"),
     )
     return (
         candidates.join(docs_arr.withColumnsRenamed({"doc": "id_a", "sh": "sa"}), "id_a")
@@ -95,27 +100,34 @@ def ngram_jaccard_pairs(
     each doc's shingles by a global total order (their hash); two sets with
     Jaccard >= t MUST share at least one shingle among each one's first
     floor((1-t)*|S|)+1 shingles. Joining only those prefixes shrinks the
-    inverted-index join by ~(1-t) squared while remaining exact; candidates are
-    then verified with true Jaccard over the full sets (precision 1.0).
-    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    inverted-index join by ~(1-t) squared while remaining exact; the length
+    filter (|A| >= t*|B| and vice versa, also implied by Jaccard >= t) prunes
+    further at the join. Candidates are then verified with true Jaccard over
+    the full sets (precision 1.0). Returns (id_a, id_b, jaccard) with
+    id_a < id_b.
     """
     # Per-row prefix extraction: hash-sort the shingle array and slice the
     # first floor((1-t)*n)+1 — all array-side, no explode+window shuffle.
     sh_arr = shingles(F.col(text_col), k)
-    sorted_sh = F.array_sort(
-        F.transform(sh_arr, lambda s: F.struct(F.xxhash64(s).alias("h"), s.alias("s")))
-    )
+    sorted_sh = F.array_sort(F.transform(sh_arr, lambda s: F.xxhash64(s)))
     # +1e-9 guards the double-arithmetic shortfall: (1-0.8)*n computes as
     # 0.19999999999999996*n, and floor() would lose one prefix element for
     # n divisible by 5, breaking the exactness guarantee at the threshold
     prefix_len = (F.floor((1 - threshold) * F.size(sh_arr) + 1e-9) + 1).cast("int")
     prefix = _spread(df).select(
         F.col(id_col).alias("doc"),
-        F.explode(F.transform(F.slice(sorted_sh, F.lit(1), prefix_len), lambda x: x["s"])).alias("s"),
+        F.size(sh_arr).alias("sz"),
+        F.explode(F.slice(sorted_sh, F.lit(1), prefix_len)).alias("s"),
     )
     candidates = (
         prefix.alias("a")
-        .join(prefix.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .join(
+            prefix.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            & (F.col("a.sz") >= threshold * F.col("b.sz"))
+            & (F.col("b.sz") >= threshold * F.col("a.sz")),
+        )
         .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .distinct()
     )
