@@ -71,6 +71,54 @@ def test_window_topn_group_limit(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_q6_all_predicates_pushed(spark):
+    from parqueryd_spark.queries.tpch import q6_forecast_revenue
+
+    df = q6_forecast_revenue(spark, SF_SMOKE)
+    plan = explain_str(df, "formatted")
+    for pushed in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.04)",
+        "LessThanOrEqual(l_discount,0.06)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert pushed in plan, f"missing pushed filter {pushed}"
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_partkey" not in read_schema and "l_returnflag" not in read_schema
+
+
+def test_q14_q19_broadcast_part(spark):
+    from parqueryd_spark.queries.tpch import q14_promo_revenue, q19_disjunctive_filter
+
+    for fn in (q14_promo_revenue, q19_disjunctive_filter):
+        rep = plan_report(fn(spark, SF_SMOKE))
+        assert rep["has_broadcast_join"] and not rep["has_sortmerge_join"], fn.__name__
+
+
+def test_q18_aggregates_before_join_and_takes_ordered(spark):
+    from parqueryd_spark.queries.tpch import q18_large_orders
+
+    df = q18_large_orders(spark, SF_SMOKE)
+    rep = plan_report(df)
+    assert rep["has_take_ordered"]  # top-20 must be a heap, not a global sort
+    simple = explain_str(df, "simple")
+    # the lineitem pre-aggregation must sit BELOW the orders join
+    agg_pos = simple.find("HashAggregate")
+    join_pos = simple.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+
+
+def test_q4_semi_join_strategy(spark):
+    from parqueryd_spark.queries.tpch import q4_priority_exists
+
+    simple = explain_str(q4_priority_exists(spark, SF_SMOKE), "simple")
+    assert "LeftSemi" in simple
+    # orders-side date range must still push to the scan
+    plan = explain_str(q4_priority_exists(spark, SF_SMOKE), "formatted")
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
 def test_no_python_in_core_paths(spark):
     """Core parity + relational + text queries must be 100% JVM-side."""
     from parqueryd_spark.queries import REGISTRY
