@@ -116,10 +116,41 @@ def winnow_fingerprints(text: Column | str, k: int = 3, window: int = 4) -> Colu
 
 def shingles(text: Column | str, k: int = 3) -> Column:
     """k-gram token shingles (distinct), the unit for Jaccard/MinHash dedup."""
+    return F.array_distinct(ngrams_all(text, k))
+
+
+def ngrams_all(text: Column | str, k: int = 2) -> Column:
+    """Every k-gram occurrence (NOT distinct) — the counting unit for n-gram
+    language-model statistics; ``shingles`` is the distinct set for Jaccard."""
     toks = tokens(text)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-        )
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+
+
+def tfidf_terms(df, id_col: str, text_col: str):
+    """Per-(doc, token) TF-IDF over the whole corpus:
+    ``tfidf = tf * ln(n_docs / df)``. Returns (doc, token, tf, tfidf).
+
+    Scale shape (100 TB): one shuffle to (doc, token) grain for TF; document
+    frequency and the corpus size are vocabulary-sized aggregates of that
+    grain, so both join back as broadcasts — the document-grain side never
+    reshuffles. The reference has no text analytics at all (SURVEY.md §2.2);
+    this is north-star scope.
+    """
+    from parqueryd_spark.operators.util import spread_partitions as _spread
+
+    toks = _spread(df).select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    tf = toks.groupBy("doc", "token").agg(F.count("*").alias("tf"))
+    # tf is already distinct per (doc, token), so df(token) = row count
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.countDistinct(F.col(id_col)).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+        .select("doc", "token", "tf", "tfidf")
     )

@@ -134,6 +134,79 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+      GROUP BY doc_id, token
+    ),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT doc_id, token, tfidf
+    FROM (
+      SELECT tf.doc_id, tf.token,
+             round(tf.tf * ln(nd.n_docs / CAST(dfreq.df AS DOUBLE)), 4) AS tfidf,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY round(tf.tf * ln(nd.n_docs / CAST(dfreq.df AS DOUBLE)), 4) DESC,
+                        tf.token ASC
+             ) AS rn
+      FROM tf JOIN dfreq USING (token) CROSS JOIN nd
+    )
+    WHERE rn <= 3 AND doc_id < 100
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (corpus-wide idf, broadcast back onto
+    the (doc, token) grain). Ranked on round(tfidf, 4) with a token tie-break
+    so cross-engine ln() ulp noise cannot reorder the cut."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = T.tfidf_terms(docs, "doc_id", "text").withColumn(
+        "tfidf", F.round("tfidf", 4)
+    )
+    w = Window.partitionBy("doc").orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        terms.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 3) & (F.col("doc") < 100))
+        .select(F.col("doc").alias("doc_id"), "token", "tfidf")
+    )
+
+
+@query(
+    "text_bigram_counts",
+    oracle="""
+    SELECT bigram, count(*) AS n_occurrences
+    FROM (
+      SELECT unnest(list_transform(
+               range(1, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]
+             )) AS bigram
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    )
+    GROUP BY bigram
+    ORDER BY n_occurrences DESC, bigram ASC
+    LIMIT 20
+    """,
+)
+def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide bigram occurrence counts, top-20 — the n-gram
+    language-model statistic (every occurrence counted, unlike the distinct
+    shingle sets used for Jaccard). Integer-count ties broken by bigram."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.size(T.tokens("text")) >= 2)
+    return (
+        docs.select(F.explode(T.ngrams_all("text", 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+@query(
     "text_fingerprint",
     oracle="""
     SELECT doc_id,
