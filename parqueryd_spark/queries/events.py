@@ -155,3 +155,22 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.sum("value").alias("sum_value"),
     )
+
+
+@query("events_sketch_aggs", oracle=None)
+def events_sketch_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates per event_type: HLL++ distinct users
+    (approx_count_distinct, rsd 2%) and KLL-style quantiles
+    (percentile_approx p50/p95). Rows-only check — sketch estimates are
+    engine-specific by design; relative error against the exact answers is
+    asserted in tests/test_scale.py. At 100 TB these replace exact
+    countDistinct/percentile: fixed-size mergeable state per group instead of
+    a distinct-shuffle of every user id."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95)), 10000).alias(
+            "approx_p50_p95"
+        ),
+        F.count("*").alias("n_events"),
+    )

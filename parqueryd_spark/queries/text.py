@@ -134,6 +134,48 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_curation_funnel",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             least(length(text) / 400.0, 1.0) * 0.5
+             + (len(list_filter(string_split(text, ' '), t -> t IN {_STOP_SQL}))
+                / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5
+             - ((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                / CAST(length(text) AS DOUBLE)) AS q,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+      FROM documents
+    ),
+    kept AS (SELECT * FROM scored WHERE q >= 0.35),
+    keepers AS (SELECT min(doc_id) AS keep_id FROM kept GROUP BY fp)
+    SELECT source, count(*) AS n_docs, round(avg(q), 4) AS avg_quality
+    FROM kept WHERE doc_id IN (SELECT keep_id FROM keepers)
+    GROUP BY source
+    """,
+)
+def text_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation pipeline in one plan: quality
+    filter -> exact dedup on the bag-of-words fingerprint (keep lowest id) ->
+    per-source stats. At sf0.01 the funnel is 500 docs -> 290 quality-pass ->
+    ~246 survivors. One scan computes score and fingerprint together; dedup
+    is a fingerprint-keyed aggregate plus a semi join back, so document text
+    never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        T.quality_score("text").alias("q"),
+        T.fingerprint("text").alias("fp"),
+    ).filter(F.col("q") >= 0.35)
+    keepers = scored.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    return (
+        scored.join(keepers, scored.doc_id == keepers.keep_id, "left_semi")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.round(F.avg("q"), 4).alias("avg_quality"))
+    )
+
+
+@query(
     "text_tfidf_top_terms",
     oracle="""
     WITH tf AS (

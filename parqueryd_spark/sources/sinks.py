@@ -8,8 +8,12 @@ edge, with the empty-result protocol) and ``write_parquet`` (distributed writer)
 
 from __future__ import annotations
 
+import os
+import shutil
+import uuid
+
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 
 def to_pandas_result(df: DataFrame | None, none_on_empty: bool = False) -> pd.DataFrame | None:
@@ -44,3 +48,64 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def atomic_publish(
+    df: DataFrame,
+    dataset_dir: str,
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """All-or-nothing dataset publication — the Spark analog of the
+    reference's moveparquet barrier (worker.py:689-779): files become visible
+    only after ALL of them are completely written, never a partial mix.
+
+    The full dataset is written to a hidden incoming directory next to the
+    target (the write can read FROM the current target — the source stays
+    intact until the write finishes), then swapped in via directory renames
+    and the old generation deleted. On a POSIX filesystem each rename is
+    atomic; the window between the two renames is the same one the
+    reference's file-by-file swap has (worker.py:694-727). On object stores,
+    promote this pattern to a manifest/table-format commit (Delta/Iceberg)
+    where the swap is a single metadata operation.
+    """
+    target = os.path.abspath(dataset_dir)
+    parent = os.path.dirname(target)
+    os.makedirs(parent, exist_ok=True)
+    token = uuid.uuid4().hex[:12]
+    incoming = os.path.join(parent, f".incoming_{token}_{os.path.basename(target)}")
+    old = os.path.join(parent, f".old_{token}_{os.path.basename(target)}")
+    write_parquet(df, incoming, partition_by=partition_by, max_records_per_file=max_records_per_file)
+    try:
+        if os.path.exists(target):
+            os.rename(target, old)
+        os.rename(incoming, target)
+    except OSError:
+        # roll back: never leave the serving path missing
+        if not os.path.exists(target) and os.path.exists(old):
+            os.rename(old, target)
+        shutil.rmtree(incoming, ignore_errors=True)
+        raise
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    dataset_dir: str,
+    target_partitions: int,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a dataset into ``target_partitions``
+    files and atomically swap it into place. Returns the row count.
+
+    The maintenance op every long-lived 100 TB dataset needs — streaming
+    sinks and per-shard writers accumulate small files until scan task count
+    explodes and the driver drowns in file listings. Reading and rewriting
+    through :func:`atomic_publish` keeps readers on the old generation until
+    the new one is complete. Uses repartition (not coalesce): compaction's
+    whole point is rebalancing, and coalesce would chain the write's
+    parallelism to the skewed input layout.
+    """
+    df = spark.read.parquet(dataset_dir).repartition(target_partitions)
+    atomic_publish(df, dataset_dir, partition_by=partition_by)
+    return spark.read.parquet(dataset_dir).count()

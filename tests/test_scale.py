@@ -65,3 +65,61 @@ def test_bucketed_join_eliminates_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_sketch_aggs_error_bounds(spark):
+    """Sketch estimates must land near the exact answers: HLL++ within 5%
+    of true distinct counts, approx p50/p95 within the value range spanned
+    by neighboring exact quantiles."""
+    from parqueryd_spark.queries.events import events_sketch_aggs
+
+    approx = {r.event_type: r for r in events_sketch_aggs(spark, SF_SMOKE).collect()}
+    ev = load_table(spark, SF_SMOKE, "events")
+    exact = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, array(0.45, 0.5, 0.55, 0.9, 0.95, 0.99))").alias("pcts"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, a in approx.items():
+        e = exact[et]
+        assert abs(a.approx_users - e.users) / e.users <= 0.05, (et, a.approx_users, e.users)
+        p50, p95 = a.approx_p50_p95
+        assert e.pcts[0] <= p50 <= e.pcts[2], (et, p50, e.pcts)
+        assert e.pcts[3] <= p95 <= e.pcts[5], (et, p95, e.pcts)
+
+
+def test_atomic_publish_and_compact(spark, tmp_path):
+    """atomic_publish swaps generations without partial visibility;
+    compact_parquet rewrites many small files into few, in place, preserving
+    rows."""
+    import os
+
+    from parqueryd_spark.sources.sinks import atomic_publish, compact_parquet
+
+    target = str(tmp_path / "ds")
+    li = load_table(spark, SF_SMOKE, "lineitem").limit(500)
+    # generation 1: fragmented into many small files
+    atomic_publish(li.repartition(20), target)
+    files = [f for f in os.listdir(target) if f.endswith(".parquet")]
+    assert len(files) == 20
+    assert spark.read.parquet(target).count() == 500
+
+    # compact in place (reads from target while writing its replacement)
+    n = compact_parquet(spark, target, target_partitions=2)
+    assert n == 500
+    files = [f for f in os.listdir(target) if f.endswith(".parquet")]
+    assert len(files) == 2
+    # no leftover generation dirs
+    leftovers = [d for d in os.listdir(tmp_path) if d.startswith((".incoming_", ".old_"))]
+    assert leftovers == []
+
+    # generation 2: different content fully replaces generation 1
+    g2 = load_table(spark, SF_SMOKE, "orders").limit(100)
+    atomic_publish(g2, target)
+    back = spark.read.parquet(target)
+    assert back.count() == 100 and "o_orderkey" in back.columns
