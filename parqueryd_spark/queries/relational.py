@@ -99,14 +99,18 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment, count(c_custkey) AS n_without_orders
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
     GROUP BY c_mktsegment
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """left_anti = NOT EXISTS."""
+    """left_anti = NOT EXISTS: customers with no orders since 2000 (every
+    customer has SOME order in this data, so the unfiltered anti-join would
+    be vacuously empty — 135 customers qualify at sf0.01)."""
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2000-01-01")
     return (
         customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
         .groupBy("c_mktsegment")

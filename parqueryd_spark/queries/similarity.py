@@ -92,10 +92,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_SQL} AS cosine_sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {_COS_SQL} >= 0.93
+    WHERE {_COS_SQL} >= 0.45
     """,
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All embedding pairs with cosine >= 0.93 (embedding-space near-dup)."""
+    """All embedding pairs with cosine >= 0.45 (embedding-space near-dup).
+
+    0.45, not the 0.9x a production near-dup filter would use: this corpus's
+    most-similar pair sits at cosine 0.51, so a 0.9x threshold made the query
+    vacuously empty. 0.45 keeps 7/14/144 pairs at sf0.001/0.01/0.1 — the
+    oracle comparison actually exercises the dot/norm arithmetic."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_near_dup_pairs(emb, threshold=0.93)
+    return cosine_near_dup_pairs(emb, threshold=0.45)

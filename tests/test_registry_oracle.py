@@ -21,9 +21,13 @@ def test_query_matches_oracle(spark, duck, name):
     assert sdf is not None
     if q.oracle is None:
         # non-SQL-expressible: the driver does a rows-only check; here just
-        # assert the query runs and has a stable schema
+        # assert the query runs, has a stable schema, and is not vacuous
         assert sdf.columns
-        sdf.limit(10).collect()
+        assert len(sdf.limit(10).collect()) > 0, f"{name} returns 0 rows — vacuous gate"
         return
     oracle_pdf = duck.execute(q.oracle).df()
+    # a query whose oracle returns nothing passes the hash compare trivially
+    # without exercising any arithmetic (this caught embedding_near_dup at
+    # threshold 0.93 on a corpus whose most-similar pair is cosine 0.51)
+    assert len(oracle_pdf) > 0, f"{name} oracle returns 0 rows — vacuous gate"
     assert_same_result(sdf, oracle_pdf)
