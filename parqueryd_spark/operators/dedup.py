@@ -236,6 +236,30 @@ def simhash(text_col, bits: int = 64, k: int = 3) -> F.Column:
     return out
 
 
+def simhash_bands(sig_col, bits: int, bands: int) -> F.Column:
+    """Split a ``bits``-wide signature into ``bands`` contiguous blocking
+    bands as an array of (band, bh) structs. Band widths differ by at most
+    one bit (wider bands first), so EVERY signature bit participates in
+    exactly one band — a ``bits // bands`` fixed width would silently leave
+    ``bits % bands`` high bits out of blocking. Extraction uses
+    shiftrightunsigned: with bit 63 set, arithmetic shiftright would smear
+    the sign bit across every band. Any partition of the bits preserves the
+    pigeonhole guarantee.
+    """
+    base, extra = divmod(bits, bands)
+    widths = [base + 1 if i < extra else base for i in range(bands)]
+    offsets = [sum(widths[:i]) for i in range(bands)]
+    structs = []
+    for i, (off, w) in enumerate(zip(offsets, widths)):
+        shifted = F.shiftrightunsigned(sig_col, off)
+        if w < 64:
+            shifted = shifted.bitwiseAND(F.lit((1 << w) - 1))
+        # w == 64 (bands=1): the mask would be 2^64-1, unrepresentable as a
+        # long literal — and the full shifted value IS the band already
+        structs.append(F.struct(F.lit(i).alias("band"), shifted.alias("bh")))
+    return F.array(*structs)
+
+
 def simhash_near_pairs(
     df: DataFrame,
     id_col: str,
@@ -253,7 +277,15 @@ def simhash_near_pairs(
     Jaccard, radius 3 caught 14/25 of the Jaccard>=0.8 pairs at sf0.01 while
     radius 13 catches 28/28 (sf0.001), 25/25 (sf0.01) and 256/256 (sf0.1) with
     <=12 extras — this corpus's near-dups perturb more bits than web-page
-    near-dups do. See the module docstring for the scale knobs.
+    near-dups do.
+
+    Honest scale caveat: 14 pigeonhole bands over 64 bits are only 4-5 bits
+    wide, so an unrelated pair still matches some band with p ~= 0.5 —
+    blocking at THIS radius prunes only ~half the pair space and exists for
+    recall, not speed. The knobs compose the other way at scale: billion-doc
+    corpora use a narrow radius (classic 64-bit/radius-3/4-band, 16-bit
+    bands, random-collision p ~= 6e-5) or fewer, wider bands with the
+    measured recall cost (module docstring).
     """
     if bands is None:
         bands = max_hamming + 1
@@ -261,32 +293,14 @@ def simhash_near_pairs(
     # the radius); fewer bands is allowed as a scale/recall tradeoff — wider
     # bands block far more selectively, and recall stays high because a real
     # near-dup's differing bits rarely spread across every band
-    band_bits = bits // bands
-    if band_bits < 1:
+    if bits < bands:
         raise ValueError(f"bits ({bits}) must be >= bands ({bands})")
-    mask = (1 << band_bits) - 1
     sigs = _spread(df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))).select(
         "doc", simhash(F.col("_t"), bits).alias("sig")
     )
-    # shiftrightunsigned: with bit 63 set, arithmetic shiftright would smear
-    # the sign bit across every band
-    banded = sigs.select(
-        "doc",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftrightunsigned("sig", i * band_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bh"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc", "sig", "bb.band", "bb.bh")
+    banded = sigs.select("doc", "sig", F.explode(simhash_bands("sig", bits, bands)).alias("bb")).select(
+        "doc", "sig", "bb.band", "bb.bh"
+    )
     pairs = (
         banded.alias("a")
         .join(

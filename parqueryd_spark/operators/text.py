@@ -115,18 +115,34 @@ def winnow_fingerprints(text: Column | str, k: int = 3, window: int = 4) -> Colu
 
 
 def shingles(text: Column | str, k: int = 3) -> Column:
-    """k-gram token shingles (distinct), the unit for Jaccard/MinHash dedup."""
-    return F.array_distinct(ngrams_all(text, k))
+    """k-gram token shingles (distinct), the unit for Jaccard/MinHash dedup.
+
+    A document shorter than k tokens yields ONE shingle — the whole document —
+    so short docs still have a non-empty set to compare (Jaccard over an empty
+    set would be 0/0)."""
+    toks = tokens(text)
+    return F.array_distinct(
+        F.when(F.size(toks) >= k, ngrams_all(text, k)).otherwise(
+            F.array(F.concat_ws(" ", toks))
+        )
+    )
 
 
 def ngrams_all(text: Column | str, k: int = 2) -> Column:
     """Every k-gram occurrence (NOT distinct) — the counting unit for n-gram
-    language-model statistics; ``shingles`` is the distinct set for Jaccard."""
+    language-model statistics; ``shingles`` is the distinct set for Jaccard.
+
+    A document shorter than k tokens yields ZERO k-grams (an empty array),
+    never a truncated gram — truncated grams would corrupt count statistics.
+    """
     toks = tokens(text)
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-    )
+    return F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def tfidf_terms(df, id_col: str, text_col: str):

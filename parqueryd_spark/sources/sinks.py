@@ -75,7 +75,15 @@ def atomic_publish(
     token = uuid.uuid4().hex[:12]
     incoming = os.path.join(parent, f".incoming_{token}_{os.path.basename(target)}")
     old = os.path.join(parent, f".old_{token}_{os.path.basename(target)}")
-    write_parquet(df, incoming, partition_by=partition_by, max_records_per_file=max_records_per_file)
+    try:
+        write_parquet(
+            df, incoming, partition_by=partition_by, max_records_per_file=max_records_per_file
+        )
+    except Exception:
+        # a failed write must not orphan a half-written generation next to
+        # the target (repeated failures would accumulate full dataset copies)
+        shutil.rmtree(incoming, ignore_errors=True)
+        raise
     try:
         if os.path.exists(target):
             os.rename(target, old)
@@ -105,7 +113,23 @@ def compact_parquet(
     the new one is complete. Uses repartition (not coalesce): compaction's
     whole point is rebalancing, and coalesce would chain the write's
     parallelism to the skewed input layout.
+
+    A hive-partitioned dataset MUST be compacted with the same
+    ``partition_by`` it was written with — rewriting without it would fold
+    the partition columns back into plain files and silently break
+    partition-pruned readers, so that case is rejected.
     """
+    if partition_by is None:
+        part_dirs = [
+            d
+            for d in os.listdir(dataset_dir)
+            if "=" in d and os.path.isdir(os.path.join(dataset_dir, d))
+        ]
+        if part_dirs:
+            raise ValueError(
+                f"{dataset_dir} is hive-partitioned (e.g. {part_dirs[0]}); pass partition_by "
+                "to preserve the layout — compacting without it would flatten the partitioning"
+            )
     df = spark.read.parquet(dataset_dir).repartition(target_partitions)
     atomic_publish(df, dataset_dir, partition_by=partition_by)
     return spark.read.parquet(dataset_dir).count()

@@ -137,7 +137,7 @@ def test_winnow_fingerprint_overlap(spark):
 
 
 def test_simhash_recall_covers_exact_jaccard(spark):
-    """Default simhash blocking (64-bit, radius 11, pigeonhole bands) must
+    """Default simhash blocking (64-bit, radius 13, pigeonhole bands) must
     recover every exact Jaccard>=0.8 pair — the radius was tuned against this
     oracle, and a regression here silently degrades dedup recall."""
     from parqueryd_spark.operators.dedup import ngram_jaccard_pairs, simhash_near_pairs
@@ -153,24 +153,37 @@ def test_simhash_recall_covers_exact_jaccard(spark):
 
 
 def test_simhash_bit63_sign_bit(spark):
-    """64-bit signatures exercise the long sign bit; the signature must build
-    without ANSI overflow and band extraction must not smear the sign."""
-    from parqueryd_spark.operators.dedup import simhash
+    """64-bit signatures exercise the long sign bit. The library's own band
+    extraction (simhash_bands) must reproduce the bands Python computes from
+    the unsigned value — an arithmetic shiftright would smear the sign bit
+    into every high band and fail this on any negative signature."""
+    from parqueryd_spark.operators.dedup import simhash, simhash_bands
 
-    df = spark.createDataFrame(
-        [(1, "alpha beta gamma delta epsilon zeta eta theta")], "doc_id long, text string"
+    # fully distinct token sets per doc — near-identical texts would collapse
+    # to near-identical signatures and might all leave bit 63 unset
+    texts = [(i, " ".join(f"w{i}_{j}" for j in range(12))) for i in range(40)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    rows = df.select(
+        "doc_id",
+        simhash(F.col("text"), bits=64).alias("sig"),
+        simhash_bands(simhash(F.col("text"), bits=64), 64, 14).alias("bands"),
+    ).collect()
+    assert any(r.sig < 0 for r in rows), "fixture must produce a sign-bit signature"
+    base, extra = divmod(64, 14)
+    widths = [base + 1 if i < extra else base for i in range(14)]
+    offsets = [sum(widths[:i]) for i in range(14)]
+    for r in rows:
+        unsigned = r.sig & ((1 << 64) - 1)
+        expected = [(unsigned >> off) & ((1 << w) - 1) for off, w in zip(offsets, widths)]
+        assert [b.bh for b in sorted(r.bands, key=lambda b: b.band)] == expected
+    # bands=1 must not overflow the 2^64-1 mask (whole signature is the band)
+    one = (
+        df.filter(F.col("doc_id") == 0)
+        .select(simhash_bands(simhash(F.col("text"), 64), 64, 1).alias("b"))
+        .collect()
     )
-    row = df.select(simhash(F.col("text"), bits=64).alias("sig")).collect()[0]
-    assert isinstance(row.sig, int)
-    bands = df.select(
-        *[
-            F.shiftrightunsigned(simhash(F.col("text"), 64), i * 8)
-            .bitwiseAND(F.lit(255))
-            .alias(f"b{i}")
-            for i in range(8)
-        ]
-    ).collect()[0]
-    assert all(0 <= bands[f"b{i}"] <= 255 for i in range(8))
+    sig0 = next(r.sig for r in rows if r.doc_id == 0)
+    assert one[0].b[0].bh == sig0
 
 
 def test_sink_roundtrip_and_empty_protocol(spark, tmp_path):

@@ -103,10 +103,12 @@ def test_q18_aggregates_before_join_and_takes_ordered(spark):
     rep = plan_report(df)
     assert rep["has_take_ordered"]  # top-20 must be a heap, not a global sort
     simple = explain_str(df, "simple")
-    # the lineitem pre-aggregation must sit BELOW the orders join
+    # the lineitem pre-aggregation must sit BELOW the orders join: explain
+    # prints top-down, so the aggregate's line must come after the join's
     agg_pos = simple.find("HashAggregate")
     join_pos = simple.find("Join")
     assert agg_pos != -1 and join_pos != -1
+    assert agg_pos > join_pos, "lineitem aggregation planned above the join"
 
 
 def test_q4_semi_join_strategy(spark):

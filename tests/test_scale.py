@@ -123,3 +123,14 @@ def test_atomic_publish_and_compact(spark, tmp_path):
     atomic_publish(g2, target)
     back = spark.read.parquet(target)
     assert back.count() == 100 and "o_orderkey" in back.columns
+
+    # hive-partitioned datasets must not be silently flattened by compaction
+    import pytest
+
+    part_target = str(tmp_path / "ds_part")
+    atomic_publish(g2, part_target, partition_by=["o_orderstatus"])
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        compact_parquet(spark, part_target, target_partitions=2)
+    compact_parquet(spark, part_target, target_partitions=2, partition_by=["o_orderstatus"])
+    assert any(d.startswith("o_orderstatus=") for d in os.listdir(part_target))
+    assert spark.read.parquet(part_target).count() == 100
