@@ -41,10 +41,29 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_features", oracle=None)
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           1 + ((strpos('0123456789abcdef', substr(sha256(text), 1, 1)) - 1) * 16
+                + strpos('0123456789abcdef', substr(sha256(text), 2, 1)) - 1) % 64 AS width,
+           1 + ((strpos('0123456789abcdef', substr(sha256(text), 3, 1)) - 1) * 16
+                + strpos('0123456789abcdef', substr(sha256(text), 4, 1)) - 1) % 64 AS height
+    FROM documents
+    WHERE doc_id < 50
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stub-decoded per-asset features (rows-only: decode is a deterministic
-    fake pending a real codec; schema and batch plumbing are the real thing)."""
+    """Stub-decoded per-asset features THROUGH the mapInPandas Arrow batch
+    path, oracle-checked end-to-end: the stub derives width/height from
+    sha256(payload) bytes, which DuckDB reproduces with hex-digit arithmetic
+    on sha256(text) — so the whole Python UDF round trip (schema, batching,
+    closure shipping) is value-verified, not just schema-checked. A real
+    codec replaces the decoder stub without touching the plumbing."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     feats = extract_features(media_from_documents(docs))
     return feats.select("media_id", "media_type", "byte_len", "width", "height")
