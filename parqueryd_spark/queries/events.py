@@ -174,3 +174,36 @@ def events_sketch_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_events"),
     )
+
+
+@query(
+    "events_rolling_window_range",
+    oracle="""
+    SELECT event_id, user_id,
+           round(avg(value) OVER w, 4)       AS rolling_avg,
+           CAST(count(*) OVER w AS BIGINT)   AS n_in_window
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_rolling_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1-hour rolling average per user — a RANGE (value-based) frame,
+    not ROWS: the frame holds every event within the time interval however
+    many there are. Both engines order by integer MICROSECONDS (unix_micros /
+    epoch_us); a seconds-granularity cast would disagree with the oracle's
+    interval arithmetic because every fixture timestamp has fractional
+    seconds."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("rolling_avg"),
+        F.count("*").over(w).alias("n_in_window"),
+    )
