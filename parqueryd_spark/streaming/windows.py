@@ -136,3 +136,30 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def run_stream_publish_snapshots(
+    stream_df: DataFrame, dataset_dir: str, checkpoint_dir: str
+) -> None:
+    """Drain a streaming aggregate into atomically-published parquet
+    snapshots: each micro-batch's COMPLETE state becomes a new dataset
+    generation via :func:`parqueryd_spark.sources.sinks.atomic_publish`, so a
+    downstream batch reader always sees one consistent snapshot — never a
+    half-written update, never a mix of two trigger intervals. The streaming
+    analog of the reference's all-files-or-nothing moveparquet barrier
+    (worker.py:729-779). foreachBatch runs on the driver, where the sinks
+    module is importable regardless of executor cwd."""
+
+    def _publish(batch_df: DataFrame, batch_id: int) -> None:
+        from parqueryd_spark.sources.sinks import atomic_publish
+
+        atomic_publish(batch_df, dataset_dir)
+
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .foreachBatch(_publish)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -111,3 +111,21 @@ def test_stream_stateful_running_totals(spark, events_stream):
     final = out.groupby("user_id").last()
     for uid, row in final.iterrows():
         assert abs(row["total_value"] - want_totals[uid]) < 1e-6
+
+
+def test_stream_publishes_atomic_snapshots(spark, events_stream, tmp_path):
+    """foreachBatch + atomic_publish: the drained stream's published snapshot
+    must equal the batch twin, with no partially-visible generation dirs."""
+    import os
+
+    from parqueryd_spark.streaming.windows import run_stream_publish_snapshots
+
+    target = str(tmp_path / "snapshot")
+    run_stream_publish_snapshots(
+        stream_tumbling_counts(events_stream), target, str(tmp_path / "ckpt")
+    )
+    got = _sorted(spark.read.parquet(target).toPandas())
+    want = _sorted(events_tumbling_window(spark, SF_SMOKE).toPandas())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    leftovers = [d for d in os.listdir(tmp_path) if d.startswith((".incoming_", ".old_"))]
+    assert leftovers == []
