@@ -130,8 +130,16 @@ def test_no_python_in_core_paths(spark):
         "join_broadcast_dims",
         "text_token_stats",
         "text_quality_score",
+        "text_tfidf_top_terms",
+        "text_curation_funnel",
+        "text_bigram_counts",
         "dedup_minhash_lsh",
+        "dedup_simhash",
         "ann_bruteforce_topk",
+        "events_rolling_window_range",
+        "events_sketch_aggs",
+        "q6_forecast_revenue",
+        "q18_large_orders",
     ]
     for name in jvm_only:
         rep = plan_report(REGISTRY[name].fn(spark, SF_SMOKE))
