@@ -49,8 +49,8 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_fact_fact_revenue",
     oracle="""
     SELECT o_orderpriority,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue,
-           count(DISTINCT o_orderkey)              AS n_orders
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(DISTINCT o_orderkey)                        AS n_orders
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     WHERE o_orderdate >= TIMESTAMP '1996-01-01'
     GROUP BY o_orderpriority
@@ -59,14 +59,20 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_fact_fact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-fact equi-join: shuffles both sides on the key (sort-merge /
-    shuffled-hash chosen by Catalyst+AQE); filter pushed to the orders scan."""
+    shuffled-hash chosen by Catalyst+AQE); filter pushed to the orders scan.
+
+    The double sum is rounded to 2dp on both sides: Spark's partial/final
+    accumulation order over the shuffle differs from DuckDB's, so the raw
+    low bits diverge (round-1 gate hash failure)."""
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1996-01-01")
     lineitem = load_table(spark, sf_dir, "lineitem")
     return (
         orders.join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderpriority")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
     )
