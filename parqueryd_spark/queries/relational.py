@@ -454,7 +454,8 @@ def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT i AS band_id, i * 50000.0 AS lo, (i + 1) * 50000.0 AS hi
       FROM generate_series(0, 9) t(i)
     )
-    SELECT band_id, count(o_orderkey) AS n_orders, sum(o_totalprice) AS sum_price
+    SELECT band_id, count(o_orderkey) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
     FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
     GROUP BY band_id
     """,
@@ -462,7 +463,12 @@ def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (interval containment) join. Naive form is broadcast-nested-loop;
     for *uniform* bands the scale path is O(1) arithmetic binning — compute the
-    band id with floor(), then equi-join the (tiny, broadcast) bands table."""
+    band id with floor(), then equi-join the (tiny, broadcast) bands table.
+
+    sum_price is rounded to 2dp on both engines: Spark and DuckDB accumulate
+    the doubles in different orders, so the raw sums differ in the last ulps
+    and break the driver's exact value hash (same fix as
+    join_fact_fact_revenue)."""
     orders = load_table(spark, sf_dir, "orders")
     bands = spark.range(0, 10).select(
         F.col("id").cast("int").alias("band_id"),
@@ -473,7 +479,10 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         binned.join(F.broadcast(bands), "band_id")  # equi-join after arithmetic binning
         .groupBy("band_id")
-        .agg(F.count("o_orderkey").alias("n_orders"), F.sum("o_totalprice").alias("sum_price"))
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
     )
 
 

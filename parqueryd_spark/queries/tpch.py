@@ -51,7 +51,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q5_local_volume",
     oracle="""
-    SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue,
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
            count(DISTINCT o_orderkey) AS n_orders
     FROM region JOIN nation   ON n_regionkey = r_regionkey
                 JOIN customer ON c_nationkey = n_nationkey
@@ -79,7 +79,7 @@ def q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
         .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
         .groupBy("n_name")
-        .agg(_revenue().alias("revenue"), F.countDistinct("o_orderkey").alias("n_orders"))
+        .agg(F.round(_revenue(), 2).alias("revenue"), F.countDistinct("o_orderkey").alias("n_orders"))
     )
 
 

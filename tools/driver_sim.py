@@ -2,7 +2,14 @@
 file path (as the driver does), run t1 smoke + every queries() entry at sf0.01
 against its oracle_sql() in DuckDB, and print a per-query MATCH/MISMATCH line.
 
-Run from anywhere:  python /root/repo/tools/driver_sim.py
+Float columns are compared at FULL precision (repr of the double, 17
+significant digits) — the real gate's value hash does not round, and the
+round(4) this script used in rounds 1-2 green-lit two queries the gate
+rejected (unrounded cross-engine float sums). Queries must therefore emit
+deterministically-representable doubles (round/decimal-cast their float aggs).
+
+Run from anywhere:  python /root/repo/tools/driver_sim.py [name_substr ...]
+Optional args filter the query set by substring match for fast iteration.
 """
 
 from __future__ import annotations
@@ -27,8 +34,9 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = pd.to_datetime(df[c]).astype("datetime64[ns]")
         if pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(4)
-        df[c] = df[c].astype(str)
+            df[c] = df[c].map(lambda v: repr(float(v)))  # full 17-sig-digit repr
+        else:
+            df[c] = df[c].astype(str)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
@@ -36,7 +44,7 @@ def digest(df: pd.DataFrame) -> str:
     return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()[:8]
 
 
-def main() -> int:
+def main(filters: list[str] | None = None) -> int:
     spec = importlib.util.spec_from_file_location(
         "__spark_entry__", os.path.join(REPO, "__spark_entry__.py")
     )
@@ -54,8 +62,9 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    n_smoke = len(mod.entry(spark).collect())
-    print(f"t1 smoke: {n_smoke} rows {'OK' if n_smoke > 0 else 'FAIL'}")
+    if not filters:
+        n_smoke = len(mod.entry(spark).collect())
+        print(f"t1 smoke: {n_smoke} rows {'OK' if n_smoke > 0 else 'FAIL'}")
 
     con = duckdb.connect()
     for t in TABLES:
@@ -64,6 +73,8 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, osql = mod.queries(), mod.oracle_sql()
+    if filters:
+        qs = {n: f for n, f in qs.items() if any(s in n for s in filters)}
     t0 = time.time()
     n_match = n_rows_only = n_mismatch = 0
     for name, fn in sorted(qs.items()):
@@ -92,4 +103,4 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(main(sys.argv[1:]))
