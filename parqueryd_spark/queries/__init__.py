@@ -61,16 +61,20 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items() if q.bench}
 
 
-# Register all domain modules (import order = registry order).
+# Register all domain modules (import order = registry order). The driver's
+# correctness gate records the FIRST 50 registry entries, so (a) the registry
+# is consolidated to exactly 50 queries — every entry gets a gate row — and
+# (b) the highest-value modules register first anyway, so a future addition
+# pushing past 50 can only drop a low-value variant out of the window.
 from parqueryd_spark.queries import core  # noqa: E402,F401
-from parqueryd_spark.queries import relational  # noqa: E402,F401
-from parqueryd_spark.queries import scalars  # noqa: E402,F401
-from parqueryd_spark.queries import text  # noqa: E402,F401
-from parqueryd_spark.queries import dedup  # noqa: E402,F401
-from parqueryd_spark.queries import similarity  # noqa: E402,F401
-from parqueryd_spark.queries import events  # noqa: E402,F401
-from parqueryd_spark.queries import multimodal  # noqa: E402,F401
 from parqueryd_spark.queries import tpch  # noqa: E402,F401
+from parqueryd_spark.queries import dedup  # noqa: E402,F401
+from parqueryd_spark.queries import events  # noqa: E402,F401
+from parqueryd_spark.queries import similarity  # noqa: E402,F401
+from parqueryd_spark.queries import multimodal  # noqa: E402,F401
+from parqueryd_spark.queries import relational  # noqa: E402,F401
+from parqueryd_spark.queries import text  # noqa: E402,F401
+from parqueryd_spark.queries import scalars  # noqa: E402,F401
 
 # Flagship re-export for __spark_entry__.entry()
 from parqueryd_spark.queries.core import q1_pricing_summary  # noqa: E402,F401

@@ -1,5 +1,19 @@
 """Core parity queries: the reference's groupby(filenames, groupby_cols,
-agg_list, where_terms, aggregate=) surface (SURVEY.md §2 O1-O7)."""
+agg_list, where_terms, aggregate=) surface (SURVEY.md §2 O1-O7).
+
+Consolidated in round 3 so the whole registry fits the driver's 50-row
+correctness window — every O1-O7 behavior that used to be its own query is
+still exercised, just grouped into denser queries:
+
+- ``q1_pricing_summary`` also carries a nonexistent shard path (O7
+  missing-file contract: silently dropped, controller.py:618-621).
+- ``groupby_agg_methods`` covers the bare-name sum shorthand plus
+  min/max/std (formerly groupby_sum_shorthand / groupby_min_max /
+  groupby_std).
+- ``where_ops_raw_rows`` covers every where-term op including string ``==``
+  AND the aggregate=False raw-rows mode (formerly where_ops_combo /
+  where_eq_string / raw_mode_no_aggregate).
+"""
 
 from __future__ import annotations
 
@@ -33,10 +47,13 @@ def _li(sf_dir: str) -> str:
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: TPC-H Q1 skeleton through the parqueryd-parity API
-    (reference call shape: README.md:111, worker.py:379-397)."""
+    (reference call shape: README.md:111, worker.py:379-397). The path list
+    includes a nonexistent shard, which must be silently dropped
+    (controller.py:618-621; RELEASE_NOTES.rst:63-65) without changing the
+    result."""
     return aggregate_files(
         spark,
-        [_li(sf_dir)],
+        [_li(sf_dir), os.path.join(sf_dir, "no_such_shard_xyz.parquet")],
         ["l_returnflag", "l_linestatus"],
         [
             ["l_quantity", "sum", "sum_qty"],
@@ -51,58 +68,41 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "groupby_sum_shorthand",
-    oracle="""
-    SELECT l_returnflag, sum(l_quantity) AS l_quantity
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def groupby_sum_shorthand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bare-name agg shorthand ['col'] -> sum into same name (README.md:105)."""
-    return aggregate_files(spark, [_li(sf_dir)], ["l_returnflag"], ["l_quantity"])
-
-
-@query(
-    "groupby_min_max",
+    "groupby_agg_methods",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           min(l_extendedprice) AS min_price,
-           max(l_extendedprice) AS max_price,
-           min(l_shipdate)      AS min_ship,
-           max(l_shipdate)      AS max_ship
+           sum(l_quantity)              AS l_quantity,
+           min(l_extendedprice)         AS min_price,
+           max(l_extendedprice)         AS max_price,
+           min(l_shipdate)              AS min_ship,
+           max(l_shipdate)              AS max_ship,
+           round(stddev_samp(l_extendedprice), 4) AS std_price
     FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
 )
-def groupby_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return aggregate_files(
+def groupby_agg_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agg-method coverage in one call: the bare-name shorthand ['col'] ->
+    sum into the same name (README.md:105), min/max over numeric and
+    timestamp columns, and sample-std (ddof=1, matching the pandas oracle the
+    reference's differential test used, tests/test_simple_rpc.py:112-131).
+    std is rounded to 4dp on both engines — like any float sum, the variance
+    accumulation order differs cross-engine in the last ulps."""
+    out = aggregate_files(
         spark,
         [_li(sf_dir)],
         ["l_returnflag", "l_linestatus"],
         [
+            "l_quantity",  # shorthand: sum into same name
             ["l_extendedprice", "min", "min_price"],
             ["l_extendedprice", "max", "max_price"],
             ["l_shipdate", "min", "min_ship"],
             ["l_shipdate", "max", "max_ship"],
+            ["l_extendedprice", "std", "std_price"],
         ],
     )
+    from pyspark.sql import functions as F
 
-
-@query(
-    "groupby_std",
-    oracle="""
-    SELECT o_orderstatus, stddev_samp(o_totalprice) AS std_price
-    FROM orders GROUP BY o_orderstatus
-    """,
-)
-def groupby_std(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """std is sample-std (ddof=1), matching the pandas oracle the reference's
-    differential test used (tests/test_simple_rpc.py:112-131)."""
-    return aggregate_files(
-        spark,
-        [os.path.join(sf_dir, "orders.parquet")],
-        ["o_orderstatus"],
-        [["o_totalprice", "std", "std_price"]],
-    )
+    return out.withColumn("std_price", F.round("std_price", 4))
 
 
 @query(
@@ -132,93 +132,40 @@ def groupby_count_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "where_ops_combo",
+    "where_ops_raw_rows",
     oracle="""
-    SELECT l_linestatus,
-           sum(l_extendedprice) AS sum_price,
-           count(l_orderkey)    AS cnt
+    SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice
     FROM lineitem
     WHERE l_returnflag != 'R'
+      AND l_linestatus = 'O'
       AND l_quantity > 5 AND l_quantity <= 45
+      AND l_extendedprice < 50000
       AND l_linenumber IN (1, 2, 3)
       AND l_suppkey NOT IN (1, 2)
       AND l_shipdate >= TIMESTAMP '1996-01-01'
-    GROUP BY l_linestatus
     """,
 )
-def where_ops_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every where-term op in one AND-combined predicate (SURVEY §2 O2)."""
-    return aggregate_files(
-        spark,
-        [_li(sf_dir)],
-        ["l_linestatus"],
-        [["l_extendedprice", "sum", "sum_price"], ["l_orderkey", "count", "cnt"]],
-        where_terms=[
-            ["l_returnflag", "!=", "R"],
-            ["l_quantity", ">", 5],
-            ["l_quantity", "<=", 45],
-            ["l_linenumber", "in", [1, 2, 3]],
-            ["l_suppkey", "not in", [1, 2]],
-            ["l_shipdate", ">=", "1996-01-01"],
-        ],
-    )
-
-
-@query(
-    "where_eq_string",
-    oracle="""
-    SELECT o_orderpriority, count(o_orderkey) AS cnt, sum(o_totalprice) AS sum_price
-    FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority
-    """,
-)
-def where_eq_string(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return aggregate_files(
-        spark,
-        [os.path.join(sf_dir, "orders.parquet")],
-        ["o_orderpriority"],
-        [["o_orderkey", "count", "cnt"], ["o_totalprice", "sum", "sum_price"]],
-        where_terms=[["o_orderstatus", "==", "F"]],
-    )
-
-
-@query(
-    "raw_mode_no_aggregate",
-    oracle="""
-    SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice
-    FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-06-01' AND l_quantity < 10
-    """,
-)
-def raw_mode_no_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """aggregate=False: filtered+projected rows, no aggregation (worker.py:385,
-    rpc.py:173 — the client-side default)."""
+def where_ops_raw_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every where-term op (== != > >= < <= in not-in) AND-combined (SURVEY §2
+    O2), returned in aggregate=False raw-rows mode (worker.py:385, rpc.py:173
+    — the client-side default): filtered + implicitly projected rows, no
+    aggregation (O3+O6)."""
     return aggregate_files(
         spark,
         [_li(sf_dir)],
         ["l_returnflag", "l_linestatus"],
         [["l_quantity", "sum", "l_quantity"], ["l_extendedprice", "sum", "l_extendedprice"]],
-        where_terms=[["l_shipdate", "<", "1995-06-01"], ["l_quantity", "<", 10]],
-        aggregate=False,
-    )
-
-
-@query(
-    "missing_shards_ignored",
-    oracle="""
-    SELECT o_orderstatus, count(o_orderkey) AS cnt
-    FROM orders GROUP BY o_orderstatus
-    """,
-)
-def missing_shards_ignored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nonexistent shard silently dropped from the path list
-    (controller.py:618-621; RELEASE_NOTES.rst:63-65)."""
-    return aggregate_files(
-        spark,
-        [
-            os.path.join(sf_dir, "orders.parquet"),
-            os.path.join(sf_dir, "no_such_shard_xyz.parquet"),
+        where_terms=[
+            ["l_returnflag", "!=", "R"],
+            ["l_linestatus", "==", "O"],
+            ["l_quantity", ">", 5],
+            ["l_quantity", "<=", 45],
+            ["l_extendedprice", "<", 50000],
+            ["l_linenumber", "in", [1, 2, 3]],
+            ["l_suppkey", "not in", [1, 2]],
+            ["l_shipdate", ">=", "1996-01-01"],
         ],
-        ["o_orderstatus"],
-        [["o_orderkey", "count", "cnt"]],
+        aggregate=False,
     )
 
 

@@ -14,21 +14,11 @@ from parqueryd_spark.queries import query
 from parqueryd_spark.sources.parquet import load_table
 
 
-@query(
-    "events_tumbling_window",
-    oracle="""
-    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
-           event_type,
-           count(event_id) AS n_events,
-           sum(value)      AS sum_value
-    FROM events
-    GROUP BY 1, 2
-    """,
-    bench=True,
-)
 def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1h window x event_type. Same plan streams with
-    readStream+withWatermark (streaming/windows.py)."""
+    readStream+withWatermark (streaming/windows.py). Registered through the
+    merged ``events_windowed_aggs`` query; kept as a standalone function for
+    the batch-vs-streaming parity tests."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -37,22 +27,10 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_sliding_window",
-    oracle="""
-    SELECT window_start, count(event_id) AS n_events, sum(value) AS sum_value
-    FROM (
-      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_id, value FROM events
-      UNION ALL
-      SELECT time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes') AS window_start,
-             event_id, value FROM events
-    )
-    GROUP BY 1
-    """,
-)
 def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding window (1h length, 30m slide): each event lands in 2 windows;
-    the oracle expresses the same as a union of two offset tumbling bucketings."""
+    """Sliding window (1h length, 30m slide): each event lands in 2 windows.
+    Registered through ``events_windowed_aggs``; standalone for the streaming
+    parity tests."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
@@ -62,7 +40,46 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "events_gap_filled_hourly",
+    "events_windowed_aggs",
+    oracle="""
+    SELECT 'tumbling' AS kind, time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type, count(event_id) AS n_events, sum(value) AS sum_value
+    FROM events
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sliding' AS kind, window_start, CAST(NULL AS VARCHAR) AS event_type,
+           count(event_id) AS n_events, sum(value) AS sum_value
+    FROM (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_id, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes') AS window_start,
+             event_id, value FROM events
+    )
+    GROUP BY 2
+    """,
+    bench=True,
+)
+def events_windowed_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling (1h x event_type) + sliding (1h length, 30m slide) windowed
+    aggregation as one tagged union (merged from two round-1 queries to fit
+    the gate window). The sliding oracle is a union of two offset tumbling
+    bucketings — each event lands in exactly 2 windows. Both plans stream
+    unchanged with readStream+withWatermark (streaming/windows.py)."""
+    tumbling = events_tumbling_window(spark, sf_dir).select(
+        F.lit("tumbling").alias("kind"), "window_start", "event_type", "n_events", "sum_value"
+    )
+    sliding = events_sliding_window(spark, sf_dir).select(
+        F.lit("sliding").alias("kind"),
+        "window_start",
+        F.lit(None).cast("string").alias("event_type"),
+        "n_events",
+        "sum_value",
+    )
+    return tumbling.unionByName(sliding)
+
+
+@query(
+    "events_gap_fill_rolling",
     oracle="""
     WITH bounds AS (
       SELECT time_bucket(INTERVAL '1 hour', min(ts)) AS lo,
@@ -74,17 +91,30 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
              count(event_id) AS n_events, sum(value) AS sum_value
       FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), filled AS (
+      SELECT s.hour_start,
+             COALESCE(a.n_events, 0)    AS n_events,
+             COALESCE(a.sum_value, 0.0) AS sum_value
+      FROM spine s LEFT JOIN agg a ON a.hour_start = s.hour_start
     )
-    SELECT s.hour_start,
-           COALESCE(a.n_events, 0)    AS n_events,
-           COALESCE(a.sum_value, 0.0) AS sum_value
-    FROM spine s LEFT JOIN agg a ON a.hour_start = s.hour_start
+    SELECT hour_start, n_events, round(sum_value, 4) AS sum_value,
+           round(avg(sum_value) OVER w, 4)     AS rolling_avg_3h,
+           CAST(count(*) OVER w AS BIGINT)     AS n_in_window
+    FROM filled
+    WINDOW w AS (ORDER BY epoch_us(hour_start)
+                 RANGE BETWEEN 7200000000 PRECEDING AND CURRENT ROW)
     """,
 )
-def events_gap_filled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-series gap filling: a generated hourly spine (sequence + explode)
-    left-joined to the windowed aggregate, empty hours filled with zeros —
-    the resampling primitive dashboards need. The spine is tiny and broadcast."""
+def events_gap_fill_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling + value-based rolling window composed (merged from
+    events_gap_filled_hourly + events_rolling_window_range to fit the gate
+    window): a generated hourly spine (sequence + explode, tiny and
+    broadcast) left-joined to the windowed purchase aggregate with empty
+    hours zero-filled — then a trailing-3-hour rolling average over the
+    filled series using a RANGE (value-based) frame. Both engines order the
+    frame by integer MICROSECONDS (unix_micros / epoch_us), the convention
+    every timestamp-RANGE query here uses (fixture timestamps carry
+    fractional seconds; hour boundaries don't, but consistency is cheap)."""
     ev = load_table(spark, sf_dir, "events")
     bounds = ev.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"), F.date_trunc("hour", F.max("ts")).alias("hi")
@@ -98,10 +128,18 @@ def events_gap_filled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("event_id").alias("n"), F.sum("value").alias("s"))
         .select(F.col("w.start").alias("hour_start"), "n", "s")
     )
-    return spine.join(agg, "hour_start", "left").select(
+    filled = spine.join(agg, "hour_start", "left").select(
         "hour_start",
         F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
         F.coalesce(F.col("s"), F.lit(0.0)).alias("sum_value"),
+    )
+    w = W.orderBy(F.unix_micros("hour_start")).rangeBetween(-7_200_000_000, 0)
+    return filled.select(
+        "hour_start",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round(F.avg("sum_value").over(w), 4).alias("rolling_avg_3h"),
+        F.count("*").over(w).alias("n_in_window"),
     )
 
 
@@ -176,34 +214,3 @@ def events_sketch_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_rolling_window_range",
-    oracle="""
-    SELECT event_id, user_id,
-           round(avg(value) OVER w, 4)       AS rolling_avg,
-           CAST(count(*) OVER w AS BIGINT)   AS n_in_window
-    FROM events
-    WHERE event_type = 'purchase'
-    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-    """,
-)
-def events_rolling_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing-1-hour rolling average per user — a RANGE (value-based) frame,
-    not ROWS: the frame holds every event within the time interval however
-    many there are. Both engines order by integer MICROSECONDS (unix_micros /
-    epoch_us); a seconds-granularity cast would disagree with the oracle's
-    interval arithmetic because every fixture timestamp has fractional
-    seconds."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    w = (
-        W.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
-        .rangeBetween(-3_600_000_000, 0)
-    )
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.round(F.avg("value").over(w), 4).alias("rolling_avg"),
-        F.count("*").over(w).alias("n_in_window"),
-    )

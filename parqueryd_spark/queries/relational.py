@@ -79,75 +79,74 @@ def join_fact_fact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "join_semi",
+    "join_types_suite",
     oracle="""
-    SELECT c_mktsegment, count(c_custkey) AS n_with_f_orders
+    SELECT 'semi' AS kind, c_mktsegment AS grp,
+           count(c_custkey) AS n, CAST(NULL AS BIGINT) AS n_extra
     FROM customer
     WHERE EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
     GROUP BY c_mktsegment
-    """,
-)
-def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """left_semi = EXISTS; no right-side columns materialize, build side only
-    needs the distinct keys."""
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    return (
-        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
-        .groupBy("c_mktsegment")
-        .agg(F.count("c_custkey").alias("n_with_f_orders"))
-    )
-
-
-@query(
-    "join_anti",
-    oracle="""
-    SELECT c_mktsegment, count(c_custkey) AS n_without_orders
+    UNION ALL
+    SELECT 'anti' AS kind, c_mktsegment AS grp,
+           count(c_custkey) AS n, CAST(NULL AS BIGINT) AS n_extra
     FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey
                         AND o_orderdate >= TIMESTAMP '2000-01-01')
     GROUP BY c_mktsegment
-    """,
-)
-def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """left_anti = NOT EXISTS: customers with no orders since 2000 (every
-    customer has SOME order in this data, so the unfiltered anti-join would
-    be vacuously empty — 135 customers qualify at sf0.01)."""
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2000-01-01")
-    return (
-        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
-        .groupBy("c_mktsegment")
-        .agg(F.count("c_custkey").alias("n_without_orders"))
-    )
-
-
-@query(
-    "join_left_outer",
-    oracle="""
-    SELECT p_brand,
-           count(l_orderkey)                       AS n_lineitems,
-           CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-                                                   AS n_unsold_parts
+    UNION ALL
+    SELECT 'left_outer' AS kind, p_brand AS grp,
+           count(l_orderkey) AS n,
+           CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_extra
     FROM part LEFT JOIN lineitem ON l_partkey = p_partkey
     GROUP BY p_brand
     """,
 )
-def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+def join_types_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi / anti / left-outer join coverage as one tagged union (merged from
+    three separate round-1 queries so the registry fits the driver's 50-row
+    gate window).
+
+    - semi ('semi'): left_semi = EXISTS; no right-side columns materialize,
+      the build side only needs the distinct keys.
+    - anti ('anti'): left_anti = NOT EXISTS, customers with no orders since
+      2000 (every customer has SOME order here, so the unfiltered anti-join
+      would be vacuously empty — 135 customers qualify at sf0.01).
+    - left outer ('left_outer'): null-extension counted via the
+      l_orderkey-IS-NULL branch (n_extra = unsold parts)."""
+    customer = load_table(spark, sf_dir, "customer")
     part = load_table(spark, sf_dir, "part")
     lineitem = load_table(spark, sf_dir, "lineitem")
-    return (
+    orders = load_table(spark, sf_dir, "orders")
+    null_extra = F.lit(None).cast("long").alias("n_extra")
+
+    f_orders = orders.filter(F.col("o_orderstatus") == "F")
+    semi = (
+        customer.join(f_orders, customer.c_custkey == f_orders.o_custkey, "left_semi")
+        .groupBy(F.col("c_mktsegment").alias("grp"))
+        .agg(F.count("c_custkey").alias("n"))
+        .select(F.lit("semi").alias("kind"), "grp", "n", null_extra)
+    )
+    recent = orders.filter(F.col("o_orderdate") >= "2000-01-01")
+    anti = (
+        customer.join(recent, customer.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("grp"))
+        .agg(F.count("c_custkey").alias("n"))
+        .select(F.lit("anti").alias("kind"), "grp", "n", null_extra)
+    )
+    left_outer = (
         part.join(lineitem, lineitem.l_partkey == part.p_partkey, "left")
-        .groupBy("p_brand")
+        .groupBy(F.col("p_brand").alias("grp"))
         .agg(
-            F.count("l_orderkey").alias("n_lineitems"),
+            F.count("l_orderkey").alias("n"),
             F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0))
             .cast("long")
-            .alias("n_unsold_parts"),
+            .alias("n_extra"),
         )
+        .select(F.lit("left_outer").alias("kind"), "grp", "n", "n_extra")
     )
+    return semi.unionByName(anti).unionByName(left_outer)
 
 
 @query(
@@ -171,89 +170,65 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "window_topn_per_group",
+    "window_analytics",
     oracle="""
-    SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           running_spend, prev_price, next_price, first_price, avg_last3,
+           quartile, pct_rank, cume, rn
     FROM (
-      SELECT o_orderpriority, o_orderkey, o_totalprice,
-             row_number() OVER (PARTITION BY o_orderpriority
-                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             sum(o_totalprice)  OVER wt_run  AS running_spend,
+             lag(o_totalprice)  OVER wt      AS prev_price,
+             lead(o_totalprice) OVER wt      AS next_price,
+             first_value(o_totalprice) OVER wt_run AS first_price,
+             avg(o_totalprice)  OVER wt3     AS avg_last3,
+             ntile(4)           OVER wt      AS quartile,
+             CAST(percent_rank() OVER wt AS DOUBLE) AS pct_rank,
+             CAST(cume_dist()    OVER wt AS DOUBLE) AS cume,
+             row_number()       OVER wp      AS rn
       FROM orders
+      WHERE o_custkey < 50
+      WINDOW wt AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             wt_run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wt3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             wp AS (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey ASC)
     ) WHERE rn <= 3
     """,
 )
-def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ranking window + filter => per-group top-n; Spark pushes a group-local
-    limit below the shuffle (WindowGroupLimit) — no full per-group sort at scale."""
-    orders = load_table(spark, sf_dir, "orders")
-    w = W.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-    return (
-        orders.select("o_orderpriority", "o_orderkey", "o_totalprice")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-    )
-
-
-@query(
-    "window_running_and_lag",
-    oracle="""
-    SELECT o_custkey, o_orderkey, o_totalprice,
-           sum(o_totalprice) OVER (PARTITION BY o_custkey
-                                   ORDER BY o_orderdate, o_orderkey
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS running_spend,
-           lag(o_totalprice) OVER (PARTITION BY o_custkey
-                                   ORDER BY o_orderdate, o_orderkey) AS prev_price,
-           avg(o_totalprice) OVER (PARTITION BY o_custkey
-                                   ORDER BY o_orderdate, o_orderkey
-                                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-             AS avg_last3
-    FROM orders WHERE o_custkey < 50
-    """,
-)
-def window_running_and_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Analytic windows: running sum, lag, sliding row frame — deterministic via
-    (o_orderdate, o_orderkey) full ordering."""
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window-function suite in one query (merged from three round-1
+    queries to fit the gate window): running sum / lag / lead / first_value /
+    sliding ROWS frame / ntile / percent_rank / cume_dist over the time-order
+    window, plus row_number over a second price-order window whose rn<=3
+    filter is the per-group top-n pattern (Spark plans a WindowGroupLimit —
+    group-local limit below the shuffle, no full per-group sort at scale).
+    Deterministic via (o_orderdate, o_orderkey) / (o_totalprice, o_orderkey)
+    full orderings; analytics are computed over the whole partition before
+    the top-n filter in both engines."""
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        "o_totalprice",
-        F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("running_spend"),
-        F.lag("o_totalprice").over(w).alias("prev_price"),
-        F.avg("o_totalprice").over(w.rowsBetween(-2, W.currentRow)).alias("avg_last3"),
-    )
-
-
-@query(
-    "window_analytics_extended",
-    oracle="""
-    SELECT o_orderkey, o_orderstatus, o_totalprice,
-           lead(o_totalprice) OVER w                  AS next_price,
-           first_value(o_totalprice) OVER w           AS first_price,
-           ntile(4) OVER w                            AS quartile,
-           CAST(percent_rank() OVER w AS DOUBLE)      AS pct_rank,
-           CAST(cume_dist() OVER w AS DOUBLE)         AS cume
-    FROM orders
-    WHERE o_custkey < 20
-    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
-    """,
-)
-def window_analytics_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lead / first_value / ntile / percent_rank / cume_dist over a fully
-    ordered window (deterministic via the o_orderkey tie-break)."""
-    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 20)
-    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
-    return orders.select(
-        "o_orderkey",
-        "o_orderstatus",
-        "o_totalprice",
-        F.lead("o_totalprice").over(w).alias("next_price"),
-        F.first("o_totalprice").over(w).alias("first_price"),
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).cast("double").alias("pct_rank"),
-        F.cume_dist().over(w).cast("double").alias("cume"),
+    wt = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wt_run = wt.rowsBetween(W.unboundedPreceding, W.currentRow)
+    wt3 = wt.rowsBetween(-2, W.currentRow)
+    wp = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.sum("o_totalprice").over(wt_run).alias("running_spend"),
+            F.lag("o_totalprice").over(wt).alias("prev_price"),
+            F.lead("o_totalprice").over(wt).alias("next_price"),
+            F.first("o_totalprice").over(wt_run).alias("first_price"),
+            F.avg("o_totalprice").over(wt3).alias("avg_last3"),
+            F.ntile(4).over(wt).alias("quartile"),
+            F.percent_rank().over(wt).cast("double").alias("pct_rank"),
+            F.cume_dist().over(wt).cast("double").alias("cume"),
+            F.row_number().over(wp).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
     )
 
 
@@ -284,58 +259,53 @@ def string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "set_intersect_except",
+    "set_ops_summary",
     oracle="""
     WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
          o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
     SELECT 'both'   AS bucket, count(*) AS n FROM (SELECT o_custkey FROM f INTERSECT SELECT o_custkey FROM o)
     UNION ALL
     SELECT 'f_only' AS bucket, count(*) AS n FROM (SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM o)
+    UNION ALL
+    SELECT 'union_distinct' AS bucket, count(*) AS n
+    FROM (SELECT o_custkey FROM f UNION SELECT o_custkey FROM o)
     """,
 )
-def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT / EXCEPT (distinct set semantics) summarized into one row each."""
+def set_ops_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION-distinct (set semantics, vs the shard-merge
+    UNION ALL of O7) summarized into one row each; .distinct() itself is
+    exercised building each input set. Merged from set_intersect_except +
+    set_union_distinct + distinct_pairs to fit the gate window."""
     orders = load_table(spark, sf_dir, "orders")
     f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
     o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
     both = f.intersect(o).agg(F.count("*").alias("n")).select(F.lit("both").alias("bucket"), "n")
     f_only = f.exceptAll(o).agg(F.count("*").alias("n")).select(F.lit("f_only").alias("bucket"), "n")
-    return both.unionByName(f_only)
-
-
-@query(
-    "having_filter",
-    oracle="""
-    SELECT l_partkey, count(l_orderkey) AS n, sum(l_quantity) AS sum_qty
-    FROM lineitem
-    GROUP BY l_partkey
-    HAVING count(l_orderkey) >= 25 AND sum(l_quantity) > 500
-    """,
-)
-def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Post-aggregation filter (HAVING) — a filter above the agg in the plan,
-    which Catalyst cannot push below it."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    return (
-        lineitem.groupBy("l_partkey")
-        .agg(F.count("l_orderkey").alias("n"), F.sum("l_quantity").alias("sum_qty"))
-        .filter((F.col("n") >= 25) & (F.col("sum_qty") > 500))
+    u = (
+        f.union(o)
+        .distinct()
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("union_distinct").alias("bucket"), "n")
     )
+    return both.unionByName(f_only).unionByName(u)
 
 
 @query(
-    "scalar_subquery_above_avg",
+    "having_scalar_subquery",
     oracle="""
     SELECT p_brand, count(p_partkey) AS n_above_avg, max(p_retailprice) AS max_price
     FROM part
     WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
     GROUP BY p_brand
+    HAVING count(p_partkey) >= 2
     """,
 )
-def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar-subquery pattern (rows above the global average) — expressed as a
-    broadcast cross-join of the 1-row aggregate, the plan Spark produces for a
-    scalar subquery anyway."""
+def having_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery + HAVING in one plan (merged from two round-1 queries):
+    rows above the global average price — expressed as a broadcast cross-join
+    of the 1-row aggregate, the plan Spark produces for a scalar subquery
+    anyway — then a post-aggregation filter above the agg, which Catalyst
+    cannot push below it."""
     part = load_table(spark, sf_dir, "part")
     avg_price = part.agg(F.avg("p_retailprice").alias("__avg"))
     return (
@@ -343,56 +313,42 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_retailprice") > F.col("__avg"))
         .groupBy("p_brand")
         .agg(F.count("p_partkey").alias("n_above_avg"), F.max("p_retailprice").alias("max_price"))
+        .filter(F.col("n_above_avg") >= 2)
     )
 
 
 @query(
-    "set_union_distinct",
+    "rollup_cube_agg",
     oracle="""
-    SELECT k, count(*) AS n FROM (
-      SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 45
-      UNION
-      SELECT s_suppkey AS k FROM supplier WHERE s_acctbal > 4000
-    ) GROUP BY k
-    """,
-)
-def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION with distinct semantics (vs the shard-merge UNION ALL of O7)."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    supplier = load_table(spark, sf_dir, "supplier")
-    a = lineitem.filter(F.col("l_quantity") > 45).select(F.col("l_suppkey").alias("k"))
-    b = supplier.filter(F.col("s_acctbal") > 4000).select(F.col("s_suppkey").cast("long").alias("k"))
-    return a.union(b).distinct().groupBy("k").agg(F.count("*").alias("n"))
-
-
-@query(
-    "rollup_agg",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
+    SELECT 'rollup' AS kind, l_returnflag, l_linestatus,
            sum(l_quantity) AS sum_qty, count(l_orderkey) AS cnt
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'cube' AS kind, l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty, count(l_orderkey) AS cnt
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
 )
-def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP grouping sets (subtotals + grand total; NULL group markers)."""
+def rollup_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP and CUBE grouping sets (subtotals + grand total; NULL group
+    markers) as one tagged union — both are Catalyst Expand-based plans over
+    the same scan; the general GROUPING SETS mechanism is covered separately
+    by grouping_sets_agg."""
     lineitem = load_table(spark, sf_dir, "lineitem")
-    return lineitem.rollup("l_returnflag", "l_linestatus").agg(
-        F.sum("l_quantity").alias("sum_qty"), F.count("l_orderkey").alias("cnt")
+    aggs = [F.sum("l_quantity").alias("sum_qty"), F.count("l_orderkey").alias("cnt")]
+    rollup = (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(*aggs)
+        .select(F.lit("rollup").alias("kind"), "l_returnflag", "l_linestatus", "sum_qty", "cnt")
     )
-
-
-@query(
-    "cube_agg",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority, count(o_orderkey) AS cnt
-    FROM orders
-    GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-)
-def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.cube("o_orderstatus", "o_orderpriority").agg(F.count("o_orderkey").alias("cnt"))
+    cube = (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(*aggs)
+        .select(F.lit("cube").alias("kind"), "l_returnflag", "l_linestatus", "sum_qty", "cnt")
+    )
+    return rollup.unionByName(cube)
 
 
 @query(
@@ -434,17 +390,6 @@ def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     pivot values at 100 TB)."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     return lineitem.groupBy("l_returnflag").pivot("l_linestatus", ["O", "F"]).sum("l_quantity")
-
-
-@query(
-    "distinct_pairs",
-    oracle="""
-    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
-    """,
-)
-def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    return lineitem.select("l_returnflag", "l_linestatus").distinct()
 
 
 @query(

@@ -45,50 +45,84 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "scalar_date_funcs",
+    "scalar_date_json_funcs",
     oracle="""
-    SELECT year(o_orderdate)                        AS yr,
-           month(o_orderdate)                       AS mo,
-           date_trunc('month', o_orderdate)         AS month_start,
-           count(o_orderkey)                        AS n,
-           min(day(o_orderdate))                    AS min_day,
-           strftime(max(o_orderdate), '%Y-%m-%d')   AS max_date
-    FROM orders
-    GROUP BY year(o_orderdate), month(o_orderdate), date_trunc('month', o_orderdate)
+    SELECT event_type,
+           year(ts)                        AS yr,
+           month(ts)                       AS mo,
+           date_trunc('month', ts)         AS month_start,
+           count(event_id)                 AS n,
+           min(day(ts))                    AS min_day,
+           strftime(max(date_trunc('second', ts)), '%Y-%m-%d %H:%M:%S') AS max_ts_s,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           max(CAST(json_extract_string(props, '$.k') AS INTEGER))                 AS max_k,
+           count(json_extract_string(props, '$.missing'))                          AS n_missing
+    FROM events
+    GROUP BY event_type, year(ts), month(ts), date_trunc('month', ts)
     """,
 )
-def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy(
-        F.year("o_orderdate").alias("yr"),
-        F.month("o_orderdate").alias("mo"),
-        F.date_trunc("month", "o_orderdate").alias("month_start"),
+def scalar_date_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time extraction + JSON extraction in one pass over events (merged
+    from scalar_date_funcs + scalar_json_funcs to fit the gate window):
+    year/month/day/date_trunc/format on the timestamp column, and
+    get_json_object on the string props column (missing paths yield NULL on
+    both engines). Date-typed outputs are avoided (they stringify differently
+    across engines) — formatted strings instead."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy(
+        "event_type",
+        F.year("ts").alias("yr"),
+        F.month("ts").alias("mo"),
+        F.date_trunc("month", "ts").alias("month_start"),
     ).agg(
-        F.count("o_orderkey").alias("n"),
-        F.min(F.dayofmonth("o_orderdate")).alias("min_day"),
-        # date-typed outputs stringify differently across engines; format instead
-        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_date"),
+        F.count("event_id").alias("n"),
+        F.min(F.dayofmonth("ts")).alias("min_day"),
+        F.date_format(F.max(F.date_trunc("second", "ts")), "yyyy-MM-dd HH:mm:ss").alias(
+            "max_ts_s"
+        ),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.get_json_object("props", "$.missing")).alias("n_missing"),
     )
 
 
 @query(
-    "scalar_math_funcs",
+    "scalar_math_bucketing",
     oracle="""
-    SELECT l_returnflag,
+    SELECT CASE WHEN l_quantity < 10 THEN 'small'
+                WHEN l_quantity < 30 THEN 'medium'
+                ELSE 'large' END AS qty_bucket,
+           count(l_orderkey)                  AS n,
            sum(floor(l_extendedprice))        AS sum_floor,
            sum(ceil(l_quantity))              AS sum_ceil,
            sum(abs(l_discount - 0.05))        AS sum_absdev,
            avg(sqrt(l_extendedprice))         AS avg_sqrt,
            avg(ln(l_extendedprice + 1))       AS avg_ln,
            max(power(l_tax, 2))               AS max_tax_sq,
-           CAST(sum(l_linenumber % 3) AS BIGINT) AS sum_mod
+           CAST(sum(l_linenumber % 3) AS BIGINT)     AS sum_mod,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.50) AS median_price,
+           quantile_cont(l_extendedprice, 0.75) AS p75
     FROM lineitem
-    GROUP BY l_returnflag
+    GROUP BY 1
     """,
 )
-def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def scalar_math_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math-function + CASE WHEN bucketing + exact-percentile coverage in one
+    aggregation (merged from scalar_math_funcs + case_when_bucketing +
+    groupby_percentiles to fit the gate window). Exact interpolated
+    percentiles (Spark `percentile` == DuckDB quantile_cont); at 100 TB
+    prefer percentile_approx (mergeable sketch, no per-group sort buffer)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    bucket = (
+        F.when(F.col("l_quantity") < 10, "small")
+        .when(F.col("l_quantity") < 30, "medium")
+        .otherwise("large")
+        .alias("qty_bucket")
+    )
+    return li.groupBy(bucket).agg(
+        F.count("l_orderkey").alias("n"),
         # Spark floor/ceil return LONG, DuckDB's return DOUBLE — cast the sums
         # to double so the result schemas agree
         F.sum(F.floor("l_extendedprice")).cast("double").alias("sum_floor"),
@@ -98,74 +132,7 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg(F.log(F.col("l_extendedprice") + 1)).alias("avg_ln"),
         F.max(F.pow("l_tax", 2)).alias("max_tax_sq"),
         F.sum(F.col("l_linenumber") % 3).cast("long").alias("sum_mod"),
-    )
-
-
-@query(
-    "scalar_json_funcs",
-    oracle="""
-    SELECT event_type,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
-           max(CAST(json_extract_string(props, '$.k') AS INTEGER))                 AS max_k,
-           count(json_extract_string(props, '$.missing'))                          AS n_missing
-    FROM events
-    GROUP BY event_type
-    """,
-)
-def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON extraction from the string props column (events table); missing
-    paths yield NULL on both engines."""
-    ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
-    return ev.groupBy("event_type").agg(
-        F.sum(k).cast("long").alias("sum_k"),
-        F.max(k).alias("max_k"),
-        F.count(F.get_json_object("props", "$.missing")).alias("n_missing"),
-    )
-
-
-@query(
-    "groupby_percentiles",
-    oracle="""
-    SELECT l_returnflag,
-           quantile_cont(l_extendedprice, 0.25) AS p25,
-           quantile_cont(l_extendedprice, 0.50) AS median_price,
-           quantile_cont(l_extendedprice, 0.75) AS p75
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def groupby_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (Spark `percentile` == DuckDB
-    quantile_cont). At 100 TB prefer percentile_approx (mergeable sketch, no
-    per-group sort buffer); exact form kept here for oracle parity."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
         F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
         F.expr("percentile(l_extendedprice, 0.50)").alias("median_price"),
         F.expr("percentile(l_extendedprice, 0.75)").alias("p75"),
-    )
-
-
-@query(
-    "case_when_bucketing",
-    oracle="""
-    SELECT CASE WHEN l_quantity < 10 THEN 'small'
-                WHEN l_quantity < 30 THEN 'medium'
-                ELSE 'large' END AS qty_bucket,
-           count(l_orderkey)     AS n,
-           sum(l_extendedprice)  AS sum_price
-    FROM lineitem
-    GROUP BY 1
-    """,
-)
-def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    bucket = (
-        F.when(F.col("l_quantity") < 10, "small")
-        .when(F.col("l_quantity") < 30, "medium")
-        .otherwise("large")
-        .alias("qty_bucket")
-    )
-    return li.groupBy(bucket).agg(
-        F.count("l_orderkey").alias("n"), F.sum("l_extendedprice").alias("sum_price")
     )

@@ -15,57 +15,6 @@ from parqueryd_spark.sources.parquet import load_table
 _STOP_SQL = "('the','a','an','and','of','to','in','is','it')"
 
 
-@query(
-    "text_token_stats",
-    oracle="""
-    SELECT lang,
-           count(doc_id)                                        AS n_docs,
-           CAST(sum(len(string_split(text, ' '))) AS BIGINT)    AS total_tokens,
-           avg(len(string_split(text, ' ')))                    AS avg_tokens,
-           max(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]'))) AS max_regex_tokens,
-           avg(n_chars)                                         AS avg_chars
-    FROM documents
-    GROUP BY lang
-    """,
-    bench=True,
-)
-def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (whitespace + BPE-ish regex) aggregated per language."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.groupBy("lang").agg(
-        F.count("doc_id").alias("n_docs"),
-        F.sum(T.token_count("text")).cast("long").alias("total_tokens"),
-        F.avg(T.token_count("text")).alias("avg_tokens"),
-        F.max(T.regex_token_count("text")).alias("max_regex_tokens"),
-        F.avg("n_chars").alias("avg_chars"),
-    )
-
-
-@query(
-    "text_quality_score",
-    oracle=f"""
-    SELECT source,
-           avg(
-             least(length(text) / 400.0, 1.0) * 0.5
-             + (len(list_filter(string_split(text, ' '), t -> t IN {_STOP_SQL}))
-                / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5
-             - ((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
-                / CAST(length(text) AS DOUBLE))
-           ) AS avg_quality,
-           count(doc_id) AS n_docs
-    FROM documents
-    GROUP BY source
-    """,
-)
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality heuristic (length band + stopword ratio - punctuation ratio)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.groupBy("source").agg(
-        F.avg(T.quality_score("text")).alias("avg_quality"),
-        F.count("doc_id").alias("n_docs"),
-    )
-
-
 _LANG_SCORE_SQL = {
     lang: f"len(list_filter(string_split(text, ' '), t -> t IN ({', '.join(repr(m) for m in ms)})))"
     for lang, ms in T.LANG_MARKERS.items()
@@ -78,23 +27,39 @@ _PRED_SQL += "ELSE 'unknown' END"
 
 
 @query(
-    "text_language_id",
+    "text_token_lang_stats",
     oracle=f"""
     SELECT {_PRED_SQL} AS pred_lang,
            count(doc_id) AS n_docs,
-           count(CASE WHEN {_PRED_SQL} = lang THEN 1 END) AS n_label_match
+           count(CASE WHEN {_PRED_SQL} = lang THEN 1 END) AS n_label_match,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT)    AS total_tokens,
+           avg(len(string_split(text, ' ')))                    AS avg_tokens,
+           max(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]'))) AS max_regex_tokens,
+           avg(n_chars)                                         AS avg_chars
     FROM documents
     GROUP BY 1
     """,
+    bench=True,
 )
-def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-stopword language ID (n-gram heuristic) with deterministic
-    tie-break, compared against the table's lang label."""
+def text_token_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID + token counting in one aggregation (merged from
+    text_language_id + text_token_stats to fit the gate window):
+    marker-stopword language prediction (n-gram heuristic, deterministic
+    tie-break) compared against the table's lang label, with whitespace and
+    BPE-ish-regex token statistics per predicted language."""
     docs = load_table(spark, sf_dir, "documents")
     pred = T.predict_lang("text")
-    return docs.select(pred.alias("pred_lang"), "lang").groupBy("pred_lang").agg(
-        F.count("*").alias("n_docs"),
-        F.count(F.when(F.col("pred_lang") == F.col("lang"), 1)).alias("n_label_match"),
+    return (
+        docs.select(pred.alias("pred_lang"), "lang", "text", "n_chars", "doc_id")
+        .groupBy("pred_lang")
+        .agg(
+            F.count("doc_id").alias("n_docs"),
+            F.count(F.when(F.col("pred_lang") == F.col("lang"), 1)).alias("n_label_match"),
+            F.sum(T.token_count("text")).cast("long").alias("total_tokens"),
+            F.avg(T.token_count("text")).alias("avg_tokens"),
+            F.max(T.regex_token_count("text")).alias("max_regex_tokens"),
+            F.avg("n_chars").alias("avg_chars"),
+        )
     )
 
 
@@ -146,37 +111,59 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
              md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
       FROM documents
     ),
+    totals AS (
+      SELECT source, count(*) AS n_total, round(avg(q), 4) AS avg_quality_all
+      FROM scored GROUP BY source
+    ),
     kept AS (SELECT * FROM scored WHERE q >= 0.35),
-    keepers AS (SELECT min(doc_id) AS keep_id FROM kept GROUP BY fp)
-    SELECT source, count(*) AS n_docs, round(avg(q), 4) AS avg_quality
-    FROM kept WHERE doc_id IN (SELECT keep_id FROM keepers)
-    GROUP BY source
+    keepers AS (SELECT min(doc_id) AS keep_id FROM kept GROUP BY fp),
+    surv AS (
+      SELECT source, count(*) AS n_kept, round(avg(q), 4) AS avg_quality_kept
+      FROM kept WHERE doc_id IN (SELECT keep_id FROM keepers)
+      GROUP BY source
+    )
+    SELECT t.source, t.n_total, t.avg_quality_all,
+           CAST(COALESCE(s.n_kept, 0) AS BIGINT) AS n_kept, s.avg_quality_kept
+    FROM totals t LEFT JOIN surv s ON s.source = t.source
     """,
 )
 def text_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed training-data curation pipeline in one plan: quality
-    filter -> exact dedup on the bag-of-words fingerprint (keep lowest id) ->
-    per-source stats. At sf0.01 the funnel is 500 docs -> 290 quality-pass ->
-    ~246 survivors. One scan computes score and fingerprint together; dedup
-    is a fingerprint-keyed aggregate plus a semi join back, so document text
-    never shuffles."""
+    """The composed training-data curation pipeline in one plan (absorbs the
+    former text_quality_score query as its per-source pre-filter stats):
+    quality heuristic (length band + stopword ratio - punctuation ratio) ->
+    quality filter -> exact dedup on the bag-of-words fingerprint (keep
+    lowest id) -> per-source before/after stats. At sf0.01 the funnel is 500
+    docs -> 290 quality-pass -> ~246 survivors. One scan computes score and
+    fingerprint together; dedup is a fingerprint-keyed aggregate plus a semi
+    join back, so document text never shuffles."""
     docs = load_table(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id",
         "source",
         T.quality_score("text").alias("q"),
         T.fingerprint("text").alias("fp"),
-    ).filter(F.col("q") >= 0.35)
-    keepers = scored.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
-    return (
-        scored.join(keepers, scored.doc_id == keepers.keep_id, "left_semi")
+    )
+    totals = scored.groupBy("source").agg(
+        F.count("*").alias("n_total"), F.round(F.avg("q"), 4).alias("avg_quality_all")
+    )
+    kept = scored.filter(F.col("q") >= 0.35)
+    keepers = kept.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    surv = (
+        kept.join(keepers, kept.doc_id == keepers.keep_id, "left_semi")
         .groupBy("source")
-        .agg(F.count("*").alias("n_docs"), F.round(F.avg("q"), 4).alias("avg_quality"))
+        .agg(F.count("*").alias("n_kept"), F.round(F.avg("q"), 4).alias("avg_quality_kept"))
+    )
+    return totals.join(surv, "source", "left").select(
+        "source",
+        "n_total",
+        "avg_quality_all",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        "avg_quality_kept",
     )
 
 
 @query(
-    "text_tfidf_top_terms",
+    "text_ngram_stats",
     oracle="""
     WITH tf AS (
       SELECT doc_id, token, count(*) AS tf
@@ -185,7 +172,7 @@ def text_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
     nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
-    SELECT doc_id, token, tfidf
+    SELECT 'tfidf' AS kind, doc_id, token AS term, tfidf AS score
     FROM (
       SELECT tf.doc_id, tf.token,
              round(tf.tf * ln(nd.n_docs / CAST(dfreq.df AS DOUBLE)), 4) AS tfidf,
@@ -197,55 +184,66 @@ def text_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tf JOIN dfreq USING (token) CROSS JOIN nd
     )
     WHERE rn <= 3 AND doc_id < 100
+    UNION ALL
+    SELECT 'bigram' AS kind, CAST(NULL AS BIGINT) AS doc_id,
+           bigram AS term, CAST(n_occurrences AS DOUBLE) AS score
+    FROM (
+      SELECT bigram, count(*) AS n_occurrences
+      FROM (
+        SELECT unnest(list_transform(
+                 range(1, len(string_split(text, ' '))),
+                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]
+               )) AS bigram
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+      )
+      GROUP BY bigram
+      ORDER BY n_occurrences DESC, bigram ASC
+      LIMIT 20
+    )
     """,
 )
-def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 TF-IDF terms per document (corpus-wide idf, broadcast back onto
-    the (doc, token) grain). Ranked on round(tfidf, 4) with a token tie-break
-    so cross-engine ln() ulp noise cannot reorder the cut."""
+def text_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram language-model statistics as one tagged union (merged from
+    text_tfidf_top_terms + text_bigram_counts to fit the gate window):
+
+    - 'tfidf': top-3 TF-IDF terms per document (corpus-wide idf broadcast
+      back onto the (doc, token) grain), ranked on round(tfidf, 4) with a
+      token tie-break so cross-engine ln() ulp noise cannot reorder the cut.
+    - 'bigram': corpus-wide top-20 bigram occurrence counts (every
+      occurrence counted, unlike the distinct shingle sets used for
+      Jaccard); integer-count ties broken by bigram."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    terms = T.tfidf_terms(docs, "doc_id", "text").withColumn(
-        "tfidf", F.round("tfidf", 4)
-    )
+    terms = T.tfidf_terms(docs, "doc_id", "text").withColumn("tfidf", F.round("tfidf", 4))
     w = Window.partitionBy("doc").orderBy(F.col("tfidf").desc(), F.col("token").asc())
-    return (
+    tfidf = (
         terms.withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") <= 3) & (F.col("doc") < 100))
-        .select(F.col("doc").alias("doc_id"), "token", "tfidf")
+        .select(
+            F.lit("tfidf").alias("kind"),
+            F.col("doc").alias("doc_id"),
+            F.col("token").alias("term"),
+            F.col("tfidf").alias("score"),
+        )
     )
-
-
-@query(
-    "text_bigram_counts",
-    oracle="""
-    SELECT bigram, count(*) AS n_occurrences
-    FROM (
-      SELECT unnest(list_transform(
-               range(1, len(string_split(text, ' '))),
-               i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]
-             )) AS bigram
-      FROM documents
-      WHERE len(string_split(text, ' ')) >= 2
-    )
-    GROUP BY bigram
-    ORDER BY n_occurrences DESC, bigram ASC
-    LIMIT 20
-    """,
-)
-def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-wide bigram occurrence counts, top-20 — the n-gram
-    language-model statistic (every occurrence counted, unlike the distinct
-    shingle sets used for Jaccard). Integer-count ties broken by bigram."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.size(T.tokens("text")) >= 2)
-    return (
-        docs.select(F.explode(T.ngrams_all("text", 2)).alias("bigram"))
+    bigrams = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.size(T.tokens("text")) >= 2)
+        .select(F.explode(T.ngrams_all("text", 2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("n_occurrences"))
         .orderBy(F.col("n_occurrences").desc(), F.col("bigram").asc())
         .limit(20)
+        .select(
+            F.lit("bigram").alias("kind"),
+            F.lit(None).cast("long").alias("doc_id"),
+            F.col("bigram").alias("term"),
+            F.col("n_occurrences").cast("double").alias("score"),
+        )
     )
+    return tfidf.unionByName(bigrams)
 
 
 @query(

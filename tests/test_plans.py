@@ -14,7 +14,7 @@ from parqueryd_spark.queries.relational import (
     join_broadcast_dims,
     join_fact_fact_revenue,
     topk_orders,
-    window_topn_per_group,
+    window_analytics,
 )
 from tests.conftest import SF_SMOKE
 
@@ -66,7 +66,7 @@ def test_topk_is_take_ordered(spark):
 
 
 def test_window_topn_group_limit(spark):
-    plan = explain_str(window_topn_per_group(spark, SF_SMOKE), "simple")
+    plan = explain_str(window_analytics(spark, SF_SMOKE), "simple")
     # Spark inserts WindowGroupLimit below the shuffle for rank<=k filters
     assert "WindowGroupLimit" in plan
 
@@ -128,15 +128,14 @@ def test_no_python_in_core_paths(spark):
     jvm_only = [
         "q1_pricing_summary",
         "join_broadcast_dims",
-        "text_token_stats",
-        "text_quality_score",
-        "text_tfidf_top_terms",
+        "text_token_lang_stats",
         "text_curation_funnel",
-        "text_bigram_counts",
+        "text_ngram_stats",
         "dedup_minhash_lsh",
         "dedup_simhash",
         "ann_bruteforce_topk",
-        "events_rolling_window_range",
+        "events_gap_fill_rolling",
+        "events_windowed_aggs",
         "events_sketch_aggs",
         "q6_forecast_revenue",
         "q18_large_orders",
