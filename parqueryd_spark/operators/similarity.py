@@ -186,25 +186,115 @@ def ivf_topk(
     )
 
 
+def multiprobe_assign(
+    vectors: DataFrame,
+    centroids: list,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its ``nprobe`` nearest centroids (max cosine).
+
+    ``centroids`` is a driver-side list of ``(centroid_id, [floats])`` —
+    metadata-scale, like a broadcast dim table, so the assignment is a pure
+    projection: per-centroid similarities are literal-array dot products
+    folded into one codegen'd map pass + explode. No join, no shuffle.
+
+    Centroids are L2-normalized driver-side, so each similarity is one dot
+    product divided by the row vector's norm (computed once per row).
+    Returns (id_col, v: array<double>, centroid_id) with nprobe rows per
+    input vector.
+    """
+    import math
+
+    v = vectors.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("_nv", norm(F.col("v")))
+    structs = []
+    for cid, vec in centroids:
+        n = math.sqrt(sum(float(x) * float(x) for x in vec)) or 1.0
+        lit_c = F.array(*[F.lit(float(x) / n) for x in vec])
+        sim = dot(F.col("v"), lit_c) / F.col("_nv")
+        # negate so ascending struct sort = sim desc, centroid_id asc tie-break
+        structs.append(F.struct((-sim).alias("neg_sim"), F.lit(int(cid)).alias("cid")))
+    probes = F.slice(F.sort_array(F.array(*structs)), 1, nprobe)
+    return v.select(
+        id_col,
+        "v",
+        F.explode(F.transform(probes, lambda s: s["cid"])).alias("centroid_id"),
+    )
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    mode: str = "bucketed",
+    n_centroids: int = 16,
+    nprobe: int = 6,
+    centroids: list | None = None,
 ) -> DataFrame:
     """All pairs with cosine >= threshold (embedding near-dup detection).
 
-    Exact form: self cross-join with id ordering. At scale, run ivf_assign
-    first and only compare within buckets (same shape as minhash banding).
+    ``mode="bucketed"`` (default, the 100 TB path): multi-probe IVF — each
+    vector lands in its ``nprobe`` nearest of ``n_centroids`` buckets, pairs
+    are generated only within a bucket (hash join on centroid_id, never a
+    cartesian product), exact-cosine verified, then deduped. Precision is
+    always 1.0 (every candidate is verified); recall depends on
+    (n_centroids, nprobe) — (16, 6) reproduces the exact >=0.45 pair set at
+    sf0.001/0.01/0.1 (asserted in tests). At scale use n_centroids ~ sqrt(n)
+    with kmeans_centroids() and keep nprobe a small constant: candidate cost
+    is sum(bucket_size^2), not n^2.
+
+    ``mode="exact"``: the all-pairs baseline (id-ordered self join) — the
+    oracle for recall tests, quadratic by construction.
+
+    ``centroids``: optional driver-side [(centroid_id, [floats])]; defaults
+    to the first ``n_centroids`` vectors by id (deterministic, fit-free —
+    a K-row lookup, metadata-scale like kmeans_centroids' clusterCenters).
     Returns (id_a, id_b, cosine_sim)."""
-    v = spread_partitions(
-        vectors.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    if mode not in ("bucketed", "exact"):
+        raise ValueError(f"mode must be 'bucketed' or 'exact', got {mode!r}")
+    if mode == "exact":
+        v = spread_partitions(
+            vectors.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+        )
+        a = v.withColumnsRenamed({"id": "id_a", "v": "va"})
+        b = v.withColumnsRenamed({"id": "id_b", "v": "vb"})
+        return (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine_sim", cosine(F.col("va"), F.col("vb")))
+            .filter(F.col("cosine_sim") >= threshold)
+            .select("id_a", "id_b", "cosine_sim")
+        )
+    if centroids is None:
+        centroids = [
+            (i, list(r[0]))
+            for i, r in enumerate(
+                vectors.orderBy(F.col(id_col).asc())
+                .limit(n_centroids)
+                .select(vec_col)
+                .collect()
+            )
+        ]
+    assigned = spread_partitions(
+        multiprobe_assign(vectors, centroids, nprobe, id_col, vec_col)
     )
-    a = v.withColumnsRenamed({"id": "id_a", "v": "va"})
-    b = v.withColumnsRenamed({"id": "id_b", "v": "vb"})
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), "centroid_id"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "centroid_id"
+    )
+    # A pair sharing m probed buckets is generated m (<= nprobe) times; the
+    # verified survivors are bit-identical (same double arithmetic on the
+    # same inputs), so distinct() after the threshold filter dedups exactly.
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(b, ["centroid_id"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine_sim", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
+        .distinct()
     )

@@ -62,6 +62,36 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert r_kmeans >= 0.4, f"IVF(kmeans) recall {r_kmeans:.2f}"
 
 
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_near_dup_bucketed_equals_exact(spark, sf_dir):
+    """The bucketed (multi-probe IVF) near-dup path must reproduce the exact
+    all-pairs >=0.45 set — full recall at the gate's (16, 6) config; precision
+    is 1.0 by construction (every candidate is exact-cosine verified)."""
+    from parqueryd_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_near_dup_pairs(emb, threshold=0.45, mode="exact").toPandas()
+    bucketed = cosine_near_dup_pairs(
+        emb, threshold=0.45, mode="bucketed", n_centroids=16, nprobe=6
+    ).toPandas()
+    assert len(exact) > 0  # vacuous-oracle guard
+    e = exact.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    b = bucketed.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(e, b, check_like=True)
+
+
+def test_near_dup_bucketed_plan_no_cartesian(spark):
+    """The 100 TB contract: candidate generation is a hash join on
+    centroid_id, never a cartesian / nested-loop product."""
+    from parqueryd_spark.operators.similarity import cosine_near_dup_pairs
+    from parqueryd_spark.plans.audit import explain_str
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    plan = explain_str(cosine_near_dup_pairs(emb, threshold=0.45, mode="bucketed"), "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_asof_join_tolerance(spark, tmp_path):
     left = spark.createDataFrame(
         [(1, 100.0), (1, 200.0), (2, 100.0)], "k long, ts double"
