@@ -89,7 +89,7 @@ def aggregate_files(
         return df.agg(*aggs)
 
     if shard_merge == "concat" and aggregate:
-        existing = resolve_paths(paths, data_dir=data_dir)
+        existing = resolve_paths(paths, data_dir=data_dir, spark=spark)
         if not existing:
             return None
         parts = [_one(spark.read.parquet(p)) for p in existing]
@@ -149,8 +149,13 @@ class ParquetEngine:
         """Cluster topology snapshot (controller.py:683-701 analog). Includes
         the data_dir's parquet file list — the files_map equivalent (workers
         advertise their data files, worker.py:155-168; here shared storage
-        makes every file visible to every executor)."""
+        makes every file visible to every executor) — plus the reference's
+        per-worker introspection facts re-expressed for executors: uptime
+        (per-worker 'uptime', controller.py:692), busy/total counts
+        ('busy_workers', controller.py:697-699), and per-executor host/core
+        facts from the status tracker."""
         import os
+        import time
 
         sc = self.spark.sparkContext
         data_files: list[str] = []
@@ -158,12 +163,25 @@ class ParquetEngine:
             data_files = sorted(
                 f for f in os.listdir(self.data_dir) if f.endswith(".parquet")
             )
+        tracker = sc.statusTracker()
         return {
             "app_name": sc.appName,
             "app_id": sc.applicationId,
             "master": sc.master,
             "default_parallelism": sc.defaultParallelism,
             "spark_version": self.spark.version,
+            "uptime_seconds": round(time.time() - sc.startTime / 1000.0, 3),
+            "active_jobs": len(tracker.getActiveJobsIds()),
+            "active_stages": len(tracker.getActiveStageIds()),
+            "executors": [
+                {
+                    "host_port": f"{e.host()}:{e.port()}",
+                    "running_tasks": e.numRunningTasks(),
+                    "storage_memory_used": e.usedOnHeapStorageMemory()
+                    + e.usedOffHeapStorageMemory(),
+                }
+                for e in sc._jsc.sc().statusTracker().getExecutorInfos()
+            ],
             "data_dir": self.data_dir,
             "data_files": data_files,
         }

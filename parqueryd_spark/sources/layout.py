@@ -2,15 +2,12 @@
 
 At 100 TB, layout IS performance: partition pruning turns full scans into
 single-partition reads, and range-sorted files give parquet row-group min/max
-stats real selectivity. ``publish_atomic`` is the Spark-era analog of the
-reference's moveparquet barrier (worker.py:689-779): readers never observe a
-half-written dataset because visibility flips with one directory rename.
+stats real selectivity. Atomic publication lives in
+``parqueryd_spark.sources.sinks.atomic_publish`` (the moveparquet-barrier
+analog); ``publish_atomic`` here is a thin deprecated alias to it.
 """
 
 from __future__ import annotations
-
-import os
-import shutil
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,23 +42,12 @@ def optimize_layout(
 
 
 def publish_atomic(df: DataFrame, final_path: str) -> None:
-    """All-or-nothing dataset publish: write to a staging sibling, then swap
-    directories. Readers see the old version until the rename, never a partial
-    write — the moveparquet-barrier semantics (reference worker.py:729-779)
-    without any coordination service. (On object stores use a format with a
-    transaction log — Delta/Iceberg — instead of renames.)"""
-    staging = final_path + ".staging"
-    backup = final_path + ".old"
-    if os.path.exists(staging):
-        shutil.rmtree(staging)
-    df.write.mode("overwrite").parquet(staging)
-    if os.path.exists(backup):
-        shutil.rmtree(backup)
-    if os.path.exists(final_path):
-        os.rename(final_path, backup)
-    os.rename(staging, final_path)
-    if os.path.exists(backup):
-        shutil.rmtree(backup)
+    """Deprecated alias for :func:`parqueryd_spark.sources.sinks.atomic_publish`
+    (one concept, one implementation — the sinks version adds uuid-tokenized
+    staging dirs and rollback if the final rename fails)."""
+    from parqueryd_spark.sources.sinks import atomic_publish
+
+    atomic_publish(df, final_path)
 
 
 def cache_table(spark: SparkSession, path: str, name: str) -> DataFrame:

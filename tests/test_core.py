@@ -48,6 +48,28 @@ def test_engine_all_missing_returns_empty_df(spark):
     assert out.count() == 0
 
 
+def test_scheme_qualified_paths_checked_via_hadoop_fs(spark):
+    """Object-store shard URIs must be existence-checked through Hadoop
+    FileSystem, not os.path (which can never see them): a mixed list of
+    existing and missing file:-scheme URIs keeps exactly the real ones, and
+    bare/local behavior is unchanged."""
+    from parqueryd_spark.sources.parquet import read_parquet, resolve_paths
+
+    real = os.path.join(SF_SMOKE, "lineitem.parquet")
+    resolved = resolve_paths(
+        [f"file://{real}", f"file://{SF_SMOKE}/no_such_shard.parquet", "/no/such/local.parquet"],
+        spark=spark,
+    )
+    assert resolved == [f"file://{real}"]
+    # extension fallback works through the scheme path too
+    assert resolve_paths([f"file://{SF_SMOKE}/lineitem"], spark=spark) == [f"file://{real}"]
+    # scheme-qualified data_dir joins with '/' and survives the FS check
+    assert resolve_paths(["lineitem"], data_dir=f"file://{SF_SMOKE}", spark=spark) == [f"file://{real}"]
+    df = read_parquet(spark, [f"file://{real}", f"file://{SF_SMOKE}/nope.parquet"])
+    assert df is not None and df.count() > 0
+    assert read_parquet(spark, [f"file://{SF_SMOKE}/nope.parquet"]) is None
+
+
 def test_bare_filename_against_data_dir(spark):
     eng = ParquetEngine(spark, data_dir=SF_SMOKE)
     # with and without the .parquet extension (reference DATA_FILE_EXTENSION,
