@@ -260,6 +260,52 @@ def simhash_bands(sig_col, bits: int, bands: int) -> F.Column:
     return F.array(*structs)
 
 
+def simhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    bands: int = 4,
+) -> DataFrame:
+    """Banded-blocking candidate pairs (pre-verification): signatures are
+    split into ``bands`` exact-match blocks and pairs sharing any block are
+    emitted once. The block join is a hash join on (band, band_hash) — the
+    selectivity knob is band width (bits/bands): 16-bit bands collide at
+    random with p ~= 2^-16 per band. Returns (id_a, id_b, sig_a, sig_b)."""
+    sigs = _spread(df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))).select(
+        "doc", simhash(F.col("_t"), bits).alias("sig")
+    )
+    banded = sigs.select("doc", "sig", F.explode(simhash_bands("sig", bits, bands)).alias("bb")).select(
+        "doc", "sig", "bb.band", "bb.bh"
+    )
+    return (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+
+
+# The production (100 TB) blocking config: classic 64-bit/radius-3/4-band
+# SimHash — 16-bit bands, random band-collision p ~= 1.5e-5, so the candidate
+# set is a vanishing fraction of the pair space (asserted <=1% at sf0.1 in
+# tests/test_text_formats.py, measured ~0.02%). Recall tradeoff vs the gate
+# config measured on this corpus: radius 3 catches 14/25 of the exact
+# Jaccard>=0.8 pairs at sf0.01 (web-style near-dups perturb fewer bits and do
+# better); the gate query keeps radius 13 / 14 bands for full recall.
+SIMHASH_SCALE_CONFIG = {"bits": 64, "max_hamming": 3, "bands": 4}
+
+
 def simhash_near_pairs(
     df: DataFrame,
     id_col: str,
@@ -282,10 +328,11 @@ def simhash_near_pairs(
     Honest scale caveat: 14 pigeonhole bands over 64 bits are only 4-5 bits
     wide, so an unrelated pair still matches some band with p ~= 0.5 —
     blocking at THIS radius prunes only ~half the pair space and exists for
-    recall, not speed. The knobs compose the other way at scale: billion-doc
-    corpora use a narrow radius (classic 64-bit/radius-3/4-band, 16-bit
-    bands, random-collision p ~= 6e-5) or fewer, wider bands with the
-    measured recall cost (module docstring).
+    recall, not speed. The production default for billion-doc corpora is
+    ``SIMHASH_SCALE_CONFIG`` (classic 64-bit/radius-3/4-band, 16-bit bands):
+    ``simhash_near_pairs(df, id, text, **SIMHASH_SCALE_CONFIG)`` — candidate
+    count asserted <=1% of the pair space at sf0.1, with the measured recall
+    cost documented at the config definition.
     """
     if bands is None:
         bands = max_hamming + 1
@@ -295,28 +342,7 @@ def simhash_near_pairs(
     # near-dup's differing bits rarely spread across every band
     if bits < bands:
         raise ValueError(f"bits ({bits}) must be >= bands ({bands})")
-    sigs = _spread(df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))).select(
-        "doc", simhash(F.col("_t"), bits).alias("sig")
-    )
-    banded = sigs.select("doc", "sig", F.explode(simhash_bands("sig", bits, bands)).alias("bb")).select(
-        "doc", "sig", "bb.band", "bb.bh"
-    )
-    pairs = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(
-            F.col("a.doc").alias("id_a"),
-            F.col("b.doc").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .distinct()
-    )
+    pairs = simhash_candidate_pairs(df, id_col, text_col, bits, bands)
     return (
         pairs.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
         .filter(F.col("hamming") <= max_hamming)

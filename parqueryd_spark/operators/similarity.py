@@ -278,6 +278,13 @@ def cosine_near_dup_pairs(
                 .collect()
             )
         ]
+    if not centroids:
+        # empty corpus => no buckets; preserve the output schema
+        return vectors.select(
+            F.col(id_col).alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(0.0).alias("cosine_sim"),
+        ).limit(0)
     assigned = spread_partitions(
         multiprobe_assign(vectors, centroids, nprobe, id_col, vec_col)
     )

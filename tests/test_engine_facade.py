@@ -37,6 +37,13 @@ def test_info_lists_data_files(spark):
     assert "lineitem.parquet" in info["data_files"]
     assert info["spark_version"] == spark.version
     assert eng.ping() == "pong"
+    # executor-introspection parity (reference controller.py:683-701: per-node
+    # uptime / busy workers / files): uptime counts up, executor facts present
+    assert info["uptime_seconds"] > 0
+    assert info["active_jobs"] >= 0 and info["active_stages"] >= 0
+    assert len(info["executors"]) >= 1
+    for e in info["executors"]:
+        assert ":" in e["host_port"] and e["running_tasks"] >= 0
 
 
 def test_apply_pandas_replaces_execute_code(spark):

@@ -182,6 +182,23 @@ def test_simhash_recall_covers_exact_jaccard(spark):
     assert len(near - exact) <= max(2, len(exact) // 5)
 
 
+def test_simhash_scale_config_candidate_count(spark):
+    """The production blocking config (SIMHASH_SCALE_CONFIG: 16-bit bands,
+    radius 3) must generate a vanishing candidate set — <=1% of the full pair
+    space at sf0.1 (5000 docs => 12.5M pairs) — because at 100 TB the
+    candidate count IS the cost of the verify join."""
+    from parqueryd_spark.operators.dedup import SIMHASH_SCALE_CONFIG, simhash_candidate_pairs
+
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents")
+    n = docs.count()
+    candidates = simhash_candidate_pairs(
+        docs, "doc_id", "text",
+        bits=SIMHASH_SCALE_CONFIG["bits"], bands=SIMHASH_SCALE_CONFIG["bands"],
+    ).count()
+    pair_space = n * (n - 1) / 2
+    assert candidates <= 0.01 * pair_space, f"{candidates} of {pair_space:.0f} pairs"
+
+
 def test_simhash_bit63_sign_bit(spark):
     """64-bit signatures exercise the long sign bit. The library's own band
     extraction (simhash_bands) must reproduce the bands Python computes from
