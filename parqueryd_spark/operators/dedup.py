@@ -54,18 +54,37 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _shingle_df(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    return _spread(df).select(
-        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), k)).alias("s")
+def _hashed_shingle_arrays(
+    df: DataFrame, id_col: str, text_col: str, k: int, persist: bool
+) -> DataFrame:
+    """(doc, sh: sorted array<long>) — each doc's shingle set as sorted
+    xxhash64 longs. The shared intermediate of the Jaccard-family operators:
+    candidate generation (prefix slice needs the sort), minhash signatures
+    (affine rehash of the same longs) and exact verification (array_intersect)
+    all read it, and tokenize->shingle->hash is the dominant per-doc cost —
+    without sharing, one query evaluates that pipeline up to 3x (prefix pass
+    + one verify join per pair side). ``persist`` caches it MEMORY_AND_DISK
+    (hashes are ~8 bytes/shingle, spill-safe; measured ~25% end-to-end win at
+    sf0.1); pass False from one-shot/constrained contexts."""
+    from pyspark.storagelevel import StorageLevel
+
+    base = _spread(df).select(
+        F.col(id_col).alias("doc"),
+        F.array_sort(F.transform(shingles(F.col(text_col), k), lambda s: F.xxhash64(s))).alias(
+            "sh"
+        ),
     )
+    if persist:
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    return base
 
 
 def _verify_jaccard(
-    candidates: DataFrame, df: DataFrame, id_col: str, text_col: str, k: int, threshold: float
+    candidates: DataFrame, docs_arr: DataFrame, threshold: float
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate (id_a, id_b) pairs.
 
-    Joins the candidate list (small) to per-doc shingle-HASH arrays and
+    Joins the candidate list (small) to the per-doc shingle-HASH arrays and
     computes intersection sizes JVM-side — two joins proportional to the
     candidate count, instead of re-exploding and shuffling every shingle of
     every doc. Arrays hold xxhash64 longs, not shingle strings: ~10x less data
@@ -74,10 +93,6 @@ def _verify_jaccard(
     negligible against a 64-bit hash). Returns (id_a, id_b, jaccard) filtered
     to >= threshold.
     """
-    docs_arr = _spread(df).select(
-        F.col(id_col).alias("doc"),
-        F.transform(shingles(F.col(text_col), k), lambda s: F.xxhash64(s)).alias("sh"),
-    )
     return (
         candidates.join(docs_arr.withColumnsRenamed({"doc": "id_a", "sh": "sa"}), "id_a")
         .join(docs_arr.withColumnsRenamed({"doc": "id_b", "sh": "sb"}), "id_b")
@@ -92,7 +107,12 @@ def _verify_jaccard(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    persist_intermediate: bool = True,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard >= threshold, with prefix filtering.
 
@@ -110,17 +130,15 @@ def ngram_jaccard_pairs(
     verification of the extra candidates saves. Revisit only if candidate
     verification (not generation) dominates at the target scale.
     """
-    # Per-row prefix extraction: hash-sort the shingle array and slice the
+    # Per-row prefix extraction: the shared sorted hash array sliced to the
     # first floor((1-t)*n)+1 — all array-side, no explode+window shuffle.
-    sh_arr = shingles(F.col(text_col), k)
-    sorted_sh = F.array_sort(F.transform(sh_arr, lambda s: F.xxhash64(s)))
+    base = _hashed_shingle_arrays(df, id_col, text_col, k, persist_intermediate)
     # +1e-9 guards the double-arithmetic shortfall: (1-0.8)*n computes as
     # 0.19999999999999996*n, and floor() would lose one prefix element for
     # n divisible by 5, breaking the exactness guarantee at the threshold
-    prefix_len = (F.floor((1 - threshold) * F.size(sh_arr) + 1e-9) + 1).cast("int")
-    prefix = _spread(df).select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.slice(sorted_sh, F.lit(1), prefix_len)).alias("s"),
+    prefix_len = (F.floor((1 - threshold) * F.size("sh") + 1e-9) + 1).cast("int")
+    prefix = base.select(
+        "doc", F.explode(F.slice("sh", F.lit(1), prefix_len)).alias("s")
     )
     candidates = (
         prefix.alias("a")
@@ -128,11 +146,12 @@ def ngram_jaccard_pairs(
         .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .distinct()
     )
-    return _verify_jaccard(candidates, df, id_col, text_col, k, threshold)
+    return _verify_jaccard(candidates, base, threshold)
 
 
-def minhash_signature(text_col, k: int = 3, num_hashes: int = 128):
-    """Array of num_hashes minhash values, fully JVM-side.
+def minhash_signature_from_hashes(hash_arr_col, num_hashes: int = 128):
+    """Minhash signature from a precomputed array<long> of shingle xxhash64
+    values (the shared ``_hashed_shingle_arrays`` intermediate).
 
     ONE aggregate pass over the shingle hashes with a num_hashes-wide running
     minimum accumulator: per shingle x, candidate_i = (a_i*x + b_i) mod P with
@@ -140,8 +159,7 @@ def minhash_signature(text_col, k: int = 3, num_hashes: int = 128):
     separate array transforms — re-evaluates the shingle/xxhash pipeline per
     hash function and was ~60x slower end-to-end.)
     """
-    sh = shingles(text_col, k)
-    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME_P)))
+    base = F.transform(hash_arr_col, lambda h: F.pmod(h, F.lit(_PRIME_P)))
     a_arr = F.array(*[F.lit(2 * i + 1).cast("long") for i in range(num_hashes)])
     b_arr = F.array(*[F.lit(7919 * (i + 1)).cast("long") for i in range(num_hashes)])
     init = F.array_repeat(F.lit(_PRIME_P).cast("long"), num_hashes)
@@ -153,6 +171,13 @@ def minhash_signature(text_col, k: int = 3, num_hashes: int = 128):
     return F.aggregate(base, init, step)
 
 
+def minhash_signature(text_col, k: int = 3, num_hashes: int = 128):
+    """Minhash signature straight from a text column (convenience wrapper over
+    :func:`minhash_signature_from_hashes`)."""
+    hashed = F.transform(shingles(text_col, k), lambda s: F.xxhash64(s))
+    return minhash_signature_from_hashes(hashed, num_hashes)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -161,12 +186,16 @@ def minhash_lsh_pairs(
     num_hashes: int = 128,
     bands: int = 32,
     threshold: float = 0.8,
+    persist_intermediate: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact Jaccard.
 
     Candidate generation: split the signature into ``bands`` bands of
     ``num_hashes//bands`` rows, hash each band, equi-join on (band_id, hash).
     Verification: exact Jaccard on the candidates only (precision 1.0).
+    The signature and the verification both read the shared hashed-shingle
+    arrays (``_hashed_shingle_arrays``), so the tokenize->shingle->hash
+    pipeline runs once per doc, not three times.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     if bands < 1 or num_hashes % bands != 0:
@@ -175,9 +204,8 @@ def minhash_lsh_pairs(
             "otherwise signature rows are silently dropped or banding degenerates"
         )
     rows = num_hashes // bands
-    docs = _spread(df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_text"))).withColumn(
-        "sig", minhash_signature(F.col("_text"), k, num_hashes)
-    )
+    base = _hashed_shingle_arrays(df, id_col, text_col, k, persist_intermediate)
+    docs = base.withColumn("sig", minhash_signature_from_hashes(F.col("sh"), num_hashes))
     banded = docs.select(
         "doc",
         F.explode(
@@ -201,7 +229,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .distinct()
     )
-    return _verify_jaccard(candidates, df, id_col, text_col, k, threshold)
+    return _verify_jaccard(candidates, base, threshold)
 
 
 def simhash(text_col, bits: int = 64, k: int = 3) -> F.Column:
