@@ -1,0 +1,131 @@
+"""Deterministic sampling, splitting, and sequence packing for training-data
+pipelines (north-star scope).
+
+Every decision here is a pure function of the row's key — md5-derived, no RNG,
+no seed coordination, no shuffle:
+
+- **hash_split**: train/val/test assignment from the high 32 bits of
+  md5(key || salt). The same row lands in the same split on every run, every
+  cluster, every engine (md5 is md5 everywhere — the DuckDB oracles compute
+  the identical assignment); changing ``salt`` re-rolls the universe.
+- **stratified_sample**: per-stratum keep/drop by comparing the same kind of
+  bucket against a per-stratum fraction threshold. Exact determinism beats
+  Bernoulli ``df.sample`` for pipeline reproducibility, and the keep decision
+  is a projection — Catalyst pushes it into the scan like any filter.
+- **pack_contiguous**: greedy contiguous sequence packing — running token
+  total in key order, bin = which budget-multiple the row STARTS in. Each
+  bin's content sums to < budget + max_item (the streaming packer's bounded
+  overflow contract; trim/pad downstream). ``group_cols`` is the scale lever:
+  packing runs independently inside each group, so the window never needs a
+  global sort — at 100 TB group by shard/date/split and each partition packs
+  locally. Omitting group_cols demands a single-partition global window —
+  only for small data.
+
+All three stay JVM-side (md5 / conv / window aggregates — no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Bucket space: the first 8 md5 hex digits = 32 bits. Thresholds are computed
+# in Python as exact ints so Spark and SQL oracles compare the same literals.
+BUCKET_SPACE = 1 << 32
+
+
+def md5_bucket(col: Column, salt: str = "") -> Column:
+    """Deterministic bucket in [0, 2**32): integer value of the first 8 hex
+    digits of md5(str(value) || salt). Cross-engine reproducible — DuckDB:
+    ``CAST(('0x' || substr(md5(v || salt), 1, 8)) AS BIGINT)``."""
+    h = F.md5(F.concat(col.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def split_threshold(cum_weight: float) -> int:
+    """The exact integer bucket threshold for a cumulative weight — exposed so
+    oracle SQL can inline the identical literal."""
+    return int(cum_weight * BUCKET_SPACE)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split with the given weights (must sum to 1
+    within 1e-9). Pure projection: deterministic, shuffle-free, re-rollable
+    via ``salt``. The last split absorbs integer-threshold rounding."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    b = md5_bucket(F.col(key_col), salt)
+    names = list(weights)
+    expr = None
+    acc = 0.0
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = b < F.lit(split_threshold(acc))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    return df.withColumn(out_col, last if expr is None else expr.otherwise(last))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    fractions: float | dict[str, float],
+    strata_col: str | None = None,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic sample: keep a row iff its bucket falls below the
+    stratum's fraction threshold. ``fractions`` is one float for all rows, or
+    a {stratum_value: fraction} dict (requires ``strata_col``; unlisted
+    strata are dropped). Within a stratum the kept set is exactly the rows
+    whose bucket < floor(fraction * 2**32) — reproducible and nested:
+    a 0.1 sample is a subset of a 0.2 sample under the same salt."""
+    b = md5_bucket(F.col(key_col), salt)
+    if isinstance(fractions, dict):
+        if strata_col is None:
+            raise ValueError("per-stratum fractions require strata_col")
+        expr = None
+        for value, frac in fractions.items():
+            cond = (F.col(strata_col) == value) & (b < F.lit(split_threshold(frac)))
+            expr = cond if expr is None else (expr | cond)
+        if expr is None:
+            raise ValueError("fractions dict must be non-empty")
+        return df.filter(expr)
+    return df.filter(b < F.lit(split_threshold(float(fractions))))
+
+
+def pack_contiguous(
+    df: DataFrame,
+    order_col: str,
+    size_col: str,
+    budget: int,
+    group_cols: list[str] | None = None,
+    out_col: str = "bin_id",
+) -> DataFrame:
+    """Contiguous greedy packing: rows ordered by ``order_col`` (within each
+    ``group_cols`` group) are laid end-to-end and ``out_col`` is the
+    zero-based index of the budget-sized bin where the row STARTS
+    (floor(preceding_size_sum / budget)). Bin sums land in
+    [budget - max_item, budget + max_item) except the final bin.
+
+    At scale pass ``group_cols``: each group packs in its own window
+    partition with no global sort. With no groups the window is a single
+    partition — small data only (Spark also warns in the plan)."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    w = (
+        Window.partitionBy(*group_cols).orderBy(order_col)
+        if group_cols
+        else Window.orderBy(order_col)
+    )
+    cum = F.sum(size_col).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    start = cum - F.col(size_col)
+    return df.withColumn(out_col, F.floor(start / F.lit(float(budget))).cast("long"))

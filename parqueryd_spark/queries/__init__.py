@@ -72,6 +72,7 @@ from parqueryd_spark.queries import dedup  # noqa: E402,F401
 from parqueryd_spark.queries import events  # noqa: E402,F401
 from parqueryd_spark.queries import similarity  # noqa: E402,F401
 from parqueryd_spark.queries import multimodal  # noqa: E402,F401
+from parqueryd_spark.queries import pipeline  # noqa: E402,F401
 from parqueryd_spark.queries import relational  # noqa: E402,F401
 from parqueryd_spark.queries import text  # noqa: E402,F401
 from parqueryd_spark.queries import scalars  # noqa: E402,F401

@@ -1,0 +1,112 @@
+"""Training-data pipeline composition: deterministic split -> stratified
+sample -> contiguous sequence packing, as one oracle-checked query.
+
+Every stage is a pure md5-derived function of doc_id (operators/sampling.py),
+so the DuckDB oracle reproduces the exact split assignment, sample membership
+and bin layout — cross-engine byte-equal, no RNG anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parqueryd_spark.operators import text as T
+from parqueryd_spark.operators.sampling import (
+    hash_split,
+    pack_contiguous,
+    split_threshold,
+    stratified_sample,
+)
+from parqueryd_spark.queries import query
+from parqueryd_spark.sources.parquet import load_table
+
+_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SAMPLE_FRACS = {"train": 0.9, "val": 0.5, "test": 0.25}
+_BUDGET = 2048
+
+_T_TRAIN = split_threshold(0.8)
+_T_VAL = split_threshold(0.9)
+_S = {k: split_threshold(v) for k, v in _SAMPLE_FRACS.items()}
+
+
+@query(
+    "pipeline_split_pack",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS tok FROM documents
+    ),
+    split AS (
+      SELECT doc_id, tok,
+             CASE WHEN CAST(('0x' || substr(md5(doc_id::VARCHAR || 'split'), 1, 8)) AS BIGINT)
+                       < {_T_TRAIN} THEN 'train'
+                  WHEN CAST(('0x' || substr(md5(doc_id::VARCHAR || 'split'), 1, 8)) AS BIGINT)
+                       < {_T_VAL} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM tok
+    ),
+    sampled AS (
+      SELECT * FROM (
+        SELECT *, CAST(('0x' || substr(md5(doc_id::VARCHAR || 'sample'), 1, 8)) AS BIGINT) AS sb
+        FROM split
+      )
+      WHERE (split = 'train' AND sb < {_S["train"]})
+         OR (split = 'val'   AND sb < {_S["val"]})
+         OR (split = 'test'  AND sb < {_S["test"]})
+    ),
+    packed AS (
+      SELECT split, doc_id, tok,
+             CAST(floor((sum(tok) OVER (PARTITION BY split ORDER BY doc_id) - tok)
+                        / {_BUDGET}.0) AS BIGINT) AS bin_id
+      FROM sampled
+    ),
+    per_bin AS (
+      SELECT split, bin_id, sum(tok) AS bin_tokens, count(*) AS bin_docs
+      FROM packed GROUP BY split, bin_id
+    ),
+    counts AS (SELECT split, count(*) AS n_docs FROM split GROUP BY split)
+    SELECT c.split                            AS split,
+           c.n_docs                           AS n_docs,
+           CAST(sum(p.bin_docs) AS BIGINT)    AS n_sampled,
+           count(*)                           AS n_bins,
+           CAST(sum(p.bin_tokens) AS BIGINT)  AS sum_tokens,
+           CAST(max(p.bin_tokens) AS BIGINT)  AS max_bin_tokens,
+           max(p.bin_docs)                    AS max_bin_docs
+    FROM per_bin p JOIN counts c USING (split)
+    GROUP BY c.split, c.n_docs
+    """,
+)
+def pipeline_split_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical curation tail of a training-data pipeline: 80/10/10
+    deterministic split, per-split stratified sampling (train 0.9 / val 0.5 /
+    test 0.25), then contiguous packing of whitespace-token counts into
+    2048-token bins within each split. Reported per split: doc count, sampled
+    count, bin count, token totals, and the fullest bin — everything the
+    oracle recomputes exactly from md5 arithmetic."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count("text").alias("tok")
+    )
+    split_df = hash_split(docs, "doc_id", _WEIGHTS, salt="split")
+    sampled = stratified_sample(
+        split_df, "doc_id", _SAMPLE_FRACS, strata_col="split", salt="sample"
+    )
+    packed = pack_contiguous(sampled, "doc_id", "tok", _BUDGET, group_cols=["split"])
+    per_bin = packed.groupBy("split", "bin_id").agg(
+        F.sum("tok").alias("bin_tokens"), F.count("*").alias("bin_docs")
+    )
+    counts = split_df.groupBy("split").agg(F.count("*").alias("n_docs"))
+    return (
+        per_bin.groupBy("split")
+        .agg(
+            F.sum("bin_docs").cast("long").alias("n_sampled"),
+            F.count("*").alias("n_bins"),
+            F.sum("bin_tokens").cast("long").alias("sum_tokens"),
+            F.max("bin_tokens").cast("long").alias("max_bin_tokens"),
+            F.max("bin_docs").alias("max_bin_docs"),
+        )
+        .join(F.broadcast(counts), "split")
+        .select(
+            "split", "n_docs", "n_sampled", "n_bins",
+            "sum_tokens", "max_bin_tokens", "max_bin_docs",
+        )
+    )

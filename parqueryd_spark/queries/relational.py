@@ -321,59 +321,57 @@ def having_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_cube_agg",
     oracle="""
     SELECT 'rollup' AS kind, l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
            sum(l_quantity) AS sum_qty, count(l_orderkey) AS cnt
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     UNION ALL
     SELECT 'cube' AS kind, l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
            sum(l_quantity) AS sum_qty, count(l_orderkey) AS cnt
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-)
-def rollup_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP and CUBE grouping sets (subtotals + grand total; NULL group
-    markers) as one tagged union — both are Catalyst Expand-based plans over
-    the same scan; the general GROUPING SETS mechanism is covered separately
-    by grouping_sets_agg."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    aggs = [F.sum("l_quantity").alias("sum_qty"), F.count("l_orderkey").alias("cnt")]
-    rollup = (
-        lineitem.rollup("l_returnflag", "l_linestatus")
-        .agg(*aggs)
-        .select(F.lit("rollup").alias("kind"), "l_returnflag", "l_linestatus", "sum_qty", "cnt")
-    )
-    cube = (
-        lineitem.cube("l_returnflag", "l_linestatus")
-        .agg(*aggs)
-        .select(F.lit("cube").alias("kind"), "l_returnflag", "l_linestatus", "sum_qty", "cnt")
-    )
-    return rollup.unionByName(cube)
-
-
-@query(
-    "grouping_sets_agg",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
+    UNION ALL
+    SELECT 'gsets' AS kind, l_returnflag, l_linestatus,
            CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
-           sum(l_quantity) AS sum_qty
+           sum(l_quantity) AS sum_qty, count(l_orderkey) AS cnt
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
     """,
 )
-def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS (an arbitrary set list — rollup/cube are just
-    special cases) with grouping_id to disambiguate NULL-as-subtotal from
-    NULL-as-data. The DataFrame API only exposes rollup/cube, so this goes
-    through spark.sql over a temp view — same Catalyst Expand-based plan."""
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
-    return spark.sql("""
-        SELECT l_returnflag, l_linestatus,
-               grouping_id(l_returnflag, l_linestatus) AS gid,
-               sum(l_quantity) AS sum_qty
+def rollup_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP, CUBE and explicit GROUPING SETS (merged from rollup_cube_agg +
+    grouping_sets_agg to fit the gate window) as one tagged union — all three
+    are Catalyst Expand-based plans over the same scan. grouping_id
+    disambiguates NULL-as-subtotal from NULL-as-data in every branch. The
+    DataFrame API only exposes rollup/cube; the arbitrary set list goes
+    through spark.sql over a temp view — same physical plan."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    aggs = [
+        F.grouping_id("l_returnflag", "l_linestatus").alias("gid"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count("l_orderkey").alias("cnt"),
+    ]
+    cols = ["l_returnflag", "l_linestatus", "gid", "sum_qty", "cnt"]
+    rollup = (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(*aggs)
+        .select(F.lit("rollup").alias("kind"), *cols)
+    )
+    cube = (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(*aggs)
+        .select(F.lit("cube").alias("kind"), *cols)
+    )
+    lineitem.createOrReplaceTempView("lineitem_gs")
+    gsets = spark.sql("""
+        SELECT 'gsets' AS kind, l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               sum(l_quantity) AS sum_qty, count(l_orderkey) AS cnt
         FROM lineitem_gs
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
     """)
+    return rollup.unionByName(cube).unionByName(gsets)
 
 
 @query(

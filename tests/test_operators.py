@@ -92,6 +92,65 @@ def test_near_dup_bucketed_plan_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_hash_split_deterministic_and_weighted(spark):
+    from parqueryd_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = hash_split(docs, "doc_id", w).groupBy("split").count().collect()
+    b = hash_split(docs, "doc_id", w).groupBy("split").count().collect()
+    assert sorted((r.split, r["count"]) for r in a) == sorted((r.split, r["count"]) for r in b)
+    counts = {r.split: r["count"] for r in a}
+    n = sum(counts.values())
+    assert n == docs.count() and set(counts) == set(w)
+    # md5 buckets are uniform: each split within +-50% relative of its weight
+    for name, weight in w.items():
+        assert abs(counts[name] / n - weight) < weight * 0.5, (name, counts)
+    # re-salting re-rolls the assignment
+    c = {r.split: r["count"] for r in hash_split(docs, "doc_id", w, salt="x").groupBy("split").count().collect()}
+    assert c != counts
+    with pytest.raises(ValueError):
+        hash_split(docs, "doc_id", {"a": 0.5, "b": 0.1})
+
+
+def test_stratified_sample_nested_and_per_stratum(spark):
+    from parqueryd_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang")
+    small = {r.doc_id for r in stratified_sample(docs, "doc_id", 0.25).collect()}
+    big = {r.doc_id for r in stratified_sample(docs, "doc_id", 0.5).collect()}
+    assert small and small < big  # nested: same salt, larger threshold is a superset
+    by_lang = stratified_sample(
+        docs, "doc_id", {"en": 0.5, "de": 0.1}, strata_col="lang"
+    ).groupBy("lang").count().collect()
+    got = {r.lang: r["count"] for r in by_lang}
+    totals = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    assert set(got) <= {"en", "de"}  # unlisted strata dropped
+    assert abs(got["en"] / totals["en"] - 0.5) < 0.25
+
+
+def test_pack_contiguous_bin_invariants(spark):
+    from parqueryd_spark.operators.sampling import pack_contiguous
+    from parqueryd_spark.operators.text import token_count
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang", token_count("text").alias("tok")
+    )
+    budget = 512
+    packed = pack_contiguous(docs, "doc_id", "tok", budget, group_cols=["lang"]).toPandas()
+    max_item = packed["tok"].max()
+    for (lang, b), grp in packed.groupby(["lang", "bin_id"]):
+        assert grp["tok"].sum() < budget + max_item, (lang, b)
+    # bins are contiguous in doc_id order within each group
+    for lang, grp in packed.groupby("lang"):
+        assert grp.sort_values("doc_id")["bin_id"].is_monotonic_increasing
+        # every bin except the last is filled past budget - max_item
+        sums = grp.groupby("bin_id")["tok"].sum()
+        assert (sums.iloc[:-1] >= budget - max_item).all()
+    with pytest.raises(ValueError):
+        pack_contiguous(docs, "doc_id", "tok", 0)
+
+
 def test_asof_join_tolerance(spark, tmp_path):
     left = spark.createDataFrame(
         [(1, 100.0), (1, 200.0), (2, 100.0)], "k long, ts double"
