@@ -133,6 +133,7 @@ def test_no_python_in_core_paths(spark):
         "text_ngram_stats",
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "pipeline_split_pack",
         "ann_bruteforce_topk",
         "events_gap_fill_rolling",
         "events_windowed_aggs",
