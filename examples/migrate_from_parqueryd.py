@@ -64,7 +64,7 @@ def main() -> None:
 
     # reference:  rpc.download(...) + moveparquet barrier    (S3 -> local sync)
     # here:       not needed — Spark reads object storage directly; atomic
-    #             publication is sources.layout.publish_atomic
+    #             publication is sources.sinks.atomic_publish
     spark.stop()
 
 

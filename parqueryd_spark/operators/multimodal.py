@@ -9,10 +9,18 @@ metadata is needed (Catalyst column pruning does this for free because metadata
 lives in separate columns, not inside the blob) and (b) size partitions by
 bytes, not rows (``spark.sql.files.maxPartitionBytes``).
 
-The actual codecs (PIL/ffmpeg/soundfile) are NOT available in this container:
-``decode_image`` is stubbed behind an import-try with a clearly-marked
-deterministic fake, so the Spark-side plumbing — schema, UDF signature, batch
-iteration, partition behavior — is real and tested while the pixel math is not.
+Codecs: self-describing uncompressed-or-zlib formats are decoded FOR REAL with
+the standard library alone — NetPBM P5/P6, uncompressed 24-bit BMP, PNG
+(8-bit gray/RGB via zlib + scanline unfiltering), and PCM WAV (stdlib
+``wave``). Formats that need an external codec (JPEG, MP3, video containers —
+PIL/ffmpeg/soundfile are NOT in this container) fall back to a clearly-marked
+deterministic sha256 fake, so the Spark-side plumbing — schema, UDF signature,
+batch iteration, partition behavior — is exercised for every payload while
+compressed-format pixel math stays an explicit boundary.
+
+Feature semantics by media type (all deterministic): image -> 8-bin grayscale
+histogram (normalized); audio -> 8-segment RMS envelope (normalized);
+unrecognized -> sha256-derived fake.
 """
 
 from __future__ import annotations
@@ -60,23 +68,144 @@ def _make_decoder():
     """
 
     def decode(payload: bytes) -> tuple[int, int, list[float]]:
-        # STUB: real decoding requires an image codec (PIL / opencv), not
-        # present in this environment. Falls back to a deterministic fake
-        # derived from the payload digest so the pipeline stays testable.
+        # Real stdlib decode for self-describing formats (NetPBM, BMP, PNG,
+        # WAV); deterministic sha256 fake for anything unrecognized. Any
+        # malformed-but-sniffed payload also falls through to the fake —
+        # a corrupt blob must never kill a 100 TB job.
         import hashlib as _hashlib
+        import io as _io
+        import struct as _struct
+        import zlib as _zlib
 
+        def _hist8(gray) -> list[float]:
+            bins = [0] * 8
+            for v in gray:
+                bins[v >> 5] += 1
+            n = len(gray)
+            return [b / n for b in bins] if n else [0.0] * 8
+
+        data = bytes(payload)
         try:
-            import PIL.Image  # noqa: F401
+            if data[:2] in (b"P5", b"P6") and data[2:3] in (b" ", b"\t", b"\n", b"\r"):
+                # NetPBM: magic, then whitespace/comment-separated w h maxval
+                toks, i = [], 2
+                while len(toks) < 3:
+                    while i < len(data) and data[i : i + 1].isspace():
+                        i += 1
+                    if data[i : i + 1] == b"#":
+                        while i < len(data) and data[i : i + 1] != b"\n":
+                            i += 1
+                        continue
+                    j = i
+                    while j < len(data) and not data[j : j + 1].isspace():
+                        j += 1
+                    toks.append(int(data[i:j]))
+                    i = j
+                i += 1  # single whitespace after maxval, then raw samples
+                w, h, maxval = toks
+                if maxval == 255 and w > 0 and h > 0:
+                    raw = data[i:]
+                    if data[:2] == b"P5" and len(raw) >= w * h:
+                        return w, h, _hist8(raw[: w * h])
+                    if data[:2] == b"P6" and len(raw) >= 3 * w * h:
+                        gray = [
+                            (raw[k] + raw[k + 1] + raw[k + 2]) // 3
+                            for k in range(0, 3 * w * h, 3)
+                        ]
+                        return w, h, _hist8(gray)
 
-            raise NotImplementedError(
-                "real image decode path not implemented in this environment"
-            )
-        except ImportError:
-            h = _hashlib.sha256(payload).digest()
-            width = 1 + h[0] % 64
-            height = 1 + h[1] % 64
-            feature = [b / 255.0 for b in h[2:10]]
-            return width, height, feature
+            if data[:8] == b"\x89PNG\r\n\x1a\n":
+                # chunks: IHDR dims/format, concatenated IDAT -> zlib -> unfilter
+                w, h, depth, ctype, idat, i = 0, 0, 0, -1, b"", 8
+                while i + 8 <= len(data):
+                    (length,) = _struct.unpack_from(">I", data, i)
+                    tag = data[i + 4 : i + 8]
+                    body = data[i + 8 : i + 8 + length]
+                    if tag == b"IHDR":
+                        w, h, depth, ctype = _struct.unpack_from(">IIBB", body, 0)
+                    elif tag == b"IDAT":
+                        idat += body
+                    elif tag == b"IEND":
+                        break
+                    i += 12 + length  # length + tag + crc
+                bpp = {0: 1, 2: 3}.get(ctype)
+                if bpp and depth == 8 and w > 0 and h > 0:
+                    raw = _zlib.decompress(idat)
+                    stride = w * bpp
+                    prev = bytearray(stride)
+                    gray = []
+                    for row in range(h):
+                        off = row * (stride + 1)
+                        ftype = raw[off]
+                        line = bytearray(raw[off + 1 : off + 1 + stride])
+                        for x in range(stride):
+                            a = line[x - bpp] if x >= bpp else 0
+                            b = prev[x]
+                            c = prev[x - bpp] if x >= bpp else 0
+                            if ftype == 1:
+                                line[x] = (line[x] + a) & 0xFF
+                            elif ftype == 2:
+                                line[x] = (line[x] + b) & 0xFF
+                            elif ftype == 3:
+                                line[x] = (line[x] + (a + b) // 2) & 0xFF
+                            elif ftype == 4:  # Paeth
+                                p = a + b - c
+                                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                                line[x] = (line[x] + pred) & 0xFF
+                        prev = line
+                        if bpp == 1:
+                            gray.extend(line)
+                        else:
+                            gray.extend(
+                                (line[k] + line[k + 1] + line[k + 2]) // 3
+                                for k in range(0, stride, 3)
+                            )
+                    return w, h, _hist8(gray)
+
+            if data[:2] == b"BM" and len(data) >= 54:
+                (offset,) = _struct.unpack_from("<I", data, 10)
+                w, h_signed = _struct.unpack_from("<ii", data, 18)
+                (bpp,) = _struct.unpack_from("<H", data, 28)
+                (compression,) = _struct.unpack_from("<I", data, 30)
+                h = abs(h_signed)
+                if bpp == 24 and compression == 0 and w > 0 and h > 0:
+                    stride = (3 * w + 3) & ~3  # rows padded to 4 bytes
+                    gray = []
+                    for row in range(h):
+                        base = offset + row * stride
+                        gray.extend(
+                            (data[base + 3 * x] + data[base + 3 * x + 1] + data[base + 3 * x + 2])
+                            // 3
+                            for x in range(w)
+                        )
+                    return w, h, _hist8(gray)
+
+            if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+                import wave as _wave
+
+                with _wave.open(_io.BytesIO(data), "rb") as wav:
+                    nch, sampwidth, _rate, nframes = wav.getparams()[:4]
+                    frames = wav.readframes(nframes)
+                if sampwidth == 2 and nframes > 0:
+                    samples = [s[0] for s in _struct.iter_unpack("<h", frames)]
+                    seg = max(1, len(samples) // 8)
+                    feat = []
+                    for s0 in range(0, min(len(samples), 8 * seg), seg):
+                        chunk = samples[s0 : s0 + seg]
+                        rms = (sum(v * v for v in chunk) / len(chunk)) ** 0.5
+                        feat.append(rms / 32768.0)
+                    feat += [0.0] * (8 - len(feat))
+                    # width/height carry (channels, bits-per-sample) for audio
+                    return nch, 8 * sampwidth, feat[:8]
+        except Exception:
+            pass  # malformed payload -> deterministic fake below
+
+        h = _hashlib.sha256(data).digest()
+        width = 1 + h[0] % 64
+        height = 1 + h[1] % 64
+        feature = [b / 255.0 for b in h[2:10]]
+        return width, height, feature
 
     return decode
 

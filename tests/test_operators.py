@@ -43,6 +43,85 @@ def test_multimodal_decode_stub_contract():
     assert 1 <= w <= 64 and 1 <= h <= 64 and len(f) == 8
 
 
+def _make_ppm(w, h, rgb):
+    return b"P6\n# comment\n%d %d\n255\n" % (w, h) + bytes(rgb)
+
+
+def _make_png(w, h, rgb_rows):
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        c = struct.pack(">I", len(body)) + tag + body
+        return c + struct.pack(">I", zlib.crc32(tag + body))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(row) for row in rgb_rows)  # filter 0 rows
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _make_bmp(w, h, bgr_rows):
+    import struct
+
+    stride = (3 * w + 3) & ~3
+    pixel = b"".join(bytes(r) + b"\x00" * (stride - 3 * w) for r in bgr_rows)
+    header = b"BM" + struct.pack("<IHHI", 54 + len(pixel), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel), 2835, 2835, 0, 0)
+    return header + dib + pixel
+
+
+def _make_wav(samples, nch=1, rate=8000):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(nch)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+def test_multimodal_real_stdlib_codecs(spark):
+    """Self-describing formats decode FOR REAL (dims + histogram/RMS
+    features), driver-side and through the Arrow mapInPandas path alike;
+    malformed-but-sniffed payloads fall back to the deterministic fake."""
+    # 2x2 image: 3 black px + 1 white px => hist bins [0.75, 0,...,0, 0.25]
+    rgb = [0, 0, 0, 0, 0, 0, 0, 0, 0, 255, 255, 255]
+    ppm = _make_ppm(2, 2, rgb)
+    png = _make_png(2, 2, [rgb[:6], rgb[6:]])
+    bmp = _make_bmp(2, 2, [rgb[6:], rgb[:6]])  # BMP rows bottom-up; BGR==RGB for gray
+    wav = _make_wav([16384] * 800)  # constant half-amplitude => RMS 0.5 everywhere
+    for payload in (ppm, png, bmp):
+        w, h, f = decode_image(payload)
+        assert (w, h) == (2, 2), payload[:8]
+        assert f[0] == 0.75 and f[7] == 0.25 and sum(f) == 1.0, (payload[:8], f)
+    w, h, f = decode_image(wav)
+    assert (w, h) == (1, 16)  # (channels, bits per sample)
+    assert all(abs(v - 0.5) < 0.01 for v in f)
+    # malformed P6 header falls back to the sha256 fake, deterministically
+    bad = b"P6 notanumber"
+    assert decode_image(bad) == decode_image(bad)
+    # and the same decode runs inside Spark's Arrow batch path
+    media = spark.createDataFrame(
+        [(1, "image", ppm), (2, "image", png), (3, "image", bmp), (4, "audio", wav)],
+        "media_id long, media_type string, payload binary",
+    ).withColumn("byte_len", F.octet_length("payload").cast("long")).withColumn(
+        "digest", F.md5("payload")
+    )
+    rows = {r.media_id: r for r in extract_features(media).collect()}
+    assert [rows[i].width for i in (1, 2, 3)] == [2, 2, 2]
+    assert rows[1].feature == rows[2].feature == rows[3].feature
+    assert rows[4].height == 16
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
