@@ -58,31 +58,15 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def _make_decoder():
-    """Build the payload decoder as a self-contained closure.
+def _make_raw_image_decoder():
+    """Self-contained closure: payload -> (width, height, rgb bytes) for the
+    stdlib-decodable image formats (NetPBM P5/P6, 8-bit gray/RGB PNG,
+    uncompressed 24-bit BMP), or None for anything else/malformed. Grayscale
+    sources are replicated to RGB so consumers see one pixel layout."""
 
-    Returned function is defined with no references into this module so
-    cloudpickle ships it BY VALUE to executor Python workers — the workers must
-    not need ``parqueryd_spark`` importable (the engine may be driven from any
-    cwd without addPyFile).
-    """
-
-    def decode(payload: bytes) -> tuple[int, int, list[float]]:
-        # Real stdlib decode for self-describing formats (NetPBM, BMP, PNG,
-        # WAV); deterministic sha256 fake for anything unrecognized. Any
-        # malformed-but-sniffed payload also falls through to the fake —
-        # a corrupt blob must never kill a 100 TB job.
-        import hashlib as _hashlib
-        import io as _io
+    def raw_decode(payload: bytes):
         import struct as _struct
         import zlib as _zlib
-
-        def _hist8(gray) -> list[float]:
-            bins = [0] * 8
-            for v in gray:
-                bins[v >> 5] += 1
-            n = len(gray)
-            return [b / n for b in bins] if n else [0.0] * 8
 
         data = bytes(payload)
         try:
@@ -106,13 +90,9 @@ def _make_decoder():
                 if maxval == 255 and w > 0 and h > 0:
                     raw = data[i:]
                     if data[:2] == b"P5" and len(raw) >= w * h:
-                        return w, h, _hist8(raw[: w * h])
+                        return w, h, bytes(v for g in raw[: w * h] for v in (g, g, g))
                     if data[:2] == b"P6" and len(raw) >= 3 * w * h:
-                        gray = [
-                            (raw[k] + raw[k + 1] + raw[k + 2]) // 3
-                            for k in range(0, 3 * w * h, 3)
-                        ]
-                        return w, h, _hist8(gray)
+                        return w, h, raw[: 3 * w * h]
 
             if data[:8] == b"\x89PNG\r\n\x1a\n":
                 # chunks: IHDR dims/format, concatenated IDAT -> zlib -> unfilter
@@ -133,7 +113,7 @@ def _make_decoder():
                     raw = _zlib.decompress(idat)
                     stride = w * bpp
                     prev = bytearray(stride)
-                    gray = []
+                    out = bytearray()
                     for row in range(h):
                         off = row * (stride + 1)
                         ftype = raw[off]
@@ -155,13 +135,10 @@ def _make_decoder():
                                 line[x] = (line[x] + pred) & 0xFF
                         prev = line
                         if bpp == 1:
-                            gray.extend(line)
+                            out.extend(v for g in line for v in (g, g, g))
                         else:
-                            gray.extend(
-                                (line[k] + line[k + 1] + line[k + 2]) // 3
-                                for k in range(0, stride, 3)
-                            )
-                    return w, h, _hist8(gray)
+                            out.extend(line)
+                    return w, h, bytes(out)
 
             if data[:2] == b"BM" and len(data) >= 54:
                 (offset,) = _struct.unpack_from("<I", data, 10)
@@ -171,16 +148,52 @@ def _make_decoder():
                 h = abs(h_signed)
                 if bpp == 24 and compression == 0 and w > 0 and h > 0:
                     stride = (3 * w + 3) & ~3  # rows padded to 4 bytes
-                    gray = []
-                    for row in range(h):
+                    out = bytearray()
+                    rows = range(h - 1, -1, -1) if h_signed > 0 else range(h)  # bottom-up
+                    for row in rows:
                         base = offset + row * stride
-                        gray.extend(
-                            (data[base + 3 * x] + data[base + 3 * x + 1] + data[base + 3 * x + 2])
-                            // 3
-                            for x in range(w)
-                        )
-                    return w, h, _hist8(gray)
+                        for x in range(w):
+                            b_, g, r = data[base + 3 * x : base + 3 * x + 3]
+                            out.extend((r, g, b_))
+                    return w, h, bytes(out)
+        except Exception:
+            pass  # malformed payload -> caller falls back to the fake
+        return None
 
+    return raw_decode
+
+
+def _make_decoder():
+    """Build the payload feature decoder as a self-contained closure.
+
+    Returned function is defined with no references into this module so
+    cloudpickle ships it BY VALUE to executor Python workers — the workers must
+    not need ``parqueryd_spark`` importable (the engine may be driven from any
+    cwd without addPyFile).
+    """
+    raw_decode = _make_raw_image_decoder()
+
+    def decode(payload: bytes) -> tuple[int, int, list[float]]:
+        # Real stdlib decode for self-describing formats (NetPBM, BMP, PNG,
+        # WAV); deterministic sha256 fake for anything unrecognized. Any
+        # malformed-but-sniffed payload also falls through to the fake —
+        # a corrupt blob must never kill a 100 TB job.
+        import hashlib as _hashlib
+        import io as _io
+        import struct as _struct
+
+        data = bytes(payload)
+        img = raw_decode(data)
+        if img is not None:
+            w, h, rgb = img
+            bins = [0] * 8
+            for k in range(0, len(rgb), 3):
+                gray = (rgb[k] + rgb[k + 1] + rgb[k + 2]) // 3
+                bins[gray >> 5] += 1
+            n = w * h
+            return w, h, [b / n for b in bins]
+
+        try:
             if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
                 import wave as _wave
 
@@ -252,26 +265,40 @@ FRAME_SCHEMA = T.StructType(
 def resize_media(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
     """Resize every payload to (width, height) via mapInPandas.
 
-    STUB codec: the fake 'resized' payload is a deterministic digest of
-    (payload, dims) so downstream plumbing (dedup on resized bytes, size
-    accounting) is exercised without a real image library.
+    Decodable image payloads (NetPBM/PNG/BMP) are REALLY resized —
+    nearest-neighbor sampling over the decoded RGB grid — and re-emitted as
+    canonical binary PPM (P6), so downstream stages get one uniform raw
+    format whatever came in. Undecodable payloads keep the deterministic
+    digest fake so plumbing (dedup on resized bytes, size accounting) still
+    works on any input.
     """
+    raw_decode = _make_raw_image_decoder()
 
     def _resize(batches):
         import hashlib as _hl
 
         import pandas as _pd
 
+        def one(p: bytes) -> bytes:
+            img = raw_decode(bytes(p))
+            if img is None:
+                return _hl.sha256(bytes(p) + f"{width}x{height}".encode()).digest()
+            w0, h0, rgb = img
+            out = bytearray(b"P6\n%d %d\n255\n" % (width, height))
+            for y in range(height):
+                sy = y * h0 // height
+                for x in range(width):
+                    sx = x * w0 // width
+                    k = 3 * (sy * w0 + sx)
+                    out.extend(rgb[k : k + 3])
+            return bytes(out)
+
         for pdf in batches:
-            payloads = [
-                _hl.sha256(bytes(p) + f"{width}x{height}".encode()).digest()
-                for p in pdf["payload"]
-            ]
             yield _pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
-                    "payload": payloads,
+                    "payload": [one(p) for p in pdf["payload"]],
                     "width": _pd.array([width] * len(pdf), dtype="int32"),
                     "height": _pd.array([height] * len(pdf), dtype="int32"),
                 }

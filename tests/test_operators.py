@@ -120,6 +120,16 @@ def test_multimodal_real_stdlib_codecs(spark):
     assert [rows[i].width for i in (1, 2, 3)] == [2, 2, 2]
     assert rows[1].feature == rows[2].feature == rows[3].feature
     assert rows[4].height == 16
+    # real resize: every decodable input comes back as a 4x4 P6 whose
+    # upscaled pixels decode identically across source formats
+    from parqueryd_spark.operators.multimodal import resize_media
+
+    resized = {r.media_id: bytes(r.payload) for r in resize_media(media, 4, 4).collect()}
+    assert resized[1].startswith(b"P6\n4 4\n255\n")
+    assert resized[1] == resized[2] == resized[3]  # same pixels in, same P6 out
+    w, h, f = decode_image(resized[1])
+    assert (w, h) == (4, 4) and f[0] == 0.75 and f[7] == 0.25
+    assert len(resized[4]) == 32  # WAV is not an image: digest fake
 
 
 def test_ivf_recall_vs_bruteforce(spark):
