@@ -165,7 +165,7 @@ def tfidf_terms(df, id_col: str, text_col: str):
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = df.agg(F.countDistinct(F.col(id_col)).alias("n_docs"))
     return (
-        tf.join(F.broadcast(dfreq), "token")
+        tf.join(dfreq, "token")  # vocabulary-sized at 100 TB: AQE decides
         .crossJoin(F.broadcast(n_docs))
         .withColumn("tfidf", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
         .select("doc", "token", "tf", "tfidf")

@@ -249,7 +249,7 @@ def string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)  # AQE decides
         .groupBy("c_mktsegment")
         .agg(
             F.concat_ws("|", F.array_sort(F.collect_set("o_orderpriority"))).alias("priorities"),

@@ -38,7 +38,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-06-01")
     lineitem = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-06-01")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)  # AQE broadcasts while it fits
         .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(_revenue(), 2).alias("revenue"))
@@ -164,16 +164,17 @@ def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14: conditional aggregation ratio over a broadcast part join.
-    The month filter prunes lineitem before the join; part is dim-sized, so
-    the fact side never shuffles."""
+    """TPC-H Q14: conditional aggregation ratio over the part join. The month
+    filter prunes lineitem before the join; part is mid-sized (scales with
+    SF), so the join strategy is AQE's call — broadcast while part fits,
+    shuffle join beyond."""
     part = load_table(spark, sf_dir, "part")
     lineitem = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
     )
     net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)  # part scales with SF: AQE decides
         .agg(
             F.round(
                 100.0 * F.sum(F.when(F.col("p_type") == "PROMO", net).otherwise(0.0)) / F.sum(net),
@@ -211,7 +212,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)  # AQE decides
         .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(20)
@@ -244,7 +245,7 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        lineitem.join(F.broadcast(part), part.p_partkey == lineitem.l_partkey)
+        lineitem.join(part, part.p_partkey == lineitem.l_partkey)  # part scales with SF: AQE decides
         .filter(band("Brand#12", 15, 1, 11) | band("Brand#3", 25, 10, 20) | band("Brand#14", 35, 20, 30))
         .agg(
             F.count("*").alias("n_items"),
@@ -273,7 +274,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         orders.join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)  # AQE decides
         .groupBy("c_custkey", "c_name", "c_acctbal")
         .agg(F.round(_revenue(), 2).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal")
