@@ -67,7 +67,9 @@ def join_fact_fact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1996-01-01")
     lineitem = load_table(spark, sf_dir, "lineitem")
     return (
-        orders.join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        # merge hint: both sides are facts — the documented shuffle join must
+        # not silently become a lineitem broadcast from a small-SF size estimate
+        orders.join(lineitem.hint("merge"), lineitem.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderpriority")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(

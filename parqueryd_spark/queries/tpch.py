@@ -38,8 +38,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-06-01")
     lineitem = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-06-01")
     return (
-        orders.join(customer, orders.o_custkey == customer.c_custkey)  # AQE broadcasts while it fits
-        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)  # dim side: AQE broadcasts while it fits
+        # fact-fact: both sides scale with SF, so declare the shuffle join
+        # outright — a size-estimate broadcast of lineitem is wrong at scale
+        # and measurably slower even at bench scale
+        .join(lineitem.hint("merge"), lineitem.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(_revenue(), 2).alias("revenue"))
         .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -68,8 +71,9 @@ def q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region 5 at ANY scale factor) are hint-broadcast; the customer-side join
     is deliberately left to AQE — customer grows with SF and stops being
     broadcastable at extreme scale, and AQE both auto-broadcasts it while it
-    fits (it does here — measured faster than a forced hint) and falls back
-    to a shuffle join from runtime stats when it doesn't."""
+    fits and falls back to a shuffle join from runtime stats when it doesn't.
+    The orders-lineitem join is hinted to sort-merge: both sides are facts,
+    so the only scale-correct strategy is a shuffle join on the key."""
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "AFRICA"))
     nation = load_table(spark, sf_dir, "nation")
     customer = load_table(spark, sf_dir, "customer")
@@ -82,7 +86,7 @@ def q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(dims, orders.o_custkey == dims.c_custkey)
-        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .join(lineitem.hint("merge"), lineitem.l_orderkey == orders.o_orderkey)
         .groupBy("n_name")
         .agg(F.round(_revenue(), 2).alias("revenue"), F.countDistinct("o_orderkey").alias("n_orders"))
     )
@@ -143,7 +147,7 @@ def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     return (
         orders.join(
-            lineitem,
+            lineitem.hint("merge"),  # fact-fact: shuffle semi join, never broadcast lineitem
             (F.col("l_orderkey") == F.col("o_orderkey"))
             & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
             "left_semi",
@@ -273,8 +277,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
-        orders.join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)  # AQE decides
+        orders.join(lineitem.hint("merge"), lineitem.l_orderkey == orders.o_orderkey)  # fact-fact
+        .join(customer, orders.o_custkey == customer.c_custkey)  # dim side: AQE decides
         .groupBy("c_custkey", "c_name", "c_acctbal")
         .agg(F.round(_revenue(), 2).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal")

@@ -37,7 +37,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Spark's stock 10 MB: a snappy parquet file decompresses 3-5x into the
+        # broadcast hash relation, so a bigger threshold invites fact-table
+        # broadcasts at small SF (measured 3-4x slower than SMJ for the 10.8 MB
+        # sf0.1 lineitem: single-threaded build + driver round-trip). Scale-worthy
+        # dims are far below 10 MB; AQE still upgrades to broadcast from accurate
+        # runtime stats when a shuffle side turns out tiny.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/parqueryd_spark_warehouse"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

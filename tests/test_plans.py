@@ -48,6 +48,24 @@ def test_where_term_in_pushdown(spark):
     assert "In(l_linenumber" in plan and "GreaterThan(l_quantity,10" in plan
 
 
+def test_fact_tables_never_broadcast(spark):
+    """No fact table may feed a BroadcastExchange: the estimate that makes a
+    fact look broadcastable at sf0.001 grows with the data, so the plan shape
+    must already be the shuffle join we'd want at 100 TB."""
+    from parqueryd_spark.plans.audit import broadcast_scan_tables
+    from parqueryd_spark.queries.tpch import (
+        q3_shipping_priority,
+        q4_priority_exists,
+        q5_local_volume,
+        q10_returned_items,
+    )
+
+    for fn in (q3_shipping_priority, q4_priority_exists, q5_local_volume,
+               q10_returned_items, join_fact_fact_revenue):
+        bcast = broadcast_scan_tables(fn(spark, SF_SMOKE))
+        assert "lineitem" not in bcast, f"{fn.__name__} broadcasts lineitem: {bcast}"
+
+
 def test_dim_join_broadcasts(spark):
     rep = plan_report(join_broadcast_dims(spark, SF_SMOKE))
     assert rep["has_broadcast_join"]
