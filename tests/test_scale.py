@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import functions as F
 
@@ -65,6 +67,33 @@ def test_bucketed_join_eliminates_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_partition_pruning(spark, tmp_path):
+    """A filter on a hive partition column must prune at planning time —
+    at 100 TB a date-partitioned table answers a one-day query by listing one
+    directory, not by scanning (or even stat-ing) every file."""
+    import os
+
+    from parqueryd_spark.sources.parquet import read_parquet
+
+    target = str(tmp_path / "orders_by_status")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    orders.write.partitionBy("o_orderstatus").parquet(target)
+    statuses = [d.split("=")[1] for d in os.listdir(target) if d.startswith("o_orderstatus=")]
+    assert len(statuses) > 1, "fixture must produce multiple partitions"
+
+    df = read_parquet(spark, target).filter(F.col("o_orderstatus") == statuses[0])
+    plan = explain_str(df, "formatted")
+    scan = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    # attribute names carry expression ids in formatted plans (o_orderstatus#13)
+    assert re.search(rf"\(o_orderstatus#\d+ = {statuses[0]}\)", scan), scan
+    # the partition predicate is resolved against directory names, never data
+    # (Spark omits the PushedFilters line entirely when no data filter remains)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert not pushed or "o_orderstatus" not in pushed[0], pushed
+    expected = orders.filter(F.col("o_orderstatus") == statuses[0]).count()
+    assert df.count() == expected > 0
 
 
 def test_sketch_aggs_error_bounds(spark):
