@@ -117,6 +117,7 @@ class ParquetEngine:
     def __init__(self, spark: SparkSession, data_dir: str | None = None):
         self.spark = spark
         self.data_dir = data_dir
+        self._tickets: dict[str, "Ticket"] = {}
 
     def groupby(
         self,
@@ -125,7 +126,11 @@ class ParquetEngine:
         agg_list: Sequence,
         where_terms: Sequence[Sequence] | None = None,
         aggregate: bool = True,
-    ) -> DataFrame:
+        wait: bool = True,
+    ) -> DataFrame | "Ticket":
+        """The flagship call. ``wait=False`` submits the collect as an async
+        ticket (reference fire-and-forget surface, controller.py:524-530) —
+        poll ``status()``, then ``result()`` for the rows."""
         result = aggregate_files(
             self.spark,
             filenames,
@@ -136,8 +141,10 @@ class ParquetEngine:
             data_dir=self.data_dir,
         )
         if result is None:
-            return self.spark.createDataFrame([], schema="struct<>")
-        return result
+            result = self.spark.createDataFrame([], schema="struct<>")
+        if wait:
+            return result
+        return self.submit(result.collect, description=f"groupby({groupby_cols})")
 
     # --- service-surface analogs (SURVEY.md §2.3) ---
 
@@ -191,7 +198,8 @@ class ParquetEngine:
         filenames,
         fn,
         schema,
-    ) -> DataFrame:
+        wait: bool = True,
+    ) -> DataFrame | "Ticket":
         """Typed replacement for the reference's ``execute_code`` RPC
         (controller.py:524-530 — arbitrary dotted-path import on a worker,
         documented as an accepted RCE tradeoff, README.md:119-125). Here user
@@ -199,12 +207,55 @@ class ParquetEngine:
         ``fn(iterator_of_pandas_batches) -> iterator_of_pandas_batches`` with a
         declared output ``schema`` — sandbox-equivalent to any other Spark job,
         no dynamic import surface.
+
+        ``wait=False`` mirrors the reference's dispatched-not-awaited mode
+        ("OK, <fn> dispatched", controller.py:530): the transform is submitted
+        as an async ticket that collects in the background.
         """
         df = read_parquet(self.spark, filenames, data_dir=self.data_dir)
         if df is None:
-            return self.spark.createDataFrame([], schema=schema)
-        return df.mapInPandas(fn, schema=schema)
+            df = self.spark.createDataFrame([], schema=schema)
+        out = df.mapInPandas(fn, schema=schema)
+        if wait:
+            return out
+        return self.submit(out.collect, description="apply_pandas")
 
     def loglevel(self, level: str) -> None:
         """Propagate log level (controller.py:498-510 analog)."""
         self.spark.sparkContext.setLogLevel(level)
+
+    # --- async tickets (reference wait=False / download-ticket surface) ---
+
+    def submit(self, action, description: str = "") -> "Ticket":
+        """Fire-and-forget any driver-side action (a closure over DataFrame
+        actions: collect/count/write). Returns a :class:`Ticket` immediately —
+        the analog of the reference's download-ticket protocol
+        (controller.py:556-597): poll ``status()`` for task-level progress,
+        ``cancel()`` to abandon, ``result()`` to fetch."""
+        from parqueryd_spark.tickets import submit as _submit
+
+        ticket = _submit(self.spark, action, description)
+        self._tickets[ticket.ticket_id] = ticket
+        return ticket
+
+    def prefetch(self, filenames, name: str, wait: bool = False) -> "Ticket":
+        """Materialize shards into the cluster cache under a temp-view name —
+        the ``download`` analog (S3/Azure -> local disk, controller.py:556-597;
+        here object store -> executor storage memory). Always returns a ticket;
+        ``wait=True`` blocks until the cache is hot, like the reference's
+        ``download(wait=True)`` (controller.py:592-596)."""
+        df = read_parquet(self.spark, filenames, data_dir=self.data_dir)
+        if df is None:
+            raise FileNotFoundError(f"no shards found for {filenames!r}")
+        df.createOrReplaceTempView(name)
+        self.spark.catalog.cacheTable(name)
+        warmed = self.spark.table(name)
+        ticket = self.submit(lambda: warmed.count(), description=f"prefetch {name}")
+        if wait:
+            ticket.result()
+        return ticket
+
+    def tickets(self) -> list[dict]:
+        """Status of every ticket submitted through this engine (the analog of
+        the controller's ticket registry scan, controller.py:460-471)."""
+        return [t.status() for t in self._tickets.values()]
