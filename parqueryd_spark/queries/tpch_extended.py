@@ -1,0 +1,605 @@
+"""The rest of the TPC-H suite (Q2, Q7-Q9, Q11-Q13, Q15-Q17, Q20-Q22),
+adapted to the fixture star schema.
+
+These are NOT in the 50-entry driver registry (the gate records exactly 50
+rows and every slot is taken by a higher-value query); they are verified by
+``tests/test_tpch_extended.py`` against DuckDB oracles at sf0.01 with the same
+normalize-sort-compare harness the driver uses. Their purpose is SQL-surface
+proof: correlated scalar subqueries, EXISTS / NOT EXISTS pairs, distribution-
+of-distribution aggregation, min-over-group selection — each expressed as the
+Spark plan you would actually want at 100 TB (window functions and aggregate-
+then-join instead of per-row correlated rescans).
+
+Schema adaptations (the fixtures have no partsupp table and no
+commit/receipt/shipmode columns — FIXTURES.md §2):
+
+- part<->supplier facts (Q2/Q11/Q16/Q20) derive from ``lineitem``, the only
+  relation carrying (l_partkey, l_suppkey).
+- "late" (Q12/Q21) means ``l_shipdate > o_orderdate + N days``.
+- supply cost (Q9) is proxied as ``0.6 * p_retailprice * l_quantity``.
+- Q22's country code is ``c_nationkey`` (no phone column to substring).
+
+Cross-engine determinism notes (see tests/compare.py): float aggregates are
+rounded to 2dp inside each engine; Q17's correlated threshold is restated as
+the exact-integer-arithmetic predicate ``5 * qty * cnt < sum`` so no
+accumulation-order ulp can flip a row in or out.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parqueryd_spark.sources.parquet import load_table
+
+EXTENDED: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] = {}
+
+
+def _extended(name: str, oracle: str):
+    def deco(fn):
+        EXTENDED[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def _revenue():
+    return F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+
+
+@_extended(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+        SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey),
+    euro AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE')
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, round(unit_cost, 4) AS unit_cost
+    FROM costs JOIN part ON p_partkey = l_partkey
+               JOIN euro ON s_suppkey = l_suppkey
+    WHERE p_size = 15 AND p_type = 'STANDARD'
+      AND unit_cost = (SELECT min(c2.unit_cost)
+                       FROM costs c2 JOIN euro e2 ON e2.s_suppkey = c2.l_suppkey
+                       WHERE c2.l_partkey = p_partkey)
+    ORDER BY s_acctbal DESC, s_name, p_partkey
+    LIMIT 10
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (partsupp derived from lineitem): cheapest EUROPE
+    supplier per STANDARD/size-15 part. The correlated min subquery becomes a
+    window min over the part key — one shuffle on l_partkey instead of a
+    rescan per outer row; the region-restricted supplier dim is tiny and
+    broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    euro = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(load_table(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    costs = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+        .join(F.broadcast(euro), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        costs.withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))  # filtered dim: AQE broadcasts
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "s_name", "p_partkey")
+        .limit(10)
+    )
+
+
+@_extended(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 year(l_shipdate) AS l_year, l_extendedprice * (1 - l_discount) AS volume
+          FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                        JOIN orders ON o_orderkey = l_orderkey
+                        JOIN customer ON c_custkey = o_custkey
+                        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01') shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume between two nations by year. Both
+    nation dims broadcast (25 rows at any SF); supplier and customer ride
+    along; the one unavoidable big shuffle is lineitem<->orders, declared
+    sort-merge."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))  # supplier: AQE decides
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))  # customer: AQE decides
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(_revenue(), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@_extended(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           round(sum(CASE WHEN nat = 'NATION_3' THEN volume ELSE 0 END) / sum(volume), 4) AS mkt_share
+    FROM (SELECT year(o_orderdate) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS volume, n1.n_name AS nat
+          FROM part JOIN lineitem ON p_partkey = l_partkey
+                    JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN orders ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+                    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                    JOIN region ON n2.n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+            AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01') t
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of ECONOMY-part revenue sold into ASIA,
+    by order year. The selective part filter runs FIRST and shrinks lineitem
+    via the part join before the fact-fact shuffle — filter-early is the 100
+    TB win here; nation/region broadcast."""
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nat"))
+    )
+    asia_cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation.withColumnRenamed("n_name", "cn_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))  # filtered part: AQE decides
+        .join(orders.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(asia_cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nat") == "NATION_3", vol).otherwise(0.0)) / F.sum(vol), 4
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@_extended(
+    "q9_product_type_profit",
+    oracle="""
+    SELECT nat, o_year, round(sum(profit), 2) AS sum_profit
+    FROM (SELECT n_name AS nat, year(o_orderdate) AS o_year,
+                 l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity AS profit
+          FROM part JOIN lineitem ON p_partkey = l_partkey
+                    JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN orders ON o_orderkey = l_orderkey
+                    JOIN nation ON s_nationkey = n_nationkey
+          WHERE p_type = 'LARGE') t
+    GROUP BY nat, o_year
+    ORDER BY nat, o_year DESC
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (supply cost proxied as 0.6 * p_retailprice * l_quantity —
+    no partsupp table): profit on LARGE parts by supplier nation and year."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(load_table(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nat"))
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("nat", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .orderBy("nat", F.col("o_year").desc())
+    )
+
+
+@_extended(
+    "q11_important_stock",
+    oracle="""
+    WITH pv AS (
+        SELECT l_partkey, sum(l_extendedprice) AS value
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                      JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_0'
+        GROUP BY l_partkey)
+    SELECT l_partkey, round(value, 2) AS value
+    FROM pv
+    WHERE value > (SELECT 0.002 * sum(value) FROM pv)
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (stock value derived from lineitem): parts whose
+    NATION_0-sourced value exceeds 0.2% of the national total. The global
+    scalar subquery is one extra reduce over the ALREADY-AGGREGATED per-part
+    values (tiny), then a broadcast of a single row — not a second scan of
+    the fact."""
+    nat0 = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_0")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    pv = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(nat0), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("value"))
+    )
+    threshold = pv.agg((0.002 * F.sum("value")).alias("thr"))
+    return (
+        pv.join(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("thr"))
+        .select("l_partkey", F.round("value", 2).alias("value"))
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+@_extended(
+    "q12_late_shipment_priority",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+               AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+               AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape ("late" = shipped >60 days after ordering; linestatus
+    stands in for the absent shipmode): do late shipments skew toward urgent
+    orders? Conditional counts after a fact-fact join with a non-equi
+    residual."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@_extended(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+          FROM customer LEFT JOIN orders
+               ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of non-urgent order counts per customer,
+    including zero-order customers (left outer + count of the nullable key).
+    Two cascaded aggregations; the second groups on a tiny domain."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        # orders is a fact: declare the shuffle join — a size-estimate
+        # broadcast at small SF is the wrong shape at scale
+        cust.join(orders.hint("merge"), F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # count() skips nulls: 0 for orderless
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@_extended(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with max quarterly revenue. Revenue is rounded
+    to 2dp BEFORE the max/equality so the cross-engine comparison is exact;
+    the max is a one-row broadcast against the aggregated (100-row) revenue
+    relation, not a rescan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(_revenue(), 2).alias("total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        revenue.join(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(load_table(spark, sf_dir, "supplier"), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@_extended(
+    "q16_parts_supplier_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 7, 10, 15, 23, 45, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (part<->supplier pairs from lineitem; the excluded-
+    supplier list is negative-balance instead of the absent comment column):
+    distinct supplier counts per part class. The NOT IN subquery is a
+    broadcast anti join — never a per-row probe."""
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 15, 23, 45, 49)
+    )
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))  # filtered part: AQE decides
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@_extended(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3' AND p_type = 'MEDIUM'
+      AND 5 * l_quantity * (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+          < (SELECT sum(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue lost to sub-20%-of-average-quantity orders. The
+    textbook predicate ``qty < 0.2 * avg(qty)`` is restated as
+    ``5 * qty * cnt < sum`` — all-integer-valued doubles, exact in IEEE
+    arithmetic, so both engines agree even when a quantity sits exactly on
+    the threshold. The per-part stats come from ONE aggregate of lineitem
+    joined back — not a correlated rescan per row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "MEDIUM")
+    )
+    stats = li.groupBy(F.col("l_partkey").alias("sp_partkey")).agg(
+        F.sum("l_quantity").alias("sum_qty"), F.count("*").alias("cnt")
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))  # selective dim first
+        # stats has one row PER PART — a relation that grows with SF, so the
+        # join is declared shuffle; broadcasting it only looks right at toy SF
+        .join(stats.hint("merge"), F.col("l_partkey") == F.col("sp_partkey"))
+        .filter(5 * F.col("l_quantity") * F.col("cnt") < F.col("sum_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@_extended(
+    "q20_promo_supplier_promotion",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'AFRICA'
+      AND s_suppkey IN (SELECT l_suppkey
+                        FROM lineitem JOIN part ON p_partkey = l_partkey
+                        WHERE p_type = 'PROMO'
+                          AND l_shipdate >= TIMESTAMP '1997-01-01'
+                          AND l_shipdate < TIMESTAMP '1998-01-01'
+                        GROUP BY l_suppkey
+                        HAVING sum(l_quantity) > 300)
+    ORDER BY s_name
+    """,
+)
+def q20_promo_supplier_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (shipped quantity from lineitem instead of partsupp
+    availqty): AFRICA suppliers who moved >300 units of PROMO parts in 1997.
+    The IN-subquery is aggregate-then-semi-join; sum(l_quantity) is exact
+    integer-valued double arithmetic, so the >300 cut is engine-stable."""
+    promo_parts = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    heavy = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01"))
+        .join(promo_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300)
+        .select("l_suppkey")
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(load_table(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        # heavy has one row per qualifying supplier — grows with SF, so the
+        # semi join is declared shuffle rather than size-estimate broadcast
+        .join(heavy.hint("merge"), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@_extended(
+    "q21_waiting_supplier",
+    oracle="""
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape ("kept the order waiting": sole late supplier on a
+    multi-supplier finished order; late = shipped >90 days after ordering).
+    The EXISTS / NOT EXISTS pair decorrelates into ONE per-order aggregate —
+    distinct suppliers and distinct LATE suppliers per order — joined back to
+    the late lines: two shuffles total, versus the correlated form's two
+    rescans of lineitem."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.join(orders.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "late", (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")).cast("int")
+    )
+    per_order = lines.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    return (
+        lines.filter(F.col("late") == 1)
+        .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(load_table(spark, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@_extended(
+    "q22_global_sales_opportunity",
+    oracle="""
+    SELECT c_nationkey AS cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (country code = c_nationkey; no phone column):
+    above-average-balance customers in target countries with no recent
+    orders. Scalar subquery -> one-row broadcast; NOT EXISTS -> anti join
+    against the date-filtered (pushed-down) orders scan."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13)
+    )
+    avg_bal = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1999-01-01")
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(F.count("*").alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+        .orderBy("cntrycode")
+    )

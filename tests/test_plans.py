@@ -162,3 +162,36 @@ def test_no_python_in_core_paths(spark):
     for name in jvm_only:
         rep = plan_report(REGISTRY[name].fn(spark, SF_SMOKE))
         assert rep["python_evals"] == 0, f"{name} has Python in the hot path"
+
+
+def test_extended_tpch_plan_audit(spark):
+    """Every extended TPC-H query must be JVM-only, never broadcast a fact
+    table, and never degrade to a cartesian / nested-loop join (the correlated
+    subqueries are all decorrelated into aggregate-then-join by construction —
+    a BroadcastNestedLoopJoin would mean one slipped through)."""
+    from parqueryd_spark.plans.audit import broadcast_scan_tables
+    from parqueryd_spark.queries.tpch_extended import EXTENDED
+
+    # scalar subqueries (one-row aggregate broadcast against the probe side)
+    # legitimately plan ONE BroadcastNestedLoopJoin whose build side is 1 row
+    scalar_broadcasts = {
+        "q11_important_stock": 1,   # 0.2%-of-total threshold
+        "q15_top_supplier": 1,      # max(total_revenue)
+        "q22_global_sales_opportunity": 1,  # avg positive balance
+    }
+    for name, (fn, _oracle) in EXTENDED.items():
+        df = fn(spark, SF_SMOKE)
+        rep = plan_report(df)
+        assert rep["python_evals"] == 0, f"{name} has Python in the hot path"
+        simple = explain_str(df, "simple")
+        assert "CartesianProduct" not in simple, f"{name} plans a cartesian product"
+        allowed = scalar_broadcasts.get(name, 0)
+        got = simple.count("BroadcastNestedLoopJoin")
+        assert got <= allowed, f"{name}: {got} nested-loop joins (allowed {allowed})"
+        if allowed:
+            # the fact scan legitimately sits under the scalar broadcast's
+            # one-row aggregate; the payload shipped is 1 row, not the scan
+            continue
+        bcast = broadcast_scan_tables(df)
+        assert "lineitem" not in bcast, f"{name} broadcasts lineitem: {bcast}"
+        assert "orders" not in bcast, f"{name} broadcasts orders: {bcast}"
