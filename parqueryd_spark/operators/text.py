@@ -93,6 +93,56 @@ def quality_score(text: Column | str) -> Column:
     return length_score * 0.5 + stopword_ratio(c) * 0.5 - punct_ratio(c)
 
 
+def dup_token_fraction(text: Column | str) -> Column:
+    """Fraction of token occurrences that are repeats of an earlier token
+    (1 - distinct/total) — the single-line analog of Gopher's duplicate-line
+    fraction (Rae et al. 2021, §A.1.1; the fixture corpus has no newlines).
+    Exact small-integer division, so any SQL engine reproduces it bit-for-bit."""
+    toks = tokens(text)
+    return 1.0 - F.size(F.array_distinct(toks)) / F.size(toks).cast("double")
+
+
+def top_token_fraction(text: Column | str) -> Column:
+    """Occurrence share of the most frequent token — Gopher's 'fraction of
+    characters in the most common word' analog. Per-doc O(distinct x total)
+    array work, JVM-side; documents are bounded (~100s of tokens), the corpus
+    is what scales, so this stays embarrassingly parallel at 100 TB."""
+    toks = tokens(text)
+    counts = F.transform(
+        F.array_distinct(toks), lambda d: F.size(F.filter(toks, lambda t: t == d))
+    )
+    return F.array_max(counts) / F.size(toks).cast("double")
+
+
+def dup_ngram_fraction(text: Column | str, k: int = 2) -> Column:
+    """Fraction of k-gram occurrences that are duplicates (1 - distinct/total)
+    — Gopher's duplicate-n-gram family. Documents shorter than k tokens have
+    no k-grams and score 0.0 (nothing repeated)."""
+    grams = ngrams_all(text, k)
+    return F.when(
+        F.size(grams) > 0,
+        1.0 - F.size(F.array_distinct(grams)) / F.size(grams).cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_ok(
+    text: Column | str,
+    max_dup_token_frac: float = 0.60,
+    max_top_token_frac: float = 0.20,
+    max_dup_2gram_frac: float = 0.40,
+) -> Column:
+    """Gopher-style repetition gate: True iff the document passes every
+    repetition threshold. Defaults are tuned to the synthetic corpus; the
+    production knobs are the Gopher paper's (0.30 / 0.20 / 0.20 for
+    line-dup / top-word / dup-2-gram on natural text)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return (
+        (dup_token_fraction(c) <= max_dup_token_frac)
+        & (top_token_fraction(c) <= max_top_token_frac)
+        & (dup_ngram_fraction(c, 2) <= max_dup_2gram_frac)
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 of the sorted distinct token
     set — a canonical-bag-of-words content hash, reproducible in any engine."""

@@ -108,14 +108,25 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5
              - ((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
                 / CAST(length(text) AS DOUBLE)) AS q,
-             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+             (1.0 - len(list_distinct(string_split(text, ' ')))::DOUBLE
+                  / len(string_split(text, ' ')) <= 0.60)
+             AND (list_max(list_transform(list_distinct(string_split(text, ' ')),
+                      d -> len(list_filter(string_split(text, ' '), x -> x = d))))::DOUBLE
+                  / len(string_split(text, ' ')) <= 0.20)
+             AND (CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+                    1.0 - len(list_distinct(list_transform(
+                            range(1, len(string_split(text, ' '))),
+                            i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])))::DOUBLE
+                        / (len(string_split(text, ' ')) - 1)
+                  ELSE 0.0 END <= 0.40) AS rep_ok
       FROM documents
     ),
     totals AS (
       SELECT source, count(*) AS n_total, round(avg(q), 4) AS avg_quality_all
       FROM scored GROUP BY source
     ),
-    kept AS (SELECT * FROM scored WHERE q >= 0.35),
+    kept AS (SELECT * FROM scored WHERE q >= 0.35 AND rep_ok),
     keepers AS (SELECT min(doc_id) AS keep_id FROM kept GROUP BY fp),
     surv AS (
       SELECT source, count(*) AS n_kept, round(avg(q), 4) AS avg_quality_kept
@@ -130,23 +141,26 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data curation pipeline in one plan (absorbs the
     former text_quality_score query as its per-source pre-filter stats):
-    quality heuristic (length band + stopword ratio - punctuation ratio) ->
-    quality filter -> exact dedup on the bag-of-words fingerprint (keep
-    lowest id) -> per-source before/after stats. At sf0.01 the funnel is 500
-    docs -> 290 quality-pass -> ~246 survivors. One scan computes score and
-    fingerprint together; dedup is a fingerprint-keyed aggregate plus a semi
-    join back, so document text never shuffles."""
+    quality heuristic (length band + stopword ratio - punctuation ratio) +
+    Gopher-style repetition gate (dup-token / top-token / dup-2-gram
+    fractions, operators/text.py:repetition_ok) -> filter -> exact dedup on
+    the bag-of-words fingerprint (keep lowest id) -> per-source before/after
+    stats. One scan computes score, fingerprint, and repetition signals
+    together; dedup is a fingerprint-keyed aggregate plus a semi join back,
+    so document text never shuffles. The repetition fractions are ratios of
+    small integers — exact IEEE division both engines reproduce bit-for-bit."""
     docs = load_table(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id",
         "source",
         T.quality_score("text").alias("q"),
         T.fingerprint("text").alias("fp"),
+        T.repetition_ok("text").alias("rep_ok"),
     )
     totals = scored.groupBy("source").agg(
         F.count("*").alias("n_total"), F.round(F.avg("q"), 4).alias("avg_quality_all")
     )
-    kept = scored.filter(F.col("q") >= 0.35)
+    kept = scored.filter((F.col("q") >= 0.35) & F.col("rep_ok"))
     keepers = kept.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
     surv = (
         kept.join(keepers, kept.doc_id == keepers.keep_id, "left_semi")

@@ -41,3 +41,34 @@ def test_json_lines_roundtrip(spark, tmp_path):
     df = read_json(spark, json_path)
     agg = df.groupBy("k").agg(F.sum("v").alias("s")).toPandas().set_index("k")
     assert agg.loc["a", "s"] == 3 and agg.loc["b", "s"] == 3
+
+
+def test_repetition_metrics_match_duckdb(spark, duck):
+    """The three Gopher-style repetition fractions are exact small-integer
+    ratios — DuckDB must reproduce every value bit-for-bit at sf0.01."""
+    from parqueryd_spark.operators import text as T
+    from parqueryd_spark.sources.parquet import load_table
+    from tests.compare import assert_same_result
+    from tests.conftest import SF_CORRECT
+
+    sdf = load_table(spark, SF_CORRECT, "documents").select(
+        "doc_id",
+        T.dup_token_fraction("text").alias("dup_tok"),
+        T.top_token_fraction("text").alias("top_tok"),
+        T.dup_ngram_fraction("text", 2).alias("dup_2gram"),
+    )
+    oracle = duck.execute("""
+        SELECT doc_id,
+               1.0 - len(list_distinct(string_split(text,' ')))::DOUBLE
+                   / len(string_split(text,' ')) AS dup_tok,
+               list_max(list_transform(list_distinct(string_split(text,' ')),
+                   d -> len(list_filter(string_split(text,' '), x -> x = d))))::DOUBLE
+                   / len(string_split(text,' ')) AS top_tok,
+               CASE WHEN len(string_split(text,' ')) >= 2 THEN
+                 1.0 - len(list_distinct(list_transform(range(1, len(string_split(text,' '))),
+                         i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])))::DOUBLE
+                     / (len(string_split(text,' ')) - 1)
+               ELSE 0.0 END AS dup_2gram
+        FROM documents
+    """).df()
+    assert_same_result(sdf, oracle, rtol=0.0)
