@@ -163,3 +163,38 @@ def test_atomic_publish_and_compact(spark, tmp_path):
     compact_parquet(spark, part_target, target_partitions=2, partition_by=["o_orderstatus"])
     assert any(d.startswith("o_orderstatus=") for d in os.listdir(part_target))
     assert spark.read.parquet(part_target).count() == 100
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """With AQE skew-join on (the session default), a 99%-hot-key shuffle join
+    must be re-planned at runtime into split partitions — the executed plan
+    carries SortMergeJoin(skew=true). This is the engine-level guarantee that
+    a hot key at 100 TB degrades into extra parallel tasks, not one straggler
+    executor; thresholds are lowered here only to make 'skewed' reachable at
+    test size."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = (
+            spark.range(0, 300_000)
+            .withColumn("k", F.when(F.col("id") % 100 < 99, F.lit(0)).otherwise(F.col("id") % 100))
+            .withColumn("pad", F.sha2(F.col("id").cast("string"), 256))
+        )
+        right = spark.range(0, 200).select(F.col("id").alias("k2"), F.lit("x").alias("tag"))
+        joined = left.join(right, F.col("k") == F.col("k2"))
+        assert len(joined.collect()) == 300_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
