@@ -11,12 +11,14 @@ bytes, not rows (``spark.sql.files.maxPartitionBytes``).
 
 Codecs: self-describing uncompressed-or-zlib formats are decoded FOR REAL with
 the standard library alone — NetPBM P5/P6, uncompressed 24-bit BMP, PNG
-(8-bit gray/RGB via zlib + scanline unfiltering), and PCM WAV (stdlib
-``wave``). Formats that need an external codec (JPEG, MP3, video containers —
-PIL/ffmpeg/soundfile are NOT in this container) fall back to a clearly-marked
-deterministic sha256 fake, so the Spark-side plumbing — schema, UDF signature,
-batch iteration, partition behavior — is exercised for every payload while
-compressed-format pixel math stays an explicit boundary.
+(8-bit gray/RGB via zlib + scanline unfiltering), PCM WAV (stdlib ``wave``),
+and YUV4MPEG2 video (``sample_frames`` walks the FRAME-delimited container
+and converts sampled C444/C420 frames to RGB). Formats that need an external
+codec (JPEG, MP3, MP4/MKV — PIL/ffmpeg/soundfile are NOT in this container)
+fall back to a clearly-marked deterministic sha256 fake, so the Spark-side
+plumbing — schema, UDF signature, batch iteration, partition behavior — is
+exercised for every payload while compressed-format pixel math stays an
+explicit boundary.
 
 Feature semantics by media type (all deterministic): image -> 8-bin grayscale
 histogram (normalized); audio -> 8-segment RMS envelope (normalized);
@@ -308,15 +310,87 @@ def resize_media(media: DataFrame, width: int = 32, height: int = 32) -> DataFra
 
 
 def sample_frames(media: DataFrame, max_frames: int = 4) -> DataFrame:
-    """Sample up to ``max_frames`` frames per video payload (1-in/N-out row
-    explosion through mapInPandas — the batch shape a real ffmpeg frame
-    sampler needs). STUB: frame count derives from the payload digest; each
-    fake frame is a per-index digest."""
+    """Sample up to ``max_frames`` evenly-spaced frames per video payload
+    (1-in/N-out row explosion through mapInPandas — the batch shape a real
+    ffmpeg frame sampler needs).
+
+    YUV4MPEG2 (y4m) payloads are sampled FOR REAL: the stdlib-parseable raw
+    container (plain-text header, ``FRAME``-delimited planar YUV) is walked
+    without decoding anything but the sampled frames, which are converted to
+    RGB (C444/C420, full-range BT.601) and re-emitted as canonical binary PPM
+    — the same uniform format :func:`resize_media` produces, so frames feed
+    straight back into the image operators. Codec-requiring containers (MP4,
+    MKV — no ffmpeg in this environment) keep the deterministic digest fake:
+    frame count from the payload digest, per-index digest payloads."""
 
     def _sample(batches):
         import hashlib as _hl
 
         import pandas as _pd
+
+        def y4m_frames(raw: bytes):
+            # header: "YUV4MPEG2 W<w> H<h> F<n>:<d> ... [C<fmt>]\n"
+            try:
+                hdr_end = raw.index(b"\n")
+            except ValueError:
+                return None
+            parts = raw[:hdr_end].split(b" ")
+            if parts[0] != b"YUV4MPEG2":
+                return None
+            w = h = 0
+            cfmt = b"420jpeg"  # the spec default when no C tag is present
+            for tag in parts[1:]:
+                if tag[:1] == b"W":
+                    w = int(tag[1:])
+                elif tag[:1] == b"H":
+                    h = int(tag[1:])
+                elif tag[:1] == b"C":
+                    cfmt = tag[1:]
+            if w <= 0 or h <= 0:
+                return None
+            if cfmt.startswith(b"444"):
+                ysz, csz, half = w * h, w * h, False
+            elif cfmt.startswith(b"420"):
+                ysz, csz, half = w * h, (w // 2) * (h // 2), True
+            else:
+                return None  # 422/mono etc. -> caller falls back to the fake
+            frames, i = [], hdr_end + 1
+            fsize = ysz + 2 * csz
+            while i < len(raw):
+                try:
+                    line_end = raw.index(b"\n", i)
+                except ValueError:
+                    break
+                if raw[i : i + 5] != b"FRAME":
+                    break
+                body = raw[line_end + 1 : line_end + 1 + fsize]
+                if len(body) < fsize:
+                    break
+                frames.append(body)
+                i = line_end + 1 + fsize
+            return (w, h, half, ysz, csz, frames) if frames else None
+
+        def to_ppm(w, h, half, ysz, csz, body: bytes) -> bytes:
+            yp, up, vp = body[:ysz], body[ysz : ysz + csz], body[ysz + csz :]
+            cw = w // 2 if half else w
+            out = bytearray(b"P6\n%d %d\n255\n" % (w, h))
+            for yy in range(h):
+                for xx in range(w):
+                    yv = yp[yy * w + xx]
+                    ci = (yy // 2) * cw + (xx // 2) if half else yy * w + xx
+                    u, v = up[ci] - 128, vp[ci] - 128
+                    # full-range BT.601 integer approximation
+                    r = yv + (91881 * v >> 16)
+                    g = yv - ((22554 * u + 46802 * v) >> 16)
+                    b = yv + (116130 * u >> 16)
+                    out.extend(
+                        (
+                            0 if r < 0 else (255 if r > 255 else r),
+                            0 if g < 0 else (255 if g > 255 else g),
+                            0 if b < 0 else (255 if b > 255 else b),
+                        )
+                    )
+            return bytes(out)
 
         for pdf in batches:
             ids, idxs, frames = [], [], []
@@ -324,6 +398,17 @@ def sample_frames(media: DataFrame, max_frames: int = 4) -> DataFrame:
                 if mtype != "video":
                     continue
                 raw = bytes(p)
+                vid = y4m_frames(raw)
+                if vid is not None:
+                    w, h, half, ysz, csz, all_frames = vid
+                    n = min(max_frames, len(all_frames))
+                    # evenly spaced selection over the real frame sequence
+                    picks = [k * len(all_frames) // n for k in range(n)]
+                    for i, fi in enumerate(picks):
+                        ids.append(mid)
+                        idxs.append(i)
+                        frames.append(to_ppm(w, h, half, ysz, csz, all_frames[fi]))
+                    continue
                 n = 1 + _hl.sha256(raw).digest()[0] % max_frames
                 for i in range(n):
                     ids.append(mid)

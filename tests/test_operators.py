@@ -391,3 +391,55 @@ def test_sink_roundtrip_and_empty_protocol(spark, tmp_path):
     empty = li.filter(F.lit(False))
     assert to_pandas_result(empty, none_on_empty=True) is None
     assert len(to_pandas_result(empty)) == 0
+
+
+def _make_y4m(w, h, frames_yuv, cfmt=b"C444"):
+    """Minimal YUV4MPEG2 container: header + FRAME-delimited planar YUV."""
+    out = bytearray(b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 %s\n" % (w, h, cfmt))
+    for planes in frames_yuv:
+        out.extend(b"FRAME\n")
+        for plane in planes:
+            out.extend(bytes(plane))
+    return bytes(out)
+
+
+def test_sample_frames_real_y4m(spark):
+    """y4m videos are frame-sampled FOR REAL: evenly-spaced frames come back
+    as P6 PPMs that the image decoder reads with the expected dims and pixel
+    content; non-y4m 'video' payloads keep the deterministic digest fake."""
+    from parqueryd_spark.operators.multimodal import sample_frames
+
+    w, h = 4, 2
+    n = w * h
+    # 6 frames; frame i is uniform gray level 40*i (Y=gray, U=V=128 => R=G=B=Y)
+    frames = [([40 * i] * n, [128] * n, [128] * n) for i in range(6)]
+    y4m = _make_y4m(w, h, frames)
+    # C420: quarter-size chroma planes, still neutral gray
+    y4m_420 = _make_y4m(w, h, [([200] * n, [128] * (n // 4), [128] * (n // 4))], b"C420jpeg")
+    media = spark.createDataFrame(
+        [(1, "video", y4m), (2, "video", y4m_420), (3, "video", b"not a container"),
+         (4, "image", y4m)],
+        "media_id long, media_type string, payload binary",
+    )
+    rows = sorted(sample_frames(media, max_frames=3).collect(), key=lambda r: (r.media_id, r.frame_index))
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    # images are not sampled at all
+    assert set(by_id) == {1, 2, 3}
+    # 3 evenly spaced picks over 6 frames: indices 0, 2, 4 => gray 0, 80, 160
+    assert len(by_id[1]) == 3
+    for rec, gray in zip(by_id[1], (0, 80, 160)):
+        wd, ht, f = decode_image(bytes(rec.frame_payload))
+        assert (wd, ht) == (w, h)
+        # uniform frame: all mass in gray's histogram bin
+        assert f[gray >> 5] == 1.0, (gray, f)
+    # C420 single frame decodes to the same uniform-gray PPM
+    (rec,) = by_id[2]
+    wd, ht, f = decode_image(bytes(rec.frame_payload))
+    assert (wd, ht) == (w, h) and f[200 >> 5] == 1.0
+    # undecodable container: digest-fake frames, deterministic across runs
+    again = [r for r in sample_frames(media, max_frames=3).collect() if r.media_id == 3]
+    assert [bytes(r.frame_payload) for r in by_id[3]] == [
+        bytes(r.frame_payload) for r in sorted(again, key=lambda r: r.frame_index)
+    ]
