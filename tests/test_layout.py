@@ -62,3 +62,26 @@ def test_approx_aggregates_error_bounds(spark):
     ).collect()[0]
     assert abs(row.acd - row.cd) / row.cd < 0.05  # HLL default rsd ~2.3%
     assert abs(row.ap50 - row.p50) / row.p50 < 0.01
+
+
+def test_read_parquet_merge_schema_across_shards(spark, tmp_path):
+    """Shards written before/after a schema evolution (new column added) must
+    read as one table under merge_schema=True, with nulls where the old shard
+    lacks the column — at 100 TB a dataset's shards are never rewritten in
+    lockstep, so drift tolerance is a source-level contract."""
+    from parqueryd_spark.sources.parquet import read_parquet
+
+    old = str(tmp_path / "gen1.parquet")
+    new = str(tmp_path / "gen2.parquet")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(old)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(new)
+
+    merged = read_parquet(spark, [old, new], merge_schema=True)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
+    # missing shards still silently ignored alongside evolution
+    partial = read_parquet(spark, [old, new, str(tmp_path / "nope.parquet")], merge_schema=True)
+    assert partial.count() == 2
