@@ -203,13 +203,14 @@ def events_sketch_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific by design; relative error against the exact answers is
     asserted in tests/test_scale.py. At 100 TB these replace exact
     countDistinct/percentile: fixed-size mergeable state per group instead of
-    a distinct-shuffle of every user id."""
+    a distinct-shuffle of every user id. The two percentiles are emitted as
+    scalar columns (not one array) so the gate's pandas canonicalizer can
+    sort the result."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95)), 10000).alias(
-            "approx_p50_p95"
-        ),
+        F.percentile_approx("value", F.lit(0.5), 10000).alias("approx_p50"),
+        F.percentile_approx("value", F.lit(0.95), 10000).alias("approx_p95"),
         F.count("*").alias("n_events"),
     )
 
