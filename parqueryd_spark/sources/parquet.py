@@ -110,21 +110,32 @@ def read_parquet(
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (TESTDATA.md) by name.
 
-    The events table carries parquet TIMESTAMP(NANOS) which Spark's vectorized
-    reader rejects; read nanos as long and convert to a microsecond timestamp
-    with exact integer division (``div``, not ``/`` — a double would lose
-    precision at 1e18), matching DuckDB's ns->us truncation on read.
+    The events table's ``ts`` physical type has varied across testdata
+    generations — TIMESTAMP(NANOS), TIMESTAMP(MICROS) without UTC adjustment
+    (read as TIMESTAMP_NTZ), or plain TIMESTAMP — so normalize adaptively from
+    the schema Spark actually inferred rather than assuming one encoding:
+
+    - bigint (nanos read under ``nanosAsLong``): exact integer ``div 1000`` to
+      micros (not ``/`` — a double loses precision at 1e18), matching DuckDB's
+      ns->us truncation on read.
+    - timestamp_ntz: cast to TIMESTAMP. With the session zone forced to UTC the
+      wall-clock values are preserved and match DuckDB's naive read, while
+      downstream watermarks / double-casts that require plain TIMESTAMP work.
+    - timestamp: already normalized.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
+        # Legacy conf lets TIMESTAMP(NANOS) shards load at all (vectorized
+        # reader rejects nanos otherwise); no effect on micros-encoded data.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # timestamp_micros yields TIMESTAMP (session-tz rendered); force UTC so
-        # wall-clock values match DuckDB's naive read even under a non-UTC
-        # driver session. (NTZ would be cleaner but watermarks and double-casts
-        # require plain TIMESTAMP.)
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_type == "timestamp_ntz":
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)

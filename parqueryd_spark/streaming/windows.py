@@ -19,38 +19,41 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Spark's file stream source needs an explicit schema; ts arrives as raw
-# TIMESTAMP(NANOS) parquet => long (nanosAsLong), converted on read.
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_events_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """readStream over a directory of events parquet files. A single-file path
     is accepted too (streamed from its parent dir with a glob filter — the file
-    source itself requires a directory)."""
+    source itself requires a directory).
+
+    The file source needs an explicit schema, and the ``ts`` physical type has
+    varied across testdata generations (TIMESTAMP(NANOS) => long under
+    ``nanosAsLong``, TIMESTAMP(MICROS) => timestamp_ntz, or plain timestamp), so
+    probe the footer with a one-off batch read and normalize ``ts`` to plain
+    TIMESTAMP the same way :func:`parqueryd_spark.sources.parquet.load_table`
+    does — batch/stream parity starts with an identical ``ts``.
+    """
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(path).schema
+    ts_type = schema["ts"].dataType
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if os.path.isfile(path):
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = reader.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.LongType):
+        # nanos-as-long: exact integer div to micros (a double would lose
+        # precision at 1e18)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        # UTC session zone preserves wall-clock values through the cast
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def stream_tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

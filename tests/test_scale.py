@@ -117,7 +117,7 @@ def test_sketch_aggs_error_bounds(spark):
     for et, a in approx.items():
         e = exact[et]
         assert abs(a.approx_users - e.users) / e.users <= 0.05, (et, a.approx_users, e.users)
-        p50, p95 = a.approx_p50_p95
+        p50, p95 = a.approx_p50, a.approx_p95
         assert e.pcts[0] <= p50 <= e.pcts[2], (et, p50, e.pcts)
         assert e.pcts[3] <= p95 <= e.pcts[5], (et, p95, e.pcts)
 
