@@ -242,6 +242,51 @@ def minhash_lsh_pairs(
     return _verify_jaccard(candidates, base, threshold)
 
 
+def contamination_stats(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    bench_text_col: str | None = None,
+    min_hits: int = 1,
+    hashed: bool = True,
+) -> DataFrame:
+    """Train/eval decontamination: per-corpus-document overlap with the k-gram
+    set of a benchmark corpus (the GPT-3/Gopher-style contamination check —
+    a training doc sharing >= ``min_hits`` k-grams with any eval document is
+    flagged for removal before training).
+
+    Scale design (100 TB corpus vs MB-scale eval suites): the benchmark gram
+    set is distinct-collapsed and BROADCAST; the corpus side explodes its
+    distinct shingles and left-joins the broadcast set, then re-aggregates per
+    doc — the corpus is never shuffled by gram, only by its own doc id for the
+    final count (map-side combinable). With ``hashed=True`` both sides join on
+    xxhash64 longs: 8 bytes/gram through the broadcast instead of strings,
+    semantics identical up to 64-bit collisions (~1e-10 for an eval-suite-sized
+    gram set). Shingle semantics (distinct k-grams, whole-doc fallback under k
+    tokens) are shared with the Jaccard/MinHash family (:func:`shingles`).
+
+    Returns one row per corpus doc: (doc, n_grams, n_hits, contaminated).
+    """
+    btext = bench_text_col or text_col
+    bench = benchmark.select(F.explode(shingles(F.col(btext), k)).alias("g")).distinct()
+    corp = corpus.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), k)).alias("g")
+    )
+    if hashed:
+        bench = bench.select(F.xxhash64("g").alias("g"))
+        corp = corp.select("doc", F.xxhash64("g").alias("g"))
+    joined = corp.join(
+        F.broadcast(bench.withColumn("_hit", F.lit(1))), "g", "left"
+    )
+    return (
+        joined.groupBy("doc")
+        .agg(F.count("*").alias("n_grams"), F.count("_hit").alias("n_hits"))
+        .withColumn("contaminated", F.col("n_hits") >= min_hits)
+    )
+
+
 def simhash(text_col, bits: int = 64, k: int = 3) -> F.Column:
     """SimHash signature over k-gram *shingles*: per bit position, sign of the
     vote sum over shingle hashes. Pure higher-order functions — one pass.

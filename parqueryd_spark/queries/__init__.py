@@ -62,10 +62,10 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # Register all domain modules (import order = registry order). The driver's
-# correctness gate records the FIRST 50 registry entries, so (a) the registry
-# is consolidated to exactly 50 queries — every entry gets a gate row — and
-# (b) the highest-value modules register first anyway, so a future addition
-# pushing past 50 can only drop a low-value variant out of the window.
+# correctness gate records the FIRST 50 registry entries, and the highest-value
+# modules register first, so an addition pushing past 50 only drops the
+# lowest-value variant out of the window (currently scalar_math_bucketing,
+# #51 — still verified by tools/driver_sim.py and pytest).
 from parqueryd_spark.queries import core  # noqa: E402,F401
 from parqueryd_spark.queries import tpch  # noqa: E402,F401
 from parqueryd_spark.queries import dedup  # noqa: E402,F401

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parqueryd_spark.operators import text as T
+from parqueryd_spark.operators.dedup import contamination_stats
 from parqueryd_spark.operators.sampling import (
     hash_split,
     pack_contiguous,
@@ -109,4 +110,47 @@ def pipeline_split_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             "split", "n_docs", "n_sampled", "n_bins",
             "sum_tokens", "max_bin_tokens", "max_bin_docs",
         )
+    )
+
+
+@query(
+    "pipeline_decontaminate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_distinct(list_transform(
+                         range(1, len(t) - 1),
+                         i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))
+                  ELSE [text] END AS gs
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 20 = 0),
+    corp AS (SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 20 <> 0)
+    SELECT c.doc_id AS doc_id,
+           count(*) AS n_grams,
+           count(b.g) AS n_hits,
+           count(b.g) >= 1 AS contaminated
+    FROM corp c LEFT JOIN bench b ON c.g = b.g
+    GROUP BY c.doc_id
+    """,
+)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination over the documents table: docs with
+    doc_id % 20 == 0 stand in for an eval benchmark, the rest are the training
+    corpus, and every training doc is scored by how many of its distinct
+    trigram shingles collide with the benchmark's shingle set
+    (operators/dedup.py contamination_stats — broadcast benchmark grams,
+    xxhash64 long join keys, corpus never shuffled by gram). Emits
+    (doc_id, n_grams, n_hits, contaminated) for every training doc; the
+    oracle reproduces the collision counts with string-gram joins, which are
+    equivalent because xxhash64 equality on equal strings is exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return contamination_stats(corpus, bench, "doc_id", "text", k=3).select(
+        F.col("doc").alias("doc_id"), "n_grams", "n_hits", "contaminated"
     )

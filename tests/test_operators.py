@@ -181,6 +181,56 @@ def test_near_dup_bucketed_plan_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_contamination_stats_planted_overlap(spark):
+    """Planted contamination is found exactly: a train doc copying an eval
+    doc's text shares all its trigrams; disjoint docs share none. Hashed and
+    string join paths agree."""
+    from parqueryd_spark.operators.dedup import contamination_stats
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # verbatim copy
+            (2, "quick brown fox runs far away tonight"),  # partial overlap
+            (3, "completely different words here entirely now"),  # disjoint
+            (4, "tiny"),  # short-doc fallback shingle, no hit
+        ],
+        "doc_id long, text string",
+    )
+    for hashed in (True, False):
+        out = {
+            r.doc: r
+            for r in contamination_stats(
+                corpus, bench, "doc_id", "text", k=3, hashed=hashed
+            ).collect()
+        }
+        assert out[1].n_hits == out[1].n_grams > 0 and out[1].contaminated
+        assert 0 < out[2].n_hits < out[2].n_grams and out[2].contaminated
+        assert out[3].n_hits == 0 and not out[3].contaminated
+        assert out[4].n_grams == 1 and out[4].n_hits == 0 and not out[4].contaminated
+
+
+def test_contamination_plan_broadcasts_benchmark(spark):
+    """The 100 TB contract: the benchmark gram set rides a broadcast hash
+    join — the corpus is never shuffled by gram, and nothing in the plan is
+    a cartesian/nested-loop product or a Python eval."""
+    from parqueryd_spark.operators.dedup import contamination_stats
+    from parqueryd_spark.plans.audit import explain_str
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    plan = explain_str(
+        contamination_stats(corpus, bench, "doc_id", "text", k=3), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def test_hash_split_deterministic_and_weighted(spark):
     from parqueryd_spark.operators.sampling import hash_split
 
