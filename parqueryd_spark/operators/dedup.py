@@ -242,6 +242,69 @@ def minhash_lsh_pairs(
     return _verify_jaccard(candidates, base, threshold)
 
 
+def near_dup_groups(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-dup pairs into duplicate GROUPS (connected components of
+    the pair graph): every doc's ``group_id`` is the smallest doc id reachable
+    from it, which doubles as the canonical keep-id — the last step of a dedup
+    pipeline (pairs alone don't say which docs to drop when duplicates chain
+    A~B~C without A~C).
+
+    Iterative min-label propagation with a driver-side fixpoint loop — the
+    idiomatic Spark shape for an algorithm SQL can't express in one pass. Per
+    round: one shuffle join of labels onto the (cached) symmetrized edge list,
+    a min-aggregate, and a convergence count; labels are ``localCheckpoint``-ed
+    each round so the plan/lineage stays constant instead of growing per
+    iteration. Rounds to converge = graph diameter. Near-dup clusters are
+    near-cliques (diameter 1-2 — verified transitively-chained fixtures
+    converge in 2 rounds), so the loop runs 2-4 times in practice; for
+    adversarial chain-shaped graphs at billion-doc scale switch to the
+    large-star/small-star contraction (O(log n) rounds).
+
+    Returns (doc_id, group_id) for every doc that appears in ``pairs``
+    (singletons never enter the graph — their keep decision is trivial).
+    """
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    edges = edges.persist()
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("group_id"))
+
+
 def contamination_stats(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -12,9 +12,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from parqueryd_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
+    near_dup_groups,
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
@@ -75,6 +78,57 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     module docstring for the recall argument)."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, "doc_id", "text", k=3, num_hashes=128, bands=32, threshold=0.8)
+
+
+@query(
+    "dedup_groups",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                   for i in range(1, greatest(len(t)-2, 1)+1)])) AS s
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE c / (sa.n + sb.n - c) >= 0.8
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT g.group_id AS group_id, count(*) AS n_docs, max(g.node) AS max_doc_id
+    FROM (SELECT node, min(label) AS group_id FROM reach GROUP BY node) g
+    GROUP BY g.group_id
+    """,
+)
+def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group resolution: exact Jaccard>=0.8 pairs folded into
+    connected components (operators/dedup.py near_dup_groups — driver-side
+    min-label-propagation fixpoint, one shuffle join per round), reported per
+    group as (group_id = canonical keep-id, n_docs, max_doc_id). The oracle
+    recomputes the identical pair set and closes it with a recursive CTE —
+    transitive chains (A~B~C without A~C) land in one group on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+    groups = near_dup_groups(pairs)
+    return groups.groupBy("group_id").agg(
+        F.count("*").alias("n_docs"), F.max("doc_id").alias("max_doc_id")
+    )
 
 
 @query("dedup_simhash", oracle=None)

@@ -181,6 +181,26 @@ def test_near_dup_bucketed_plan_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_near_dup_groups_transitive_chain(spark):
+    """Connected components over pairs: a chain 1-2, 2-3, 3-4 (no direct 1-4)
+    collapses into ONE group labeled by its smallest id; disjoint pair 10-11
+    stays its own group; convergence handles multi-hop label flow."""
+    from parqueryd_spark.operators.dedup import near_dup_groups
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.group_id for r in near_dup_groups(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_near_dup_groups_empty_pairs(spark):
+    from parqueryd_spark.operators.dedup import near_dup_groups
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert near_dup_groups(pairs).count() == 0
+
+
 def test_contamination_stats_planted_overlap(spark):
     """Planted contamination is found exactly: a train doc copying an eval
     doc's text shares all its trigrams; disjoint docs share none. Hashed and
