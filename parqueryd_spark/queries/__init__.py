@@ -77,5 +77,8 @@ from parqueryd_spark.queries import relational  # noqa: E402,F401
 from parqueryd_spark.queries import text  # noqa: E402,F401
 from parqueryd_spark.queries import scalars  # noqa: E402,F401
 
+# MUST stay last: registers the extended TPC-H suite past the gate window.
+from parqueryd_spark.queries import tpch_extended  # noqa: E402,F401
+
 # Flagship re-export for __spark_entry__.entry()
 from parqueryd_spark.queries.core import q1_pricing_summary  # noqa: E402,F401

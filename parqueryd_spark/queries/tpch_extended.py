@@ -1,10 +1,12 @@
 """The rest of the TPC-H suite (Q2, Q7-Q9, Q11-Q13, Q15-Q17, Q20-Q22),
 adapted to the fixture star schema.
 
-These are NOT in the 50-entry driver registry (the gate records exactly 50
-rows and every slot is taken by a higher-value query); they are verified by
-``tests/test_tpch_extended.py`` against DuckDB oracles at sf0.01 with the same
-normalize-sort-compare harness the driver uses. Their purpose is SQL-surface
+These register at the TAIL of the driver registry (positions past the gate's
+50-row window, which is fully occupied by higher-value queries), so
+``queries()``/``oracle_sql()`` expose the complete 22-query TPC-H surface;
+they are verified by ``tests/test_tpch_extended.py`` and
+``tools/driver_sim.py`` against DuckDB oracles at sf0.01 with the same
+normalize-sort-compare harness the driver uses (full-precision float repr). Their purpose is SQL-surface
 proof: correlated scalar subqueries, EXISTS / NOT EXISTS pairs, distribution-
 of-distribution aggregation, min-over-group selection — each expressed as the
 Spark plan you would actually want at 100 TB (window functions and aggregate-
@@ -603,3 +605,14 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
         .orderBy("cntrycode")
     )
+
+
+# Tail-register the extended suite into the driver-facing registry (positions
+# past the gate's 50-row window — queries/__init__.py imports this module
+# LAST). The gate never records them, but queries()/oracle_sql() then expose
+# the complete 22-query TPC-H surface, and tools/driver_sim.py +
+# tests/test_tpch_extended.py verify every oracle each run.
+from parqueryd_spark.queries import query as _query  # noqa: E402
+
+for _name, (_fn, _oracle) in EXTENDED.items():
+    _query(_name, _oracle)(_fn)
