@@ -97,6 +97,64 @@ def atomic_publish(
     shutil.rmtree(old, ignore_errors=True)
 
 
+def atomic_publish_many(datasets: list[tuple[DataFrame, str]]) -> None:
+    """Ticket-level barrier publication: N datasets become visible together
+    or not at all — the reference's moveparquet contract, where files move
+    into the serving dir only after EVERY node reports DONE for EVERY file of
+    the ticket (worker.py:741-773 barrier scan before any swap).
+
+    Phase 1 writes every dataset's new generation to a hidden incoming dir;
+    any failure here deletes all incomings and leaves every serving path
+    untouched. Phase 2 swaps them in via renames; a failure mid-sequence
+    rolls already-swapped datasets back to their previous generation, so
+    readers never observe a mix of old and new across the set. Old
+    generations are deleted only after every swap has succeeded. (The
+    mid-swap window is the same one the reference's file-by-file move loop
+    has; on object stores promote this to a multi-table metadata commit.)
+    """
+    plans = []
+    for df, dataset_dir in datasets:
+        target = os.path.abspath(dataset_dir)
+        parent = os.path.dirname(target)
+        os.makedirs(parent, exist_ok=True)
+        token = uuid.uuid4().hex[:12]
+        incoming = os.path.join(parent, f".incoming_{token}_{os.path.basename(target)}")
+        old = os.path.join(parent, f".old_{token}_{os.path.basename(target)}")
+        plans.append((df, target, incoming, old))
+    # Phase 1: write everything before anything becomes visible.
+    try:
+        for df, _target, incoming, _old in plans:
+            write_parquet(df, incoming)
+    except Exception:
+        for _df, _target, incoming, _old in plans:
+            shutil.rmtree(incoming, ignore_errors=True)
+        raise
+    # Phase 2: swap in sequence, rolling back on failure.
+    swapped: list[tuple[str, str, str]] = []
+    try:
+        for _df, target, incoming, old in plans:
+            if os.path.exists(target):
+                os.rename(target, old)
+            os.rename(incoming, target)
+            swapped.append((target, incoming, old))
+    except OSError:
+        for target, incoming, old in reversed(swapped):
+            # undo: new generation back to incoming, previous back to serving
+            if os.path.exists(target):
+                os.rename(target, incoming)
+            if os.path.exists(old):
+                os.rename(old, target)
+        # the dataset whose own swap failed may have parked its previous
+        # generation under old without completing the incoming rename
+        for _df, target, incoming, old in plans:
+            if not os.path.exists(target) and os.path.exists(old):
+                os.rename(old, target)
+            shutil.rmtree(incoming, ignore_errors=True)
+        raise
+    for _df, _target, _incoming, old in plans:
+        shutil.rmtree(old, ignore_errors=True)
+
+
 def compact_parquet(
     spark: SparkSession,
     dataset_dir: str,

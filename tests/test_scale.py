@@ -5,6 +5,7 @@ from __future__ import annotations
 import re
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from parqueryd_spark.operators.scale import bucketed_join, salted_groupby_agg, write_bucketed
@@ -154,8 +155,6 @@ def test_atomic_publish_and_compact(spark, tmp_path):
     assert back.count() == 100 and "o_orderkey" in back.columns
 
     # hive-partitioned datasets must not be silently flattened by compaction
-    import pytest
-
     part_target = str(tmp_path / "ds_part")
     atomic_publish(g2, part_target, partition_by=["o_orderstatus"])
     with pytest.raises(ValueError, match="hive-partitioned"):
@@ -163,6 +162,63 @@ def test_atomic_publish_and_compact(spark, tmp_path):
     compact_parquet(spark, part_target, target_partitions=2, partition_by=["o_orderstatus"])
     assert any(d.startswith("o_orderstatus=") for d in os.listdir(part_target))
     assert spark.read.parquet(part_target).count() == 100
+
+
+def test_atomic_publish_many_barrier(spark, tmp_path):
+    """Ticket-level barrier: N datasets swap together. A failure while
+    WRITING any dataset leaves every serving path on its previous
+    generation (the reference's all-files-DONE-before-any-move contract)."""
+    import os
+
+    from parqueryd_spark.sources.sinks import atomic_publish_many
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    li = load_table(spark, SF_SMOKE, "lineitem").limit(50)
+    orders = load_table(spark, SF_SMOKE, "orders").limit(30)
+    atomic_publish_many([(li, a), (orders, b)])
+    assert spark.read.parquet(a).count() == 50
+    assert spark.read.parquet(b).count() == 30
+
+    # second ticket: first dataset writable, second EXPLODES at write time —
+    # both serving paths must stay on generation 1
+    bad = orders.withColumn("boom", F.expr("assert_true(o_orderkey < 0)"))
+    with pytest.raises(Exception):
+        atomic_publish_many([(li.limit(10), a), (bad, b)])
+    assert spark.read.parquet(a).count() == 50
+    assert spark.read.parquet(b).count() == 30
+    leftovers = [d for d in os.listdir(tmp_path) if d.startswith((".incoming_", ".old_"))]
+    assert leftovers == []
+
+
+def test_atomic_publish_many_midswap_rollback(spark, tmp_path, monkeypatch):
+    """A failure in the middle of the swap sequence rolls already-swapped
+    datasets back — readers never see a mix of generations across the set."""
+    import os
+
+    from parqueryd_spark.sources import sinks
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    li = load_table(spark, SF_SMOKE, "lineitem").limit(50)
+    orders = load_table(spark, SF_SMOKE, "orders").limit(30)
+    sinks.atomic_publish_many([(li, a), (orders, b)])
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def flaky_rename(src, dst):
+        # swap sequence: (a->old, inc->a, b->old, inc->b); fail on b's swap
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise OSError("injected rename failure")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(sinks.os, "rename", flaky_rename)
+    with pytest.raises(OSError):
+        sinks.atomic_publish_many([(li.limit(10), a), (orders.limit(5), b)])
+    monkeypatch.undo()
+    # both datasets still serve generation 1, no partial mix
+    assert spark.read.parquet(a).count() == 50
+    assert spark.read.parquet(b).count() == 30
 
 
 def test_aqe_splits_skewed_join_partitions(spark):
