@@ -181,6 +181,37 @@ def test_near_dup_bucketed_plan_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_incremental_minhash_matches_full_run(spark):
+    """Deduping an increment against a stored corpus index must find exactly
+    the full-corpus pairs that involve at least one new doc — the guarantee
+    that lets a growing corpus dedup daily increments without reprocessing
+    history. Corpus split by doc_id parity so near-dup pairs land across the
+    boundary (sequential-id near-dups would mostly fall inside one half)."""
+    from parqueryd_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_index,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    full = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8).toPandas()
+    assert len(full) > 0  # vacuous guard
+
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    inc = incremental_minhash_pairs(
+        minhash_index(new, "doc_id", "text"),
+        minhash_index(old, "doc_id", "text"),
+        threshold=0.8,
+    ).toPandas()
+
+    want = full[(full.id_a % 2 == 1) | (full.id_b % 2 == 1)]
+    assert len(want) > 0
+    got_pairs = set(zip(inc.id_a, inc.id_b))
+    want_pairs = set(zip(want.id_a, want.id_b))
+    assert got_pairs == want_pairs
+
+
 def test_near_dup_groups_transitive_chain(spark):
     """Connected components over pairs: a chain 1-2, 2-3, 3-4 (no direct 1-4)
     collapses into ONE group labeled by its smallest id; disjoint pair 10-11
