@@ -128,35 +128,36 @@ def kmeans_centroids(
     return spark.createDataFrame(rows, f"centroid_id int, `{vec_col}` array<double>")
 
 
-def ivf_topk(
+def ivf_index(
     corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The persistable ANN index: every corpus vector tagged with its nearest
+    centroid, (id_col, vec_col, centroid_id). A 100 TB pipeline builds this
+    once per corpus generation, writes it partitioned by ``centroid_id``
+    (``write_partitioned`` / ``atomic_publish``), and serves every subsequent
+    query batch from it — searches then read ONLY the probed buckets'
+    partitions (partition pruning on centroid_id), never the full corpus."""
+    assignment = ivf_assign(corpus, centroids, id_col, vec_col)
+    return corpus.join(assignment, id_col)
+
+
+def ivf_search(
+    index: DataFrame,
+    centroids: DataFrame,
     queries: DataFrame,
-    n_centroids: int = 16,
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    centroid_mode: str = "first_k",
 ) -> DataFrame:
-    """Approximate top-k: IVF coarse quantization, probing the query's
-    ``nprobe`` nearest buckets. ``centroid_mode``: ``"first_k"`` takes the
-    first n_centroids corpus vectors by id (deterministic, fit-free);
-    ``"kmeans"`` fits MLlib KMeans (better bucket balance => better recall at
-    the same nprobe). Returns (query_id, neighbor_id, cosine_sim, rank)."""
+    """Top-k search against a prebuilt :func:`ivf_index`: rank centroids per
+    query (broadcast — centroid lists are metadata-scale), scan only the
+    ``nprobe`` best buckets, window-rank the verified cosines. Returns
+    (query_id, neighbor_id, cosine_sim, rank)."""
     from pyspark.sql import Window as W
-
-    if centroid_mode not in ("first_k", "kmeans"):
-        raise ValueError(f"centroid_mode must be 'first_k' or 'kmeans', got {centroid_mode!r}")
-    if centroid_mode == "kmeans":
-        centroids = kmeans_centroids(corpus, n_centroids, vec_col=vec_col)
-    else:
-        centroids = (
-            corpus.orderBy(F.col(id_col).asc())
-            .limit(n_centroids)
-            .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
-        )
-    assignment = ivf_assign(corpus, centroids, id_col, vec_col)
-    bucketed = corpus.join(assignment, id_col)
 
     q = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
     cen = centroids.select("centroid_id", as_double(F.col(vec_col)).alias("cv"))
@@ -169,7 +170,7 @@ def ivf_topk(
         .select("query_id", "qv", "centroid_id")
     )
     scored = (
-        bucketed.select(
+        index.select(
             F.col(id_col).alias("neighbor_id"),
             as_double(F.col(vec_col)).alias("cv"),
             "centroid_id",
@@ -184,6 +185,37 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    centroid_mode: str = "first_k",
+) -> DataFrame:
+    """Approximate top-k: IVF coarse quantization, probing the query's
+    ``nprobe`` nearest buckets — the one-shot composition of
+    :func:`ivf_index` + :func:`ivf_search`. ``centroid_mode``: ``"first_k"``
+    takes the first n_centroids corpus vectors by id (deterministic,
+    fit-free); ``"kmeans"`` fits MLlib KMeans (better bucket balance =>
+    better recall at the same nprobe).
+    Returns (query_id, neighbor_id, cosine_sim, rank)."""
+    if centroid_mode not in ("first_k", "kmeans"):
+        raise ValueError(f"centroid_mode must be 'first_k' or 'kmeans', got {centroid_mode!r}")
+    if centroid_mode == "kmeans":
+        centroids = kmeans_centroids(corpus, n_centroids, vec_col=vec_col)
+    else:
+        centroids = (
+            corpus.orderBy(F.col(id_col).asc())
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
+        )
+    index = ivf_index(corpus, centroids, id_col, vec_col)
+    return ivf_search(index, centroids, queries, nprobe, id_col, vec_col, k)
 
 
 def multiprobe_assign(

@@ -181,6 +181,35 @@ def test_near_dup_bucketed_plan_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ivf_index_persisted_search_matches_oneshot(spark, tmp_path):
+    """Searching a parquet-persisted IVF index (partitioned by centroid_id —
+    the layout that lets a search read only its probed buckets) returns
+    exactly what the one-shot ivf_topk computes from raw vectors."""
+    from pyspark.sql import functions as F
+
+    from parqueryd_spark.operators.similarity import ivf_index, ivf_search
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.orderBy(F.col("vec_id").desc()).limit(5)
+    centroids = (
+        emb.orderBy(F.col("vec_id").asc())
+        .limit(8)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding"))
+    )
+    oneshot = ivf_topk(emb, queries, n_centroids=8, nprobe=3, k=4).toPandas()
+
+    idx_path = str(tmp_path / "ivf_index")
+    ivf_index(emb, centroids).write.partitionBy("centroid_id").parquet(idx_path)
+    stored = spark.read.parquet(idx_path)
+    from_store = ivf_search(stored, centroids, queries, nprobe=3, k=4).toPandas()
+
+    key = ["query_id", "rank"]
+    a = oneshot.sort_values(key).reset_index(drop=True)
+    b = from_store.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_like=True)
+    assert len(a) == 5 * 4
+
+
 def test_incremental_minhash_matches_full_run(spark):
     """Deduping an increment against a stored corpus index must find exactly
     the full-corpus pairs that involve at least one new doc — the guarantee
