@@ -1,5 +1,7 @@
 """Deduplication operators for LLM training-data pipelines (north-star scope):
-exact, n-gram Jaccard, MinHash+LSH, SimHash.
+exact, n-gram Jaccard, MinHash+LSH (one-shot and incremental-against-index),
+SimHash, duplicate-group resolution (connected components), and train/eval
+decontamination.
 
 Scale design (100 TB documents):
 
