@@ -1,3 +1,4 @@
+from parqueryd_spark.streaming.dedup import read_index, stream_near_dedup
 from parqueryd_spark.streaming.windows import (
     read_events_stream,
     run_stream_to_memory,
@@ -8,7 +9,9 @@ from parqueryd_spark.streaming.windows import (
 
 __all__ = [
     "read_events_stream",
+    "read_index",
     "run_stream_to_memory",
+    "stream_near_dedup",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_tumbling_counts",

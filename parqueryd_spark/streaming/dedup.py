@@ -1,0 +1,102 @@
+"""Streaming NEAR-duplicate filtering: each micro-batch of documents is
+deduped against a parquet-published minhash index (plus itself), and the
+surviving docs' index rows are added for the next batch — the streaming face
+of :func:`parqueryd_spark.operators.dedup.incremental_minhash_pairs`.
+
+Why foreachBatch instead of stateful operators: the dedup "state" here is the
+corpus signature index, which must (a) outlive the stream, (b) be shared with
+batch pipelines, and (c) scale past executor state stores. A parquet dataset
+partitioned by batch id gives all three: per-batch output is written with
+OVERWRITE into its own ``batch=<id>`` partition, so a replayed micro-batch
+(at-least-once foreachBatch) rewrites the same partition instead of
+duplicating rows — idempotent, hence effectively exactly-once.
+
+Scale posture: per trigger the work is |batch| signature builds + a
+band-bucket join against the stored index — the index is never re-shingled,
+and the join reads only matching band buckets. Exact duplicates of docs seen
+in PRIOR batches are dropped too (Jaccard 1.0 >= any threshold).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from parqueryd_spark.operators.dedup import incremental_minhash_pairs, minhash_index
+
+
+def stream_near_dedup(
+    doc_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    k: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+):
+    """Start an availableNow foreachBatch query that filters each micro-batch
+    of documents against the published index at ``index_dir`` and grows the
+    index with the survivors. Returns the started StreamingQuery (callers
+    ``awaitTermination()``).
+
+    Drop policy per batch: a new doc near-duplicating an INDEXED doc is
+    dropped (the indexed copy already serves); between two new dups the
+    larger id is dropped (keep-smallest, matching the batch operators).
+    """
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new_idx = minhash_index(
+            batch_df.select(id_col, text_col), id_col, text_col, k, num_hashes
+        ).persist()
+        try:
+            if os.path.isdir(index_dir) and any(
+                d.startswith("batch=") for d in os.listdir(index_dir)
+            ):
+                corpus = spark.read.parquet(index_dir).select("doc", "sh", "sig")
+            else:
+                corpus = spark.createDataFrame([], new_idx.schema)
+            pairs = incremental_minhash_pairs(
+                new_idx, corpus, num_hashes, bands, threshold
+            )
+            new_ids = new_idx.select(F.col("doc").alias("nid"))
+            flagged = (
+                pairs.join(
+                    new_ids.select(F.col("nid").alias("id_a"), F.lit(1).alias("_an")),
+                    "id_a",
+                    "left",
+                ).join(
+                    new_ids.select(F.col("nid").alias("id_b"), F.lit(1).alias("_bn")),
+                    "id_b",
+                    "left",
+                )
+            )
+            drop = flagged.select(
+                F.when(F.col("_an").isNull(), F.col("id_b"))  # only b is new
+                .when(F.col("_bn").isNull(), F.col("id_a"))  # only a is new
+                .otherwise(F.col("id_b"))  # both new: drop the larger
+                .alias("doc")
+            ).distinct()
+            kept = new_idx.join(drop, "doc", "left_anti")
+            kept.write.mode("overwrite").parquet(
+                os.path.join(index_dir, f"batch={batch_id}")
+            )
+        finally:
+            new_idx.unpersist()
+
+    return (
+        doc_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_index(spark, index_dir: str) -> DataFrame:
+    """The published index as one DataFrame (doc, sh, sig) — what batch
+    pipelines join against, and what a compaction pass rewrites."""
+    return spark.read.parquet(index_dir).select("doc", "sh", "sig")
