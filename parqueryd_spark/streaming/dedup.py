@@ -100,3 +100,24 @@ def read_index(spark, index_dir: str) -> DataFrame:
     """The published index as one DataFrame (doc, sh, sig) — what batch
     pipelines join against, and what a compaction pass rewrites."""
     return spark.read.parquet(index_dir).select("doc", "sh", "sig")
+
+
+def compact_index(spark, index_dir: str, target_partitions: int = 8) -> int:
+    """Fold the accumulated ``batch=<id>`` partitions into one ``batch=-1``
+    generation. Long-running streams add a partition directory per
+    micro-batch; left alone, ``read_index`` scan planning degrades into file
+    listing. The rewrite goes through ``atomic_publish`` (readers flip
+    generations atomically, rollback on failure) and keeps the hive ``batch``
+    layout so the stream's index-exists probe and per-batch overwrite
+    contract still hold — future micro-batches land beside ``batch=-1`` under
+    their own ids. Run it between availableNow drains (no concurrent writer).
+    Returns the compacted row count."""
+    from parqueryd_spark.sources.sinks import atomic_publish
+
+    df = (
+        read_index(spark, index_dir)
+        .withColumn("batch", F.lit(-1))
+        .repartition(target_partitions)
+    )
+    atomic_publish(df, index_dir, partition_by=["batch"])
+    return read_index(spark, index_dir).count()

@@ -46,7 +46,14 @@ def test_stream_near_dedup_cross_and_in_batch(spark, tmp_path):
     q2.awaitTermination()
     assert sorted(r.doc for r in read_index(spark, index_dir).collect()) == [1, 2, 5]
 
-    # a later increment deduped against the stream-built index sees doc 1
+    # compaction folds the per-batch partitions into one generation without
+    # changing the data or breaking the stream's index-dir contract
+    from parqueryd_spark.streaming.dedup import compact_index
+
+    assert compact_index(spark, index_dir, target_partitions=2) == 3
+    assert sorted(r.doc for r in read_index(spark, index_dir).collect()) == [1, 2, 5]
+
+    # a later increment deduped against the COMPACTED index still sees doc 1
     _write(os.path.join(stream_in, "b3.parquet"), [(6, DOC_A), (7, DOC_B)])
     q3 = stream_near_dedup(docs, index_dir, ckpt, threshold=0.8)
     q3.awaitTermination()
