@@ -1,8 +1,12 @@
-"""Property-based differential test of near_dup_groups: on random edge lists,
-the Spark min-label-propagation fixpoint must agree with a trivially-correct
-pure-Python union-find — every node labeled with the smallest id in its
-component, regardless of graph shape (chains, stars, cycles, disjoint
-cliques, self-loop-free random graphs).
+"""Property-based differential tests of the pipeline graph/set operators:
+
+- near_dup_groups: on random edge lists, the Spark min-label-propagation
+  fixpoint must agree with a trivially-correct pure-Python union-find —
+  every node labeled with the smallest id in its component, regardless of
+  graph shape (chains, stars, cycles, disjoint cliques).
+- contamination_stats: on random small-vocab corpora, per-doc gram/hit
+  counts must agree with pure-Python set arithmetic over the same
+  shingle definition (distinct k-grams, whole-doc fallback under k tokens).
 """
 
 from __future__ import annotations
@@ -46,3 +50,49 @@ def test_near_dup_groups_matches_union_find(spark, edges):
     )
     got = {r.doc_id: r.group_id for r in near_dup_groups(pairs).collect()}
     assert got == _union_find_components(edges)
+
+
+def _py_shingles(text: str, k: int) -> set[str]:
+    toks = text.split(" ")
+    if len(toks) >= k:
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+    return {" ".join(toks)}
+
+
+_doc = st.lists(st.sampled_from("alpha beta gamma delta".split()), min_size=1, max_size=8).map(
+    " ".join
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    corpus=st.lists(_doc, min_size=1, max_size=6),
+    bench=st.lists(_doc, min_size=0, max_size=3),
+    k=st.integers(2, 4),
+)
+def test_contamination_stats_matches_set_arithmetic(spark, corpus, bench, k):
+    from parqueryd_spark.operators.dedup import contamination_stats
+
+    corpus_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    bench_df = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(bench)], "doc_id long, text string"
+    )
+    got = {
+        r.doc: (r.n_grams, r.n_hits, r.contaminated)
+        for r in contamination_stats(corpus_df, bench_df, "doc_id", "text", k=k).collect()
+    }
+    bench_grams: set[str] = set()
+    for t in bench:
+        bench_grams |= _py_shingles(t, k)
+    want = {}
+    for i, t in enumerate(corpus):
+        gs = _py_shingles(t, k)
+        hits = len(gs & bench_grams)
+        want[i] = (len(gs), hits, hits >= 1)
+    assert got == want
