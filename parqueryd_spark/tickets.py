@@ -73,9 +73,14 @@ class Ticket:
     def state(self) -> str:
         if not self._finished.is_set():
             return "running"
-        if self._cancelled:
-            return "cancelled"
-        return "failed" if self._error is not None else "done"
+        if self._error is None:
+            # The action produced a result: it is "done" even if a cancel was
+            # requested but landed too late to abort anything (the reference's
+            # delete_download on an already-finished ticket is likewise a
+            # no-op, controller.py:593-597). Cancel only "wins" when it
+            # actually interrupted the work.
+            return "done"
+        return "cancelled" if self._cancelled else "failed"
 
     def status(self) -> dict:
         """Ticket state plus live task-level progress (the analog of the
@@ -113,9 +118,9 @@ class Ticket:
         cancelled, or the action's own exception if it failed."""
         if not self._finished.wait(timeout):
             raise TimeoutError(f"ticket {self.ticket_id} still running")
-        if self._cancelled:
-            raise CancelledError(f"ticket {self.ticket_id} was cancelled")
         if self._error is not None:
+            if self._cancelled:
+                raise CancelledError(f"ticket {self.ticket_id} was cancelled")
             raise self._error
         return self._result
 
