@@ -8,12 +8,12 @@ edge, with the empty-result protocol) and ``write_parquet`` (distributed writer)
 
 from __future__ import annotations
 
-import os
-import shutil
 import uuid
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+
+from parqueryd_spark.sources.fs import HadoopFS
 
 
 def to_pandas_result(df: DataFrame | None, none_on_empty: bool = False) -> pd.DataFrame | None:
@@ -63,18 +63,24 @@ def atomic_publish(
     The full dataset is written to a hidden incoming directory next to the
     target (the write can read FROM the current target — the source stays
     intact until the write finishes), then swapped in via directory renames
-    and the old generation deleted. On a POSIX filesystem each rename is
-    atomic; the window between the two renames is the same one the
-    reference's file-by-file swap has (worker.py:694-727). On object stores,
-    promote this pattern to a manifest/table-format commit (Delta/Iceberg)
-    where the swap is a single metadata operation.
+    and the old generation deleted. All filesystem ops go through Hadoop
+    ``FileSystem`` resolved from the path's scheme, so ``file:``/``hdfs:``
+    URIs (and bare paths on the default FS) work the same way — the
+    reference's moveparquet exists to serve object-store-sourced data
+    (worker.py:544-594), so a local-only publish path would miss its point.
+    On HDFS/POSIX each rename is atomic; the window between the two renames
+    is the same one the reference's file-by-file swap has (worker.py:694-727).
+    On true object stores rename is copy+delete — promote this pattern to a
+    manifest/table-format commit (Delta/Iceberg) where the swap is a single
+    metadata operation.
     """
-    target = os.path.abspath(dataset_dir)
-    parent = os.path.dirname(target)
-    os.makedirs(parent, exist_ok=True)
+    fs = HadoopFS(df.sparkSession, dataset_dir)
+    target = fs.qualify(dataset_dir)
+    parent, base = fs.parent(target), fs.name(target)
+    fs.mkdirs(parent)
     token = uuid.uuid4().hex[:12]
-    incoming = os.path.join(parent, f".incoming_{token}_{os.path.basename(target)}")
-    old = os.path.join(parent, f".old_{token}_{os.path.basename(target)}")
+    incoming = f"{parent}/.incoming_{token}_{base}"
+    old = f"{parent}/.old_{token}_{base}"
     try:
         write_parquet(
             df, incoming, partition_by=partition_by, max_records_per_file=max_records_per_file
@@ -82,19 +88,19 @@ def atomic_publish(
     except Exception:
         # a failed write must not orphan a half-written generation next to
         # the target (repeated failures would accumulate full dataset copies)
-        shutil.rmtree(incoming, ignore_errors=True)
+        fs.delete(incoming)
         raise
     try:
-        if os.path.exists(target):
-            os.rename(target, old)
-        os.rename(incoming, target)
+        if fs.exists(target):
+            fs.rename_or_raise(target, old)
+        fs.rename_or_raise(incoming, target)
     except OSError:
         # roll back: never leave the serving path missing
-        if not os.path.exists(target) and os.path.exists(old):
-            os.rename(old, target)
-        shutil.rmtree(incoming, ignore_errors=True)
+        if not fs.exists(target) and fs.exists(old):
+            fs.rename(old, target)
+        fs.delete(incoming)
         raise
-    shutil.rmtree(old, ignore_errors=True)
+    fs.delete(old)
 
 
 def atomic_publish_many(datasets: list[tuple[DataFrame, str]]) -> None:
@@ -108,51 +114,54 @@ def atomic_publish_many(datasets: list[tuple[DataFrame, str]]) -> None:
     untouched. Phase 2 swaps them in via renames; a failure mid-sequence
     rolls already-swapped datasets back to their previous generation, so
     readers never observe a mix of old and new across the set. Old
-    generations are deleted only after every swap has succeeded. (The
-    mid-swap window is the same one the reference's file-by-file move loop
-    has; on object stores promote this to a multi-table metadata commit.)
+    generations are deleted only after every swap has succeeded. Filesystem
+    ops resolve per-path through Hadoop ``FileSystem``, so the N datasets may
+    even live on different schemes. (The mid-swap window is the same one the
+    reference's file-by-file move loop has; on object stores promote this to
+    a multi-table metadata commit.)
     """
     plans = []
     for df, dataset_dir in datasets:
-        target = os.path.abspath(dataset_dir)
-        parent = os.path.dirname(target)
-        os.makedirs(parent, exist_ok=True)
+        fs = HadoopFS(df.sparkSession, dataset_dir)
+        target = fs.qualify(dataset_dir)
+        parent, base = fs.parent(target), fs.name(target)
+        fs.mkdirs(parent)
         token = uuid.uuid4().hex[:12]
-        incoming = os.path.join(parent, f".incoming_{token}_{os.path.basename(target)}")
-        old = os.path.join(parent, f".old_{token}_{os.path.basename(target)}")
-        plans.append((df, target, incoming, old))
+        incoming = f"{parent}/.incoming_{token}_{base}"
+        old = f"{parent}/.old_{token}_{base}"
+        plans.append((df, fs, target, incoming, old))
     # Phase 1: write everything before anything becomes visible.
     try:
-        for df, _target, incoming, _old in plans:
+        for df, _fs, _target, incoming, _old in plans:
             write_parquet(df, incoming)
     except Exception:
-        for _df, _target, incoming, _old in plans:
-            shutil.rmtree(incoming, ignore_errors=True)
+        for _df, fs, _target, incoming, _old in plans:
+            fs.delete(incoming)
         raise
     # Phase 2: swap in sequence, rolling back on failure.
-    swapped: list[tuple[str, str, str]] = []
+    swapped: list[tuple[HadoopFS, str, str, str]] = []
     try:
-        for _df, target, incoming, old in plans:
-            if os.path.exists(target):
-                os.rename(target, old)
-            os.rename(incoming, target)
-            swapped.append((target, incoming, old))
+        for _df, fs, target, incoming, old in plans:
+            if fs.exists(target):
+                fs.rename_or_raise(target, old)
+            fs.rename_or_raise(incoming, target)
+            swapped.append((fs, target, incoming, old))
     except OSError:
-        for target, incoming, old in reversed(swapped):
+        for fs, target, incoming, old in reversed(swapped):
             # undo: new generation back to incoming, previous back to serving
-            if os.path.exists(target):
-                os.rename(target, incoming)
-            if os.path.exists(old):
-                os.rename(old, target)
+            if fs.exists(target):
+                fs.rename(target, incoming)
+            if fs.exists(old):
+                fs.rename(old, target)
         # the dataset whose own swap failed may have parked its previous
         # generation under old without completing the incoming rename
-        for _df, target, incoming, old in plans:
-            if not os.path.exists(target) and os.path.exists(old):
-                os.rename(old, target)
-            shutil.rmtree(incoming, ignore_errors=True)
+        for _df, fs, target, incoming, old in plans:
+            if not fs.exists(target) and fs.exists(old):
+                fs.rename(old, target)
+            fs.delete(incoming)
         raise
-    for _df, _target, _incoming, old in plans:
-        shutil.rmtree(old, ignore_errors=True)
+    for _df, fs, _target, _incoming, old in plans:
+        fs.delete(old)
 
 
 def compact_parquet(
@@ -178,10 +187,10 @@ def compact_parquet(
     partition-pruned readers, so that case is rejected.
     """
     if partition_by is None:
+        fs = HadoopFS(spark, dataset_dir)
+        qualified = fs.qualify(dataset_dir)
         part_dirs = [
-            d
-            for d in os.listdir(dataset_dir)
-            if "=" in d and os.path.isdir(os.path.join(dataset_dir, d))
+            d for d in fs.listdir(qualified) if "=" in d and fs.is_dir(f"{qualified}/{d}")
         ]
         if part_dirs:
             raise ValueError(

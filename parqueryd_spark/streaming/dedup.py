@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from parqueryd_spark.operators.dedup import incremental_minhash_pairs, minhash_index
+from parqueryd_spark.sources.fs import HadoopFS
 
 
 def stream_near_dedup(
@@ -54,10 +55,24 @@ def stream_near_dedup(
             batch_df.select(id_col, text_col), id_col, text_col, k, num_hashes
         ).persist()
         try:
-            if os.path.isdir(index_dir) and any(
-                d.startswith("batch=") for d in os.listdir(index_dir)
+            # Probe through Hadoop FileSystem so the index is found on any
+            # scheme Spark can read (an os.path probe on s3a:// is always
+            # False, which would silently dedup against an empty corpus —
+            # a correctness failure, not a crash). Exclude this batch's OWN
+            # partition from the corpus read: on crash-recovery replay a
+            # half-written batch=<id> dir may already exist, and listing it
+            # into `corpus` while lazily overwriting it below would delete
+            # the files before the scan tasks read them (FileNotFound on
+            # every restart). The partition filter prunes those files out.
+            fs = HadoopFS(spark, index_dir)
+            if fs.is_dir(index_dir) and any(
+                d.startswith("batch=") for d in fs.listdir(index_dir)
             ):
-                corpus = spark.read.parquet(index_dir).select("doc", "sh", "sig")
+                corpus = (
+                    spark.read.parquet(index_dir)
+                    .where(F.col("batch") != F.lit(batch_id))
+                    .select("doc", "sh", "sig")
+                )
             else:
                 corpus = spark.createDataFrame([], new_idx.schema)
             pairs = incremental_minhash_pairs(

@@ -164,6 +164,35 @@ def test_atomic_publish_and_compact(spark, tmp_path):
     assert spark.read.parquet(part_target).count() == 100
 
 
+def test_atomic_publish_scheme_uri(spark, tmp_path):
+    """The publish/compact path is object-store-shaped: a file:-scheme URI
+    (resolved through Hadoop FileSystem, the same gateway an s3a:// path
+    would use) publishes, replaces, and compacts exactly like a bare local
+    path — the reference's moveparquet serves object-store data
+    (worker.py:544-594), so the analog must not be POSIX-only."""
+    import os
+
+    from parqueryd_spark.sources.sinks import atomic_publish, compact_parquet
+
+    target = f"file://{tmp_path}/ds_uri"
+    local = str(tmp_path / "ds_uri")
+    li = load_table(spark, SF_SMOKE, "lineitem").limit(200)
+    atomic_publish(li.repartition(10), target)
+    assert spark.read.parquet(target).count() == 200
+    assert len([f for f in os.listdir(local) if f.endswith(".parquet")]) == 10
+
+    assert compact_parquet(spark, target, target_partitions=2) == 200
+    assert len([f for f in os.listdir(local) if f.endswith(".parquet")]) == 2
+
+    # generation replacement through the URI path too
+    g2 = load_table(spark, SF_SMOKE, "orders").limit(40)
+    atomic_publish(g2, target)
+    back = spark.read.parquet(target)
+    assert back.count() == 40 and "o_orderkey" in back.columns
+    leftovers = [d for d in os.listdir(tmp_path) if d.startswith((".incoming_", ".old_"))]
+    assert leftovers == []
+
+
 def test_atomic_publish_many_barrier(spark, tmp_path):
     """Ticket-level barrier: N datasets swap together. A failure while
     WRITING any dataset leaves every serving path on its previous
@@ -202,17 +231,17 @@ def test_atomic_publish_many_midswap_rollback(spark, tmp_path, monkeypatch):
     orders = load_table(spark, SF_SMOKE, "orders").limit(30)
     sinks.atomic_publish_many([(li, a), (orders, b)])
 
-    real_rename = os.rename
+    real_rename = sinks.HadoopFS.rename_or_raise
     calls = {"n": 0}
 
-    def flaky_rename(src, dst):
+    def flaky_rename(self, src, dst):
         # swap sequence: (a->old, inc->a, b->old, inc->b); fail on b's swap
         calls["n"] += 1
         if calls["n"] == 3:
             raise OSError("injected rename failure")
-        return real_rename(src, dst)
+        return real_rename(self, src, dst)
 
-    monkeypatch.setattr(sinks.os, "rename", flaky_rename)
+    monkeypatch.setattr(sinks.HadoopFS, "rename_or_raise", flaky_rename)
     with pytest.raises(OSError):
         sinks.atomic_publish_many([(li.limit(10), a), (orders.limit(5), b)])
     monkeypatch.undo()

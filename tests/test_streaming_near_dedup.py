@@ -58,3 +58,36 @@ def test_stream_near_dedup_cross_and_in_batch(spark, tmp_path):
     q3 = stream_near_dedup(docs, index_dir, ckpt, threshold=0.8)
     q3.awaitTermination()
     assert sorted(r.doc for r in read_index(spark, index_dir).collect()) == [1, 2, 5]
+
+
+def test_stream_near_dedup_replays_inflight_partition(spark, tmp_path):
+    """Crash-recovery: a prior attempt wrote its batch=<id> partition but died
+    before the checkpoint committed. The replay must exclude that doomed
+    partition from the corpus read (it is about to be overwritten — listing
+    it and then deleting it under the lazy scan fails every restart with
+    FileNotFound) and produce the partition's correct final content. The
+    index dir is a file:-scheme URI here, so the exists-probe goes through
+    Hadoop FileSystem — an os.path probe would silently see no index at all
+    on an object store."""
+    from parqueryd_spark.operators.dedup import minhash_index
+
+    stream_in = str(tmp_path / "in")
+    index_dir = f"file://{tmp_path}/index"
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(stream_in)
+    _write(os.path.join(stream_in, "b1.parquet"), [(1, DOC_A), (2, DOC_B)])
+
+    # the dead attempt's half-written batch=0 partition (checkpoint is fresh,
+    # so the first replayed micro-batch gets id 0 and overwrites it)
+    pre = minhash_index(
+        spark.createDataFrame([(1, DOC_A)], "doc_id long, text string"), "doc_id", "text", 3, 128
+    )
+    pre.write.mode("overwrite").parquet(index_dir + "/batch=0")
+
+    schema = spark.read.parquet(os.path.join(stream_in, "b1.parquet")).schema
+    docs = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stream_in)
+    q = stream_near_dedup(docs, index_dir, ckpt, threshold=0.8)
+    q.awaitTermination()
+    # both docs survive: the stale partition must NOT have served as corpus
+    # (doc 1 would otherwise collide with its own ghost) nor crashed the scan
+    assert sorted(r.doc for r in read_index(spark, index_dir).collect()) == [1, 2]
