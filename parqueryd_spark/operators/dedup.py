@@ -522,13 +522,14 @@ def simhash_candidate_pairs(
     )
 
 
-# The production (100 TB) blocking config: classic 64-bit/radius-3/4-band
-# SimHash — 16-bit bands, random band-collision p ~= 1.5e-5, so the candidate
-# set is a vanishing fraction of the pair space (asserted <=1% at sf0.1 in
-# tests/test_text_formats.py, measured ~0.02%). Recall tradeoff vs the gate
-# config measured on this corpus: radius 3 catches 14/25 of the exact
-# Jaccard>=0.8 pairs at sf0.01 (web-style near-dups perturb fewer bits and do
-# better); the gate query keeps radius 13 / 14 bands for full recall.
+# The production (100 TB) blocking config — and the simhash_near_pairs
+# DEFAULT: classic 64-bit/radius-3/4-band SimHash — 16-bit bands, random
+# band-collision p ~= 1.5e-5, so the candidate set is a vanishing fraction of
+# the pair space (asserted <=1% at sf0.1 in tests, measured ~0.02%). Recall
+# tradeoff vs the gate config measured on this corpus: radius 3 catches 14/25
+# of the exact Jaccard>=0.8 pairs at sf0.01 (web-style near-dups perturb
+# fewer bits and do better); the gate query opts into radius 13 / 14 bands
+# explicitly for full recall.
 SIMHASH_SCALE_CONFIG = {"bits": 64, "max_hamming": 3, "bands": 4}
 
 
@@ -537,7 +538,7 @@ def simhash_near_pairs(
     id_col: str,
     text_col: str,
     bits: int = 64,
-    max_hamming: int = 13,
+    max_hamming: int = 3,
     bands: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates via banded SimHash blocking, verified by true
@@ -545,20 +546,21 @@ def simhash_near_pairs(
     pair within the hamming radius shares at least one exact band (pigeonhole),
     so recall within the radius is 1.0. Returns (id_a, id_b, hamming).
 
-    Default radius 13 (not the classic 3): measured against exact n-gram
-    Jaccard, radius 3 caught 14/25 of the Jaccard>=0.8 pairs at sf0.01 while
-    radius 13 catches 28/28 (sf0.001), 25/25 (sf0.01) and 256/256 (sf0.1) with
-    <=12 extras — this corpus's near-dups perturb more bits than web-page
-    near-dups do.
+    The DEFAULT is the production config (``SIMHASH_SCALE_CONFIG``: classic
+    64-bit / radius-3 / 4 pigeonhole bands of 16 bits): band collisions are
+    random at p ~= 1.5e-5, so the candidate set is a vanishing fraction of the
+    pair space (asserted <=1% at sf0.1, measured ~0.02%) — a bare call is
+    scale-safe on a billion-doc corpus, where the candidate count IS the cost
+    of the verify join.
 
-    Honest scale caveat: 14 pigeonhole bands over 64 bits are only 4-5 bits
-    wide, so an unrelated pair still matches some band with p ~= 0.5 —
-    blocking at THIS radius prunes only ~half the pair space and exists for
-    recall, not speed. The production default for billion-doc corpora is
-    ``SIMHASH_SCALE_CONFIG`` (classic 64-bit/radius-3/4-band, 16-bit bands):
-    ``simhash_near_pairs(df, id, text, **SIMHASH_SCALE_CONFIG)`` — candidate
-    count asserted <=1% of the pair space at sf0.1, with the measured recall
-    cost documented at the config definition.
+    Wider radii trade that pruning for recall: radius 3 catches 14/25 of the
+    exact Jaccard>=0.8 pairs on this synthetic corpus (its near-dups perturb
+    more bits than web-page near-dups do), while radius 13 / 14 bands — the
+    gate query's explicit config — catches 28/28 (sf0.001), 25/25 (sf0.01),
+    256/256 (sf0.1) with <=12 extras. But 14 bands over 64 bits are only 4-5
+    bits wide, so an unrelated pair matches some band with p ~= 0.5: that
+    config prunes only ~half the pair space and exists for recall, not speed —
+    opt into it per-call (``max_hamming=13``), never as the default.
     """
     if bands is None:
         bands = max_hamming + 1

@@ -133,10 +133,10 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_simhash", oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banding near-dup candidates (rows-only check: the 64-bit
-    xxhash64-vote signature is not reproducible in ANSI SQL). Radius 13 with
-    14-band pigeonhole blocking recovers every exact Jaccard>=0.8 pair at
-    sf0.001/sf0.01/sf0.1 (28/28, 25/25, 256/256) where the old 48-bit/radius-3
-    config found 14/25."""
+    """SimHash banding near-dup candidates. Radius 13 with 14-band pigeonhole
+    blocking — passed EXPLICITLY: the operator's bare default is the
+    scale-safe radius-3/4-band ``SIMHASH_SCALE_CONFIG`` — recovers every
+    exact Jaccard>=0.8 pair at sf0.001/sf0.01/sf0.1 (28/28, 25/25, 256/256)
+    where radius 3 finds 14/25 on this corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_pairs(docs, "doc_id", "text")
+    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=13)

@@ -445,14 +445,17 @@ def test_winnow_fingerprint_overlap(spark):
 
 
 def test_simhash_recall_covers_exact_jaccard(spark):
-    """Default simhash blocking (64-bit, radius 13, pigeonhole bands) must
-    recover every exact Jaccard>=0.8 pair — the radius was tuned against this
-    oracle, and a regression here silently degrades dedup recall."""
+    """The gate's explicit radius-13 / 14-band config must recover every
+    exact Jaccard>=0.8 pair — the radius was tuned against this oracle, and
+    a regression here silently degrades dedup recall."""
     from parqueryd_spark.operators.dedup import ngram_jaccard_pairs, simhash_near_pairs
 
     docs = load_table(spark, SF_SMOKE, "documents")
     exact = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, "doc_id", "text").collect()}
-    near = {(r.id_a, r.id_b) for r in simhash_near_pairs(docs, "doc_id", "text").collect()}
+    near = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_pairs(docs, "doc_id", "text", max_hamming=13).collect()
+    }
     assert exact, "fixture should contain near-dup pairs"
     assert exact <= near, f"simhash missed {sorted(exact - near)}"
     # precision guard: blocking is a candidate generator, but the hamming
@@ -460,15 +463,30 @@ def test_simhash_recall_covers_exact_jaccard(spark):
     assert len(near - exact) <= max(2, len(exact) // 5)
 
 
-def test_simhash_scale_config_candidate_count(spark):
-    """The production blocking config (SIMHASH_SCALE_CONFIG: 16-bit bands,
-    radius 3) must generate a vanishing candidate set — <=1% of the full pair
-    space at sf0.1 (5000 docs => 12.5M pairs) — because at 100 TB the
-    candidate count IS the cost of the verify join."""
-    from parqueryd_spark.operators.dedup import SIMHASH_SCALE_CONFIG, simhash_candidate_pairs
+def test_simhash_default_is_scale_safe(spark):
+    """A BARE simhash_near_pairs call must be the production blocking config
+    (SIMHASH_SCALE_CONFIG: 16-bit bands, radius 3) and generate a vanishing
+    candidate set — <=1% of the full pair space at sf0.1 (5000 docs => 12.5M
+    pairs) — because at 100 TB the candidate count IS the cost of the verify
+    join. A user who doesn't read the docs gets the scale-safe behavior; the
+    high-recall radius-13 config is opt-in."""
+    import inspect
+
+    from parqueryd_spark.operators.dedup import (
+        SIMHASH_SCALE_CONFIG,
+        simhash_candidate_pairs,
+        simhash_near_pairs,
+    )
+
+    sig = inspect.signature(simhash_near_pairs)
+    assert sig.parameters["bits"].default == SIMHASH_SCALE_CONFIG["bits"]
+    assert sig.parameters["max_hamming"].default == SIMHASH_SCALE_CONFIG["max_hamming"]
+    # bands=None resolves to max_hamming + 1 == the scale config's band count
+    assert SIMHASH_SCALE_CONFIG["max_hamming"] + 1 == SIMHASH_SCALE_CONFIG["bands"]
 
     docs = load_table(spark, "/root/testdata/sf0.1", "documents")
     n = docs.count()
+    # candidate pairs under the defaults simhash_near_pairs resolves to
     candidates = simhash_candidate_pairs(
         docs, "doc_id", "text",
         bits=SIMHASH_SCALE_CONFIG["bits"], bands=SIMHASH_SCALE_CONFIG["bands"],
