@@ -31,6 +31,8 @@ All signatures derive from F.xxhash64 — deterministic across runs/cluster.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -341,9 +343,11 @@ def near_dup_groups(
     each round so the plan/lineage stays constant instead of growing per
     iteration. Rounds to converge = graph diameter. Near-dup clusters are
     near-cliques (diameter 1-2 — verified transitively-chained fixtures
-    converge in 2 rounds), so the loop runs 2-4 times in practice; for
-    adversarial chain-shaped graphs at billion-doc scale switch to the
-    large-star/small-star contraction (O(log n) rounds).
+    converge in 2 rounds), so the loop runs 2-4 times in practice; if
+    ``max_iter`` rounds pass without convergence (adversarial chain-shaped
+    graphs), the computation falls back to the O(log n)-round
+    large-star/small-star contraction (:func:`star_contraction_groups`)
+    instead of silently returning component-splitting labels.
 
     Returns (doc_id, group_id) for every doc that appears in ``pairs``
     (singletons never enter the graph — their keep decision is trivial).
@@ -356,6 +360,7 @@ def near_dup_groups(
     labels = (
         edges.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
     ).localCheckpoint()
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["b"] == labels["node"])
@@ -382,7 +387,113 @@ def near_dup_groups(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # Non-converged labels would silently split components (docs kept
+        # that should have been grouped) — never return them. The graph's
+        # diameter exceeded max_iter, which is exactly the shape the star
+        # contraction handles in O(log n) rounds.
+        warnings.warn(
+            f"near_dup_groups: min-label propagation did not converge in "
+            f"{max_iter} rounds (long-chain graph); falling back to "
+            f"large-star/small-star contraction",
+            stacklevel=2,
+        )
+        return star_contraction_groups(pairs, id_a=id_a, id_b=id_b)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("group_id"))
+
+
+def _dedup_edges(e: DataFrame) -> DataFrame:
+    return e.where(F.col("u") != F.col("v")).distinct()
+
+
+def _large_star(sym_edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., 'Connected Components in MapReduce
+    and Beyond'): each node u connects its LARGER neighbors to the minimum of
+    its neighborhood-plus-self — strictly decreasing edge targets, provably
+    halving component height every other round. Input must be symmetrized."""
+    mins = sym_edges.groupBy("u").agg(F.min("v").alias("mn"))
+    return _dedup_edges(
+        sym_edges.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.least(F.col("mn"), F.col("u")).alias("v"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient every edge large->small, then each node
+    re-points its smaller neighbors (and itself) at the minimum one."""
+    e = _dedup_edges(
+        edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    )
+    mins = e.groupBy("u").agg(F.min("v").alias("mn"))
+    repointed = (
+        e.join(mins, "u")
+        .where(F.col("v") != F.col("mn"))
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+    )
+    return _dedup_edges(repointed.union(mins.select("u", F.col("mn").alias("v"))))
+
+
+def star_contraction_groups(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star contraction
+    — O(log n) rounds regardless of graph shape, vs min-label propagation's
+    O(diameter). The scale path for adversarial chain graphs (a 10k-node path
+    converges in ~a dozen rounds where label propagation needs 10k); for the
+    near-clique graphs real near-dup pipelines produce, plain
+    :func:`near_dup_groups` converges faster per round and wins.
+
+    Fixpoint detection: a round's edge set is fingerprinted as
+    (count, sum(xxhash64(u,v))) — identical fingerprints on consecutive
+    rounds terminate the loop (a 64-bit sum collision between consecutive
+    differing edge sets is negligible). At the fixed point every component is
+    a star centered on its minimum node, so labels read directly off the
+    edges. Returns (doc_id, group_id) for every node in ``pairs``.
+    """
+    nodes = (
+        pairs.select(F.col(id_a).alias("node"))
+        .union(pairs.select(F.col(id_b).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = _dedup_edges(
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    ).localCheckpoint()
+
+    def _fingerprint(e: DataFrame) -> tuple:
+        # sum in decimal: a long sum of 64-bit hashes overflows (ANSI mode
+        # raises); decimal(38,0) holds ~1e19 rows' worth of headroom
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row.n, row.h)
+
+    prev = None
+    for _ in range(max_rounds):
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        edges = _small_star(_large_star(sym)).localCheckpoint()
+        fp = _fingerprint(edges)
+        if fp == prev:
+            break
+        prev = fp
+    else:
+        raise RuntimeError(
+            f"star_contraction_groups did not converge in {max_rounds} rounds"
+        )
+    # stars: every non-root points straight at its component minimum
+    labels = edges.select(F.col("u").alias("node"), F.col("v").alias("label"))
+    return (
+        nodes.join(labels, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce(F.col("label"), F.col("node")).alias("group_id"),
+        )
+    )
 
 
 def contamination_stats(

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 
 def _union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
@@ -50,6 +51,56 @@ def test_near_dup_groups_matches_union_find(spark, edges):
     )
     got = {r.doc_id: r.group_id for r in near_dup_groups(pairs).collect()}
     assert got == _union_find_components(edges)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=st.lists(_edge, min_size=1, max_size=18))
+def test_star_contraction_matches_union_find(spark, edges):
+    """The O(log n) fallback must agree with union-find on arbitrary graph
+    shapes too — it is what non-converged label propagation falls back to,
+    so a bug here surfaces exactly when correctness matters most."""
+    from parqueryd_spark.operators.dedup import star_contraction_groups
+
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.group_id for r in star_contraction_groups(pairs).collect()}
+    assert got == _union_find_components(edges)
+
+
+def test_star_contraction_10k_node_path(spark):
+    """Adversarial chain: a 10k-node path graph (diameter 9999) converges in
+    O(log n) star rounds — the shape where min-label propagation's
+    O(diameter) loop is documented-unsafe."""
+    from parqueryd_spark.operators.dedup import star_contraction_groups
+
+    pairs = spark.range(9_999).select(
+        (F.col("id")).alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    groups = star_contraction_groups(pairs)
+    assert groups.count() == 10_000
+    assert groups.where(F.col("group_id") != 0).count() == 0
+
+
+def test_near_dup_groups_falls_back_on_long_chain(spark):
+    """Exhausting max_iter must not return component-splitting labels: the
+    operator warns and switches to the star contraction, so callers still
+    get correct groups."""
+    import pytest
+
+    from parqueryd_spark.operators.dedup import near_dup_groups
+
+    pairs = spark.range(200).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    with pytest.warns(UserWarning, match="falling back"):
+        groups = near_dup_groups(pairs, max_iter=3)
+    assert groups.where(F.col("group_id") != 0).count() == 0
+    assert groups.count() == 201
 
 
 def _py_shingles(text: str, k: int) -> set[str]:
