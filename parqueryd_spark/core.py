@@ -171,6 +171,23 @@ class ParquetEngine:
                 f for f in os.listdir(self.data_dir) if f.endswith(".parquet")
             )
         tracker = sc.statusTracker()
+        # Per-executor host/task/memory detail has no public PySpark surface
+        # (only the Scala SparkStatusTracker exposes getExecutorInfos), so the
+        # py4j gateway call is best-effort: introspection detail must never
+        # break info() on a py4j/Spark version where the private chain moved.
+        executors: list[dict] = []
+        try:
+            executors = [
+                {
+                    "host_port": f"{e.host()}:{e.port()}",
+                    "running_tasks": e.numRunningTasks(),
+                    "storage_memory_used": e.usedOnHeapStorageMemory()
+                    + e.usedOffHeapStorageMemory(),
+                }
+                for e in sc._jsc.sc().statusTracker().getExecutorInfos()
+            ]
+        except Exception:
+            pass
         return {
             "app_name": sc.appName,
             "app_id": sc.applicationId,
@@ -180,15 +197,7 @@ class ParquetEngine:
             "uptime_seconds": round(time.time() - sc.startTime / 1000.0, 3),
             "active_jobs": len(tracker.getActiveJobsIds()),
             "active_stages": len(tracker.getActiveStageIds()),
-            "executors": [
-                {
-                    "host_port": f"{e.host()}:{e.port()}",
-                    "running_tasks": e.numRunningTasks(),
-                    "storage_memory_used": e.usedOnHeapStorageMemory()
-                    + e.usedOffHeapStorageMemory(),
-                }
-                for e in sc._jsc.sc().statusTracker().getExecutorInfos()
-            ],
+            "executors": executors,
             "data_dir": self.data_dir,
             "data_files": data_files,
         }

@@ -295,7 +295,14 @@ def incremental_minhash_pairs(
     arrays, so precision is 1.0 exactly like the one-shot path. Cost scales
     with |increment| x bucket collision rate, not |corpus|^2 — the property
     that makes daily dedup of a growing 100 TB corpus affordable.
-    Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    Re-ingestion note: a doc id present in BOTH indexes (the same doc
+    re-submitted in an increment) is treated as one document — the verify
+    side dedupes on id so pair rows are emitted once, and the new-vs-corpus
+    self-pair is excluded rather than reported as a Jaccard-1.0 duplicate of
+    itself. Ids must refer to the same text in both indexes; resolving
+    *conflicting* texts under one id is upstream's job."""
     if bands < 1 or num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be a positive multiple of bands ({bands})"
@@ -320,7 +327,11 @@ def incremental_minhash_pairs(
         )
         .distinct()
     )
-    docs_arr = new_index.select("doc", "sh").union(corpus_index.select("doc", "sh"))
+    docs_arr = (
+        new_index.select("doc", "sh")
+        .union(corpus_index.select("doc", "sh"))
+        .dropDuplicates(["doc"])
+    )
     return _verify_jaccard(candidates, docs_arr, threshold)
 
 

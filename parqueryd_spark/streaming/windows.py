@@ -19,8 +19,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# The events table's logical schema (TESTDATA.md) — the start-up fallback when
+# the stream directory has no files to probe yet (start-stream-then-land-files).
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
 def read_events_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    schema: T.StructType | None = None,
 ) -> DataFrame:
     """readStream over a directory of events parquet files. A single-file path
     is accepted too (streamed from its parent dir with a glob filter — the file
@@ -31,13 +48,20 @@ def read_events_stream(
     ``nanosAsLong``, TIMESTAMP(MICROS) => timestamp_ntz, or plain timestamp), so
     probe the footer with a one-off batch read and normalize ``ts`` to plain
     TIMESTAMP the same way :func:`parqueryd_spark.sources.parquet.load_table`
-    does — batch/stream parity starts with an identical ``ts``.
+    does — batch/stream parity starts with an identical ``ts``. A directory
+    that is EMPTY at start-up (the start-stream-then-land-files pattern) can't
+    be probed; it falls back to ``EVENTS_SCHEMA``, or pass ``schema``
+    explicitly for non-events layouts.
     """
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = spark.read.parquet(path).schema
+    if schema is None:
+        try:
+            schema = spark.read.parquet(path).schema
+        except Exception:  # no files yet: 'unable to infer schema' at probe
+            schema = EVENTS_SCHEMA
     ts_type = schema["ts"].dataType
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

@@ -46,6 +46,42 @@ def test_info_lists_data_files(spark):
         assert ":" in e["host_port"] and e["running_tasks"] >= 0
 
 
+def test_info_survives_missing_py4j_executor_surface(spark, monkeypatch):
+    """Executor detail rides a PRIVATE py4j chain (there is no public PySpark
+    getExecutorInfos); if that chain moves in a Spark/py4j upgrade, info()
+    must degrade to executors=[] rather than break the whole topology
+    snapshot."""
+    eng = ParquetEngine(spark, data_dir=SF_SMOKE)
+    sc = spark.sparkContext
+    real_jsc = sc._jsc
+
+    class _ScStub:
+        def __init__(self, real):
+            self._real = real
+
+        def statusTracker(self):  # the private surface gone/moved
+            raise AttributeError("removed in this py4j version")
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+    class _JscStub:
+        def __init__(self, real):
+            self._real = real
+
+        def sc(self):
+            return _ScStub(self._real.sc())
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+    monkeypatch.setattr(sc, "_jsc", _JscStub(real_jsc))
+    info = eng.info()
+    assert info["executors"] == []
+    assert "lineitem.parquet" in info["data_files"]
+    assert info["active_jobs"] >= 0
+
+
 def test_apply_pandas_replaces_execute_code(spark):
     eng = ParquetEngine(spark, data_dir=SF_SMOKE)
 

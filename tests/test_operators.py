@@ -241,6 +241,28 @@ def test_incremental_minhash_matches_full_run(spark):
     assert got_pairs == want_pairs
 
 
+def test_incremental_minhash_reingested_id(spark):
+    """A doc id present in BOTH indexes (re-ingestion of an unchanged doc)
+    must not self-pair at Jaccard 1.0 or duplicate its pair rows — the union
+    of the two indexes is deduped per doc before verification."""
+    from parqueryd_spark.operators.dedup import incremental_minhash_pairs, minhash_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = minhash_index(docs, "doc_id", "text")
+    # corpus already holds both docs; the "increment" re-submits doc 1
+    inc = incremental_minhash_pairs(
+        idx.where(F.col("doc") == 1), idx, threshold=0.5
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in inc] == [(1, 2)]
+    assert inc[0].jaccard < 1.0
+
+
 def test_near_dup_groups_transitive_chain(spark):
     """Connected components over pairs: a chain 1-2, 2-3, 3-4 (no direct 1-4)
     collapses into ONE group labeled by its smallest id; disjoint pair 10-11

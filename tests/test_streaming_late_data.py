@@ -74,3 +74,28 @@ def test_late_events_dropped_by_watermark(spark, tmp_path):
         .count()
     )
     assert batch == 3
+
+
+def test_read_events_stream_starts_on_empty_dir(spark, tmp_path):
+    """Start-stream-then-land-files: a directory that is EMPTY at start-up
+    can't be schema-probed, so read_events_stream falls back to the known
+    events schema instead of throwing 'unable to infer schema' — the stream
+    must start (and drain zero rows) before any file exists."""
+    d = str(tmp_path / "empty_in")
+    os.makedirs(d)
+    events = read_events_stream(spark, d)
+    assert events.isStreaming
+    assert [f.name for f in events.schema.fields] == [
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    ]
+    q = (
+        stream_tumbling_counts(events)
+        .writeStream.format("memory")
+        .queryName("empty_start")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.table("empty_start").count() == 0
