@@ -698,3 +698,98 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def _md5_word_sig(hashes: F.Column) -> F.Column:
+    """32-bit simhash word over an array of 32-bit hash values: per bit, sign
+    of the vote sum; set bits OR'd into one non-negative long."""
+
+    def vote(b: int) -> F.Column:
+        # helper closure, NOT a default lambda arg: pyspark's higher-order
+        # lambdas are arity-introspected, so a 3-arg lambda would get b bound
+        # to an unresolved lambda variable instead of the int
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    bit_cols = [
+        F.when(vote(b) > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(32)
+    ]
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out.bitwiseOR(c)
+    return out.cast("long")
+
+
+def simhash_md5_words(text_col, k: int = 3) -> F.Column:
+    """Cross-engine-reproducible 64-bit SimHash as TWO 32-bit words
+    ``struct<sig_hi, sig_lo>``: each shingle's hash is the first/second 8 hex
+    chars of its md5, so ANY engine with md5 + integer shifts reproduces the
+    signature bit-for-bit — this variant exists to give the simhash gate
+    query an exact DuckDB oracle. Production signatures use
+    :func:`simhash` (one xxhash64 pass: ~10x cheaper than md5 and a single
+    long per doc); vote/bit mechanics are identical."""
+    gs = shingles(text_col, k)
+    hi = F.transform(
+        gs, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    )
+    lo = F.transform(
+        gs, lambda s: F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("long")
+    )
+    return F.struct(_md5_word_sig(hi).alias("sig_hi"), _md5_word_sig(lo).alias("sig_lo"))
+
+
+def simhash_md5_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    max_hamming: int = 13,
+) -> DataFrame:
+    """Near-dup pairs on the md5-word signature, blocked by 16 pigeonhole
+    bands of 4 bits (8 per word) and verified by true hamming distance. With
+    16 bands, every pair within hamming 15 shares a band, so for
+    ``max_hamming <= 15`` the result equals the brute-force all-pairs hamming
+    filter exactly — which is what the DuckDB oracle computes, independently
+    verifying the banding machinery's recall guarantee. Returns
+    (id_a, id_b, hamming)."""
+    if max_hamming > 15:
+        raise ValueError(f"max_hamming must be <= 15 for 16-band blocking, got {max_hamming}")
+    sigs = (
+        _spread(df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t")))
+        .select("doc", simhash_md5_words(F.col("_t"), k).alias("s"))
+        .select("doc", F.col("s.sig_hi").alias("sig_hi"), F.col("s.sig_lo").alias("sig_lo"))
+    )
+    band_structs = []
+    for w, word in enumerate(("sig_lo", "sig_hi")):
+        for j in range(8):
+            band_structs.append(
+                F.struct(
+                    F.lit(w * 8 + j).alias("band"),
+                    F.shiftright(F.col(word), 4 * j).bitwiseAND(F.lit(15)).alias("bh"),
+                )
+            )
+    banded = sigs.select(
+        "doc", "sig_hi", "sig_lo", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc", "sig_hi", "sig_lo", "bb.band", "bb.bh")
+    return (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            (
+                F.bit_count(F.col("a.sig_hi").bitwiseXOR(F.col("b.sig_hi")))
+                + F.bit_count(F.col("a.sig_lo").bitwiseXOR(F.col("b.sig_lo")))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

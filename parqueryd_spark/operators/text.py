@@ -164,6 +164,27 @@ def winnow_fingerprints(text: Column | str, k: int = 3, window: int = 4) -> Colu
     return F.array_distinct(win_mins)
 
 
+def winnow_fingerprints_md5(text: Column | str, k: int = 3, window: int = 4) -> Column:
+    """Winnowing over the RAW k-gram sequence (duplicates kept — Schleimer et
+    al.'s positional windows) with md5 hex strings as the hash: per-window
+    minimum is lexicographic over fixed-width lowercase hex, which every
+    engine orders identically — this variant exists so the gate query has an
+    exact DuckDB oracle. Production fingerprinting uses
+    :func:`winnow_fingerprints` (xxhash64 longs: 8-byte compares and ~10x
+    cheaper hashing); the window/min/distinct mechanics are identical."""
+    toks = tokens(text)
+    seq = F.when(F.size(toks) >= k, ngrams_all(text, k)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+    hashed = F.transform(seq, lambda s: F.md5(s))
+    n = F.size(hashed)
+    win_mins = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),
+        lambda i: F.array_min(F.slice(hashed, i + 1, window)),
+    )
+    return F.array_distinct(win_mins)
+
+
 def shingles(text: Column | str, k: int = 3) -> Column:
     """k-gram token shingles (distinct), the unit for Jaccard/MinHash dedup.
 

@@ -5,7 +5,10 @@ formulation in SQL. The MinHash query's output is LSH candidates *verified with
 exact Jaccard*, so with the banding parameters used (32 bands x 4 rows, and the
 corpus's near-dup pairs all at s >= 0.9 where recall is 1-(1-s^4)^32)
 it equals the exact all-pairs result — the oracle asserts exactly that.
-SimHash signatures are engine-specific (xxhash64) => rows-only check.
+The SimHash gate query uses the md5-derived two-word signature
+(operators/dedup.py:simhash_md5_words) precisely so DuckDB can rebuild it
+bit-for-bit and brute-force the hamming pairs — independently verifying the
+banded blocking's pigeonhole recall; production simhash stays on xxhash64.
 """
 
 from __future__ import annotations
@@ -19,7 +22,7 @@ from parqueryd_spark.operators.dedup import (
     minhash_lsh_pairs,
     near_dup_groups,
     ngram_jaccard_pairs,
-    simhash_near_pairs,
+    simhash_md5_near_pairs,
 )
 from parqueryd_spark.queries import query
 from parqueryd_spark.sources.parquet import load_table
@@ -131,12 +134,55 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash", oracle=None)
+def _word_sig_sql(word: str) -> str:
+    """32-bit simhash word in DuckDB SQL: per bit, sign of the +-1 vote sum
+    over the shingle-hash list; set bits summed (disjoint powers of two)."""
+    return " + ".join(
+        f"(CASE WHEN list_sum(list_transform({word}, h -> ((h >> {b}) & 1) * 2 - 1)) > 0"
+        f" THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(32)
+    )
+
+
+_SIMHASH_MD5_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), gs AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in range(1, greatest(len(t)-2, 1)+1)]) AS g
+      FROM toks
+    ), hs AS (
+      SELECT doc_id,
+             list_transform(g, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hi,
+             list_transform(g, s -> ('0x' || substr(md5(s), 9, 8))::BIGINT) AS lo
+      FROM gs
+    ), sig AS (
+      SELECT doc_id, {_word_sig_sql('hi')} AS sig_hi, {_word_sig_sql('lo')} AS sig_lo
+      FROM hs
+    )
+    SELECT id_a, id_b, hamming FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.sig_hi, b.sig_hi))
+                  + bit_count(xor(a.sig_lo, b.sig_lo)) AS BIGINT) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    ) WHERE hamming <= 13
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_MD5_SQL)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banding near-dup candidates. Radius 13 with 14-band pigeonhole
-    blocking — passed EXPLICITLY: the operator's bare default is the
-    scale-safe radius-3/4-band ``SIMHASH_SCALE_CONFIG`` — recovers every
-    exact Jaccard>=0.8 pair at sf0.001/sf0.01/sf0.1 (28/28, 25/25, 256/256)
-    where radius 3 finds 14/25 on this corpus."""
+    """SimHash banded near-dup candidates on the md5-derived two-word
+    signature, radius 13. The oracle rebuilds the identical signature in
+    DuckDB (md5 prefix/suffix 32-bit words, same vote arithmetic) and
+    brute-forces ALL pairs with the hamming filter; Spark runs the banded
+    16x4-bit blocking — pigeonhole guarantees equality for radius <= 15, so
+    the hash match externally verifies the blocking machinery's recall.
+    Production near-dup runs use the xxhash64 single-long path
+    (simhash_near_pairs) whose scale-safe radius-3/4-band default is
+    asserted in tests; radius 13 here matches the full-recall gate posture
+    on this corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=13)
+    return simhash_md5_near_pairs(docs, "doc_id", "text", max_hamming=13).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )

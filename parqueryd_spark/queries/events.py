@@ -224,3 +224,39 @@ def events_sketch_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_exact_distinct_pcts",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id)              AS n_users,
+           round(quantile_cont(value, 0.5), 4)  AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           count(*)                             AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_exact_distinct_pcts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact twin of events_sketch_aggs: true count-distinct users and
+    linear-interpolated p50/p95 per event_type — the externally-checkable
+    companion the sketch query (engine-specific estimates, rows-only) can't
+    be. This row gates the grouping/percentile pipeline shape against DuckDB;
+    the sketches' relative error vs THESE answers is asserted in
+    tests/test_scale.py. At 100 TB the sketch path is the one to run (fixed
+    mergeable state vs a distinct-shuffle of every user id) — this exact
+    query is the correctness anchor, not the scale path."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.percentile("value", F.array(F.lit(0.5), F.lit(0.95))).alias("_p"),
+        F.count("*").alias("n_events"),
+    )
+    return agg.select(
+        "event_type",
+        "n_users",
+        F.round(F.col("_p")[0], 4).alias("p50"),
+        F.round(F.col("_p")[1], 4).alias("p95"),
+        "n_events",
+    )
+
+

@@ -82,9 +82,37 @@ def embedding_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ann_ivf_topk", oracle=None)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-5 (scale path; rows-only check — approximate
-    by design, recall asserted against the exact baseline in tests)."""
+    by design, recall asserted against the exact baseline in tests; the IVF
+    machinery itself is externally gated by ann_ivf_exhaustive_topk)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), n_centroids=16, nprobe=4, k=5)
+
+
+@query(
+    "ann_ivf_exhaustive_topk",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_COS_SQL} AS cosine_sim,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY {_COS_SQL} DESC, b.vec_id ASC) AS rank
+      FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+      WHERE a.vec_id >= 5 AND a.vec_id < 10
+    ) WHERE rank <= 5
+    """,
+)
+def ann_ivf_exhaustive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index/search machinery probed EXHAUSTIVELY (nprobe =
+    n_centroids): with every bucket scanned the result must equal exact
+    brute force, which the oracle computes independently — an external check
+    that bucket assignment partitions the corpus (no vector dropped or
+    duplicated) and that the probe/verify/rank plumbing is exact. The
+    recall-vs-nprobe tradeoff of the real approximate path (ann_ivf_topk)
+    stays pytest-bounded. Different query ids (5..9) than the brute-force
+    gate row, so the two rows cover different vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10))
+    return ivf_topk(emb, qs, n_centroids=16, nprobe=16, k=5)
 
 
 @query(

@@ -87,14 +87,38 @@ def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_winnow_fingerprint", oracle=None)
+@query(
+    "text_winnow_fingerprint",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 100
+    ), seqs AS (
+      SELECT doc_id,
+             [array_to_string(t[i:i+2], ' ')
+              for i in range(1, greatest(len(t)-2, 1)+1)] AS sq
+      FROM toks
+    ), hs AS (
+      SELECT doc_id, list_transform(sq, s -> md5(s)) AS h FROM seqs
+    )
+    SELECT doc_id,
+           CAST(len(list_distinct(list_transform(
+             range(0, greatest(len(h) - 4, 0) + 1),
+             i -> list_aggregate(h[(i+1):(i+4)], 'min')
+           ))) AS BIGINT) AS n_fingerprints
+    FROM hs
+    """,
+)
 def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing (rolling-hash family) fingerprint counts per document
-    (rows-only: xxhash64-based prints are not reproducible in ANSI SQL; the
-    overlap property is asserted in tests/test_operators.py)."""
+    """Winnowing fingerprint counts per document, on the md5-hex variant
+    (operators/text.py:winnow_fingerprints_md5) whose per-window minima are
+    lexicographic over fixed-width hex — the oracle rebuilds the identical
+    window/min/distinct pipeline in DuckDB. Production fingerprinting uses
+    the xxhash64-long variant (winnow_fingerprints, ~10x cheaper hashing);
+    its near-dup overlap property is asserted in tests/test_operators.py."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return docs.select(
-        "doc_id", F.size(T.winnow_fingerprints("text")).alias("n_fingerprints")
+        "doc_id",
+        F.size(T.winnow_fingerprints_md5("text")).cast("long").alias("n_fingerprints"),
     )
 
 
