@@ -39,9 +39,9 @@ from parqueryd_spark.sources.parquet import load_table
 EXTENDED: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] = {}
 
 
-def _extended(name: str, oracle: str):
+def _extended(name: str, oracle: str, bench: bool = False):
     def deco(fn):
-        EXTENDED[name] = (fn, oracle)
+        EXTENDED[name] = (fn, oracle, bench)
         return fn
 
     return deco
@@ -235,6 +235,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY nat, o_year
     ORDER BY nat, o_year DESC
     """,
+    bench=True,
 )
 def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 (supply cost proxied as 0.6 * p_retailprice * l_quantity —
@@ -539,6 +540,7 @@ def q20_promo_supplier_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY numwait DESC, s_name
     LIMIT 20
     """,
+    bench=True,
 )
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape ("kept the order waiting": sole late supplier on a
@@ -614,5 +616,5 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_tpch_extended.py verify every oracle each run.
 from parqueryd_spark.queries import query as _query  # noqa: E402
 
-for _name, (_fn, _oracle) in EXTENDED.items():
-    _query(_name, _oracle)(_fn)
+for _name, (_fn, _oracle, _bench) in EXTENDED.items():
+    _query(_name, _oracle, bench=_bench)(_fn)

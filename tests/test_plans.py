@@ -179,7 +179,7 @@ def test_extended_tpch_plan_audit(spark):
         "q15_top_supplier": 1,      # max(total_revenue)
         "q22_global_sales_opportunity": 1,  # avg positive balance
     }
-    for name, (fn, _oracle) in EXTENDED.items():
+    for name, (fn, _oracle, _bench) in EXTENDED.items():
         df = fn(spark, SF_SMOKE)
         rep = plan_report(df)
         assert rep["python_evals"] == 0, f"{name} has Python in the hot path"

@@ -21,7 +21,7 @@ def test_full_tpch_coverage():
 
 @pytest.mark.parametrize("name", CASES)
 def test_extended_tpch_matches_oracle(spark, duck, name):
-    fn, oracle = EXTENDED[name]
+    fn, oracle, _bench = EXTENDED[name]
     sdf = fn(spark, SF_CORRECT)
     oracle_pdf = duck.execute(oracle).df()
     assert len(oracle_pdf) > 0, f"{name} oracle returns 0 rows — vacuous"
