@@ -166,10 +166,17 @@ class ParquetEngine:
 
         sc = self.spark.sparkContext
         data_files: list[str] = []
-        if self.data_dir and os.path.isdir(self.data_dir):
-            data_files = sorted(
-                f for f in os.listdir(self.data_dir) if f.endswith(".parquet")
-            )
+        if self.data_dir:
+            # scheme-aware listing (files_map must see s3a://-style data_dirs
+            # too — the reference's files_map serves object-store-downloaded
+            # data); absent/empty dirs just report no files
+            from parqueryd_spark.sources.fs import HadoopFS
+
+            fs = HadoopFS(self.spark, self.data_dir)
+            if fs.is_dir(self.data_dir):
+                data_files = sorted(
+                    f for f in fs.listdir(self.data_dir) if f.endswith(".parquet")
+                )
         tracker = sc.statusTracker()
         # Per-executor host/task/memory detail has no public PySpark surface
         # (only the Scala SparkStatusTracker exposes getExecutorInfos), so the
