@@ -219,6 +219,21 @@ def test_atomic_publish_many_barrier(spark, tmp_path):
     assert leftovers == []
 
 
+def test_atomic_publish_many_mixed_schemes(spark, tmp_path):
+    """The barrier publish resolves a FileSystem per path, so one ticket can
+    span schemes (here a bare local path and a file: URI — the same gateway
+    an s3a: path would take)."""
+    from parqueryd_spark.sources.sinks import atomic_publish_many
+
+    a = str(tmp_path / "mixed_a")
+    b = f"file://{tmp_path}/mixed_b"
+    li = load_table(spark, SF_SMOKE, "lineitem").limit(50)
+    orders = load_table(spark, SF_SMOKE, "orders").limit(30)
+    atomic_publish_many([(li, a), (orders, b)])
+    assert spark.read.parquet(a).count() == 50
+    assert spark.read.parquet(b).count() == 30
+
+
 def test_atomic_publish_many_midswap_rollback(spark, tmp_path, monkeypatch):
     """A failure in the middle of the swap sequence rolls already-swapped
     datasets back — readers never see a mix of generations across the set."""
