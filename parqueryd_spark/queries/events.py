@@ -260,3 +260,41 @@ def events_exact_distinct_pcts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@query(
+    "events_incremental_rollup",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*)                       AS n_events,
+           round(sum(value), 4)           AS sum_value,
+           round(min(value), 4)           AS min_value,
+           round(max(value), 4)           AS max_value,
+           round(avg(value), 4)           AS avg_value,
+           round(stddev_samp(value), 4)   AS std_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained hourly rollup == full recompute (the oracle).
+
+    Splits events at 2024-01-16, builds mergeable partial aggregates
+    (count/sum/min/max/Σx²) on each half independently, merges, finalizes
+    (operators/rollup.py) — the materialized-rollup maintenance pattern the
+    reference's request-time full groupby (worker.py:367-408) can't afford at
+    100 TB: cost |increment| + |rollup| instead of |corpus| per refresh.
+    avg/std are derived at finalize so the stored state stays mergeable;
+    the oracle is a plain one-shot groupby, proving merge ∘ split ≡ direct."""
+    from parqueryd_spark.operators.rollup import incremental_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    out = incremental_rollup(ev.where(F.col("ts") < split), ev.where(F.col("ts") >= split))
+    return out.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        *[F.round(c, 4).alias(c) for c in ("sum_value", "min_value", "max_value", "avg_value", "std_value")],
+    )
