@@ -1,0 +1,266 @@
+"""Product quantization (PQ) for embedding columns — the memory tier below
+IVF in the ANN ladder (brute-force → IVF bucket pruning → PQ compression).
+
+At 100 TB the embedding column is the problem: 10⁹ × 64-dim float32 ≈ 256 GB
+that a re-ranking scan must touch. PQ stores each vector as ``m`` small codes
+(here 8 × 1 byte = 32× smaller): split the dimensions into ``m`` subspaces,
+k-means each subspace to ``k`` centroids ("codebook"), and replace each
+sub-vector with its nearest centroid id. Search uses the asymmetric distance
+computation (ADC) of Jégou et al., "Product Quantization for Nearest Neighbor
+Search" (TPAMI 2011): per query, precompute an m×k lookup table of exact
+query-sub-vector → centroid distances, then a candidate's approximate distance
+is m table lookups — no float vector ever re-read.
+
+Spark-first shape:
+
+- **train** on a bounded deterministic sample (driver numpy Lloyd iterations —
+  metadata-scale like the IVF centroid bootstrap, ≤ sample_n × dim floats).
+- **encode** is an Arrow-batched vectorized pandas UDF: one numpy
+  argmin-over-codebook per subspace, whole batches at a time. (A pure-Column
+  variant was tried first and rejected by measurement: m×k literal sqdist
+  expressions per row push Catalyst analysis/codegen to minutes at m=16 —
+  exactly the "giant expression tree" case where a vectorized UDF beats
+  built-ins.) One map pass, no shuffle; output (id, codes) is the persistable
+  compressed index.
+- **search**: each query's m×k LUT is one numpy pass on the small query side;
+  the corpus-sized work — broadcast-join codes × queries, approximate distance
+  as m ``element_at`` lookups, window top-k — stays JVM-side Column exprs.
+  The big side is never shuffled, and the float vectors are never re-read.
+- **refine** (the production default): ADC is a shortlist generator — take
+  ``refine × k`` ADC candidates, join back the shortlist's true vectors, exact
+  cosine re-rank, emit top-k. Full-precision reads touch only
+  |queries| × refine × k rows instead of the corpus.
+
+Vectors are L2-normalized first (default) so squared-L2 ranking equals cosine
+ranking (‖a−b‖² = 2 − 2·cos for unit vectors) — comparable with the exact
+:func:`parqueryd_spark.operators.similarity.brute_force_topk` baseline, which
+anchors the recall tests.
+
+Composes with IVF: encode residuals per bucket for IVF-PQ; here the flat
+variant keeps the oracle story clean.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from parqueryd_spark.operators.similarity import as_double
+from parqueryd_spark.operators.util import spread_partitions
+
+
+def pq_train(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_n: int = 2048,
+    iters: int = 10,
+    seed: int = 13,
+    normalize: bool = True,
+) -> list[list[list[float]]]:
+    """Fit PQ codebooks: per-subspace Lloyd k-means on a deterministic sample.
+
+    Returns ``codebooks[m][k][dim//m]`` as plain nested lists (broadcast as
+    expression literals by encode/search). The sample is the first
+    ``sample_n`` rows by id — deterministic across runs and partitionings —
+    and the collect is bounded metadata scale (sample_n × dim doubles),
+    the same posture as the IVF centroid bootstrap
+    (`operators/similarity.py:101`). numpy seeded init → reproducible.
+    """
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    rows = (
+        corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+        .orderBy(id_col)
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    if normalize:
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    codebooks = []
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        # k-means++-lite init: distinct sample rows, seeded choice
+        uniq = np.unique(S, axis=0)
+        init_idx = rng.choice(len(uniq), size=min(k, len(uniq)), replace=False)
+        C = uniq[np.sort(init_idx)]
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(C)):
+                mask = assign == c
+                if mask.any():
+                    C[c] = S[mask].mean(axis=0)
+        if len(C) < k:  # degenerate tiny corpora: pad with repeats
+            C = np.vstack([C, C[[0] * (k - len(C))]])
+        codebooks.append([[float(x) for x in row] for row in C])
+    return codebooks
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """Encode every vector to its m nearest-centroid codes via an
+    Arrow-batched pandas UDF (numpy argmin per subspace, first-min tie-break
+    matching np.argmin), one map pass, no shuffle. Output
+    (id, codes: array<int>) is the persistable compressed index: m bytes of
+    information per vector vs dim × 4. The UDF is a self-contained closure
+    capturing only the numpy codebook (cloudpickled by value — executors need
+    no repo import)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(codebooks, dtype=np.float64)  # (m, k, dsub)
+    do_norm = normalize
+
+    @pandas_udf("array<int>")
+    def _enc(vecs):
+        import numpy as _np
+        import pandas as _pd
+
+        X = _np.array([_np.asarray(v, dtype=_np.float64) for v in vecs])
+        if len(X) == 0:
+            return _pd.Series([], dtype=object)
+        if do_norm:
+            X = X / _np.linalg.norm(X, axis=1, keepdims=True)
+        m, _, dsub = C.shape
+        codes = _np.empty((len(X), m), dtype=_np.int32)
+        for j in range(m):
+            S = X[:, j * dsub : (j + 1) * dsub]
+            # ‖s−c‖² over the batch: (n,1,d)-(k,d) → (n,k); argmin per row
+            d2 = ((S[:, None, :] - C[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return _pd.Series(list(codes))
+
+    return corpus.select(F.col(id_col), _enc(as_double(F.col(vec_col))).alias("codes"))
+
+
+def pq_lut(
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """Per-query ADC lookup table (m arrays of k exact sub-distances) — one
+    numpy pass over the small query side."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(codebooks, dtype=np.float64)
+    do_norm = normalize
+
+    @pandas_udf("array<array<double>>")
+    def _lut(vecs):
+        import numpy as _np
+        import pandas as _pd
+
+        out = []
+        m, _, dsub = C.shape
+        for v in vecs:
+            x = _np.asarray(v, dtype=_np.float64)
+            if do_norm:
+                x = x / _np.linalg.norm(x)
+            rows = []
+            for j in range(m):
+                s = x[j * dsub : (j + 1) * dsub]
+                rows.append(((C[j] - s[None, :]) ** 2).sum(axis=1))
+            out.append(_np.array(rows))
+        return _pd.Series(out)
+
+    return queries.select(
+        F.col(id_col).alias("query_id"), _lut(as_double(F.col(vec_col))).alias("lut")
+    )
+
+
+def pq_search(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    normalize: bool = True,
+) -> DataFrame:
+    """ADC top-k: broadcast the per-query LUTs against the codes table;
+    approximate distance = Σⱼ lut[j][code_j] — m JVM-side ``element_at``
+    lookups per candidate, no Python on the corpus-sized stream and no
+    full-vector reads. Window top-k per query, deterministic neighbor-id
+    tie-break. Returns (query_id, neighbor_id, approx_dist, rank)."""
+    from pyspark.sql import Window as W
+
+    mm = len(codebooks)
+    q = pq_lut(queries, codebooks, id_col=id_col, vec_col=vec_col, normalize=normalize)
+    c = spread_partitions(codes.select(F.col(id_col).alias("neighbor_id"), "codes"))
+    approx = F.lit(0.0)
+    for j in range(mm):
+        approx = approx + F.element_at(F.element_at("lut", j + 1), F.col("codes")[j] + 1)
+    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).withColumn(
+        "approx_dist", approx
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("approx_dist").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("approx_dist", 6).alias("approx_dist"), "rank")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 16,
+    k_codes: int = 16,
+    k: int = 5,
+    refine: int = 4,
+) -> DataFrame:
+    """Train → encode → ADC shortlist → exact re-rank in one call (flat PQ).
+
+    With ``refine`` > 0 the ADC pass only generates a ``refine × k``
+    shortlist; the shortlist's true vectors are joined back and exactly
+    cosine-re-ranked, so full-precision reads are |queries| × refine × k rows.
+    ``refine=0`` returns the raw ADC ranking. Recall vs the exact brute-force
+    baseline is asserted in tests/test_operators.py; ANN rankings are
+    engine-specific by design so the registry row is rows-only checked.
+    Returns (query_id, neighbor_id, cosine_sim, rank) under refine,
+    (query_id, neighbor_id, approx_dist, rank) without."""
+    from pyspark.sql import Window as W
+
+    from parqueryd_spark.operators.similarity import cosine
+
+    cb = pq_train(corpus, dim=dim, m=m, k=k_codes, vec_col=vec_col, id_col=id_col)
+    codes = pq_encode(corpus, cb, id_col=id_col, vec_col=vec_col)
+    if refine <= 0:
+        return pq_search(codes, queries, cb, id_col=id_col, vec_col=vec_col, k=k)
+    shortlist = pq_search(
+        codes, queries, cb, id_col=id_col, vec_col=vec_col, k=refine * k
+    ).select("query_id", "neighbor_id")
+    cand = shortlist.join(
+        corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nv")),
+        "neighbor_id",
+    )
+    qv = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
+    )
+    rer = cand.join(qv, "query_id").withColumn("cosine_sim", F.round(cosine("qv", "nv"), 6))
+    w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

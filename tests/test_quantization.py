@@ -1,0 +1,77 @@
+"""Product quantization: recall vs the exact baseline, determinism, and the
+compression contract. (The registry row ann_pq_topk is rows-only checked by
+the driver; these error-bound tests are its correctness story, same pattern
+as the IVF/sketch rows.)"""
+
+from __future__ import annotations
+
+import pytest
+
+from parqueryd_spark.operators.quantization import pq_encode, pq_search, pq_topk, pq_train
+from parqueryd_spark.operators.similarity import brute_force_topk
+from parqueryd_spark.sources.parquet import load_table
+
+SF = "/root/testdata/sf0.001"
+K = 10
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def qset(emb):
+    return emb.orderBy("vec_id").limit(8)
+
+
+def _pairs(df):
+    return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+
+def test_pq_refined_recall_beats_raw_adc(emb, qset):
+    exact = _pairs(brute_force_topk(emb, qset, k=K))
+    refined = _pairs(pq_topk(emb, qset, dim=64, k=K, refine=4))
+    raw = _pairs(pq_topk(emb, qset, dim=64, k=K, refine=0))
+    r_refined = len(exact & refined) / len(exact)
+    r_raw = len(exact & raw) / len(exact)
+    # measured 0.80 refined / 0.40 raw at this corpus; thresholds leave margin
+    assert r_refined >= 0.7, f"refined recall {r_refined}"
+    assert r_refined >= r_raw, "exact re-rank must not lose recall vs raw ADC"
+
+
+def test_pq_deterministic_end_to_end(emb, qset):
+    a = pq_topk(emb, qset, dim=64, k=5).collect()
+    b = pq_topk(emb, qset, dim=64, k=5).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_codes_shape_and_bounds(emb):
+    m, k_codes = 16, 16
+    cb = pq_train(emb, dim=64, m=m, k=k_codes)
+    assert len(cb) == m and all(len(sub) == k_codes for sub in cb)
+    assert all(len(c) == 64 // m for sub in cb for c in sub)
+    codes = pq_encode(emb, cb).collect()
+    assert all(len(r["codes"]) == m for r in codes)
+    assert all(0 <= c < k_codes for r in codes for c in r["codes"])
+
+
+def test_adc_distance_is_lut_sum(emb, qset, spark):
+    """ADC distance of a candidate == sum of its per-subspace LUT entries,
+    recomputed in pure Python from the same codebooks."""
+    import numpy as np
+
+    cb = pq_train(emb, dim=64, m=16, k=16)
+    C = np.array(cb)
+    codes = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, cb).collect()}
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in qset.collect()}
+    got = pq_search(pq_encode(emb, cb), qset, cb, k=3).collect()
+    m, _, dsub = C.shape
+    for r in got[:10]:
+        q = vecs[r["query_id"]]
+        q = q / np.linalg.norm(q)
+        expect = sum(
+            ((C[j][codes[r["neighbor_id"]][j]] - q[j * dsub : (j + 1) * dsub]) ** 2).sum()
+            for j in range(m)
+        )
+        assert abs(r["approx_dist"] - round(expect, 6)) < 1e-4
