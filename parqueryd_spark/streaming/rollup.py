@@ -1,0 +1,81 @@
+"""Continuously-maintained rollups: the streaming face of
+:mod:`parqueryd_spark.operators.rollup`.
+
+Each micro-batch lands its mergeable partial aggregates in its own
+``batch=<id>`` partition (idempotent OVERWRITE — a replayed foreachBatch
+rewrites the same partition, so at-least-once delivery still yields
+effectively-exactly-once totals, same contract as
+:mod:`parqueryd_spark.streaming.dedup`). Readers merge-on-read: the rollup is
+grains × keys rows, so folding all partitions at query time is a small
+shuffle, and :func:`compact_rollup` periodically folds history into one
+``batch=-1`` generation so scan planning never degrades into file listing.
+
+Versus ``writeStream.outputMode("complete")`` over a windowed aggregate:
+complete mode re-emits (and the state store retains) EVERY window ever seen —
+unbounded for an ever-growing time domain. Partial-state partitions keep the
+stream's own state bounded to the trigger (the groupBy is per-batch, not
+global), late data just lands in a later partition and merges in — no
+watermark-forced finality, arbitrarily old corrections stay mergeable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from parqueryd_spark.operators.rollup import finalize_rollup, merge_rollups, rollup_partials
+
+
+def stream_maintain_rollup(
+    event_stream: DataFrame,
+    rollup_dir: str,
+    checkpoint_dir: str,
+    grain: str = "1 hour",
+    keys: tuple[str, ...] = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+):
+    """Start an availableNow foreachBatch query appending each micro-batch's
+    partial aggregates as a ``batch=<id>`` partition under ``rollup_dir``.
+    Returns the started StreamingQuery (callers ``awaitTermination()``)."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        part = rollup_partials(batch_df, grain, keys, ts_col, value_col)
+        part.write.mode("overwrite").parquet(os.path.join(rollup_dir, f"batch={batch_id}"))
+
+    return (
+        event_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_rollup(
+    spark, rollup_dir: str, keys: tuple[str, ...] = ("event_type",)
+) -> DataFrame:
+    """The maintained rollup, finalized: merge-on-read over all published
+    ``batch=<id>`` partitions (one small shuffle over grains × keys rows)."""
+    parts = spark.read.parquet(rollup_dir).drop("batch")
+    return finalize_rollup(merge_rollups(parts, keys=keys), keys=keys)
+
+
+def compact_rollup(
+    spark, rollup_dir: str, keys: tuple[str, ...] = ("event_type",), target_partitions: int = 4
+) -> int:
+    """Fold accumulated per-batch partitions into one ``batch=-1`` generation
+    via atomic_publish (readers flip atomically, rollback on failure), keeping
+    the hive ``batch`` layout so future micro-batches land beside it. The
+    stored form stays PARTIAL (not finalized) so merging never stops being
+    possible. Run between availableNow drains. Returns the compacted row
+    count."""
+    from parqueryd_spark.sources.sinks import atomic_publish
+
+    parts = spark.read.parquet(rollup_dir).drop("batch")
+    merged = (
+        merge_rollups(parts, keys=keys).withColumn("batch", F.lit(-1)).repartition(target_partitions)
+    )
+    atomic_publish(merged, rollup_dir, partition_by=["batch"])
+    return spark.read.parquet(rollup_dir).count()

@@ -1,0 +1,83 @@
+"""Streaming rollup maintenance: per-batch partial-state partitions must
+merge-on-read to exactly the one-shot batch answer, stay idempotent under
+checkpoint replay, survive compaction, and absorb late data."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+
+import pandas as pd
+
+from parqueryd_spark.operators.rollup import finalize_rollup, rollup_partials
+from parqueryd_spark.streaming.rollup import (
+    compact_rollup,
+    read_rollup,
+    stream_maintain_rollup,
+)
+
+
+def _write(path: str, rows: list[tuple[int, dt.datetime, str, float]]) -> None:
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "event_type", "value"])
+    # micros, not pandas' default nanos (Spark reads INT64 ts(NANOS) as bigint)
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    pdf.to_parquet(path)
+
+
+B1 = [
+    (1, dt.datetime(2024, 1, 1, 0, 5), "click", 1.0),
+    (2, dt.datetime(2024, 1, 1, 0, 40), "click", 3.0),
+    (3, dt.datetime(2024, 1, 1, 1, 10), "view", 10.0),
+]
+B2 = [
+    (4, dt.datetime(2024, 1, 1, 0, 50), "click", 5.0),  # merges into B1's grain
+    (5, dt.datetime(2024, 1, 2, 9, 0), "view", 2.0),
+]
+LATE = [(6, dt.datetime(2024, 1, 1, 0, 59), "click", 7.0)]  # days-late correction
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _direct(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "event_type", "value"])
+    return finalize_rollup(rollup_partials(spark.createDataFrame(pdf)))
+
+
+def _drain(docs, rollup_dir, ckpt):
+    q = stream_maintain_rollup(docs, rollup_dir, ckpt)
+    q.awaitTermination()
+
+
+def test_stream_rollup_matches_batch_and_replays_idempotently(spark, tmp_path):
+    stream_in = str(tmp_path / "in")
+    rollup_dir = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(stream_in)
+
+    _write(os.path.join(stream_in, "b1.parquet"), B1)
+    time.sleep(1.1)
+    _write(os.path.join(stream_in, "b2.parquet"), B2)
+
+    schema = spark.read.parquet(os.path.join(stream_in, "b1.parquet")).schema
+    docs = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stream_in)
+
+    _drain(docs, rollup_dir, ckpt)
+    expect = _canon(_direct(spark, B1 + B2))
+    assert _canon(read_rollup(spark, rollup_dir)) == expect
+
+    # replay with the same checkpoint: partition overwrite, totals unchanged
+    _drain(docs, rollup_dir, ckpt)
+    assert _canon(read_rollup(spark, rollup_dir)) == expect
+
+    # compaction folds partitions into batch=-1 without changing the answer
+    n = compact_rollup(spark, rollup_dir, target_partitions=2)
+    assert n == len(expect)
+    assert _canon(read_rollup(spark, rollup_dir)) == expect
+
+    # late data after compaction lands in a fresh partition and merges in
+    _write(os.path.join(stream_in, "b3.parquet"), LATE)
+    _drain(docs, rollup_dir, ckpt)
+    assert _canon(read_rollup(spark, rollup_dir)) == _canon(_direct(spark, B1 + B2 + LATE))
