@@ -129,3 +129,49 @@ def pack_contiguous(
     cum = F.sum(size_col).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     start = cum - F.col(size_col)
     return df.withColumn(out_col, F.floor(start / F.lit(float(budget))).cast("long"))
+
+
+def mixture_fractions(
+    counts: dict[str, int], targets: dict[str, float]
+) -> dict[str, float]:
+    """Per-domain keep-fractions that hit a target mixture WITHOUT upsampling.
+
+    The achievable scale is set by the limiting domain (smallest
+    count/target); every domain then keeps ``scale * target / count`` of its
+    rows, so kept sizes are proportional to the targets and no fraction
+    exceeds 1. Pure float arithmetic in a fixed op order — (scale * target) /
+    count — so an oracle can reproduce the exact doubles. Domains absent from
+    ``targets`` get fraction 0 (dropped); targets for absent domains raise.
+    """
+    if not targets:
+        raise ValueError("targets must be non-empty")
+    missing = [d for d in targets if d not in counts or counts[d] == 0]
+    if missing:
+        raise ValueError(f"target domains with no rows: {missing}")
+    scale = min(counts[d] / targets[d] for d in targets)
+    return {d: (scale * targets[d]) / counts[d] for d in targets}
+
+
+def resample_to_mixture(
+    df: DataFrame,
+    domain_col: str,
+    targets: dict[str, float],
+    id_col: str,
+    salt: str = "mixture",
+) -> DataFrame:
+    """Deterministically resample ``df`` so the surviving rows follow the
+    ``targets`` domain mixture (downsampling only — the limiting domain is
+    kept whole). The curation step that turns a crawl's accidental language/
+    source distribution into the training mix you actually want.
+
+    One metadata-scale action (a count per domain — rows == |domains|, the
+    same posture as the IVF centroid bootstrap), then a pure stratified
+    filter: no shuffle of the corpus, reproducible and nested under ``salt``
+    like every md5-bucket sample here.
+    """
+    counts = {
+        r["d"]: r["n"]
+        for r in df.groupBy(F.col(domain_col).alias("d")).agg(F.count("*").alias("n")).collect()
+    }
+    fracs = mixture_fractions(counts, targets)
+    return stratified_sample(df, id_col, fracs, strata_col=domain_col, salt=salt)

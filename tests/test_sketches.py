@@ -55,3 +55,37 @@ def test_guarantee_above_phi_fraction(spark):
     df = spark.createDataFrame(rows, "k long").repartition(8)
     hh = heavy_hitters(df, "k", k=5, capacity=64).collect()
     assert 999 in {r.k for r in hh}
+
+
+# --- domain mixture (operators/sampling.py) ---------------------------------
+
+
+def test_mixture_fractions_math():
+    from parqueryd_spark.operators.sampling import mixture_fractions
+
+    counts = {"en": 800, "de": 100, "fr": 100}
+    fr = mixture_fractions(counts, {"en": 0.5, "de": 0.25, "fr": 0.25})
+    # de/fr are limiting (100/0.25 = 400 scale): keep all of both, 200 of en
+    assert fr["de"] == 1.0 and fr["fr"] == 1.0
+    assert abs(fr["en"] - 0.25) < 1e-12
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mixture_fractions({"en": 10}, {"en": 0.5, "missing": 0.5})
+    with _pytest.raises(ValueError):
+        mixture_fractions(counts, {})
+
+
+def test_resample_to_mixture_hits_targets(spark):
+    from parqueryd_spark.operators.sampling import resample_to_mixture
+
+    rows = [(i, "a" if i % 10 else "b") for i in range(10000)]  # 90/10 skew
+    df = spark.createDataFrame(rows, "id long, dom string")
+    out = resample_to_mixture(df, "dom", {"a": 0.5, "b": 0.5}, "id")
+    got = {r.dom: r.n for r in out.groupBy("dom").agg(F.count("*").alias("n")).collect()}
+    # b is limiting (1000 rows): kept whole; a downsamples to ~1000
+    assert got["b"] == 1000
+    assert abs(got["a"] - 1000) < 100  # md5-bucket sampling noise
+    # deterministic
+    out2 = resample_to_mixture(df, "dom", {"a": 0.5, "b": 0.5}, "id")
+    assert sorted(r.id for r in out.collect()) == sorted(r.id for r in out2.collect())
