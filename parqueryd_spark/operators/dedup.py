@@ -58,6 +58,61 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def span_dedup(
+    df: DataFrame, id_col: str, text_col: str, span_tokens: int = 16
+) -> DataFrame:
+    """Sub-document exact dedup at fixed token-span granularity — the scalable
+    analog of suffix-array substring dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): chop every document into
+    contiguous ``span_tokens``-token spans, keep each distinct span's first
+    occurrence corpus-wide (ordered by (doc id, span position)), and rebuild
+    each document from its surviving spans. Boilerplate repeated across
+    documents (headers, navigation chrome, license blocks) disappears from
+    all but its first bearer while unique prose is untouched.
+
+    Returns (doc, n_spans, n_kept, dedup_text).
+
+    Scale design: the keep-first choice is ``groupBy(digest).agg(min(struct
+    (doc, pos)))`` + join-back rather than a window — min() partial-aggregates
+    map-side, so a span repeated 10^9 times (exactly the boilerplate case this
+    operator exists for) reduces locally instead of piling one window
+    partition with 10^9 rows. Both shuffles are keyed by the 128-bit md5
+    digest, never by raw span text. Rebuild is a per-doc groupBy on the id —
+    the same key the scan is usually already partitioned by.
+    """
+    toks = tokens(F.col(text_col))
+    n_spans = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
+    spans = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i * span_tokens + 1, span_tokens)
+                ),
+            )
+        ).alias("pos", "span"),
+    ).withColumn("digest", F.md5("span"))
+    keepers = spans.groupBy("digest").agg(F.min(F.struct("doc", "pos")).alias("keep"))
+    marked = spans.join(keepers, "digest").withColumn(
+        "is_kept",
+        (F.col("doc") == F.col("keep.doc")) & (F.col("pos") == F.col("keep.pos")),
+    )
+    return marked.groupBy("doc").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.when(F.col("is_kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("is_kept"), F.struct("pos", "span")))
+                ),
+                lambda s: s["span"],
+            ),
+        ).alias("dedup_text"),
+    )
+
+
 def _hashed_shingle_arrays(
     df: DataFrame, id_col: str, text_col: str, k: int, persist: bool
 ) -> DataFrame:

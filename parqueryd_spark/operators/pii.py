@@ -1,0 +1,77 @@
+"""PII detection and redaction for LLM training-data curation.
+
+A production corpus pipeline must strip personally-identifying strings before
+training (emails, phone numbers, IP addresses, national-id-shaped numbers).
+Everything here is a pure Column expression over ``regexp_count`` /
+``regexp_replace`` — JVM-side, whole-stage-codegen'd, zero Python — so a
+100 TB documents table is scanned once with no Arrow transfer and no UDF.
+
+The regexes deliberately use only the RE2-compatible subset (character
+classes, bounded repetition, ``\\b``, non-capturing groups; no backreferences
+or lookaround) so the same pattern runs identically under Java's regex engine
+(Spark), RE2 (DuckDB oracle), and most other engines a redaction audit might
+be replayed on.
+
+Reference scope note: the reference engine (parqueryd) has no text-curation
+surface; this module is part of the north-star training-pipeline extension
+the build brief asks for alongside dedup/similarity/multimodal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Order matters for redaction: SSN-shaped ids run before phones so the
+# dashed-digit pattern is not half-eaten by the phone rule.
+PII_PATTERNS: dict[str, str] = {
+    # user.name+tag@host.tld
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # dotted-quad IPv4 (word-bounded so version strings like 1.2.3.4.5 still
+    # match their first four octets rather than silently passing)
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    # 123-45-6789 national-id shape
+    "id_number": r"\b\d{3}-\d{2}-\d{4}\b",
+    # +<cc> <area>-<line> international phone shape
+    "phone": r"\+\d{1,3} \d{3}-\d{4}\b",
+}
+
+PII_REPLACEMENTS: dict[str, str] = {
+    "email": "<EMAIL>",
+    "ipv4": "<IP>",
+    "id_number": "<ID>",
+    "phone": "<PHONE>",
+}
+
+
+def _c(text: Column | str) -> Column:
+    return F.col(text) if isinstance(text, str) else text
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-category PII match counts, one ``regexp_count`` Column each
+    (iterate ``PII_PATTERNS`` order for a stable column layout)."""
+    t = _c(text)
+    return {name: F.regexp_count(t, F.lit(pat)) for name, pat in PII_PATTERNS.items()}
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace every PII match with its ``<CATEGORY>`` placeholder, applying
+    the categories in ``PII_PATTERNS`` order (ids before phones — see module
+    docstring). Chained ``regexp_replace`` stays inside codegen; the scan
+    reads the text column exactly once."""
+    out = _c(text)
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, F.lit(pat), F.lit(PII_REPLACEMENTS[name]))
+    return out
+
+
+def has_pii(text: Column | str) -> Column:
+    """True when any category matches — the cheap pre-filter: at 100 TB you
+    redact only the (typically small) matching fraction and fast-path the
+    clean rows untouched."""
+    counts = pii_counts(text)
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return total > 0

@@ -1,0 +1,195 @@
+"""Corpus-curation queries past the gate window: PII redaction audit,
+sub-document span dedup, and grouped exact quantiles.
+
+Registered after the 50-row gate window on purpose (see queries/__init__.py) —
+each is still fully oracle-checked by tests/test_registry_oracle.py and
+tools/driver_sim.py with the driver's own normalize-sort-hash harness.
+
+The PII query enriches the synthetic documents fixture with deterministic
+doc_id-derived contact strings (the corpus itself is digit-free word soup, so
+without enrichment every count would be vacuously zero); the enrichment is
+reproduced verbatim in the DuckDB oracle, making the check a real
+cross-engine test of the regex semantics in operators/pii.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parqueryd_spark.operators.dedup import span_dedup
+from parqueryd_spark.operators.pii import has_pii, pii_counts, redact_pii
+from parqueryd_spark.queries import query
+from parqueryd_spark.sources.parquet import load_table
+
+# doc_id-derived PII enrichment, mirrored exactly in the oracle SQL: every doc
+# gains one email, one phone, one IPv4; every third doc an SSN-shaped id;
+# every fifth doc a second email.
+_PII_SUFFIX_SQL = """
+    ' contact user' || doc_id || '@example.com or +1 555-'
+    || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+    || ' from 10.' || (doc_id % 200) || '.0.1'
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' cc admin' || doc_id || '@corp.example.org'
+            ELSE '' END
+"""
+
+
+def _pii_enriched(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id").cast("string")
+    pad = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    suffix = F.concat(
+        F.lit(" contact user"), d, F.lit("@example.com or +1 555-"), pad,
+        F.lit(" from 10."), (F.col("doc_id") % 200).cast("string"), F.lit(".0.1"),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.lit(" ssn 123-45-"), pad)
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" cc admin"), d, F.lit("@corp.example.org")),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id", "source", F.concat(F.col("text"), suffix).alias("text")
+    )
+
+
+@query(
+    "pipeline_pii_redaction",
+    oracle=f"""
+    WITH enriched AS (
+      SELECT doc_id, source, text || {_PII_SUFFIX_SQL} AS text FROM documents
+    ),
+    scored AS (
+      SELECT source,
+        len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_email,
+        len(regexp_extract_all(text, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS n_ipv4,
+        len(regexp_extract_all(text, '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b')) AS n_id,
+        len(regexp_extract_all(text, '\\+\\d{{1,3}} \\d{{3}}-\\d{{4}}\\b')) AS n_phone,
+        length(text) - length(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+              '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '<ID>', 'g'),
+            '\\+\\d{{1,3}} \\d{{3}}-\\d{{4}}\\b', '<PHONE>', 'g')
+        ) AS delta
+      FROM enriched
+    )
+    SELECT source,
+           count(*)                                   AS n_docs,
+           CAST(sum(n_email) AS BIGINT)               AS emails,
+           CAST(sum(n_ipv4) AS BIGINT)                AS ipv4s,
+           CAST(sum(n_id) AS BIGINT)                  AS id_numbers,
+           CAST(sum(n_phone) AS BIGINT)               AS phones,
+           CAST(sum(CASE WHEN n_email + n_ipv4 + n_id + n_phone > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+           CAST(sum(delta) AS BIGINT)                 AS chars_redacted
+    FROM scored GROUP BY source
+    """,
+)
+def pipeline_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII audit over the (deterministically enriched) documents table: per
+    source, match counts for each category in operators/pii.py, the number of
+    documents carrying any PII, and total characters removed by redaction —
+    the summary a curation run reports before/after scrubbing. Pure
+    regexp_count / regexp_replace Column expressions: one codegen'd scan, no
+    Python, no second pass over the text."""
+    docs = _pii_enriched(load_table(spark, sf_dir, "documents"))
+    counts = pii_counts("text")
+    return (
+        docs.select(
+            "source",
+            counts["email"].alias("n_email"),
+            counts["ipv4"].alias("n_ipv4"),
+            counts["id_number"].alias("n_id"),
+            counts["phone"].alias("n_phone"),
+            has_pii("text").alias("any_pii"),
+            (F.length("text") - F.length(redact_pii("text"))).alias("delta"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_email").cast("long").alias("emails"),
+            F.sum("n_ipv4").cast("long").alias("ipv4s"),
+            F.sum("n_id").cast("long").alias("id_numbers"),
+            F.sum("n_phone").cast("long").alias("phones"),
+            F.sum(F.when(F.col("any_pii"), 1).otherwise(0)).cast("long").alias("docs_with_pii"),
+            F.sum("delta").cast("long").alias("chars_redacted"),
+        )
+    )
+
+
+@query(
+    "dedup_spans",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    spans AS (
+      SELECT doc_id, i AS pos, array_to_string(t[(i*3+1):(i*3+3)], ' ') AS span
+      FROM toks,
+           UNNEST(generate_series(0, CAST(ceil(len(t)/3.0) AS INT) - 1)) AS u(i)
+    ),
+    ranked AS (
+      SELECT doc_id, pos, span,
+             row_number() OVER (PARTITION BY md5(span) ORDER BY doc_id, pos) AS rn
+      FROM spans
+    )
+    SELECT doc_id,
+           count(*) AS n_spans,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY pos),
+                        '')) AS kept_md5
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document span dedup (operators/dedup.py span_dedup) at 3-token
+    granularity — small spans so the synthetic fixture actually contains
+    cross-document repeats. Emits per doc: span count, surviving-span count,
+    and the md5 of the rebuilt text (compact cross-engine content check). The
+    oracle reproduces keep-first with a ROW_NUMBER over the span digest,
+    equivalent to the operator's skew-safe min(struct(doc, pos)) + join-back
+    because (doc, pos) pairs are unique."""
+    docs = load_table(spark, sf_dir, "documents")
+    res = span_dedup(docs, "doc_id", "text", span_tokens=3)
+    return res.select(
+        F.col("doc").alias("doc_id"),
+        "n_spans",
+        "n_kept",
+        F.md5("dedup_text").alias("kept_md5"),
+    )
+
+
+@query(
+    "part_price_quantiles",
+    oracle="""
+    SELECT p_brand,
+           count(*) AS n_parts,
+           quantile_cont(p_retailprice, 0.25) AS p25,
+           quantile_cont(p_retailprice, 0.5)  AS median,
+           quantile_cont(p_retailprice, 0.9)  AS p90,
+           CAST(max(p_retailprice) AS DOUBLE) AS max_price
+    FROM part GROUP BY p_brand
+    """,
+)
+def part_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped EXACT quantiles (p25/median/p90) of part retail price by brand
+    via F.percentile — linear interpolation on the sorted group, matching
+    ANSI PERCENTILE_CONT / DuckDB quantile_cont bit-for-bit on doubles. At
+    100 TB exact per-group percentile is a single shuffle on the group key
+    with sort-based aggregation; for global quantiles over billions of rows
+    prefer approx_percentile (t-digest sketch, mergeable map-side)."""
+    part = load_table(spark, sf_dir, "part")
+    price = F.col("p_retailprice").cast("double")
+    return part.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        F.percentile(price, 0.25).alias("p25"),
+        F.percentile(price, 0.5).alias("median"),
+        F.percentile(price, 0.9).alias("p90"),
+        F.max(price).alias("max_price"),
+    )

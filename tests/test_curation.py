@@ -1,0 +1,105 @@
+"""Unit tests for the curation operators: PII detection/redaction and
+sub-document span dedup (operators/pii.py, operators/dedup.py span_dedup)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parqueryd_spark.operators.dedup import span_dedup
+from parqueryd_spark.operators.pii import has_pii, pii_counts, redact_pii
+
+
+def _one(spark, text: str):
+    return spark.createDataFrame([(text,)], "text string")
+
+
+def _redacted(spark, text: str) -> str:
+    return _one(spark, text).select(redact_pii("text").alias("r")).first().r
+
+
+def test_redact_each_category(spark):
+    assert (
+        _redacted(spark, "mail bob.smith+x@corp.example.org now")
+        == "mail <EMAIL> now"
+    )
+    assert _redacted(spark, "host 192.168.0.1 up") == "host <IP> up"
+    assert _redacted(spark, "ssn 123-45-6789 leaked") == "ssn <ID> leaked"
+    assert _redacted(spark, "call +44 555-0142 today") == "call <PHONE> today"
+
+
+def test_redact_clean_text_unchanged(spark):
+    clean = "no contact information here, just words and 42 numbers"
+    assert _redacted(spark, clean) == clean
+
+
+def test_redact_multiple_and_counts(spark):
+    text = "a@b.io and c@d.io from 10.0.0.1 id 111-22-3333 tel +1 555-0100 ."
+    row = (
+        _one(spark, text)
+        .select(
+            *[c.alias(n) for n, c in pii_counts("text").items()],
+            has_pii("text").alias("any"),
+            redact_pii("text").alias("r"),
+        )
+        .first()
+    )
+    assert (row.email, row.ipv4, row.id_number, row.phone) == (2, 1, 1, 1)
+    assert row.any
+    assert row.r == "<EMAIL> and <EMAIL> from <IP> id <ID> tel <PHONE> ."
+
+
+def test_ipv4_matches_leading_quad_of_version_string(spark):
+    # documented behavior: the word-bounded quad matches the first four octets
+    assert _redacted(spark, "v 1.2.3.4.5 x") == "v <IP>.5 x"
+
+
+def test_has_pii_prefilter(spark):
+    df = spark.createDataFrame(
+        [(1, "clean words only"), (2, "leak a@b.co here")], "id long, text string"
+    )
+    hits = df.filter(has_pii("text")).select("id").collect()
+    assert [r.id for r in hits] == [2]
+
+
+def test_span_dedup_keep_first_across_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c x y z")], "doc_id long, text string"
+    )
+    rows = {
+        r.doc: r
+        for r in span_dedup(df, "doc_id", "text", span_tokens=3).collect()
+    }
+    assert rows[1].n_spans == 2 and rows[1].n_kept == 2
+    assert rows[1].dedup_text == "a b c d e f"
+    # doc 2 shares span "a b c" with the earlier doc 1 and loses it
+    assert rows[2].n_spans == 2 and rows[2].n_kept == 1
+    assert rows[2].dedup_text == "x y z"
+
+
+def test_span_dedup_fully_duplicate_doc_survives_with_empty_text(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    rows = {
+        r.doc: r
+        for r in span_dedup(df, "doc_id", "text", span_tokens=3).collect()
+    }
+    assert rows[1].dedup_text == "a b c"
+    assert rows[2].n_spans == 1 and rows[2].n_kept == 0
+    assert rows[2].dedup_text == ""
+
+
+def test_span_dedup_within_doc_repeats(spark):
+    # the same span repeated inside ONE doc also dedups (keep-first by pos)
+    df = spark.createDataFrame([(7, "p q r p q r")], "doc_id long, text string")
+    row = span_dedup(df, "doc_id", "text", span_tokens=3).first()
+    assert row.n_spans == 2 and row.n_kept == 1
+    assert row.dedup_text == "p q r"
+
+
+def test_span_dedup_ragged_tail(spark):
+    # 4 tokens at span 3 -> spans "a b c" and "d" (clamped slice, no padding)
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    row = span_dedup(df, "doc_id", "text", span_tokens=3).first()
+    assert row.n_spans == 2 and row.n_kept == 2
+    assert row.dedup_text == "a b c d"

@@ -158,6 +158,9 @@ def test_no_python_in_core_paths(spark):
         "events_sketch_aggs",
         "q6_forecast_revenue",
         "q18_large_orders",
+        "pipeline_pii_redaction",
+        "dedup_spans",
+        "part_price_quantiles",
     ]
     for name in jvm_only:
         rep = plan_report(REGISTRY[name].fn(spark, SF_SMOKE))
