@@ -257,6 +257,96 @@ def multiprobe_assign(
     )
 
 
+def ivf_publish(
+    spark,
+    index_dir: str,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch: str = "base",
+) -> None:
+    """Persist a self-contained IVF index: centroids at
+    ``<index_dir>/centroids`` and assigned vectors at ``<index_dir>/vectors``
+    partitioned by ``(batch, centroid_id)`` — the layout that makes the index
+    a living dataset rather than a one-shot artifact. Searches prune on the
+    second-level ``centroid_id`` directories regardless of batch;
+    ``ivf_append`` adds later corpus increments as new ``batch=`` partitions
+    (idempotently replayable — re-writing a batch overwrites exactly its own
+    partition); the centroids file is the metadata the appends quantize
+    against."""
+    centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    (
+        ivf_index(corpus, centroids, id_col, vec_col)
+        .withColumn("batch", F.lit(batch))
+        .write.mode("overwrite")
+        .partitionBy("batch", "centroid_id")
+        .parquet(f"{index_dir}/vectors")
+    )
+
+
+def ivf_load(spark, index_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(vectors, centroids) of a published index. The vectors frame is
+    search-ready for :func:`ivf_search` — partition pruning on centroid_id
+    still applies through the extra batch directory level."""
+    return (
+        spark.read.parquet(f"{index_dir}/vectors"),
+        spark.read.parquet(f"{index_dir}/centroids"),
+    )
+
+
+def ivf_append(
+    spark,
+    index_dir: str,
+    new_vectors: DataFrame,
+    batch: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental IVF maintenance: quantize ``new_vectors`` against the
+    index's OWN persisted centroids and add them as the ``batch=<batch>``
+    partition — cost is one broadcast-assign pass over the increment, never a
+    re-scan or re-cluster of the existing corpus (the daily-growth shape, the
+    vector twin of dedup.incremental_minhash_pairs). Returns per-centroid
+    counts of the appended batch.
+
+    Re-running the same batch id overwrites exactly that partition (dynamic
+    partition overwrite), so a failed-and-replayed ingest cannot double-count.
+
+    Centroids are frozen at publish time; appended vectors that sit far from
+    every centroid degrade recall silently. Watch :func:`ivf_bucket_stats` —
+    when new batches skew heavily into few buckets (or grow a bucket far past
+    the mean), rebuild with fresh ``kmeans_centroids`` and republish.
+    """
+    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    assigned = ivf_index(new_vectors, centroids, id_col, vec_col).withColumn(
+        "batch", F.lit(batch)
+    )
+    (
+        assigned.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch", "centroid_id")
+        .parquet(f"{index_dir}/vectors")
+    )
+    return (
+        spark.read.parquet(f"{index_dir}/vectors")
+        .filter(F.col("batch") == batch)
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n_appended"))
+    )
+
+
+def ivf_bucket_stats(spark, index_dir: str) -> DataFrame:
+    """Per-centroid occupancy of a published index, by batch — the rebuild
+    trigger metric (metadata-scale output: n_centroids x n_batches rows,
+    computed from a column-pruned scan of the two partition columns)."""
+    return (
+        spark.read.parquet(f"{index_dir}/vectors")
+        .groupBy("centroid_id", "batch")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",

@@ -12,6 +12,7 @@ import uuid
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from parqueryd_spark.sources.fs import HadoopFS
 
@@ -162,6 +163,115 @@ def atomic_publish_many(datasets: list[tuple[DataFrame, str]]) -> None:
         raise
     for _df, fs, _target, _incoming, old in plans:
         fs.delete(old)
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    dataset_dir: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    delete_col: str | None = None,
+) -> None:
+    """MERGE INTO for a plain-parquet dataset: rows in ``updates`` replace
+    base rows with the same key, new keys are inserted, and (when
+    ``delete_col`` names a boolean column in ``updates``) flagged keys are
+    removed — the CDC-apply operation a mutable 100 TB table needs without a
+    table format.
+
+    Plan shape: ``base LEFT ANTI JOIN updates ON keys`` then union the
+    surviving inserts. The anti-join is the scale story — CDC batches are
+    tiny relative to the base, so AQE broadcasts the update keys and the base
+    is NEVER shuffled; a window-over-key merge would shuffle the full base
+    every run. The result is swapped in through :func:`atomic_publish`
+    (readers stay on the old generation until the new one is complete; the
+    write may read FROM the current generation).
+
+    For a hive-partitioned base where updates touch few partitions, use
+    :func:`upsert_partitioned` — this full-table variant rewrites everything,
+    and rejects a hive-partitioned target outright (rewriting it flat would
+    silently break partition-pruned readers).
+    """
+    fs = HadoopFS(spark, dataset_dir)
+    qualified = fs.qualify(dataset_dir)
+    part_dirs = [
+        d for d in fs.listdir(qualified) if "=" in d and fs.is_dir(f"{qualified}/{d}")
+    ]
+    if part_dirs:
+        raise ValueError(
+            f"{dataset_dir} is hive-partitioned (e.g. {part_dirs[0]}); use "
+            "upsert_partitioned to preserve the layout and rewrite only the "
+            "touched partitions"
+        )
+    base = spark.read.parquet(dataset_dir)
+    inserts = updates
+    if delete_col is not None:
+        inserts = inserts.filter(~F.coalesce(F.col(delete_col), F.lit(False))).drop(
+            delete_col
+        )
+    merged = base.join(updates.select(*key_cols), key_cols, "left_anti").unionByName(
+        inserts.select(*base.columns)
+    )
+    atomic_publish(merged, dataset_dir)
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    dataset_dir: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+    delete_col: str | None = None,
+) -> list:
+    """Partition-pruned MERGE for a hive-partitioned base: only the
+    partitions present in ``updates`` are read, merged, and rewritten —
+    untouched partitions are never scanned. This is the upsert shape that
+    holds at 100 TB: cost scales with the changed slice (typically one day's
+    partition), not the table.
+
+    Mechanics: collect the distinct ``partition_col`` values from the updates
+    (metadata-scale — the number of touched partitions, not rows), filter the
+    base scan to them (partition pruning skips every other directory), apply
+    the same anti-join + insert merge as :func:`upsert_parquet`, and write
+    with dynamic partition overwrite so ONLY the touched directories are
+    replaced. Returns the list of rewritten partition values.
+
+    Caveat: dynamic overwrite commits per-partition, not atomically across
+    partitions (the same window the reference's file-by-file moveparquet swap
+    has, worker.py:694-727); a multi-partition batch that must be all-or-
+    nothing should go through a table format's metadata commit instead.
+    """
+    touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    base = spark.read.parquet(dataset_dir)
+    slice_df = base.filter(F.col(partition_col).isin(touched))
+    inserts = updates
+    if delete_col is not None:
+        inserts = inserts.filter(~F.coalesce(F.col(delete_col), F.lit(False))).drop(
+            delete_col
+        )
+    merged = slice_df.join(
+        updates.select(*key_cols), key_cols, "left_anti"
+    ).unionByName(inserts.select(*base.columns))
+    # dynamic overwrite only replaces partitions PRESENT in the output — a
+    # touched partition whose rows were all deleted would silently keep its
+    # stale files. Persist the merge once, learn which touched partitions
+    # still have rows, and drop the emptied ones explicitly after the write.
+    merged = merged.persist()
+    try:
+        present = {r[0] for r in merged.select(partition_col).distinct().collect()}
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(dataset_dir)
+        )
+    finally:
+        merged.unpersist()
+    fs = HadoopFS(spark, dataset_dir)
+    qualified = fs.qualify(dataset_dir)
+    for v in touched:
+        if v not in present:
+            fs.delete(f"{qualified}/{partition_col}={v}")
+    return touched
 
 
 def compact_parquet(

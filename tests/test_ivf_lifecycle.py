@@ -1,0 +1,94 @@
+"""IVF index lifecycle: publish -> append increments -> search the union —
+the incremental maintenance path (operators/similarity.py ivf_publish /
+ivf_load / ivf_append / ivf_bucket_stats)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parqueryd_spark.operators.similarity import (
+    ivf_append,
+    ivf_bucket_stats,
+    ivf_index,
+    ivf_load,
+    ivf_publish,
+    ivf_search,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+
+@pytest.fixture
+def centroids(emb):
+    return (
+        emb.orderBy(F.col("vec_id").asc())
+        .limit(8)
+        .select(F.col("vec_id").cast("int").alias("centroid_id"), F.col("embedding"))
+    )
+
+
+def test_append_matches_single_shot_index(spark, emb, centroids, tmp_path):
+    """Publishing half the corpus then appending the rest must index every
+    vector into the same bucket a single-shot build would."""
+    idx = str(tmp_path / "ivf")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    ivf_publish(spark, idx, first, centroids)
+    ivf_append(spark, idx, rest, batch="b1")
+
+    vectors, cen = ivf_load(spark, idx)
+    got = {
+        (r.vec_id, r.centroid_id)
+        for r in vectors.select("vec_id", "centroid_id").collect()
+    }
+    want = {
+        (r.vec_id, r.centroid_id)
+        for r in ivf_index(emb, centroids).select("vec_id", "centroid_id").collect()
+    }
+    assert got == want
+
+
+def test_search_over_appended_index_matches_oneshot(spark, emb, centroids, tmp_path):
+    idx = str(tmp_path / "ivf")
+    ivf_publish(spark, idx, emb.filter(F.col("vec_id") % 2 == 0), centroids)
+    ivf_append(spark, idx, emb.filter(F.col("vec_id") % 2 == 1), batch="b1")
+    vectors, cen = ivf_load(spark, idx)
+    queries = emb.filter(F.col("vec_id") < 4)
+    from_lifecycle = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_search(vectors, cen, queries, nprobe=3, k=4).collect()
+    }
+    oneshot = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_search(
+            ivf_index(emb, centroids), centroids, queries, nprobe=3, k=4
+        ).collect()
+    }
+    assert from_lifecycle == oneshot
+
+
+def test_append_replay_is_idempotent(spark, emb, centroids, tmp_path):
+    idx = str(tmp_path / "ivf")
+    ivf_publish(spark, idx, emb.filter(F.col("vec_id") % 2 == 0), centroids)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    ivf_append(spark, idx, rest, batch="b1")
+    n1 = spark.read.parquet(f"{idx}/vectors").count()
+    # a failed-and-replayed ingest re-runs the same batch id
+    ivf_append(spark, idx, rest, batch="b1")
+    assert spark.read.parquet(f"{idx}/vectors").count() == n1
+
+
+def test_bucket_stats_per_batch(spark, emb, centroids, tmp_path):
+    idx = str(tmp_path / "ivf")
+    ivf_publish(spark, idx, emb.filter(F.col("vec_id") % 2 == 0), centroids)
+    counts = ivf_append(spark, idx, emb.filter(F.col("vec_id") % 2 == 1), batch="b1")
+    appended = sum(r.n_appended for r in counts.collect())
+    assert appended == emb.filter(F.col("vec_id") % 2 == 1).count()
+    stats = ivf_bucket_stats(spark, idx).collect()
+    assert {r.batch for r in stats} == {"base", "b1"}
+    assert sum(r.n_vectors for r in stats) == emb.count()
