@@ -1,0 +1,79 @@
+"""Product-analytics queries over the events table: ordered funnel and
+cohort retention (operators/analytics.py). Registered past the gate window;
+oracle-checked by tests/test_registry_oracle.py and tools/driver_sim.py.
+
+The Spark funnel is a one-shuffle per-user fold; the oracle recomputes it
+with the stage-by-stage min-join formulation (earliest stage-i event strictly
+after stage i-1), which is semantically identical for chain funnels — the
+greedy earliest timestamp is optimal — so the two independent algorithms
+cross-check each other.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from parqueryd_spark.operators.analytics import cohort_retention, funnel_summary
+from parqueryd_spark.queries import query
+from parqueryd_spark.sources.parquet import load_table
+
+_STAGES = ["view", "click", "purchase"]
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+    )
+    SELECT 1 AS stage, 'view' AS stage_name, count(*) AS n_users,
+           avg(0.0) AS avg_secs_from_entry FROM s1
+    UNION ALL
+    SELECT 2, 'click', count(*), avg(epoch(t2) - epoch(t1))
+    FROM s2 JOIN s1 USING (user_id)
+    UNION ALL
+    SELECT 3, 'purchase', count(*), avg(epoch(t3) - epoch(t1))
+    FROM s3 JOIN s1 USING (user_id)
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase ordered funnel: per stage, users reaching it
+    (each stage's event strictly after the previous stage's) and mean seconds
+    from funnel entry."""
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_summary(ev, _STAGES)
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS period FROM events
+    ),
+    cohorts AS (SELECT u, min(period) AS cohort FROM activity GROUP BY u),
+    sizes AS (SELECT cohort, count(*) AS cohort_size FROM cohorts GROUP BY cohort)
+    SELECT a.cohort,
+           CAST((epoch(a.period) - epoch(a.cohort)) / 604800 AS BIGINT) AS "offset",
+           count(*) AS n_active,
+           s.cohort_size,
+           count(*) / CAST(s.cohort_size AS DOUBLE) AS retention
+    FROM (SELECT act.u, act.period, c.cohort FROM activity act JOIN cohorts c USING (u)) a
+    JOIN sizes s USING (cohort)
+    GROUP BY a.cohort, "offset", s.cohort_size
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users grouped into cohorts by first active
+    week; per (cohort, weeks-since) the active-user count and retention rate
+    against the cohort's size."""
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev, grain="week")
