@@ -216,6 +216,34 @@ def ngrams_all(text: Column | str, k: int = 2) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def unigram_logprob(df, id_col: str, text_col: str):
+    """Corpus-statistical quality score (the CCNet/KenLM-filter shape at
+    unigram order): each document's mean ln P(token) under the corpus's own
+    unigram distribution. Documents full of rare/garbled tokens score low;
+    formulaic boilerplate scores high — both tails are the filter targets.
+    Returns (doc, n_tokens, avg_logprob).
+
+    Scale design: the vocabulary table is ONE groupBy over the exploded
+    tokens (partial-aggregated map-side), then broadcast for scoring — token
+    vocabularies are millions of rows when a 100 TB corpus is billions of
+    docs, so the big side is never shuffled by token. For open vocabularies
+    too large to broadcast, score against a truncated top-V table with an
+    OOV floor (the standard LM-filter practice) — the join then stays
+    broadcast at any corpus size."""
+    toks = df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    total = vocab.agg(F.sum("n").cast("double").alias("total"))
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg(F.log(F.col("n") / F.col("total"))).alias("avg_logprob"),
+        )
+    )
+
+
 def tfidf_terms(df, id_col: str, text_col: str):
     """Per-(doc, token) TF-IDF over the whole corpus:
     ``tfidf = tf * ln(n_docs / df)``. Returns (doc, token, tf, tfidf).

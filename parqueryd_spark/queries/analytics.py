@@ -12,6 +12,7 @@ cross-check each other.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from parqueryd_spark.operators.analytics import cohort_retention, funnel_summary
 from parqueryd_spark.queries import query
@@ -36,12 +37,12 @@ _STAGES = ["view", "click", "purchase"]
       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
     )
     SELECT 1 AS stage, 'view' AS stage_name, count(*) AS n_users,
-           avg(0.0) AS avg_secs_from_entry FROM s1
+           round(avg(0.0), 4) AS avg_secs_from_entry FROM s1
     UNION ALL
-    SELECT 2, 'click', count(*), avg(epoch(t2) - epoch(t1))
+    SELECT 2, 'click', count(*), round(avg(epoch(t2) - epoch(t1)), 4)
     FROM s2 JOIN s1 USING (user_id)
     UNION ALL
-    SELECT 3, 'purchase', count(*), avg(epoch(t3) - epoch(t1))
+    SELECT 3, 'purchase', count(*), round(avg(epoch(t3) - epoch(t1)), 4)
     FROM s3 JOIN s1 USING (user_id)
     """,
 )
@@ -50,7 +51,10 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (each stage's event strictly after the previous stage's) and mean seconds
     from funnel entry."""
     ev = load_table(spark, sf_dir, "events")
-    return funnel_summary(ev, _STAGES)
+    # float agg rounded in BOTH engines: the gate's value hash does not round
+    return funnel_summary(ev, _STAGES).withColumn(
+        "avg_secs_from_entry", F.round("avg_secs_from_entry", 4)
+    )
 
 
 @query(
@@ -65,7 +69,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((epoch(a.period) - epoch(a.cohort)) / 604800 AS BIGINT) AS "offset",
            count(*) AS n_active,
            s.cohort_size,
-           count(*) / CAST(s.cohort_size AS DOUBLE) AS retention
+           round(count(*) / CAST(s.cohort_size AS DOUBLE), 4) AS retention
     FROM (SELECT act.u, act.period, c.cohort FROM activity act JOIN cohorts c USING (u)) a
     JOIN sizes s USING (cohort)
     GROUP BY a.cohort, "offset", s.cohort_size
@@ -76,4 +80,6 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     week; per (cohort, weeks-since) the active-user count and retention rate
     against the cohort's size."""
     ev = load_table(spark, sf_dir, "events")
-    return cohort_retention(ev, grain="week")
+    return cohort_retention(ev, grain="week").withColumn(
+        "retention", F.round("retention", 4)
+    )

@@ -166,13 +166,44 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    vocab AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+    total AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM vocab)
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           round(avg(ln(v.n / total.total)), 4) AS avg_logprob
+    FROM toks t JOIN vocab v USING (tok), total
+    GROUP BY t.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    token distribution (operators/text.py unigram_logprob) — the
+    corpus-statistical quality filter complementing the heuristic
+    quality_score."""
+    docs = load_table(spark, sf_dir, "documents")
+    from parqueryd_spark.operators.text import unigram_logprob
+
+    # float agg rounded in BOTH engines: the gate's value hash does not round
+    return (
+        unigram_logprob(docs, "doc_id", "text")
+        .withColumnRenamed("doc", "doc_id")
+        .withColumn("avg_logprob", F.round("avg_logprob", 4))
+    )
+
+
+@query(
     "part_price_quantiles",
     oracle="""
     SELECT p_brand,
            count(*) AS n_parts,
-           quantile_cont(p_retailprice, 0.25) AS p25,
-           quantile_cont(p_retailprice, 0.5)  AS median,
-           quantile_cont(p_retailprice, 0.9)  AS p90,
+           round(quantile_cont(p_retailprice, 0.25), 4) AS p25,
+           round(quantile_cont(p_retailprice, 0.5), 4)  AS median,
+           round(quantile_cont(p_retailprice, 0.9), 4)  AS p90,
            CAST(max(p_retailprice) AS DOUBLE) AS max_price
     FROM part GROUP BY p_brand
     """,
@@ -188,8 +219,8 @@ def part_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     price = F.col("p_retailprice").cast("double")
     return part.groupBy("p_brand").agg(
         F.count("*").alias("n_parts"),
-        F.percentile(price, 0.25).alias("p25"),
-        F.percentile(price, 0.5).alias("median"),
-        F.percentile(price, 0.9).alias("p90"),
+        F.round(F.percentile(price, 0.25), 4).alias("p25"),
+        F.round(F.percentile(price, 0.5), 4).alias("median"),
+        F.round(F.percentile(price, 0.9), 4).alias("p90"),
         F.max(price).alias("max_price"),
     )
