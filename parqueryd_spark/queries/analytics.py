@@ -45,6 +45,7 @@ _STAGES = ["view", "click", "purchase"]
     SELECT 3, 'purchase', count(*), round(avg(epoch(t3) - epoch(t1)), 4)
     FROM s3 JOIN s1 USING (user_id)
     """,
+    bench=True,
 )
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view -> click -> purchase ordered funnel: per stage, users reaching it

@@ -146,6 +146,7 @@ def pipeline_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                         '')) AS kept_md5
     FROM ranked GROUP BY doc_id
     """,
+    bench=True,
 )
 def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document span dedup (operators/dedup.py span_dedup) at 3-token

@@ -161,6 +161,9 @@ def test_no_python_in_core_paths(spark):
         "pipeline_pii_redaction",
         "dedup_spans",
         "part_price_quantiles",
+        "events_funnel",
+        "events_cohort_retention",
+        "text_unigram_logprob",
     ]
     for name in jvm_only:
         rep = plan_report(REGISTRY[name].fn(spark, SF_SMOKE))
