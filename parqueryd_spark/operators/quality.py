@@ -1,0 +1,118 @@
+"""Data-quality operators: table statistics (ANALYZE) and declarative
+constraint checks — the deequ/dbt-test surface a production table needs
+before anything downstream trusts it.
+
+Scale design: every check compiles to ONE aggregate over the table (or one
+anti-join for referential checks), all map-side partial-aggregated; the
+report output is metadata-scale (rows = number of checks / columns, never
+data rows). ``table_stats`` computes all columns' stats in a single
+aggregation job — one scan, not one per column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def table_stats(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """ANALYZE-style per-column statistics in ONE scan: null count, exact
+    distinct count, min and max (stringified so every type fits one report
+    schema). Returns (column, n_rows, n_nulls, n_distinct, min_value,
+    max_value). Exact ndv is a full shuffle per column at 100 TB — swap
+    ``countDistinct`` for ``approx_count_distinct`` (HLL, map-side mergeable)
+    when cardinality estimates are enough (the planner-stats case)."""
+    cols = cols or df.columns
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_nulls_{c}"),
+            F.countDistinct(c).alias(f"_ndv_{c}"),
+            # min/max on the NATIVE type (string-cast first would compare
+            # lexicographically: max of 1..2000 would be "999"), then stringify
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+        ]
+    row = df.agg(*aggs)
+    stacked = row.select(
+        F.col("_n").alias("n_rows"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"_nulls_{c}").cast("long").alias("n_nulls"),
+                        F.col(f"_ndv_{c}").alias("n_distinct"),
+                        F.col(f"_min_{c}").alias("min_value"),
+                        F.col(f"_max_{c}").alias("max_value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s"),
+    )
+    return stacked.select(
+        "s.column", "n_rows", "s.n_nulls", "s.n_distinct", "s.min_value", "s.max_value"
+    )
+
+
+def _report(name: str, violations: Column) -> list[Column]:
+    return [F.lit(name).alias("check"), violations.cast("long").alias("violations")]
+
+
+def check_unique(df: DataFrame, cols: list[str], name: str | None = None) -> DataFrame:
+    """Rows carrying a key that occurs more than once (count of EXTRA rows:
+    a key seen k times contributes k-1 violations — 0 means unique)."""
+    dupes = df.groupBy(*cols).agg(F.count("*").alias("_n")).filter(F.col("_n") > 1)
+    v = dupes.agg(F.coalesce(F.sum(F.col("_n") - 1), F.lit(0)).alias("v"))
+    return v.select(*_report(name or f"unique({','.join(cols)})", F.col("v")))
+
+
+def check_not_null(df: DataFrame, cols: list[str], name: str | None = None) -> DataFrame:
+    v = df.agg(
+        sum(
+            (F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)) for c in cols),
+            F.lit(0),
+        ).alias("v")
+    )
+    return v.select(*_report(name or f"not_null({','.join(cols)})", F.col("v")))
+
+
+def check_range(
+    df: DataFrame, col: str, lo, hi, name: str | None = None
+) -> DataFrame:
+    """Rows outside [lo, hi] (nulls don't count — pair with check_not_null)."""
+    bad = F.sum(
+        F.when(F.col(col).isNotNull() & ~F.col(col).between(lo, hi), 1).otherwise(0)
+    )
+    return df.agg(bad.alias("v")).select(
+        *_report(name or f"range({col},[{lo},{hi}])", F.col("v"))
+    )
+
+
+def check_foreign_key(
+    child: DataFrame,
+    fk: str,
+    parent: DataFrame,
+    pk: str,
+    name: str | None = None,
+) -> DataFrame:
+    """Child rows whose fk has no parent (left anti on the key — AQE
+    broadcasts the parent's distinct keys when they fit, so the child is
+    never shuffled in the common small-dimension case)."""
+    orphans = child.select(F.col(fk).alias("_k")).join(
+        parent.select(F.col(pk).alias("_k")).distinct(), "_k", "left_anti"
+    )
+    return orphans.agg(F.count("*").alias("v")).select(
+        *_report(name or f"fk({fk}->{pk})", F.col("v"))
+    )
+
+
+def quality_report(checks: list[DataFrame]) -> DataFrame:
+    """Union the one-row check results into the report: (check, violations,
+    passed). Each check stays an independent aggregate — Spark runs them as
+    parallel jobs of one stage each."""
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.withColumn("passed", F.col("violations") == 0)

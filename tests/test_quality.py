@@ -1,0 +1,57 @@
+"""Unit tests for the data-quality operators (operators/quality.py) on
+fixtures that actually violate each constraint."""
+
+from __future__ import annotations
+
+from parqueryd_spark.operators.quality import (
+    check_foreign_key,
+    check_not_null,
+    check_range,
+    check_unique,
+    quality_report,
+    table_stats,
+)
+
+
+def test_checks_count_real_violations(spark):
+    child = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 10, 99.0), (1, 20, None), (2, 30, -1.0), (None, 10, 3.0)],
+        "k long, fk long, v double",
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    rep = {
+        r.check: (r.violations, r.passed)
+        for r in quality_report(
+            [
+                check_unique(child, ["k"]),          # k=1 three times -> 2 extras
+                check_not_null(child, ["k", "v"]),   # 1 null k + 1 null v
+                check_foreign_key(child, "fk", parent, "pk"),  # fk=30 orphan
+                check_range(child, "v", 0, 50),      # 99.0 and -1.0 (null skipped)
+            ]
+        ).collect()
+    }
+    assert rep["unique(k)"] == (2, False)
+    assert rep["not_null(k,v)"] == (2, False)
+    assert rep["fk(fk->pk)"] == (1, False)
+    assert rep["range(v,[0,50])"] == (2, False)
+
+
+def test_checks_pass_on_clean_data(spark):
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double")
+    rep = quality_report(
+        [check_unique(df, ["k"]), check_not_null(df, ["k", "v"]), check_range(df, "v", 0, 5)]
+    ).collect()
+    assert all(r.passed and r.violations == 0 for r in rep)
+
+
+def test_table_stats_single_scan_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "c"), (3, "b")], "k long, s string"
+    )
+    stats = {r.column: r for r in table_stats(df).collect()}
+    assert stats["k"].n_rows == 4
+    assert stats["k"].n_nulls == 0 and stats["k"].n_distinct == 3
+    # native-typed min/max THEN stringified (not lexicographic)
+    assert (stats["k"].min_value, stats["k"].max_value) == ("1", "3")
+    assert stats["s"].n_nulls == 1 and stats["s"].n_distinct == 3
+    assert (stats["s"].min_value, stats["s"].max_value) == ("a", "c")
