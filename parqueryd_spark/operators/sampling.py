@@ -131,6 +131,42 @@ def pack_contiguous(
     return df.withColumn(out_col, F.floor(start / F.lit(float(budget))).cast("long"))
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Boundary-aware chunking of long documents into overlapping
+    ``max_tokens``-token windows — the max-sequence-length prep step
+    :func:`pack_contiguous` doesn't cover (packing lays WHOLE docs into bins;
+    chunking splits docs that exceed the budget). Chunk i starts at token
+    ``i * (max_tokens - overlap)``; the chunk count guarantees full coverage
+    (last chunk may run short), and a doc within budget stays one chunk.
+    Returns one row per chunk: (doc, chunk_id, n_chunk_tokens, chunk_text).
+
+    Pure Column arithmetic (sequence/transform/slice + posexplode), fully
+    distributed and codegen-eligible — per-doc cost is linear in its length,
+    and no shuffle at all: chunks are emitted in the scan stage."""
+    if overlap >= max_tokens:
+        raise ValueError(f"overlap ({overlap}) must be < max_tokens ({max_tokens})")
+    stride = max_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * stride + 1, max_tokens)),
+    )
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+    ).withColumn("n_chunk_tokens", F.size(F.split("chunk_text", " ")))
+
+
 def mixture_fractions(
     counts: dict[str, int], targets: dict[str, float]
 ) -> dict[str, float]:

@@ -167,6 +167,39 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_chunk_documents",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    chunks AS (
+      SELECT doc_id, i AS chunk_id,
+             array_to_string(t[(i*24+1):(i*24+32)], ' ') AS chunk_text
+      FROM toks,
+           UNNEST(generate_series(
+             0, greatest(CAST(ceil((len(t) - 8) / 24.0) AS INT), 1) - 1)) AS u(i)
+    )
+    SELECT doc_id, chunk_id,
+           len(string_split(chunk_text, ' ')) AS n_chunk_tokens,
+           md5(chunk_text) AS chunk_md5
+    FROM chunks
+    """,
+)
+def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window chunking (operators/sampling.py chunk_documents) at
+    max 32 tokens / overlap 8 — small enough that the fixture's ~35-token
+    docs actually split. Emits (doc_id, chunk_id, n_chunk_tokens, chunk_md5);
+    the oracle reproduces the stride/coverage arithmetic with list slicing."""
+    docs = load_table(spark, sf_dir, "documents")
+    from parqueryd_spark.operators.sampling import chunk_documents
+
+    return chunk_documents(docs, "doc_id", "text", max_tokens=32, overlap=8).select(
+        F.col("doc").alias("doc_id"),
+        "chunk_id",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+@query(
     "text_unigram_logprob",
     oracle="""
     WITH toks AS (
