@@ -209,6 +209,38 @@ class ParquetEngine:
             "data_files": data_files,
         }
 
+    def attach_tables(self, names: Sequence[str] | None = None) -> list[str]:
+        """Register every ``<data_dir>/<name>.parquet`` as a temp view named
+        ``<name>`` (``names`` restricts the set). Returns the registered
+        names. Scheme-aware (same Hadoop listing as :meth:`info`), so an
+        object-store data_dir attaches the same way. Views are lazy —
+        attaching costs a schema read, not a scan."""
+        if not self.data_dir:
+            raise ValueError("attach_tables requires an engine data_dir")
+        from parqueryd_spark.sources.fs import HadoopFS
+        from parqueryd_spark.sources.parquet import load_table
+
+        fs = HadoopFS(self.spark, self.data_dir)
+        found = (
+            [f[: -len(".parquet")] for f in fs.listdir(self.data_dir) if f.endswith(".parquet")]
+            if fs.is_dir(self.data_dir)
+            else []
+        )
+        attach = sorted(set(found) & set(names) if names is not None else set(found))
+        for name in attach:
+            load_table(self.spark, self.data_dir, name).createOrReplaceTempView(name)
+        return attach
+
+    def sql(self, query: str) -> DataFrame:
+        """Raw ANSI SQL over the data_dir's tables — the surface the
+        reference never had (its only expression language is filter triples,
+        SURVEY.md §2.2) and the one Catalyst gives for free: every view from
+        :meth:`attach_tables` plus anything the session registered. Full
+        optimizer treatment (pushdown, pruning, join reordering, AQE) applies
+        — this is ``spark.sql`` with the engine's table resolution."""
+        self.attach_tables()
+        return self.spark.sql(query)
+
     def apply_pandas(
         self,
         filenames,

@@ -99,3 +99,30 @@ def test_apply_pandas_replaces_execute_code(spark):
     # all-missing: empty DataFrame with the declared schema, not an error
     empty = eng.apply_pandas(["nope.parquet"], double_qty, "l_orderkey long, qty2 double")
     assert empty.count() == 0 and empty.columns == ["l_orderkey", "qty2"]
+
+
+def test_attach_tables_and_sql(spark):
+    eng = ParquetEngine(spark, data_dir=SF_SMOKE)
+    try:
+        attached = eng.attach_tables()
+        assert {"nation", "region", "lineitem"} <= set(attached)
+        row = eng.sql(
+            """
+            SELECT r_name, count(*) AS n
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+            """
+        ).first()
+        assert row.r_name == "AFRICA" and row.n == 5
+        # restricted attach only registers the requested subset
+        assert eng.attach_tables(["nation"]) == ["nation"]
+    finally:
+        for t in eng.attach_tables():
+            spark.catalog.dropTempView(t)
+
+
+def test_sql_requires_data_dir(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="data_dir"):
+        ParquetEngine(spark).attach_tables()
