@@ -69,9 +69,14 @@ def check_unique(df: DataFrame, cols: list[str], name: str | None = None) -> Dat
 
 
 def check_not_null(df: DataFrame, cols: list[str], name: str | None = None) -> DataFrame:
+    # coalesce: sum over ZERO rows is null, and a null violation count would
+    # poison `passed` (null == 0 is null, reading as failed) — empty is clean
     v = df.agg(
-        sum(
-            (F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)) for c in cols),
+        F.coalesce(
+            sum(
+                (F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)) for c in cols),
+                F.lit(0),
+            ),
             F.lit(0),
         ).alias("v")
     )
@@ -82,8 +87,11 @@ def check_range(
     df: DataFrame, col: str, lo, hi, name: str | None = None
 ) -> DataFrame:
     """Rows outside [lo, hi] (nulls don't count — pair with check_not_null)."""
-    bad = F.sum(
-        F.when(F.col(col).isNotNull() & ~F.col(col).between(lo, hi), 1).otherwise(0)
+    bad = F.coalesce(
+        F.sum(
+            F.when(F.col(col).isNotNull() & ~F.col(col).between(lo, hi), 1).otherwise(0)
+        ),
+        F.lit(0),
     )
     return df.agg(bad.alias("v")).select(
         *_report(name or f"range({col},[{lo},{hi}])", F.col("v"))

@@ -52,3 +52,63 @@ def test_multimodal_on_empty(spark):
     feats = extract_features(media_from_documents(_empty_docs(spark)))
     assert feats.count() == 0
     assert len(feats.schema.fields) == 7
+
+
+def test_curation_ops_on_empty(spark):
+    from parqueryd_spark.operators.analytics import cohort_retention, funnel_summary
+    from parqueryd_spark.operators.dedup import span_dedup
+    from parqueryd_spark.operators.pii import redact_pii
+    from parqueryd_spark.operators.sampling import chunk_documents
+    from parqueryd_spark.operators.text import unigram_logprob
+
+    docs = _empty_docs(spark)
+    assert span_dedup(docs, "doc_id", "text", span_tokens=3).count() == 0
+    assert chunk_documents(docs, "doc_id", "text").count() == 0
+    assert unigram_logprob(docs, "doc_id", "text").count() == 0
+    assert docs.select(redact_pii("text")).count() == 0
+    ev = load_table(spark, SF_SMOKE, "events").filter(F.lit(False))
+    assert funnel_summary(ev, ["view", "click"]).count() == 0
+    assert cohort_retention(ev).count() == 0
+
+
+def test_quality_checks_on_empty(spark):
+    from parqueryd_spark.operators.quality import (
+        check_foreign_key,
+        check_not_null,
+        check_range,
+        check_unique,
+        quality_report,
+        table_stats,
+    )
+
+    docs = _empty_docs(spark)
+    rep = quality_report(
+        [
+            check_unique(docs, ["doc_id"]),
+            check_not_null(docs, ["doc_id"]),
+            check_range(docs, "n_chars", 0, 10**9),
+            check_foreign_key(docs, "doc_id", docs, "doc_id"),
+        ]
+    ).collect()
+    # an empty table violates nothing
+    assert all(r.passed and r.violations == 0 for r in rep)
+    stats = {r.column: r for r in table_stats(docs, ["doc_id"]).collect()}
+    assert stats["doc_id"].n_rows == 0 and stats["doc_id"].n_distinct == 0
+
+
+def test_upsert_with_empty_updates(spark, tmp_path):
+    import os
+
+    from parqueryd_spark.sources.sinks import upsert_parquet, upsert_partitioned
+
+    p = os.path.join(str(tmp_path), "tbl")
+    base = spark.createDataFrame([(1, "d1", "a")], "k long, day string, v string")
+    base.write.parquet(p)
+    empty = base.filter(F.lit(False))
+    upsert_parquet(spark, p, empty, ["k"])
+    assert spark.read.parquet(p).count() == 1
+
+    pp = os.path.join(str(tmp_path), "ptbl")
+    base.write.partitionBy("day").parquet(pp)
+    assert upsert_partitioned(spark, pp, empty, ["k"], "day") == []
+    assert spark.read.parquet(pp).count() == 1
