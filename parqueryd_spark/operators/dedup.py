@@ -82,16 +82,33 @@ def span_dedup(
     """
     toks = tokens(F.col(text_col))
     n_spans = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * span_tokens + 1, span_tokens)),
+    )
+    return _keep_first_unit_dedup(df, id_col, spans, " ")
+
+
+def paragraph_dedup(
+    df: DataFrame, id_col: str, text_col: str, sep: str = "\n"
+) -> DataFrame:
+    """Sub-document exact dedup at NATURAL unit granularity (paragraphs /
+    lines) — the C4/Dolma form: each distinct ``sep``-delimited unit keeps
+    its first corpus-wide occurrence and documents are rebuilt ``sep``-joined
+    from the survivors. Prefer this over :func:`span_dedup` when the corpus
+    has real structural delimiters; fall back to fixed token spans when text
+    is an undelimited stream. Same skew-safe plan (see span_dedup), same
+    output shape (doc, n_spans, n_kept, dedup_text)."""
+    return _keep_first_unit_dedup(df, id_col, F.split(F.col(text_col), sep), sep)
+
+
+def _keep_first_unit_dedup(
+    df: DataFrame, id_col: str, units: F.Column, join_sep: str
+) -> DataFrame:
+    """Shared keep-first machinery over a per-doc array of text units."""
     spans = df.select(
         F.col(id_col).alias("doc"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_spans - 1),
-                lambda i: F.concat_ws(
-                    " ", F.slice(toks, i * span_tokens + 1, span_tokens)
-                ),
-            )
-        ).alias("pos", "span"),
+        F.posexplode(units).alias("pos", "span"),
     ).withColumn("digest", F.md5("span"))
     keepers = spans.groupBy("digest").agg(F.min(F.struct("doc", "pos")).alias("keep"))
     marked = spans.join(keepers, "digest").withColumn(
@@ -102,7 +119,7 @@ def span_dedup(
         F.count("*").alias("n_spans"),
         F.sum(F.when(F.col("is_kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
         F.concat_ws(
-            " ",
+            join_sep,
             F.transform(
                 F.array_sort(
                     F.collect_list(F.when(F.col("is_kept"), F.struct("pos", "span")))

@@ -103,3 +103,21 @@ def test_span_dedup_ragged_tail(spark):
     row = span_dedup(df, "doc_id", "text", span_tokens=3).first()
     assert row.n_spans == 2 and row.n_kept == 2
     assert row.dedup_text == "a b c d"
+
+
+def test_paragraph_dedup_keeps_first_occurrence(spark):
+    from parqueryd_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "intro text\nshared license block\nunique body one"),
+            (2, "shared license block\nunique body two"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc: r for r in paragraph_dedup(df, "doc_id", "text").collect()}
+    assert rows[1].n_spans == 3 and rows[1].n_kept == 3
+    assert rows[2].n_spans == 2 and rows[2].n_kept == 1
+    assert rows[2].dedup_text == "unique body two"
+    # order of surviving paragraphs is preserved
+    assert rows[1].dedup_text == "intro text\nshared license block\nunique body one"
