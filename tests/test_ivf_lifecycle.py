@@ -92,3 +92,49 @@ def test_bucket_stats_per_batch(spark, emb, centroids, tmp_path):
     stats = ivf_bucket_stats(spark, idx).collect()
     assert {r.batch for r in stats} == {"base", "b1"}
     assert sum(r.n_vectors for r in stats) == emb.count()
+
+
+def test_pca_fullrank_rotation_preserves_topk_exactly(spark, emb):
+    """A full-rank PCA basis is an orthonormal rotation: cosines — and hence
+    brute-force top-k — must be EXACTLY preserved. (Low-rank recall is
+    data-dependent: this fixture's embeddings are near-isotropic, so k=16 of
+    dim 64 keeps only ~16% of neighbors — measured, which is exactly why
+    pca_fit's docstring says to validate recall on the real corpus before
+    reducing.)"""
+    from parqueryd_spark.operators.similarity import (
+        brute_force_topk,
+        pca_fit,
+        pca_project,
+    )
+
+    dim = len(emb.first().embedding)
+    comps = pca_fit(emb, k=dim)
+    assert len(comps) == dim and all(len(c) == dim for c in comps)
+
+    reduced = pca_project(emb, comps)
+    assert len(reduced.first().embedding) == dim
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    red = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(
+            reduced, pca_project(queries, comps), k=5
+        ).collect()
+    }
+    assert red == full
+
+
+def test_pca_components_order_by_variance(spark, emb):
+    from parqueryd_spark.operators.similarity import pca_fit, pca_project
+
+    comps = pca_fit(emb, k=4)
+    red = pca_project(emb, comps)
+    stats = red.select(
+        *[F.variance(F.col("embedding")[i]).alias(f"v{i}") for i in range(4)]
+    ).first()
+    variances = [stats[f"v{i}"] for i in range(4)]
+    assert variances == sorted(variances, reverse=True)
