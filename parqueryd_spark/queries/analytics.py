@@ -59,6 +59,69 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH hourly AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT hour_start, event_type, n,
+             avg(n)         OVER w AS mu,
+             stddev_samp(n) OVER w AS sigma,
+             count(*)       OVER w AS n_window
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT hour_start, event_type, n,
+           round(mu, 4) AS mu,
+           round((n - mu) / sigma, 4) AS zscore,
+           abs((n - mu) / sigma) > 3.0 AS is_anomaly
+    FROM scored
+    WHERE n_window >= 12 AND sigma > 0
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection over hourly event counts: each
+    (hour, type) count is scored against the trailing 24 observed hours
+    (excluding itself), flagged when it sits more than 3 sigma out. Warm-up
+    hours (under 12 trailing points) and zero-variance windows are excluded
+    rather than scored against garbage. The whole detector is one windowed
+    aggregation after one groupBy — at 10^12 events the hourly rollup is the
+    only full-data pass, and it map-side combines."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(-24, -1)
+    )
+    z = (F.col("n") - F.avg("n").over(w)) / F.stddev_samp("n").over(w)
+    return (
+        hourly.withColumn("mu", F.avg("n").over(w))
+        .withColumn("sigma", F.stddev_samp("n").over(w))
+        .withColumn("n_window", F.count("*").over(w))
+        .filter((F.col("n_window") >= 12) & (F.col("sigma") > 0))
+        .select(
+            "hour_start",
+            "event_type",
+            "n",
+            F.round("mu", 4).alias("mu"),
+            F.round((F.col("n") - F.col("mu")) / F.col("sigma"), 4).alias("zscore"),
+            (F.abs((F.col("n") - F.col("mu")) / F.col("sigma")) > 3.0).alias(
+                "is_anomaly"
+            ),
+        )
+    )
+
+
+@query(
     "events_cohort_retention",
     oracle="""
     WITH activity AS (

@@ -1,0 +1,66 @@
+"""Streaming data-quality monitoring: every micro-batch is scored against a
+declarative check list (operators/quality.py) and the per-batch report is
+appended to a parquet metrics dataset — the observability loop that catches a
+broken upstream feed (sudden nulls, duplicate keys, out-of-range values)
+before it lands in the serving tables.
+
+Per-batch results write with OVERWRITE into their own ``batch=<id>``
+partition (the idempotent-replay pattern shared with streaming/dedup and
+streaming/rollup), so an at-least-once foreachBatch replay rewrites the same
+partition instead of double-reporting. The metrics dataset is tiny — one row
+per check per trigger — and reads as a time series of feed health.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from parqueryd_spark.operators.quality import quality_report
+
+
+def stream_quality_monitor(
+    stream_df: DataFrame,
+    metrics_dir: str,
+    checkpoint_dir: str,
+    checks_fn: Callable[[DataFrame], list[DataFrame]],
+    fail_fast: bool = False,
+    trigger_available_now: bool = True,
+):
+    """Start a foreachBatch query writing each micro-batch's quality report
+    to ``metrics_dir``. ``checks_fn`` maps the batch to its check list (the
+    ``quality_report`` inputs — uniqueness, nulls, ranges, foreign keys
+    against reference tables, ...). With ``fail_fast`` the stream STOPS on
+    the first failing batch (the report is still written first, so the
+    failure is diagnosable) — the circuit-breaker mode for feeds where bad
+    data must not advance the checkpoint. Returns the started query."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        rep = quality_report(checks_fn(batch_df)).withColumn(
+            "n_batch_rows", F.lit(batch_df.count())
+        )
+        rep.write.mode("overwrite").parquet(
+            os.path.join(metrics_dir, f"batch={batch_id}")
+        )
+        if fail_fast:
+            failed = [r.check for r in rep.collect() if not r.passed]
+            if failed:
+                raise RuntimeError(
+                    f"quality gate failed on batch {batch_id}: {failed}"
+                )
+
+    writer = stream_df.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_quality_metrics(spark, metrics_dir: str) -> DataFrame:
+    """The accumulated per-batch check history: (check, violations, passed,
+    n_batch_rows, batch)."""
+    return spark.read.parquet(metrics_dir)
