@@ -455,3 +455,106 @@ def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
             )
 
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def image_dhash(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """64-bit difference hash (dHash) of every DECODABLE image payload:
+    grayscale, box-downsample to 9x8, one bit per horizontal gradient sign —
+    the classic perceptual fingerprint that survives resizing, mild noise,
+    and recompression. Undecodable payloads hash to null (filter them before
+    pairing). Returns (media_id, dhash).
+
+    Arrow-batched mapInPandas over self-contained closures (no module import
+    on workers); the scan reads only the id and payload columns.
+    """
+    raw_decode = _make_raw_image_decoder()
+
+    def _dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(payload: bytes):
+            decoded = raw_decode(bytes(payload))
+            if decoded is None:
+                return None
+            w, h, rgb = decoded
+            # grayscale box-downsample to 9 x 8
+            gray = [[0.0] * 9 for _ in range(8)]
+            for gy in range(8):
+                for gx in range(9):
+                    x0, x1 = gx * w // 9, max(gx * w // 9 + 1, (gx + 1) * w // 9)
+                    y0, y1 = gy * h // 8, max(gy * h // 8 + 1, (gy + 1) * h // 8)
+                    acc = npx = 0
+                    for y in range(y0, min(y1, h)):
+                        base = 3 * y * w
+                        for x in range(x0, min(x1, w)):
+                            i = base + 3 * x
+                            acc += 299 * rgb[i] + 587 * rgb[i + 1] + 114 * rgb[i + 2]
+                            npx += 1
+                    gray[gy][gx] = acc / (1000.0 * npx) if npx else 0.0
+            bits = 0
+            for gy in range(8):
+                for gx in range(8):
+                    if gray[gy][gx + 1] > gray[gy][gx]:
+                        bits |= 1 << (gy * 8 + gx)
+            return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "dhash": pd.array(
+                        [one(p) for p in pdf[payload_col]], dtype="Int64"
+                    ),
+                }
+            )
+
+    return media.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(_dhash, schema=DHASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: dHash signatures banded into
+    ``max_hamming + 1`` pigeonhole blocks (reusing the text SimHash blocking
+    — any pair within the radius shares an exact band), verified by true
+    hamming distance. Candidate cost is band-collision-bounded exactly like
+    text simhash; the decode pass is the only Python, and it runs once per
+    image. Returns (id_a, id_b, hamming)."""
+    from parqueryd_spark.operators.dedup import simhash_bands
+
+    sigs = image_dhash(media, id_col, payload_col).filter(F.col("dhash").isNotNull())
+    bands = max_hamming + 1
+    banded = sigs.select(
+        F.col(id_col).alias("doc"),
+        F.col("dhash").alias("sig"),
+        F.explode(simhash_bands(F.col("dhash"), 64, bands)).alias("bb"),
+    ).select("doc", "sig", "bb.band", "bb.bh")
+    return (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
