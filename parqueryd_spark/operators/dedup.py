@@ -81,7 +81,12 @@ def span_dedup(
     the same key the scan is usually already partitioned by.
     """
     toks = tokens(F.col(text_col))
-    n_spans = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
+    # greatest(..., 1): sequence(0, -1) would DESCEND, fabricating two phantom
+    # spans for a zero-token doc (split never returns an empty array today,
+    # but this mirrors chunk_documents' guard rather than rely on that)
+    n_spans = F.greatest(
+        F.ceil(F.size(toks) / F.lit(span_tokens)), F.lit(1)
+    ).cast("int")
     spans = F.transform(
         F.sequence(F.lit(0), n_spans - 1),
         lambda i: F.concat_ws(" ", F.slice(toks, i * span_tokens + 1, span_tokens)),

@@ -270,8 +270,26 @@ def upsert_partitioned(
     qualified = fs.qualify(dataset_dir)
     for v in touched:
         if v not in present:
-            fs.delete(f"{qualified}/{partition_col}={v}")
+            fs.delete(f"{qualified}/{_partition_dir(spark, partition_col, v)}")
     return touched
+
+
+def _partition_dir(spark: SparkSession, col: str, value) -> str:
+    """Hive-encoded partition directory name for a value — the writer escapes
+    special characters (spaces, ':', '%', ...) and spells null as
+    __HIVE_DEFAULT_PARTITION__, so a raw f-string would miss those dirs and
+    leave stale files serving deleted rows. Uses Spark's own escaper via the
+    JVM gateway, falling back to the raw value if that private surface moves
+    (correct for the plain alphanumeric values partitions usually hold)."""
+    if value is None:
+        return f"{col}=__HIVE_DEFAULT_PARTITION__"
+    try:
+        esc = spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(
+            str(value)
+        )
+        return f"{col}={esc}"
+    except Exception:
+        return f"{col}={value}"
 
 
 def compact_parquet(

@@ -114,3 +114,21 @@ def test_upsert_key_moving_partition(spark, part_path):
     got = _rows(spark, part_path)
     assert got[(4, "d4")] == "D"
     assert (4, "d3") not in got
+
+
+def test_upsert_partitioned_drops_emptied_hive_escaped_partition(spark, tmp_path):
+    """Partition values with hive-escaped characters (space, colon) must
+    still have their directory dropped when the merge empties them."""
+    p = os.path.join(str(tmp_path), "esc_tbl")
+    spark.createDataFrame(
+        [(1, "d 1:x", "a"), (2, "plain", "b")], "k long, day string, v string"
+    ).write.partitionBy("day").parquet(p)
+    # Spark's escaper leaves spaces but %-encodes ':' — the dir a raw
+    # f-string would never name
+    assert "day=d 1%3Ax" in os.listdir(p), os.listdir(p)
+    updates = spark.createDataFrame(
+        [(1, "d 1:x", None, True)], "k long, day string, v string, is_delete boolean"
+    )
+    upsert_partitioned(spark, p, updates, ["k"], "day", delete_col="is_delete")
+    assert _rows(spark, p) == {(2, "plain"): "b"}
+    assert not any(d.startswith("day=d ") for d in os.listdir(p))
