@@ -131,6 +131,34 @@ def pack_contiguous(
     return df.withColumn(out_col, F.floor(start / F.lit(float(budget))).cast("long"))
 
 
+def stratified_exact_sample(
+    df: DataFrame,
+    id_col: str,
+    n_per_stratum: int,
+    strata_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """EXACT-count deterministic sampling: the ``n_per_stratum`` rows with
+    the smallest md5(id+salt) in each stratum — the budgeted counterpart of
+    :func:`stratified_sample` (fractions give binomially-varying counts;
+    audits and eval-set construction need exactly n). Same md5 ordering in
+    any engine reproduces the same rows; changing the salt draws a fresh
+    independent sample.
+
+    One shuffle on the stratum key; the per-stratum ORDER is rank-k
+    selection inside the window sort. For mega-strata where even that sort
+    hurts, pre-filter with :func:`stratified_sample` at a fraction safely
+    above n/|stratum| and rank only the survivors."""
+    w = Window.partitionBy(strata_col).orderBy(
+        md5_bucket(F.col(id_col), salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

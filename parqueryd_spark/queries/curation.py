@@ -200,6 +200,39 @@ def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_exact_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY CAST(('0x' || substr(md5(doc_id::VARCHAR || 'audit'), 1, 8))
+                             AS BIGINT), doc_id) AS rn
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_sampled,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+    FROM ranked WHERE rn <= 25 GROUP BY lang
+    """,
+)
+def pipeline_exact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified sampling (operators/sampling.py
+    stratified_exact_sample): precisely 25 docs per language by smallest
+    salted md5 rank — the oracle reproduces the identical sample membership
+    from the same md5 arithmetic, so the doc_id checksum matches exactly,
+    not statistically."""
+    docs = load_table(spark, sf_dir, "documents")
+    from parqueryd_spark.operators.sampling import stratified_exact_sample
+
+    sampled = stratified_exact_sample(docs, "doc_id", 25, "lang", salt="audit")
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_sampled"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+    )
+
+
+@query(
     "text_unigram_logprob",
     oracle="""
     WITH toks AS (

@@ -4,6 +4,7 @@ overlap, short-doc passthrough, and stride arithmetic."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from parqueryd_spark.operators.sampling import chunk_documents
 
@@ -41,3 +42,30 @@ def test_overlap_must_be_smaller_than_budget(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, "doc_id", "text", max_tokens=4, overlap=4)
+
+
+def test_stratified_exact_sample_counts_and_determinism(spark):
+    from parqueryd_spark.operators.sampling import stratified_exact_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(100)], "id long, s string"
+    )
+    s1 = stratified_exact_sample(df, "id", 10, "s", salt="x")
+    counts = {r.s: r.n for r in s1.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 10, "b": 10}
+    # deterministic: same salt -> same rows; different salt -> different draw
+    ids1 = sorted(r.id for r in s1.collect())
+    ids2 = sorted(
+        r.id for r in stratified_exact_sample(df, "id", 10, "s", salt="x").collect()
+    )
+    ids3 = sorted(
+        r.id for r in stratified_exact_sample(df, "id", 10, "s", salt="y").collect()
+    )
+    assert ids1 == ids2 and ids1 != ids3
+
+
+def test_stratified_exact_sample_small_stratum_keeps_all(spark):
+    from parqueryd_spark.operators.sampling import stratified_exact_sample
+
+    df = spark.createDataFrame([(1, "tiny"), (2, "tiny")], "id long, s string")
+    assert stratified_exact_sample(df, "id", 10, "s").count() == 2
