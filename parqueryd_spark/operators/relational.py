@@ -113,3 +113,47 @@ def asof_join(
         result_cols.append(F.when(match_ok, F.col(f"__f_{c}")).alias(out_names[c]))
     result_cols.append(F.when(match_ok, F.col("__f_ts")).alias(ts_out))
     return filled.select(*result_cols)
+
+
+def edit_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_distance: int,
+    left_id: str = "id_a",
+    right_id: str = "id_b",
+) -> DataFrame:
+    """Fuzzy string join: all (left, right) pairs with Levenshtein distance
+    <= ``max_distance``. Blocking is LOSSLESS — edit distance <= k forces
+    length difference <= k, so the left side explodes into its 2k+1
+    reachable length buckets and the equality join on (bucket) can never
+    miss a true pair; every candidate is then verified with the exact JVM
+    ``levenshtein``. Returns (left_id, right_id, distance).
+
+    Cost is sum over length buckets of |left within k| x |right at length| —
+    length distributions are short-tailed for names/titles, so this is far
+    from the cartesian product while staying exact. For corpora where whole
+    length bands are still huge, add a segment filter (PassJoin: split the
+    shorter string into k+1 segments, a true match must contain one exactly)
+    in front of the verify — that refinement keeps losslessness.
+
+    Spark 3.5+ ``levenshtein(l, r, threshold)`` takes the bound JVM-side and
+    bails out of the DP early for far pairs — the verify cost per candidate
+    is O(len * k), not O(len^2)."""
+    lv = left.select(
+        F.col(left_id), F.col(left_col).alias("_ls"), F.length(left_col).alias("_ll")
+    ).withColumn(
+        "_bucket",
+        F.explode(F.sequence(F.col("_ll") - max_distance, F.col("_ll") + max_distance)),
+    )
+    rv = right.select(
+        F.col(right_id), F.col(right_col).alias("_rs"), F.length(right_col).alias("_bucket")
+    )
+    dist = F.levenshtein(F.col("_ls"), F.col("_rs"), max_distance)
+    return (
+        lv.join(rv, "_bucket")
+        .withColumn("distance", dist)
+        .filter(F.col("distance") >= 0)  # threshold form returns -1 past the bound
+        .select(left_id, right_id, "distance")
+    )

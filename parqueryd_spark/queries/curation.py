@@ -264,6 +264,37 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fuzzy_join_part_names",
+    oracle="""
+    SELECT CAST(levenshtein(a.p_name, b.p_name) AS INT) AS distance,
+           count(*) AS n_pairs
+    FROM part a JOIN part b
+      ON a.p_partkey < b.p_partkey
+     AND abs(length(a.p_name) - length(b.p_name)) <= 2
+     AND levenshtein(a.p_name, b.p_name) <= 2
+    GROUP BY 1
+    """,
+)
+def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join of part names within edit distance 2
+    (operators/relational.py edit_distance_join — lossless length-band
+    blocking + threshold levenshtein verify), reported as pair counts per
+    distance; the oracle recomputes the full pair set with an unblocked
+    quadratic join, so a single missed or extra candidate shifts a count."""
+    from parqueryd_spark.operators.relational import edit_distance_join
+
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(F.col("p_partkey").alias("id_a"), "p_name")
+    b = part.select(F.col("p_partkey").alias("id_b"), "p_name")
+    pairs = edit_distance_join(a, b, "p_name", "p_name", max_distance=2)
+    return (
+        pairs.filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("distance")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@query(
     "part_price_quantiles",
     oracle="""
     SELECT p_brand,

@@ -121,3 +121,26 @@ def test_paragraph_dedup_keeps_first_occurrence(spark):
     assert rows[2].dedup_text == "unique body two"
     # order of surviving paragraphs is preserved
     assert rows[1].dedup_text == "intro text\nshared license block\nunique body one"
+
+
+def test_edit_distance_join_lossless_blocking(spark):
+    from parqueryd_spark.operators.relational import edit_distance_join
+
+    left = spark.createDataFrame(
+        [(1, "kitten"), (2, "abcdef")], "id_a long, s string"
+    )
+    right = spark.createDataFrame(
+        # sitting: distance 3 from kitten; kitte: 1 (deletion, shorter);
+        # kittenxy: 2 (insertions, longer); zzzzzz: far
+        [(10, "sitting"), (11, "kitte"), (12, "kittenxy"), (13, "zzzzzz")],
+        "id_b long, t string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in edit_distance_join(left, right, "s", "t", max_distance=3).collect()
+    }
+    assert got[(1, 10)] == 3
+    assert got[(1, 11)] == 1
+    assert got[(1, 12)] == 2
+    assert (1, 13) not in got
+    assert (2, 13) not in got  # length in band but distance 6 > 3
