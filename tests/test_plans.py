@@ -164,6 +164,11 @@ def test_no_python_in_core_paths(spark):
         "events_funnel",
         "events_cohort_retention",
         "text_unigram_logprob",
+        "events_anomaly_zscore",
+        "pipeline_exact_sample",
+        "fuzzy_join_part_names",
+        "pipeline_chunk_documents",
+        "quality_checks",
     ]
     for name in jvm_only:
         rep = plan_report(REGISTRY[name].fn(spark, SF_SMOKE))
