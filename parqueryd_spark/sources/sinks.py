@@ -328,3 +328,94 @@ def compact_parquet(
     df = spark.read.parquet(dataset_dir).repartition(target_partitions)
     atomic_publish(df, dataset_dir, partition_by=partition_by)
     return spark.read.parquet(dataset_dir).count()
+
+
+def publish_versioned(
+    df: DataFrame,
+    dataset_dir: str,
+    keep_generations: int = 3,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Versioned publication with retained history — time-travel-lite on
+    plain parquet. Each publish writes a fresh ``gen=<n>`` directory, then
+    atomically flips a ``_CURRENT`` pointer file (write-temp + rename, the
+    same single-FS-op visibility contract as :func:`atomic_publish`), and
+    prunes generations beyond ``keep_generations`` — never the one being
+    pointed at. Returns the new generation number.
+
+    Readers via :func:`read_current` always see one complete generation;
+    :func:`read_generation` time-travels; :func:`rollback_generation` flips
+    the pointer back without rewriting data (instant undo of a bad publish —
+    the capability the in-place swap can't offer once the old generation is
+    deleted). All filesystem ops go through Hadoop ``FileSystem``, so any
+    supported scheme works; on object stores the pointer rename is the only
+    non-atomic step and is a single small file.
+    """
+    fs = HadoopFS(df.sparkSession, dataset_dir)
+    root = fs.qualify(dataset_dir)
+    fs.mkdirs(root)
+    gens = _generations(fs, root)
+    new_gen = (max(gens) + 1) if gens else 0
+    write_parquet(df, f"{root}/gen={new_gen}", partition_by=partition_by)
+    _write_pointer(df.sparkSession, fs, root, new_gen)
+    for g in sorted(gens + [new_gen])[:-keep_generations]:
+        if g != new_gen:
+            fs.delete(f"{root}/gen={g}")
+    return new_gen
+
+
+def _generations(fs: HadoopFS, root: str) -> list[int]:
+    if not fs.is_dir(root):
+        return []
+    out = []
+    for d in fs.listdir(root):
+        if d.startswith("gen="):
+            try:
+                out.append(int(d[4:]))
+            except ValueError:
+                pass
+    return out
+
+
+def _write_pointer(spark: SparkSession, fs: HadoopFS, root: str, gen: int) -> None:
+    tmp = f"{root}/._CURRENT_{uuid.uuid4().hex[:8]}"
+    # write the pointer through the JVM FileSystem so any scheme works
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(tmp)
+    stream = fs._fs.create(jvm_path, True)
+    stream.write(bytearray(str(gen).encode()))
+    stream.close()
+    fs.delete(f"{root}/_CURRENT")
+    fs.rename_or_raise(tmp, f"{root}/_CURRENT")
+
+
+def current_generation(spark: SparkSession, dataset_dir: str) -> int:
+    """The generation the ``_CURRENT`` pointer names."""
+    fs = HadoopFS(spark, dataset_dir)
+    root = fs.qualify(dataset_dir)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(f"{root}/_CURRENT")
+    stream = fs._fs.open(jvm_path)
+    try:
+        raw = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    return int(raw.decode().strip())
+
+
+def read_current(spark: SparkSession, dataset_dir: str) -> DataFrame:
+    """The currently-published generation."""
+    gen = current_generation(spark, dataset_dir)
+    return spark.read.parquet(f"{dataset_dir}/gen={gen}")
+
+
+def read_generation(spark: SparkSession, dataset_dir: str, gen: int) -> DataFrame:
+    """Time travel: read a retained historical generation."""
+    return spark.read.parquet(f"{dataset_dir}/gen={gen}")
+
+
+def rollback_generation(spark: SparkSession, dataset_dir: str, gen: int) -> None:
+    """Flip ``_CURRENT`` back to a retained generation — metadata-only undo."""
+    fs = HadoopFS(spark, dataset_dir)
+    root = fs.qualify(dataset_dir)
+    if gen not in _generations(fs, root):
+        raise ValueError(f"generation {gen} is not retained under {dataset_dir}")
+    _write_pointer(spark, fs, root, gen)

@@ -1,0 +1,59 @@
+"""Versioned publication (sources/sinks.py publish_versioned): retained
+generations, current-pointer reads, time travel, metadata-only rollback,
+and pruning that never deletes the pointed-at generation."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from parqueryd_spark.sources.sinks import (
+    current_generation,
+    publish_versioned,
+    read_current,
+    read_generation,
+    rollback_generation,
+)
+
+
+def _df(spark, tag):
+    return spark.createDataFrame([(1, tag), (2, tag)], "k long, tag string")
+
+
+def test_publish_read_timetravel_rollback(spark, tmp_path):
+    root = os.path.join(str(tmp_path), "ds")
+    assert publish_versioned(_df(spark, "v0"), root) == 0
+    assert publish_versioned(_df(spark, "v1"), root) == 1
+    assert current_generation(spark, root) == 1
+    assert {r.tag for r in read_current(spark, root).collect()} == {"v1"}
+    # time travel to the retained previous generation
+    assert {r.tag for r in read_generation(spark, root, 0).collect()} == {"v0"}
+    # metadata-only undo
+    rollback_generation(spark, root, 0)
+    assert {r.tag for r in read_current(spark, root).collect()} == {"v0"}
+    with pytest.raises(ValueError, match="not retained"):
+        rollback_generation(spark, root, 99)
+
+
+def test_pruning_keeps_n_and_never_current(spark, tmp_path):
+    root = os.path.join(str(tmp_path), "ds")
+    for i in range(5):
+        publish_versioned(_df(spark, f"v{i}"), root, keep_generations=2)
+    gens = sorted(
+        int(d[4:]) for d in os.listdir(root) if d.startswith("gen=")
+    )
+    assert gens == [3, 4]
+    assert current_generation(spark, root) == 4
+    assert {r.tag for r in read_current(spark, root).collect()} == {"v4"}
+
+
+def test_readers_always_see_complete_generation(spark, tmp_path):
+    root = os.path.join(str(tmp_path), "ds")
+    publish_versioned(_df(spark, "v0"), root)
+    before = read_current(spark, root)
+    publish_versioned(_df(spark, "v1").filter(F.col("k") == 1), root)
+    # a reader holding the old generation still reads it intact (retained)
+    assert before.count() == 2
+    assert read_current(spark, root).count() == 1
