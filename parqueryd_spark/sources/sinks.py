@@ -338,10 +338,10 @@ def publish_versioned(
 ) -> int:
     """Versioned publication with retained history — time-travel-lite on
     plain parquet. Each publish writes a fresh ``gen=<n>`` directory, then
-    atomically flips a ``_CURRENT`` pointer file (write-temp + rename, the
-    same single-FS-op visibility contract as :func:`atomic_publish`), and
-    prunes generations beyond ``keep_generations`` — never the one being
-    pointed at. Returns the new generation number.
+    flips the current pointer by adding a higher-sequence marker file (see
+    ``_write_pointer``: append-then-prune, so no reader ever observes a
+    pointerless instant), and prunes generations beyond ``keep_generations``
+    — never the one being pointed at. Returns the new generation number.
 
     Readers via :func:`read_current` always see one complete generation;
     :func:`read_generation` time-travels; :func:`rollback_generation` flips
@@ -377,28 +377,47 @@ def _generations(fs: HadoopFS, root: str) -> list[int]:
     return out
 
 
+def _pointer_entries(fs: HadoopFS, root: str) -> list[tuple[int, int, str]]:
+    """Parsed ``_ptr.<seq>.<gen>`` marker files as (seq, gen, name)."""
+    out = []
+    if not fs.is_dir(root):
+        return out
+    for d in fs.listdir(root):
+        if d.startswith("_ptr."):
+            try:
+                _, seq, gen = d.split(".")
+                out.append((int(seq), int(gen), d))
+            except ValueError:
+                pass
+    return out
+
+
 def _write_pointer(spark: SparkSession, fs: HadoopFS, root: str, gen: int) -> None:
-    tmp = f"{root}/._CURRENT_{uuid.uuid4().hex[:8]}"
-    # write the pointer through the JVM FileSystem so any scheme works
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(tmp)
-    stream = fs._fs.create(jvm_path, True)
-    stream.write(bytearray(str(gen).encode()))
+    # append-only pointer: a NEW marker file ``_ptr.<seq>.<gen>`` appears via
+    # rename to a unique name (atomic; never replaces anything), readers take
+    # the highest seq, and older markers are pruned only AFTER the new one
+    # exists — so there is no instant with zero pointers, unlike a
+    # delete-then-rename of a single _CURRENT file (Hadoop rename refuses to
+    # overwrite, so single-file flips can't be atomic). The generation rides
+    # in the NAME: readers never open the file, so partial content can't lie.
+    entries = _pointer_entries(fs, root)
+    seq = (max(e[0] for e in entries) + 1) if entries else 0
+    tmp = f"{root}/._ptrtmp_{uuid.uuid4().hex[:8]}"
+    stream = fs._fs.create(spark._jvm.org.apache.hadoop.fs.Path(tmp), True)
     stream.close()
-    fs.delete(f"{root}/_CURRENT")
-    fs.rename_or_raise(tmp, f"{root}/_CURRENT")
+    fs.rename_or_raise(tmp, f"{root}/_ptr.{seq:010d}.{gen}")
+    for _seq, _gen, name in entries:
+        fs.delete(f"{root}/{name}")
 
 
 def current_generation(spark: SparkSession, dataset_dir: str) -> int:
-    """The generation the ``_CURRENT`` pointer names."""
+    """The generation the highest-sequence pointer marker names."""
     fs = HadoopFS(spark, dataset_dir)
     root = fs.qualify(dataset_dir)
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(f"{root}/_CURRENT")
-    stream = fs._fs.open(jvm_path)
-    try:
-        raw = bytes(stream.readAllBytes())
-    finally:
-        stream.close()
-    return int(raw.decode().strip())
+    entries = _pointer_entries(fs, root)
+    if not entries:
+        raise FileNotFoundError(f"no publication pointer under {dataset_dir}")
+    return max(entries)[1]
 
 
 def read_current(spark: SparkSession, dataset_dir: str) -> DataFrame:

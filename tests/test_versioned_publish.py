@@ -57,3 +57,20 @@ def test_readers_always_see_complete_generation(spark, tmp_path):
     # a reader holding the old generation still reads it intact (retained)
     assert before.count() == 2
     assert read_current(spark, root).count() == 1
+
+
+def test_pointer_flip_never_leaves_pointerless_window(spark, tmp_path):
+    """The flip is append-then-prune: at every step at least one _ptr marker
+    exists, and extra markers (a crash between append and prune) resolve to
+    the highest sequence."""
+    root = os.path.join(str(tmp_path), "ds")
+    publish_versioned(_df(spark, "v0"), root)
+    publish_versioned(_df(spark, "v1"), root)
+    ptrs = [d for d in os.listdir(root) if d.startswith("_ptr.")]
+    assert len(ptrs) == 1
+    # simulate a crash that left BOTH markers: reader picks the newest
+    import pathlib
+
+    stale = pathlib.Path(root) / "_ptr.0000000000.0"
+    stale.touch()
+    assert current_generation(spark, root) == 1
