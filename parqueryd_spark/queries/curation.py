@@ -264,6 +264,32 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_label_centroids",
+    oracle="""
+    SELECT label, i AS dim, round(avg(e[i]), 4) AS centroid_val
+    FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         UNNEST(generate_series(1, len(e))) AS u(i)
+    GROUP BY label, i
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids as flat (label, dim, value) rows — the
+    vector-aggregate shape (class prototypes, cluster summaries) computed by
+    exploding dimensions and averaging per (label, dim): one shuffle keyed
+    by (label, dim), map-side combined, no vector UDAF needed. Flat rows
+    rather than array output so the cross-engine compare is per-value exact
+    instead of string-format-dependent."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+        )
+        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(F.round(F.avg("v"), 4).alias("centroid_val"))
+    )
+
+
+@query(
     "fuzzy_join_part_names",
     oracle="""
     SELECT CAST(levenshtein(a.p_name, b.p_name) AS INT) AS distance,
