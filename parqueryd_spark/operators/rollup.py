@@ -130,3 +130,107 @@ def incremental_rollup(
     base = rollup_partials(base_events, grain, keys, ts_col, value_col)
     inc = rollup_partials(increment_events, grain, keys, ts_col, value_col)
     return finalize_rollup(merge_rollups(base, inc, keys=keys), keys=keys)
+
+
+def histogram_partials(
+    events: DataFrame,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+    grain: str = "1 hour",
+    keys: tuple[str, ...] = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Mergeable QUANTILE state for incremental rollups: a fixed equi-width
+    histogram per (grain, keys) as flat (window_start, keys..., bin, n) rows
+    — merging two histograms is summing matching bins, so quantiles gain
+    the same |increment|+|rollup| maintenance cost as sum/avg/std. Values
+    outside [lo, hi) clamp into the edge bins (tracked exactly in counts;
+    the estimate degrades only inside the clamped bin). Bin width bounds the
+    quantile error: (hi-lo)/bins. One map-side-combined shuffle over the
+    increment; state size is at most bins rows per grain x key.
+
+    Choose [lo, hi) from domain knowledge or a first-pass min/max rollup;
+    changing the binning later requires re-aggregating raw data (fixed bins
+    are what makes the state mergeable — sketch-free, engine-agnostic,
+    exactly reproducible)."""
+    if bins <= 0 or hi <= lo:
+        raise ValueError(f"need bins > 0 and hi > lo, got bins={bins} [{lo},{hi})")
+    v = F.col(value_col).cast("double")
+    bin_col = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor((v - lo) / ((hi - lo) / bins)).cast("int")),
+    )
+    return (
+        events.filter(v.isNotNull())
+        .groupBy(
+            F.window(ts_col, grain)["start"].alias("window_start"),
+            *keys,
+            bin_col.alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def merge_histograms(
+    *parts: DataFrame, keys: tuple[str, ...] = ("event_type",)
+) -> DataFrame:
+    """Merge histogram partials: union + sum matching bins (associative and
+    commutative, like merge_rollups)."""
+    if not parts:
+        raise ValueError("merge_histograms needs at least one input")
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    return merged.groupBy("window_start", *keys, "bin").agg(F.sum("n").alias("n"))
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    probs: list[float],
+    lo: float,
+    hi: float,
+    bins: int = 64,
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Quantile estimates from merged histogram state: per (grain, keys),
+    walk the cumulative bin counts to the prob threshold and interpolate
+    linearly inside the landing bin. Guarantee: the estimate lies within one
+    bin width of the ceil(n*p)-th order statistic (the landing bin contains
+    that value by construction). Interpolating-definition quantiles
+    (SQL percentile / quantile_cont) of SPARSE groups can sit farther away —
+    up to the gap between adjacent order statistics — because the histogram
+    cannot see where inside a bin gap the neighboring sample fell; for dense
+    groups the definitions converge. Emits one row per (grain, keys, prob):
+    (..., prob, quantile_est). No raw-data access — this is the finalize
+    step, shuffling only state rows."""
+    width = (hi - lo) / bins
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy("window_start", *keys).orderBy("bin")
+    cum = hist.withColumn("cum", F.sum("n").over(win)).withColumn(
+        "total", F.sum("n").over(W.partitionBy("window_start", *keys))
+    )
+    out = None
+    for p in probs:
+        target = F.col("total") * F.lit(p)
+        # first bin whose cumulative count reaches the target
+        hit = (
+            cum.filter(F.col("cum") >= target)
+            .withColumn(
+                "rn",
+                F.row_number().over(win.orderBy("bin")),
+            )
+            .filter(F.col("rn") == 1)
+        )
+        frac = (target - (F.col("cum") - F.col("n"))) / F.col("n")
+        est = F.lit(lo) + (F.col("bin") + frac) * F.lit(width)
+        one = hit.select(
+            "window_start",
+            *keys,
+            F.lit(p).alias("prob"),
+            est.alias("quantile_est"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
