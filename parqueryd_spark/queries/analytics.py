@@ -122,6 +122,53 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_histogram_quantiles",
+    oracle="""
+    WITH hist AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS window_start, event_type,
+             least(65, greatest(0, CAST(floor(value / 5.0) AS INT))) AS bin,
+             count(*) AS n
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2, 3
+    ),
+    cum AS (
+      SELECT *, sum(n) OVER (PARTITION BY window_start, event_type
+                             ORDER BY bin) AS cum,
+             sum(n) OVER (PARTITION BY window_start, event_type) AS total
+      FROM hist
+    ),
+    est AS (
+      SELECT window_start, event_type, p.prob,
+             bin, n, cum, total,
+             row_number() OVER (PARTITION BY window_start, event_type, p.prob
+                                ORDER BY bin) AS rn
+      FROM cum, (SELECT unnest([0.5, 0.9]) AS prob) p
+      WHERE cum >= total * p.prob
+    )
+    SELECT window_start, event_type, prob,
+           round((bin + (total * prob - (cum - n)) / n) * 5.0, 4) AS quantile_est
+    FROM est WHERE rn = 1
+    """,
+)
+def events_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p50/p90 of event values served from MERGEABLE histogram rollup
+    state (operators/rollup.py histogram_partials + histogram_quantiles,
+    [0, 330) in 66 bins) — the quantile the maintained-rollup table answers
+    without touching raw data. The oracle rebuilds the identical histogram
+    walk in SQL, so binning, cumulative ranks, and in-bin interpolation all
+    hash-match exactly."""
+    from parqueryd_spark.operators.rollup import (
+        histogram_partials,
+        histogram_quantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = histogram_partials(ev, 0.0, 330.0, 66, grain="1 day")
+    est = histogram_quantiles(hist, [0.5, 0.9], 0.0, 330.0, 66)
+    return est.withColumn("quantile_est", F.round("quantile_est", 4))
+
+
+@query(
     "events_cohort_retention",
     oracle="""
     WITH activity AS (
