@@ -297,6 +297,7 @@ def compact_parquet(
     dataset_dir: str,
     target_partitions: int,
     partition_by: list[str] | None = None,
+    cluster_by: list[str] | None = None,
 ) -> int:
     """Small-file compaction: rewrite a dataset into ``target_partitions``
     files and atomically swap it into place. Returns the row count.
@@ -313,6 +314,12 @@ def compact_parquet(
     ``partition_by`` it was written with — rewriting without it would fold
     the partition columns back into plain files and silently break
     partition-pruned readers, so that case is rejected.
+
+    ``cluster_by`` re-clusters while compacting — the natural moment, since
+    the data is being rewritten anyway: one column gets a range-partition +
+    sort (selective row-group min-max stats on that column); two or more go
+    through Z-order (``sources/layout.zorder_layout``) so min-max skipping
+    prunes on every listed column.
     """
     if partition_by is None:
         fs = HadoopFS(spark, dataset_dir)
@@ -325,7 +332,17 @@ def compact_parquet(
                 f"{dataset_dir} is hive-partitioned (e.g. {part_dirs[0]}); pass partition_by "
                 "to preserve the layout — compacting without it would flatten the partitioning"
             )
-    df = spark.read.parquet(dataset_dir).repartition(target_partitions)
+    df = spark.read.parquet(dataset_dir)
+    if cluster_by and len(cluster_by) >= 2:
+        from parqueryd_spark.sources.layout import zorder_layout
+
+        df = zorder_layout(df, cluster_by, target_partitions=target_partitions)
+    elif cluster_by:
+        from parqueryd_spark.sources.layout import optimize_layout
+
+        df = optimize_layout(df, cluster_by, target_partitions=target_partitions)
+    else:
+        df = df.repartition(target_partitions)
     atomic_publish(df, dataset_dir, partition_by=partition_by)
     return spark.read.parquet(dataset_dir).count()
 

@@ -56,3 +56,32 @@ def test_zorder_layout_is_local_in_both_dims(spark):
     assert sum(r.sy for r in spreads) / len(spreads) < 34
     # columns untouched, helper key dropped
     assert out.columns == ["x", "y"]
+
+
+def test_compact_with_clustering(spark, tmp_path):
+    import os
+
+    from parqueryd_spark.sources.sinks import compact_parquet
+
+    p = os.path.join(str(tmp_path), "tbl")
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(32) for y in range(32)], "x int, y int"
+    )
+    # messy initial layout: many small files, random order
+    grid.repartition(64).write.parquet(p)
+    n = compact_parquet(spark, p, target_partitions=8, cluster_by=["x", "y"])
+    assert n == 1024
+    files = [f for f in os.listdir(p) if f.endswith(".parquet")]
+    assert len(files) <= 8
+    # clustered: per-file bounding boxes are compact in BOTH dims on average
+    import pyarrow.parquet as pq
+
+    sx = sy = 0
+    for f in files:
+        t = pq.read_table(os.path.join(p, f))
+        xs, ys = t.column("x").to_pylist(), t.column("y").to_pylist()
+        sx += max(xs) - min(xs)
+        sy += max(ys) - min(ys)
+    # full range is 31 per dim (random layout ~31 in both; an x-sort leaves
+    # y at ~31); allow for quadrant-straddling ranges
+    assert sx / len(files) < 24 and sy / len(files) < 24
