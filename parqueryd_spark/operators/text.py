@@ -216,6 +216,28 @@ def ngrams_all(text: Column | str, k: int = 2) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def normalize_text(
+    text: Column | str,
+    lowercase: bool = True,
+    collapse_whitespace: bool = True,
+    strip_punct: bool = False,
+) -> Column:
+    """Canonicalize text BEFORE hashing/dedup — near-dups that differ only
+    in case, run-on whitespace, or punctuation become exact dups, which
+    turns cheap exact/span dedup loose on formatting variants a minhash
+    would spend candidate budget on. Pure Column expressions (lower +
+    RE2-safe regexp_replace), codegen-eligible; apply the SAME normalization
+    when probing an index that was built normalized."""
+    out = F.col(text) if isinstance(text, str) else text
+    if lowercase:
+        out = F.lower(out)
+    if strip_punct:
+        out = F.regexp_replace(out, F.lit(r"[^\w\s]"), F.lit(""))
+    if collapse_whitespace:
+        out = F.trim(F.regexp_replace(out, F.lit(r"\s+"), F.lit(" ")))
+    return out
+
+
 def unigram_logprob(df, id_col: str, text_col: str):
     """Corpus-statistical quality score (the CCNet/KenLM-filter shape at
     unigram order): each document's mean ln P(token) under the corpus's own

@@ -65,17 +65,18 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # correctness gate records the FIRST 50 registry entries, and the highest-value
 # modules register first, so an addition pushing past 50 only drops the
 # lowest-value variants out of the window. Past the window as of round 6
-# (35 total, each still verified by tools/driver_sim.py and pytest):
+# (36 total, each still verified by tools/driver_sim.py and pytest):
 # #51 text_ngram_stats, #52 text_fingerprint, #53 scalar_string_funcs,
 # #54 scalar_date_json_funcs, #55 scalar_math_bucketing, #56 ann_pq_topk +
 # #57 text_heavy_hitter_tokens (rows-only by design),
 # #58 pipeline_domain_mixture, #59 pipeline_pii_redaction, #60 dedup_spans,
 # #61 pipeline_chunk_documents, #62 pipeline_exact_sample,
-# #63 text_unigram_logprob, #64 embedding_label_centroids,
-# #65 fuzzy_join_part_names, #66 part_price_quantiles, #67 events_funnel,
-# #68 events_anomaly_zscore, #69 events_histogram_quantiles,
-# #70 events_cohort_retention, #71 quality_checks, #72 table_stats_part,
-# #73-85 the extended TPC-H suite. In-window
+# #63 text_unigram_logprob, #64 text_normalize_dedup,
+# #65 embedding_label_centroids, #66 fuzzy_join_part_names,
+# #67 part_price_quantiles, #68 events_funnel, #69 events_anomaly_zscore,
+# #70 events_histogram_quantiles, #71 events_cohort_retention,
+# #72 quality_checks, #73 table_stats_part,
+# #74-86 the extended TPC-H suite. In-window
 # rows-only: events_sketch_aggs + ann_ivf_topk (estimates by design; each has
 # an oracle-checked exact companion row in the window).
 from parqueryd_spark.queries import core  # noqa: E402,F401

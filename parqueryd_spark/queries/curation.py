@@ -264,6 +264,59 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_normalize_dedup",
+    oracle="""
+    WITH enriched AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 3 = 0 THEN upper(text)
+                  WHEN doc_id % 5 = 0 THEN replace(text, ' ', '  ') || ' !!!'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    norm AS (
+      SELECT doc_id, source, text,
+             trim(regexp_replace(
+               regexp_replace(lower(text), '[^\\w\\s]', '', 'g'),
+               '\\s+', ' ', 'g')) AS ntext
+      FROM enriched
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS distinct_raw,
+           count(DISTINCT md5(ntext)) AS distinct_norm
+    FROM norm GROUP BY source
+    """,
+)
+def text_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware dedup accounting: the fixture is deterministically
+    perturbed (every 3rd doc uppercased, every 5th double-spaced with junk
+    punctuation — formatting variants, not new content) and per source the
+    query reports how many distinct digests exist before and after
+    normalize_text (operators/text.py). distinct_norm < distinct_raw is
+    exactly the dedup the canonicalization recovers; the oracle reproduces
+    both the perturbation and the normalization."""
+    from parqueryd_spark.operators.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") % 3 == 0, F.upper("text"))
+        .when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.regexp_replace(F.col("text"), F.lit(" "), F.lit("  ")), F.lit(" !!!")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    norm = normalize_text("text", strip_punct=True)
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("distinct_raw"),
+        F.countDistinct(F.md5(norm)).alias("distinct_norm"),
+    )
+
+
+@query(
     "embedding_label_centroids",
     oracle="""
     SELECT label, i AS dim, round(avg(e[i]), 4) AS centroid_val

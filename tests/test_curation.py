@@ -144,3 +144,19 @@ def test_edit_distance_join_lossless_blocking(spark):
     assert got[(1, 12)] == 2
     assert (1, 13) not in got
     assert (2, 13) not in got  # length in band but distance 6 > 3
+
+
+def test_normalize_text_variants(spark):
+    from parqueryd_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [("  Hello,   WORLD!  ",)], "text string"
+    )
+    full = df.select(normalize_text("text", strip_punct=True).alias("n")).first().n
+    assert full == "hello world"
+    keep_punct = df.select(normalize_text("text").alias("n")).first().n
+    assert keep_punct == "hello, world!"
+    no_case = df.select(
+        normalize_text("text", lowercase=False, strip_punct=True).alias("n")
+    ).first().n
+    assert no_case == "Hello WORLD"
