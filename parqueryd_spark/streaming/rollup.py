@@ -79,3 +79,52 @@ def compact_rollup(
     )
     atomic_publish(merged, rollup_dir, partition_by=["batch"])
     return spark.read.parquet(rollup_dir).count()
+
+
+def stream_maintain_histogram(
+    event_stream: DataFrame,
+    hist_dir: str,
+    checkpoint_dir: str,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+    grain: str = "1 hour",
+    keys: tuple[str, ...] = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+):
+    """Continuously-maintained quantile state: each micro-batch's histogram
+    partials (operators/rollup.histogram_partials) land in an idempotent
+    ``batch=<id>`` partition — the same contract as stream_maintain_rollup,
+    extended to the quantile measures. State per batch is at most
+    bins x grains x keys rows; late data merges in bin-by-bin."""
+    from parqueryd_spark.operators.rollup import histogram_partials
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        part = histogram_partials(batch_df, lo, hi, bins, grain, keys, ts_col, value_col)
+        part.write.mode("overwrite").parquet(os.path.join(hist_dir, f"batch={batch_id}"))
+
+    return (
+        event_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_histogram_quantiles(
+    spark,
+    hist_dir: str,
+    probs: list[float],
+    lo: float,
+    hi: float,
+    bins: int = 64,
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Quantile estimates over ALL published batches: merge-on-read of the
+    bin counts, then the cumulative walk (operators/rollup.
+    histogram_quantiles) — raw events are never touched."""
+    from parqueryd_spark.operators.rollup import histogram_quantiles, merge_histograms
+
+    parts = spark.read.parquet(hist_dir).drop("batch")
+    return histogram_quantiles(merge_histograms(parts, keys=keys), probs, lo, hi, bins, keys)

@@ -72,3 +72,39 @@ def test_out_of_range_values_clamp_to_edge_bins(spark):
     )
     rows = {r.bin: r.n for r in histogram_partials(df, LO, HI, BINS).collect()}
     assert rows[0] == 1 and rows[BINS - 1] == 1 and rows[BINS // 2] == 1
+
+
+def test_streaming_histogram_matches_batch(spark, tmp_path):
+    """availableNow micro-batches of histogram state merge to exactly the
+    one-shot batch answer (idempotent per-batch partitions + merge-on-read)."""
+    import os
+
+    from parqueryd_spark.streaming.rollup import (
+        read_histogram_quantiles,
+        stream_maintain_histogram,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    src = os.path.join(str(tmp_path), "src")
+    ev.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    hd = os.path.join(str(tmp_path), "hist")
+    q = stream_maintain_histogram(
+        stream, hd, os.path.join(str(tmp_path), "ckpt"), LO, HI, BINS, grain="1 day"
+    )
+    q.awaitTermination()
+    assert len([d for d in os.listdir(hd) if d.startswith("batch=")]) >= 2
+
+    streamed = {
+        (r.window_start, r.event_type, r.prob): r.quantile_est
+        for r in read_histogram_quantiles(spark, hd, [0.5, 0.9], LO, HI, BINS).collect()
+    }
+    batch = {
+        (r.window_start, r.event_type, r.prob): r.quantile_est
+        for r in histogram_quantiles(
+            histogram_partials(ev, LO, HI, BINS, grain="1 day"), [0.5, 0.9], LO, HI, BINS
+        ).collect()
+    }
+    assert streamed == batch
