@@ -75,3 +75,41 @@ def bucketed_join(
     """Join two pre-bucketed catalog tables; with matching bucketing the plan
     shows no Exchange on either side (asserted in tests/test_scale.py)."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def skew_stats(
+    df: DataFrame, keys: Sequence[str], top: int = 10
+) -> tuple[DataFrame, dict]:
+    """Diagnose a shuffle key BEFORE the join/groupBy melts an executor:
+    returns (top-key frequency table, summary dict) where the summary holds
+    ``n_rows``, ``n_keys``, ``max_key_rows``, ``skew_factor`` (hottest key's
+    share over the uniform share — AQE's skew-join threshold thinking applied
+    to key stats), and ``suggested_salt_buckets`` (hot-key rows over the
+    average, capped at 64 — the bucket count that levels the hottest reducer
+    to roughly the mean).
+
+    One map-side-combined count per key plus a top-k heap; the summary is
+    metadata-scale driver state, equivalent to collecting a broadcast dim.
+    Feed ``suggested_salt_buckets`` straight into :func:`salted_groupby_agg`.
+    """
+    counts = df.groupBy(*keys).agg(F.count("*").alias("n_rows"))
+    summary_row = counts.agg(
+        F.sum("n_rows").alias("total"),
+        F.count("*").alias("n_keys"),
+        F.max("n_rows").alias("max_key_rows"),
+    ).first()
+    total, n_keys, max_rows = (
+        summary_row.total or 0,
+        summary_row.n_keys or 0,
+        summary_row.max_key_rows or 0,
+    )
+    mean = total / n_keys if n_keys else 0.0
+    summary = {
+        "n_rows": total,
+        "n_keys": n_keys,
+        "max_key_rows": max_rows,
+        "skew_factor": (max_rows / mean) if mean else 0.0,
+        "suggested_salt_buckets": min(64, max(1, round(max_rows / mean))) if mean else 1,
+    }
+    top_keys = counts.orderBy(F.col("n_rows").desc(), *keys).limit(top)
+    return top_keys, summary

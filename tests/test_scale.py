@@ -298,3 +298,26 @@ def test_aqe_splits_skewed_join_partitions(spark):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_skew_stats_flags_hot_key(spark):
+    from parqueryd_spark.operators.scale import skew_stats
+
+    rows = [(i, "hot") for i in range(900)] + [(i, f"k{i % 10}") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    top, summary = skew_stats(df, ["k"], top=3)
+    assert summary["n_rows"] == 1000 and summary["n_keys"] == 11
+    assert summary["max_key_rows"] == 900
+    # hot key holds 90% over 11 keys -> skew factor ~9.9, salt ~10
+    assert summary["skew_factor"] > 9
+    assert 8 <= summary["suggested_salt_buckets"] <= 12
+    assert top.first().k == "hot"
+
+
+def test_skew_stats_uniform_key_needs_no_salt(spark):
+    from parqueryd_spark.operators.scale import skew_stats
+
+    df = spark.createDataFrame([(i, f"k{i % 20}") for i in range(400)], "id long, k string")
+    _top, summary = skew_stats(df, ["k"])
+    assert summary["skew_factor"] == 1.0
+    assert summary["suggested_salt_buckets"] == 1
