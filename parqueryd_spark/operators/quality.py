@@ -124,3 +124,38 @@ def quality_report(checks: list[DataFrame]) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out.withColumn("passed", F.col("violations") == 0)
+
+
+def table_diff(
+    a: DataFrame,
+    b: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Snapshot reconciliation between two versions of a table: which keys
+    were ``added`` (only in ``b``), ``removed`` (only in ``a``), or
+    ``changed`` (present in both with differing compared columns). Unchanged
+    keys are omitted — the output is diff-sized, not table-sized. The shape a
+    CDC pipeline needs to validate an applied changeset (streaming/cdc.py)
+    and a versioned publish needs to audit between generations
+    (sources/sinks.py:publish_version).
+
+    Scale design (100 TB): each side is reduced AT THE SCAN to
+    ``(keys, xxhash64(compared cols))`` — a column-pruned projection, nothing
+    row-width crosses the wire — then ONE full-outer sort-merge join on the
+    key shuffle decides each key's status. The digest comparison trades
+    exactness for width: xxhash64 collisions can mark a changed row
+    unchanged with probability 2^-64 per key (only same-key pairs compare).
+    Snapshots written bucketed by key (operators/scale.py:write_bucketed)
+    make the join zero-exchange.
+    """
+    cc = compare_cols or [c for c in a.columns if c not in keys]
+    ha = a.select(*keys, F.xxhash64(*cc).alias("_ha"))
+    hb = b.select(*keys, F.xxhash64(*cc).alias("_hb"))
+    j = ha.join(hb, on=list(keys), how="full_outer")
+    status = (
+        F.when(F.col("_ha").isNull(), F.lit("added"))
+        .when(F.col("_hb").isNull(), F.lit("removed"))
+        .when(F.col("_ha") != F.col("_hb"), F.lit("changed"))
+    )
+    return j.select(status.alias("status"), *keys).where(F.col("status").isNotNull())

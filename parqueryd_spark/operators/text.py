@@ -291,3 +291,69 @@ def tfidf_terms(df, id_col: str, text_col: str):
         .withColumn("tfidf", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
         .select("doc", "token", "tf", "tfidf")
     )
+
+
+def bm25_scores(
+    df,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Okapi BM25 ranked retrieval for a fixed query-term list (the Lucene
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` idf variant, which is always
+    positive). Returns ``(doc, n_match, score)`` — one row per document that
+    contains at least one query term. The reference has no text retrieval at
+    all (SURVEY.md §2.2); this is north-star scope.
+
+    Scale design (100 TB): the document grain is never exploded or shuffled.
+    Per-term tf is counted inside each document's token array with pure
+    Column expressions (codegen-eligible), so the only aggregate is ONE
+    global row of |Q|+2 numbers (N, avgdl, per-term document frequency) —
+    map-side partials, then broadcast back with ``crossJoin``. Ranked
+    retrieval is scan → score → filter; with a downstream ``topk`` the plan
+    is TakeOrderedAndProject, never a (doc, token)-grain shuffle the way an
+    inverted-index build would be. That trade is deliberate: for ad-hoc
+    queries over a corpus, a full scan beats materializing an index; for a
+    standing query workload, build the index once with ``tfidf_terms`` and
+    join on its (token) grain instead.
+    """
+    toks = tokens(text_col)
+    nq = len(query_terms)
+
+    def _tf(term: str):
+        # one-arg lambda on purpose: F.filter treats a second parameter as
+        # the element index, not a closure slot
+        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.size(toks).alias("dl"),
+        *[_tf(term).alias(f"tf_{i}") for i, term in enumerate(query_terms)],
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}") for i in range(nq)],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+
+    def term_score(i: int):
+        tf = F.col(f"tf_{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5)) / (F.col(f"df_{i}") + F.lit(0.5))
+        )
+        norm_len = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        return F.when(tf > 0, idf * (tf * F.lit(k1 + 1.0)) / (tf + norm_len)).otherwise(F.lit(0.0))
+
+    score = term_score(0)
+    for i in range(1, nq):
+        score = score + term_score(i)
+    n_match = (F.col("tf_0") > 0).cast("long")
+    for i in range(1, nq):
+        n_match = n_match + (F.col(f"tf_{i}") > 0).cast("long")
+    return scored.where(n_match > 0).select(
+        "doc", n_match.alias("n_match"), score.alias("score")
+    )

@@ -6,6 +6,7 @@ and tools/driver_sim."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from parqueryd_spark.operators.quality import (
     check_foreign_key,
@@ -130,3 +131,60 @@ def table_stats_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     the planner/data-quality statistics surface."""
     part = load_table(spark, sf_dir, "part")
     return table_stats(part, ["p_partkey", "p_brand", "p_size", "p_type"])
+
+
+_ORDER_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+_DIFF_COMPARE = " OR ".join(
+    f"a.{c} IS DISTINCT FROM b.{c}" for c in _ORDER_COLS if c != "o_orderkey"
+)
+_B_COLS = ",\n             ".join(
+    "CASE WHEN o_orderkey % 97 = 0 THEN round(o_totalprice * 1.05, 2)"
+    " ELSE o_totalprice END AS o_totalprice"
+    if c == "o_totalprice"
+    else c
+    for c in _ORDER_COLS
+)
+
+
+@query(
+    "table_diff_snapshots",
+    oracle=f"""
+    WITH a AS (
+      SELECT * FROM orders WHERE o_orderkey % 101 <> 0
+    ), b AS (
+      SELECT {_B_COLS}
+      FROM orders WHERE o_orderkey % 89 <> 0
+    )
+    SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS status,
+           coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey
+    FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL OR ({_DIFF_COMPARE})
+    """,
+)
+def table_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (operators/quality.py:table_diff): diff two
+    simulated generations of the orders table — one with ~1% of keys absent
+    (added in the new snapshot), the other with ~1% dropped and ~1% repriced
+    — into (status, key) rows. The oracle rebuilds the same diff with a full
+    outer join and IS DISTINCT FROM column compares, independently of the
+    operator's xxhash64 digest."""
+    from parqueryd_spark.operators.quality import table_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderkey") % 101 != 0)
+    b = orders.where(F.col("o_orderkey") % 89 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.round(F.col("o_totalprice") * 1.05, 2)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return table_diff(a, b, ["o_orderkey"])

@@ -303,3 +303,65 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.fingerprint("text").alias("fingerprint"),
         F.length("text").alias("text_len"),
     )
+
+
+_BM25_TERMS = ["hash", "join", "vector", "stream"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n           ".join(
+        f"len(list_filter(string_split(text, ' '), t -> t = '{term}')) AS tf_{i}"
+        for i, term in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n           ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    term_scores = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * (tf_{i} * {_BM25_K1 + 1.0}) / (tf_{i} + {_BM25_K1} * ({1.0 - _BM25_B}"
+        f" + {_BM25_B} * dl / avgdl)) ELSE 0.0 END)"
+        for i in range(len(_BM25_TERMS))
+    )
+    n_match = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)" for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+           len(string_split(text, ' ')) AS dl,
+           {tf_cols}
+      FROM documents
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+           {df_cols}
+      FROM base
+    )
+    SELECT doc_id,
+           CAST({n_match} AS BIGINT) AS n_match,
+           round({term_scores}, 4) AS bm25
+    FROM base, stats
+    WHERE {n_match} > 0
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT 15
+    """
+
+
+@query("text_bm25_search", oracle=_bm25_oracle())
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval: top-15 documents for a 4-term query,
+    scored corpus-statistically (Lucene idf variant). The document grain is
+    never exploded or shuffled — per-term tf comes from the token array, the
+    corpus stats are one broadcast row (see operators/text.py:bm25_scores)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = T.bm25_scores(docs, "doc_id", "text", _BM25_TERMS, _BM25_K1, _BM25_B)
+    return (
+        scored.select(
+            F.col("doc").alias("doc_id"),
+            "n_match",
+            F.round("score", 4).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(15)
+    )

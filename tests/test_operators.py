@@ -613,3 +613,34 @@ def test_sample_frames_real_y4m(spark):
     assert [bytes(r.frame_payload) for r in by_id[3]] == [
         bytes(r.frame_payload) for r in sorted(again, key=lambda r: r.frame_index)
     ]
+
+
+def test_bm25_semantics_tiny_corpus(spark):
+    """Hand-checkable BM25 invariants on a 4-doc corpus: non-matching docs are
+    excluded, more matched terms / higher tf ranks higher at equal length, and
+    a single-term score matches the closed-form Okapi formula."""
+    import math
+
+    from parqueryd_spark.operators.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x x x y"),       # tf(x)=3, tf(y)=1
+            (2, "x z z z"),       # tf(x)=1
+            (3, "z z z z"),       # no query term
+            (4, "y z z z"),       # tf(y)=1
+        ],
+        "id long, text string",
+    )
+    out = {
+        r["doc"]: r
+        for r in bm25_scores(docs, "id", "text", ["x", "y"]).collect()
+    }
+    assert 3 not in out  # no query term => excluded
+    assert out[1]["n_match"] == 2 and out[2]["n_match"] == 1
+    # doc 1 beats doc 2 on tf(x) alone (same dl) and matches y on top
+    assert out[1]["score"] > out[2]["score"]
+    # closed-form check for doc 2: N=4, df(x)=2, dl=4, avgdl=4
+    idf_x = math.log(1.0 + (4 - 2 + 0.5) / (2 + 0.5))
+    expect = idf_x * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 4 / 4))
+    assert abs(out[2]["score"] - expect) < 1e-12

@@ -169,6 +169,7 @@ def test_no_python_in_core_paths(spark):
         "fuzzy_join_part_names",
         "pipeline_chunk_documents",
         "quality_checks",
+        "text_bm25_search",
     ]
     for name in jvm_only:
         rep = plan_report(REGISTRY[name].fn(spark, SF_SMOKE))

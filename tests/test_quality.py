@@ -55,3 +55,33 @@ def test_table_stats_single_scan_values(spark):
     assert (stats["k"].min_value, stats["k"].max_value) == ("1", "3")
     assert stats["s"].n_nulls == 1 and stats["s"].n_distinct == 3
     assert (stats["s"].min_value, stats["s"].max_value) == ("a", "c")
+
+
+def test_table_diff_statuses_and_unchanged_omitted(spark):
+    from parqueryd_spark.operators.quality import table_diff
+
+    a = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 2.0), (3, "z", 3.0)], "k long, s string, v double"
+    )
+    b = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 9.0), (4, "w", 4.0)], "k long, s string, v double"
+    )
+    out = {r.k: r.status for r in table_diff(a, b, ["k"]).collect()}
+    assert out == {2: "changed", 3: "removed", 4: "added"}  # key 1 unchanged => omitted
+    # compare_cols narrows the changed test: v differs on 2 but s doesn't
+    out_s = {r.k: r.status for r in table_diff(a, b, ["k"], compare_cols=["s"]).collect()}
+    assert out_s == {3: "removed", 4: "added"}
+
+
+def test_table_diff_join_is_key_grain_only(spark):
+    """The full-outer join must carry only keys + digests — no row-width
+    columns cross the shuffle (the 100 TB posture the docstring claims)."""
+    from parqueryd_spark.operators.quality import table_diff
+    from parqueryd_spark.plans.audit import plan_report
+    from parqueryd_spark.sources.parquet import load_table
+    from tests.conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    d = table_diff(orders, orders.limit(10), ["o_orderkey"])
+    rep = plan_report(d)
+    assert rep["python_evals"] == 0
