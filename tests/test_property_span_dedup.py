@@ -43,8 +43,14 @@ _doc = st.lists(st.sampled_from(VOCAB), min_size=1, max_size=10).map(" ".join)
 def test_span_dedup_matches_pure_python(spark, texts):
     docs = list(enumerate(texts))
     df = spark.createDataFrame(docs, "doc_id long, text string")
-    got = {
-        r.doc: (r.n_spans, r.n_kept, r.dedup_text)
-        for r in span_dedup(df, "doc_id", "text", span_tokens=SPAN).collect()
-    }
-    assert got == _py_span_dedup(docs)
+    expect = _py_span_dedup(docs)
+    # both rebuild plans (text-carrying regroup vs drop-list index filter)
+    # must produce the identical answer
+    for rebuild in ("carry", "droplist"):
+        got = {
+            r.doc: (r.n_spans, r.n_kept, r.dedup_text)
+            for r in span_dedup(
+                df, "doc_id", "text", span_tokens=SPAN, rebuild=rebuild
+            ).collect()
+        }
+        assert got == expect, rebuild
