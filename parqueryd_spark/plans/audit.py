@@ -81,3 +81,116 @@ def plan_report(df: DataFrame) -> dict[str, bool | int]:
         "exchanges": simple.count("Exchange"),
         "python_evals": simple.count("ArrowEvalPython") + simple.count("MapInPandas"),
     }
+
+
+def lint_plan(
+    df: DataFrame,
+    fact_tables: tuple[str, ...] = ("lineitem", "orders", "events", "documents", "embeddings"),
+    max_exchanges: int = 6,
+) -> list[dict]:
+    """Lint a DataFrame's physical plan against the scale rules this repo
+    asserts in tests/test_plans.py, as a user-facing API: run it on any query
+    before shipping it to a large cluster and fix what it flags. Returns a
+    list of findings ``{"rule", "severity", "detail"}`` — empty means the
+    plan passes every check.
+
+    Rules (severity "error" = will not survive a scale-up; "warn" = costs
+    more than it should; "info" = legitimate but worth knowing):
+
+    - ``cartesian-product`` (error): O(n·m) pair blowup.
+    - ``fact-broadcast`` (error): a named fact table feeds a
+      BroadcastExchange — the size estimate grows with data, the shipped
+      plan shape does not.
+    - ``nested-loop-join`` (warn): BroadcastNestedLoopJoin; fine only for a
+      1-row scalar-subquery build side.
+    - ``row-python-udf`` (error): BatchEvalPython — row-at-a-time Python,
+      10-100x slower than Arrow; use pandas_udf / built-ins.
+    - ``arrow-python`` (info): ArrowEvalPython / MapInPandas present — the
+      sanctioned Python escape hatch, but still off the codegen path.
+    - ``many-exchanges`` (warn): more shuffles than ``max_exchanges`` —
+      look for a reusable partitioning or a missing broadcast.
+    - ``unpushed-filters`` (warn): parquet scans with no pushed filters
+      while the plan contains Filter nodes — predicates may be evaluated
+      post-scan (e.g. wrapped in a cast or UDF).
+    """
+    plan = explain_str(df, "formatted")
+    simple = explain_str(df, "simple")
+    findings: list[dict] = []
+
+    n_cart = simple.count("CartesianProduct")
+    if n_cart:
+        findings.append(
+            {
+                "rule": "cartesian-product",
+                "severity": "error",
+                "detail": f"{n_cart} CartesianProduct node(s): O(n*m) pair blowup",
+            }
+        )
+    bad_bcast = broadcast_scan_tables(df) & set(fact_tables)
+    if bad_bcast:
+        findings.append(
+            {
+                "rule": "fact-broadcast",
+                "severity": "error",
+                "detail": f"fact table(s) {sorted(bad_bcast)} feed a BroadcastExchange",
+            }
+        )
+    n_bnlj = simple.count("BroadcastNestedLoopJoin")
+    if n_bnlj:
+        findings.append(
+            {
+                "rule": "nested-loop-join",
+                "severity": "warn",
+                "detail": f"{n_bnlj} BroadcastNestedLoopJoin(s): ok only for 1-row "
+                "scalar-subquery build sides",
+            }
+        )
+    n_row_py = simple.count("BatchEvalPython")
+    if n_row_py:
+        findings.append(
+            {
+                "rule": "row-python-udf",
+                "severity": "error",
+                "detail": f"{n_row_py} row-at-a-time Python UDF eval(s): use "
+                "pandas_udf or built-in functions",
+            }
+        )
+    n_arrow = simple.count("ArrowEvalPython") + simple.count("MapInPandas")
+    if n_arrow:
+        findings.append(
+            {
+                "rule": "arrow-python",
+                "severity": "info",
+                "detail": f"{n_arrow} Arrow-batched Python stage(s): sanctioned, "
+                "but excluded from whole-stage codegen",
+            }
+        )
+    n_ex = simple.count("Exchange")
+    if n_ex > max_exchanges:
+        findings.append(
+            {
+                "rule": "many-exchanges",
+                "severity": "warn",
+                "detail": f"{n_ex} exchanges (> {max_exchanges}): look for a "
+                "reusable partitioning, a broadcast, or partial aggregation",
+            }
+        )
+    if (
+        "Scan parquet" in plan
+        and "Filter" in simple
+        and "PushedFilters" in plan
+        and "PushedFilters: [" in plan
+        and all(
+            seg.startswith("]")  # every PushedFilters list is empty
+            for seg in plan.split("PushedFilters: [")[1:]
+        )
+    ):
+        findings.append(
+            {
+                "rule": "unpushed-filters",
+                "severity": "warn",
+                "detail": "plan filters rows but no predicate reached any parquet "
+                "scan: check for casts/UDFs wrapping the filter column",
+            }
+        )
+    return findings

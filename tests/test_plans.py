@@ -207,3 +207,39 @@ def test_extended_tpch_plan_audit(spark):
         bcast = broadcast_scan_tables(df)
         assert "lineitem" not in bcast, f"{name} broadcasts lineitem: {bcast}"
         assert "orders" not in bcast, f"{name} broadcasts orders: {bcast}"
+
+
+def test_lint_plan_flags_bad_and_passes_good(spark):
+    """lint_plan is the user-facing form of this file's assertions: a clean
+    registry query lints clean; deliberately bad plans produce the expected
+    findings."""
+    from pyspark.sql import functions as F
+
+    from parqueryd_spark.plans.audit import lint_plan
+    from parqueryd_spark.queries import REGISTRY
+    from parqueryd_spark.sources.parquet import load_table
+
+    good = REGISTRY["q1_pricing_summary"].fn(spark, SF_SMOKE)
+    assert lint_plan(good) == []
+
+    lineitem = load_table(spark, SF_SMOKE, "lineitem")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    # forced fact broadcast
+    bad_bcast = orders.join(
+        F.broadcast(lineitem), F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    rules = {f["rule"] for f in lint_plan(bad_bcast)}
+    assert "fact-broadcast" in rules
+    # cartesian product
+    cart = lineitem.select("l_orderkey").hint("shuffle_replicate_nl").crossJoin(
+        orders.select("o_orderkey")
+    )
+    rules = {f["rule"] for f in lint_plan(cart)}
+    assert "cartesian-product" in rules
+    # row-at-a-time Python UDF
+    from pyspark.sql.functions import udf
+
+    plus = udf(lambda x: x + 1, "long")
+    bad_udf = orders.select(plus("o_orderkey").alias("k"))
+    rules = {f["rule"] for f in lint_plan(bad_udf)}
+    assert "row-python-udf" in rules
