@@ -239,3 +239,29 @@ def resample_to_mixture(
     }
     fracs = mixture_fractions(counts, targets)
     return stratified_sample(df, id_col, fracs, strata_col=domain_col, salt=salt)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    n: int,
+    order_by: list[Column],
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, preferring the ``order_by`` ranking
+    — the per-domain document cap of web-corpus curation (RefinedWeb-style:
+    no single source may dominate the mixture), also the general "best k per
+    key" primitive. Ties must be broken by a unique column in ``order_by``
+    for a deterministic draw.
+
+    Scale design: ``row_number() <= n`` compiles to WindowGroupLimit, so each
+    map task keeps only its local top-n per group BEFORE the shuffle — the
+    exchange carries at most n·|groups|·|tasks| rows, not the corpus. Unlike
+    :func:`stratified_exact_sample` (uniform salted-hash draw) the cap is
+    preference-ordered; use the hash draw when the kept subset must be
+    unbiased rather than best-first."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n)
+        .drop("_rn")
+    )

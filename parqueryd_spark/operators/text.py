@@ -357,3 +357,101 @@ def bm25_scores(
     return scored.where(n_match > 0).select(
         "doc", n_match.alias("n_match"), score.alias("score")
     )
+
+
+def text_index_publish(
+    df,
+    index_dir: str,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 64,
+) -> None:
+    """Build and persist an inverted index for STANDING retrieval workloads —
+    the complement of :func:`bm25_scores`' scan-per-query plan. Postings are
+    ``(token, doc, tf, dl)`` written hive-partitioned by
+    ``bucket = pmod(xxhash64(token), n_buckets)``, so a query's terms prune
+    the read to |terms| buckets of a corpus-sized index; corpus stats
+    (n_docs, avgdl) land beside them as a one-row ``_stats`` dataset.
+
+    Scale design: one shuffle to (doc, token) grain for tf (map-side
+    partials), dl carried denormalized on each posting so scoring never
+    touches the corpus again. Document frequency is NOT stored — it is
+    ``count(*)`` within a token's postings, computed on the pruned read at
+    query time, which keeps the index maintainable by appending postings for
+    new docs without rewriting df counts.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        tokens(text_col).alias("_toks"),
+    ).select("doc", F.size("_toks").alias("dl"), F.explode("_toks").alias("token"))
+    postings = (
+        base.groupBy("token", "doc")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+        .withColumn("bucket", F.pmod(F.xxhash64("token"), F.lit(n_buckets)))
+    )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+        index_dir.rstrip("/") + "/postings"
+    )
+    stats = df.select(tokens(text_col).alias("_toks")).agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size("_toks")).alias("avgdl"),
+        F.lit(n_buckets).alias("n_buckets"),
+    )
+    stats.write.mode("overwrite").parquet(index_dir.rstrip("/") + "/_stats")
+
+
+def bm25_from_index(
+    spark,
+    index_dir: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Score a query against a published inverted index
+    (:func:`text_index_publish`): returns the same ``(doc, n_match, score)``
+    shape as :func:`bm25_scores`, computed from |terms| partition-pruned
+    bucket reads instead of a corpus scan — the standing-workload serve path.
+
+    Plan: postings are filtered to the query terms (the ``bucket`` partition
+    predicate prunes files, the ``token`` predicate prunes row groups), df
+    per term is a terms-sized aggregate broadcast back, and the final
+    groupBy(doc) touches only matching postings — work scales with the
+    posting lists of the query's terms, not the corpus.
+    """
+    root = index_dir.rstrip("/")
+    stats_row = spark.read.parquet(root + "/_stats")
+    n_buckets = stats_row.select("n_buckets").head()[0]
+    # derive each term's bucket with the SAME Spark expression used at build
+    # (terms-sized collect: metadata, not data)
+    term_rows = spark.createDataFrame([(t,) for t in query_terms], "qterm string")
+    term_rows = term_rows.withColumn(
+        "bucket", F.pmod(F.xxhash64("qterm"), F.lit(n_buckets))
+    )
+    buckets = [r["bucket"] for r in term_rows.select("bucket").collect()]
+    postings = (
+        spark.read.parquet(root + "/postings")
+        .where(F.col("bucket").isin(buckets))  # partition pruning
+        .where(F.col("token").isin(query_terms))
+        .select("token", "doc", "tf", "dl")
+    )
+    dfreq = postings.groupBy("token").agg(F.count("*").alias("df_t"))
+    scored = (
+        postings.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats_row.select("n_docs", "avgdl")))
+        .withColumn(
+            "term_score",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df_t") + F.lit(0.5)) / (F.col("df_t") + F.lit(0.5))
+            )
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return scored.groupBy("doc").agg(
+        F.count("*").cast("long").alias("n_match"),
+        F.sum("term_score").alias("score"),
+    )

@@ -65,7 +65,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # correctness gate records the FIRST 50 registry entries, and the highest-value
 # modules register first, so an addition pushing past 50 only drops the
 # lowest-value variants out of the window. Past the window as of round 6
-# (38 total, each still verified by tools/driver_sim.py and pytest):
+# (39 total, each still verified by tools/driver_sim.py and pytest):
 # #51 text_ngram_stats, #52 text_fingerprint, #53 text_bm25_search,
 # #54 scalar_string_funcs, #55 scalar_date_json_funcs,
 # #56 scalar_math_bucketing, #57 ann_pq_topk +
@@ -74,10 +74,10 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # #62 pipeline_chunk_documents, #63 pipeline_exact_sample,
 # #64 text_unigram_logprob, #65 text_normalize_dedup,
 # #66 embedding_label_centroids, #67 fuzzy_join_part_names,
-# #68 part_price_quantiles, #69 events_funnel, #70 events_anomaly_zscore,
-# #71 events_histogram_quantiles, #72 events_cohort_retention,
-# #73 quality_checks, #74 table_stats_part, #75 table_diff_snapshots,
-# #76-88 the extended TPC-H suite. In-window
+# #68 part_price_quantiles, #69 pipeline_source_caps, #70 events_funnel,
+# #71 events_anomaly_zscore, #72 events_histogram_quantiles,
+# #73 events_cohort_retention, #74 quality_checks, #75 table_stats_part,
+# #76 table_diff_snapshots, #77-89 the extended TPC-H suite. In-window
 # rows-only: events_sketch_aggs + ann_ivf_topk (estimates by design; each has
 # an oracle-checked exact companion row in the window).
 from parqueryd_spark.queries import core  # noqa: E402,F401

@@ -401,3 +401,43 @@ def part_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile(price, 0.9), 4).alias("p90"),
         F.max(price).alias("max_price"),
     )
+
+
+_Q_SQL = """least(length(text) / 400.0, 1.0) * 0.5
+             + (len(list_filter(string_split(text, ' '),
+                    t -> t IN ('the','a','an','and','of','to','in','is','it')))
+                / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5
+             - ((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                / CAST(length(text) AS DOUBLE))"""
+
+
+@query(
+    "pipeline_source_caps",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, round({_Q_SQL}, 4) AS q
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id ASC) AS rn
+      FROM scored
+    )
+    SELECT source, doc_id, q FROM ranked WHERE rn <= 5
+    """,
+)
+def pipeline_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document caps (operators/sampling.py:cap_per_group): keep
+    the best 5 documents per source by quality score — the RefinedWeb-style
+    no-source-dominates rule, preference-ordered rather than a uniform draw.
+    row_number <= n compiles to WindowGroupLimit so each task pre-trims its
+    local top-5 before the shuffle."""
+    from parqueryd_spark.operators.sampling import cap_per_group
+    from parqueryd_spark.operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", F.round(quality_score("text"), 4).alias("q")
+    )
+    return cap_per_group(
+        scored, ["source"], 5, [F.col("q").desc(), F.col("doc_id").asc()]
+    )

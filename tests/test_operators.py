@@ -644,3 +644,34 @@ def test_bm25_semantics_tiny_corpus(spark):
     idf_x = math.log(1.0 + (4 - 2 + 0.5) / (2 + 0.5))
     expect = idf_x * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 4 / 4))
     assert abs(out[2]["score"] - expect) < 1e-12
+
+
+def test_bm25_index_serve_matches_scan(spark, tmp_path):
+    """The published-inverted-index serve path must score identically to the
+    corpus-scan path, and its postings read must prune to the query terms'
+    hash buckets."""
+    from parqueryd_spark.operators.text import (
+        bm25_from_index,
+        bm25_scores,
+        text_index_publish,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    terms = ["hash", "join", "vector"]
+    idx = str(tmp_path / "text_index")
+    text_index_publish(docs, idx, "doc_id", "text")
+
+    scan = {
+        r["doc"]: (r["n_match"], round(r["score"], 9))
+        for r in bm25_scores(docs, "doc_id", "text", terms).collect()
+    }
+    served = {
+        r["doc"]: (r["n_match"], round(r["score"], 9))
+        for r in bm25_from_index(spark, idx, terms).collect()
+    }
+    assert served == scan
+    # partition pruning: the postings scan must carry the bucket filter
+    from parqueryd_spark.plans.audit import explain_str
+
+    plan = explain_str(bm25_from_index(spark, idx, terms), "formatted")
+    assert "PartitionFilters" in plan and "bucket" in plan

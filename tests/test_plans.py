@@ -243,3 +243,15 @@ def test_lint_plan_flags_bad_and_passes_good(spark):
     bad_udf = orders.select(plus("o_orderkey").alias("k"))
     rules = {f["rule"] for f in lint_plan(bad_udf)}
     assert "row-python-udf" in rules
+
+
+def test_cap_per_group_plans_group_limit(spark):
+    """row_number <= n must compile to WindowGroupLimit (map-side per-group
+    top-n before the shuffle) — the property that makes per-source caps
+    affordable at corpus scale."""
+    from parqueryd_spark.queries import REGISTRY
+
+    df = REGISTRY["pipeline_source_caps"].fn(spark, SF_SMOKE)
+    simple = explain_str(df, "simple")
+    assert "WindowGroupLimit" in simple
+    assert plan_report(df)["python_evals"] == 0
