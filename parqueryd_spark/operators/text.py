@@ -455,3 +455,54 @@ def bm25_from_index(
         F.count("*").cast("long").alias("n_match"),
         F.sum("term_score").alias("score"),
     )
+
+
+def text_index_append(
+    spark,
+    index_dir: str,
+    new_docs,
+    id_col: str,
+    text_col: str,
+) -> None:
+    """Grow a published inverted index (:func:`text_index_publish`) with new
+    documents WITHOUT rewriting history — the daily-increment maintenance
+    story, sibling of ``similarity.ivf_append``. New postings append into the
+    same hash-bucket layout (df is counted at query time precisely so
+    appended postings are consistent with no stored-count rewrite), and the
+    one-row stats dataset is refolded as a weighted combine:
+    ``avgdl' = (n*avgdl + n_new*avgdl_new) / (n + n_new)``.
+
+    Precondition: id-disjoint from already-indexed docs (re-ingesting an id
+    would double its postings; dedup upstream with
+    ``dedup.incremental_minhash_pairs`` / exact id anti-join)."""
+    root = index_dir.rstrip("/")
+    stats_old = spark.read.parquet(root + "/_stats").head()
+    n_buckets = stats_old["n_buckets"]
+    base = new_docs.select(
+        F.col(id_col).alias("doc"),
+        tokens(text_col).alias("_toks"),
+    ).select("doc", F.size("_toks").alias("dl"), F.explode("_toks").alias("token"))
+    postings = (
+        base.groupBy("token", "doc")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+        .withColumn("bucket", F.pmod(F.xxhash64("token"), F.lit(n_buckets)))
+    )
+    postings.write.mode("append").partitionBy("bucket").parquet(root + "/postings")
+    inc = new_docs.select(tokens(text_col).alias("_toks")).agg(
+        F.count("*").alias("n_new"), F.avg(F.size("_toks")).alias("avgdl_new")
+    ).head()
+    n, n_new = stats_old["n_docs"], inc["n_new"]
+    merged = spark.createDataFrame(
+        [
+            (
+                n + n_new,
+                (n * stats_old["avgdl"] + n_new * (inc["avgdl_new"] or 0.0))
+                / (n + n_new),
+                n_buckets,
+            )
+        ],
+        "n_docs long, avgdl double, n_buckets int",
+    )
+    # overwrite stats LAST: a failure between the posting append and this
+    # write leaves scores slightly stale-normalized, never missing postings
+    merged.write.mode("overwrite").parquet(root + "/_stats")

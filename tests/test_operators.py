@@ -675,3 +675,32 @@ def test_bm25_index_serve_matches_scan(spark, tmp_path):
 
     plan = explain_str(bm25_from_index(spark, idx, terms), "formatted")
     assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_bm25_index_append_equals_full_rebuild(spark, tmp_path):
+    """Appending an increment to a published inverted index must serve the
+    same scores as rebuilding the index from the full corpus."""
+    from parqueryd_spark.operators.text import (
+        bm25_from_index,
+        text_index_append,
+        text_index_publish,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    old = docs.where(F.col("doc_id") < 150)
+    new = docs.where(F.col("doc_id") >= 150)
+    terms = ["hash", "stream"]
+
+    full_idx = str(tmp_path / "full")
+    text_index_publish(docs, full_idx, "doc_id", "text")
+    inc_idx = str(tmp_path / "inc")
+    text_index_publish(old, inc_idx, "doc_id", "text")
+    text_index_append(spark, inc_idx, new, "doc_id", "text")
+
+    def scores(idx):
+        return {
+            r["doc"]: (r["n_match"], round(r["score"], 9))
+            for r in bm25_from_index(spark, idx, terms).collect()
+        }
+
+    assert scores(inc_idx) == scores(full_idx)
