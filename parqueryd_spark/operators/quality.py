@@ -159,3 +159,39 @@ def table_diff(
         .when(F.col("_ha") != F.col("_hb"), F.lit("changed"))
     )
     return j.select(status.alias("status"), *keys).where(F.col("status").isNotNull())
+
+
+def compression_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document zlib compression ratio (compressed/raw bytes) — the
+    redundancy signal web-corpus curation uses alongside the Gopher
+    repetition gates (operators/text.py): highly repetitive or templated
+    text compresses far below ~0.4, high-entropy garbage sits near 1.0.
+    Returns (doc, n_bytes, ratio).
+
+    This is a legitimate Python escape hatch: no Column expression or ANSI
+    SQL exposes a DEFLATE ratio, so it runs as an Arrow-batched mapInPandas
+    (vectorized transfer, no per-row pickling) with a self-contained closure
+    (executors must not need this package importable). Everything around it
+    — filtering on the ratio, joining it back — stays JVM-side.
+    """
+    out_schema = "doc long, n_bytes long, ratio double"
+    narrow = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_text"))
+
+    def _ratios(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = pdf["_text"].fillna("").str.encode("utf-8")
+            n = raw.str.len()
+            comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            yield pd.DataFrame(
+                {
+                    "doc": pdf["doc"],
+                    "n_bytes": n.astype("int64"),
+                    "ratio": (comp / n.clip(lower=1)).astype("float64"),
+                }
+            )
+
+    return narrow.mapInPandas(_ratios, out_schema)

@@ -319,6 +319,10 @@ def bm25_scores(
     standing query workload, build the index once with ``tfidf_terms`` and
     join on its (token) grain instead.
     """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    # bag-of-terms semantics: a term listed twice scores twice (query-side
+    # boost), matching the classic Okapi formulation
     toks = tokens(text_col)
     nq = len(query_terms)
 
@@ -418,6 +422,12 @@ def bm25_from_index(
     groupBy(doc) touches only matching postings — work scales with the
     posting lists of the query's terms, not the corpus.
     """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if len(set(query_terms)) != len(query_terms):
+        # the postings join scores each (token, doc) once, so a repeated term
+        # would silently lose the scan path's bag-of-terms double weight
+        raise ValueError("query_terms must be distinct for the index serve path")
     root = index_dir.rstrip("/")
     stats_row = spark.read.parquet(root + "/_stats")
     n_buckets = stats_row.select("n_buckets").head()[0]

@@ -66,3 +66,21 @@ def ingest_to_parquet(
     from parqueryd_spark.sources.sinks import write_parquet
 
     write_parquet(df, path, partition_by=partition_by, max_records_per_file=target_file_rows)
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    **options,
+) -> DataFrame:
+    """ORC reader — the other columnar interchange format a migrating
+    warehouse is likely to hold. Same vectorized scan + pushdown machinery as
+    parquet (Spark's built-in orc source); pair with ``ingest_to_parquet``
+    to convert a legacy ORC lake into this engine's parquet layout."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.orc(path)

@@ -85,3 +85,26 @@ def test_table_diff_join_is_key_grain_only(spark):
     d = table_diff(orders, orders.limit(10), ["o_orderkey"])
     rep = plan_report(d)
     assert rep["python_evals"] == 0
+
+
+def test_compression_ratio_separates_repetitive_from_random(spark):
+    from parqueryd_spark.operators.quality import compression_ratio
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam spam spam " * 20),
+            (2, "k9#xQ!mZ@4vR$8pL^2wN&6tY*0uI(3oP)7aS-5dF_1gH+jE " * 20),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc: r for r in compression_ratio(docs, "doc_id", "text").collect()}
+    assert out[1].ratio < 0.1          # pure repetition collapses
+    assert out[2].ratio > out[1].ratio * 3  # high-entropy text compresses worse
+    assert out[3].n_bytes == 0 and out[3].ratio > 0  # null-safe, no div-by-zero
+    # determinism across partitionings (batch-shape independence)
+    again = {
+        r.doc: r.ratio
+        for r in compression_ratio(docs.repartition(5), "doc_id", "text").collect()
+    }
+    assert {k: v.ratio for k, v in out.items()} == again

@@ -72,3 +72,14 @@ def test_repetition_metrics_match_duckdb(spark, duck):
         FROM documents
     """).df()
     assert_same_result(sdf, oracle, rtol=0.0)
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from parqueryd_spark.sources.parquet import load_table
+    from parqueryd_spark.sources.text_formats import read_orc
+
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation")
+    p = str(tmp_path / "nation_orc")
+    nation.write.orc(p)
+    back = read_orc(spark, p)
+    assert sorted(back.collect()) == sorted(nation.collect())
