@@ -98,9 +98,13 @@ def lint_plan(
     more than it should; "info" = legitimate but worth knowing):
 
     - ``cartesian-product`` (error): O(n·m) pair blowup.
-    - ``fact-broadcast`` (error): a named fact table feeds a
-      BroadcastExchange — the size estimate grows with data, the shipped
-      plan shape does not.
+    - ``fact-broadcast`` (warn): a named fact table feeds a
+      BroadcastExchange in THIS plan. At small data this is usually the
+      size-estimate picking broadcast, which reverts to a shuffle join when
+      the statistics grow — fine. It is a real bug only when the broadcast
+      is hint-forced (``F.broadcast(fact)``): check the hints, or re-lint
+      against production-sized statistics where only forced broadcasts
+      survive.
     - ``nested-loop-join`` (warn): BroadcastNestedLoopJoin; fine only for a
       1-row scalar-subquery build side.
     - ``row-python-udf`` (error): BatchEvalPython — row-at-a-time Python,
@@ -131,8 +135,10 @@ def lint_plan(
         findings.append(
             {
                 "rule": "fact-broadcast",
-                "severity": "error",
-                "detail": f"fact table(s) {sorted(bad_bcast)} feed a BroadcastExchange",
+                "severity": "warn",
+                "detail": f"fact table(s) {sorted(bad_bcast)} feed a "
+                "BroadcastExchange: fine if estimate-driven (reverts at scale), "
+                "a bug if hint-forced — re-lint with production statistics",
             }
         )
     n_bnlj = simple.count("BroadcastNestedLoopJoin")
