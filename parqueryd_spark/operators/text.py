@@ -363,6 +363,32 @@ def bm25_scores(
     )
 
 
+def _index_postings(df, id_col: str, text_col: str, n_buckets: int):
+    """(token, doc, tf, dl, bucket) posting rows for a document set — one
+    shuffle to (doc, token) grain with map-side partials."""
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        tokens(text_col).alias("_toks"),
+    ).select("doc", F.size("_toks").alias("dl"), F.explode("_toks").alias("token"))
+    return (
+        base.groupBy("token", "doc")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+        .withColumn("bucket", F.pmod(F.xxhash64("token"), F.lit(n_buckets)))
+    )
+
+
+def _index_stats_partial(df, text_col: str, n_buckets: int):
+    """One MERGEABLE stats row (n_docs, sum_dl, n_buckets) for a document
+    set. The index stores one partial per generation/increment; the serve
+    path sums them — so publish, append, and streaming maintenance all write
+    without reading what is already there (idempotent per partition)."""
+    return df.select(tokens(text_col).alias("_toks")).agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum(F.size("_toks")), F.lit(0)).cast("long").alias("sum_dl"),
+        F.lit(n_buckets).alias("n_buckets"),
+    )
+
+
 def text_index_publish(
     df,
     index_dir: str,
@@ -372,10 +398,14 @@ def text_index_publish(
 ) -> None:
     """Build and persist an inverted index for STANDING retrieval workloads —
     the complement of :func:`bm25_scores`' scan-per-query plan. Postings are
-    ``(token, doc, tf, dl)`` written hive-partitioned by
+    ``(token, doc, tf, dl)`` under ``postings/batch=-1/bucket=<b>/`` with
     ``bucket = pmod(xxhash64(token), n_buckets)``, so a query's terms prune
-    the read to |terms| buckets of a corpus-sized index; corpus stats
-    (n_docs, avgdl) land beside them as a one-row ``_stats`` dataset.
+    the read to |terms| buckets of a corpus-sized index; corpus stats land
+    beside them as a mergeable one-row partial per generation
+    (``_stats/batch=-1``). ``batch=-1`` is the published-generation id (the
+    same convention as streaming/dedup.compact_index); increments land under
+    nonnegative batch ids (:func:`text_index_append`,
+    ``streaming.search.stream_index_text``).
 
     Scale design: one shuffle to (doc, token) grain for tf (map-side
     partials), dl carried denormalized on each posting so scoring never
@@ -384,24 +414,13 @@ def text_index_publish(
     query time, which keeps the index maintainable by appending postings for
     new docs without rewriting df counts.
     """
-    base = df.select(
-        F.col(id_col).alias("doc"),
-        tokens(text_col).alias("_toks"),
-    ).select("doc", F.size("_toks").alias("dl"), F.explode("_toks").alias("token"))
-    postings = (
-        base.groupBy("token", "doc")
-        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
-        .withColumn("bucket", F.pmod(F.xxhash64("token"), F.lit(n_buckets)))
+    root = index_dir.rstrip("/")
+    _index_postings(df, id_col, text_col, n_buckets).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(root + "/postings/batch=-1")
+    _index_stats_partial(df, text_col, n_buckets).write.mode("overwrite").parquet(
+        root + "/_stats/batch=-1"
     )
-    postings.write.mode("overwrite").partitionBy("bucket").parquet(
-        index_dir.rstrip("/") + "/postings"
-    )
-    stats = df.select(tokens(text_col).alias("_toks")).agg(
-        F.count("*").alias("n_docs"),
-        F.avg(F.size("_toks")).alias("avgdl"),
-        F.lit(n_buckets).alias("n_buckets"),
-    )
-    stats.write.mode("overwrite").parquet(index_dir.rstrip("/") + "/_stats")
 
 
 def bm25_from_index(
@@ -417,10 +436,11 @@ def bm25_from_index(
     bucket reads instead of a corpus scan — the standing-workload serve path.
 
     Plan: postings are filtered to the query terms (the ``bucket`` partition
-    predicate prunes files, the ``token`` predicate prunes row groups), df
-    per term is a terms-sized aggregate broadcast back, and the final
-    groupBy(doc) touches only matching postings — work scales with the
-    posting lists of the query's terms, not the corpus.
+    predicate prunes files in EVERY batch generation, the ``token`` predicate
+    prunes row groups), df per term is a terms-sized aggregate broadcast
+    back, and the final groupBy(doc) touches only matching postings — work
+    scales with the posting lists of the query's terms, not the corpus.
+    Corpus stats are the sum of the per-generation partials.
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
@@ -429,7 +449,14 @@ def bm25_from_index(
         # would silently lose the scan path's bag-of-terms double weight
         raise ValueError("query_terms must be distinct for the index serve path")
     root = index_dir.rstrip("/")
-    stats_row = spark.read.parquet(root + "/_stats")
+    stats_row = (
+        spark.read.parquet(root + "/_stats")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
+            F.max("n_buckets").alias("n_buckets"),
+        )
+    )
     n_buckets = stats_row.select("n_buckets").head()[0]
     # derive each term's bucket with the SAME Spark expression used at build
     # (terms-sized collect: metadata, not data)
@@ -467,6 +494,19 @@ def bm25_from_index(
     )
 
 
+def _index_batches(spark, root: str) -> list[int]:
+    from parqueryd_spark.sources.fs import HadoopFS
+
+    fs = HadoopFS(spark, root)
+    if not fs.is_dir(root + "/postings"):
+        raise FileNotFoundError(f"no published index at {root}")
+    out = []
+    for d in fs.listdir(root + "/postings"):
+        if d.startswith("batch="):
+            out.append(int(d.split("=", 1)[1]))
+    return out
+
+
 def text_index_append(
     spark,
     index_dir: str,
@@ -475,44 +515,27 @@ def text_index_append(
     text_col: str,
 ) -> None:
     """Grow a published inverted index (:func:`text_index_publish`) with new
-    documents WITHOUT rewriting history — the daily-increment maintenance
-    story, sibling of ``similarity.ivf_append``. New postings append into the
-    same hash-bucket layout (df is counted at query time precisely so
-    appended postings are consistent with no stored-count rewrite), and the
-    one-row stats dataset is refolded as a weighted combine:
-    ``avgdl' = (n*avgdl + n_new*avgdl_new) / (n + n_new)``.
+    documents WITHOUT touching history — the daily-increment maintenance
+    story, sibling of ``similarity.ivf_append``. The increment's postings
+    land in a fresh ``batch=<max+1>`` partition of the same hash-bucket
+    layout (df is counted at query time precisely so appends need no
+    stored-count rewrite), and its stats partial lands beside the existing
+    ones — nothing is read-modified-rewritten, so a failed append leaves the
+    index exactly as it was.
 
-    Precondition: id-disjoint from already-indexed docs (re-ingesting an id
+    Preconditions: id-disjoint from already-indexed docs (re-ingesting an id
     would double its postings; dedup upstream with
-    ``dedup.incremental_minhash_pairs`` / exact id anti-join)."""
+    ``dedup.incremental_minhash_pairs`` / exact id anti-join), and a single
+    maintainer — do not interleave manual appends with a live
+    ``stream_index_text`` on the same index (both allocate batch ids)."""
     root = index_dir.rstrip("/")
-    stats_old = spark.read.parquet(root + "/_stats").head()
-    n_buckets = stats_old["n_buckets"]
-    base = new_docs.select(
-        F.col(id_col).alias("doc"),
-        tokens(text_col).alias("_toks"),
-    ).select("doc", F.size("_toks").alias("dl"), F.explode("_toks").alias("token"))
-    postings = (
-        base.groupBy("token", "doc")
-        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
-        .withColumn("bucket", F.pmod(F.xxhash64("token"), F.lit(n_buckets)))
-    )
-    postings.write.mode("append").partitionBy("bucket").parquet(root + "/postings")
-    inc = new_docs.select(tokens(text_col).alias("_toks")).agg(
-        F.count("*").alias("n_new"), F.avg(F.size("_toks")).alias("avgdl_new")
-    ).head()
-    n, n_new = stats_old["n_docs"], inc["n_new"]
-    merged = spark.createDataFrame(
-        [
-            (
-                n + n_new,
-                (n * stats_old["avgdl"] + n_new * (inc["avgdl_new"] or 0.0))
-                / (n + n_new),
-                n_buckets,
-            )
-        ],
-        "n_docs long, avgdl double, n_buckets int",
-    )
-    # overwrite stats LAST: a failure between the posting append and this
-    # write leaves scores slightly stale-normalized, never missing postings
-    merged.write.mode("overwrite").parquet(root + "/_stats")
+    batches = _index_batches(spark, root)
+    nxt = max([b for b in batches if b >= 0], default=-1) + 1
+    stats_any = spark.read.parquet(root + "/_stats").head()
+    n_buckets = stats_any["n_buckets"]
+    _index_postings(new_docs, id_col, text_col, n_buckets).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(root + f"/postings/batch={nxt}")
+    _index_stats_partial(new_docs, text_col, n_buckets).write.mode(
+        "overwrite"
+    ).parquet(root + f"/_stats/batch={nxt}")
