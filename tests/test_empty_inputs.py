@@ -112,3 +112,24 @@ def test_upsert_with_empty_updates(spark, tmp_path):
     base.write.partitionBy("day").parquet(pp)
     assert upsert_partitioned(spark, pp, empty, ["k"], "day") == []
     assert spark.read.parquet(pp).count() == 1
+
+
+def test_round6_late_ops_on_empty(spark):
+    from parqueryd_spark.operators.quality import compression_ratio, table_diff
+    from parqueryd_spark.operators.sampling import cap_per_group
+    from parqueryd_spark.operators.text import bm25_scores
+
+    docs = _empty_docs(spark)
+    assert bm25_scores(docs, "doc_id", "text", ["hash"]).count() == 0
+    assert compression_ratio(docs, "doc_id", "text").count() == 0
+    assert (
+        cap_per_group(docs, ["source"], 3, [F.col("doc_id").asc()]).count() == 0
+    )
+    full = load_table(spark, SF_SMOKE, "documents")
+    # empty vs empty, and empty vs full (everything 'added' / 'removed')
+    assert table_diff(docs, docs, ["doc_id"]).count() == 0
+    n = full.count()
+    added = table_diff(docs, full, ["doc_id"])
+    assert added.count() == n and added.where(F.col("status") != "added").count() == 0
+    removed = table_diff(full, docs, ["doc_id"])
+    assert removed.count() == n and removed.where(F.col("status") != "removed").count() == 0
