@@ -309,7 +309,7 @@ _BM25_TERMS = ["hash", "join", "vector", "stream"]
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
-def _bm25_oracle() -> str:
+def _bm25_oracle(limit: int = 15) -> str:
     tf_cols = ",\n           ".join(
         f"len(list_filter(string_split(text, ' '), t -> t = '{term}')) AS tf_{i}"
         for i, term in enumerate(_BM25_TERMS)
@@ -344,7 +344,7 @@ def _bm25_oracle() -> str:
     FROM base, stats
     WHERE {n_match} > 0
     ORDER BY bm25 DESC, doc_id ASC
-    LIMIT 15
+    LIMIT {limit}
     """
 
 
@@ -364,4 +364,62 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(15)
+    )
+
+
+_HYBRID_COS_SQL = (
+    "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    "    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
+)
+
+
+@query(
+    "hybrid_search_rerank",
+    oracle=f"""
+    WITH bm AS ({_bm25_oracle(limit=20)})
+    SELECT bm.doc_id, bm.n_match, bm.bm25,
+           round({_HYBRID_COS_SQL}, 6) AS cos_sim
+    FROM bm
+    JOIN embeddings b ON b.vec_id = bm.doc_id
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) a
+    ORDER BY cos_sim DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def hybrid_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: a lexical BM25 top-20 shortlist re-ranked by
+    embedding cosine against a query vector — the two-stage shape production
+    search uses (cheap sparse recall, dense precision on the shortlist). The
+    re-rank work is |shortlist|, not |corpus|: the shortlist joins the
+    embeddings table on its key (broadcast — 20 rows) and the query vector is
+    one broadcast row. Cosines are double-precision sequential dot products
+    in both engines, so ranks agree to the bit."""
+    from parqueryd_spark.operators.similarity import as_double, cosine
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    shortlist = (
+        T.bm25_scores(docs, "doc_id", "text", _BM25_TERMS, _BM25_K1, _BM25_B)
+        .select(
+            F.col("doc").alias("doc_id"),
+            "n_match",
+            F.round("score", 4).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+    qvec = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    return (
+        F.broadcast(shortlist)
+        .join(emb, F.col("doc_id") == F.col("vec_id"))
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            "doc_id",
+            "n_match",
+            "bm25",
+            F.round(cosine(as_double("embedding"), as_double("qe")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("doc_id").asc())
+        .limit(10)
     )
