@@ -43,8 +43,9 @@ def main() -> None:
         best = run_once(fn)
         if best < 2.0:  # fast queries: 2 more trials, report steady-state min
             best = min(best, run_once(fn), run_once(fn))
-        else:  # slow queries: 1 more trial — still steady-state, bounded cost
-            best = min(best, run_once(fn))
+        else:  # slow queries: 2 more trials — ambient load moves a 2s+ query
+            # by hundreds of ms, so one retry under-samples the steady state
+            best = min(best, run_once(fn), run_once(fn))
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
