@@ -348,7 +348,7 @@ def _bm25_oracle(limit: int = 15) -> str:
     """
 
 
-@query("text_bm25_search", oracle=_bm25_oracle())
+@query("text_bm25_search", oracle=_bm25_oracle(), bench=True)
 def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 ranked retrieval: top-15 documents for a 4-term query,
     scored corpus-statistically (Lucene idf variant). The document grain is

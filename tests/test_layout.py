@@ -85,3 +85,39 @@ def test_read_parquet_merge_schema_across_shards(spark, tmp_path):
     # missing shards still silently ignored alongside evolution
     partial = read_parquet(spark, [old, new, str(tmp_path / "nope.parquet")], merge_schema=True)
     assert partial.count() == 2
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A hive-partitioned fact joined to a selectively-filtered dim must plan
+    a dynamicpruningexpression on the partition column: at 100 TB the join
+    touches only the partitions the dim's runtime row-set names, not the full
+    table — the runtime sibling of the static PartitionFilters test above."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from parqueryd_spark.sources.layout import write_partitioned
+    from parqueryd_spark.sources.parquet import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    fact_path = str(tmp_path / "orders_by_priority")
+    write_partitioned(orders, fact_path, {"o_orderpriority": "o_orderpriority"})
+
+    dim = (
+        orders.select("o_orderpriority")
+        .distinct()
+        .withColumn("pri_rank", F.dense_rank().over(Window.orderBy("o_orderpriority")))
+    )
+    dim_path = str(tmp_path / "priority_dim")
+    dim.write.parquet(dim_path)
+
+    fact = spark.read.parquet(fact_path)
+    filtered_dim = spark.read.parquet(dim_path).where(F.col("pri_rank") == 1)
+    joined = fact.join(filtered_dim, "o_orderpriority").groupBy("o_orderpriority").count()
+
+    from parqueryd_spark.plans.audit import explain_str
+
+    plan = explain_str(joined, "formatted")
+    assert "dynamicpruning" in plan.lower(), "no dynamic partition pruning planned"
+    # and it actually returns only the one priority's rows
+    rows = joined.collect()
+    assert len(rows) == 1

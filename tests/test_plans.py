@@ -170,6 +170,8 @@ def test_no_python_in_core_paths(spark):
         "pipeline_chunk_documents",
         "quality_checks",
         "text_bm25_search",
+        "hybrid_search_rerank",
+        "pipeline_source_caps",
     ]
     for name in jvm_only:
         rep = plan_report(REGISTRY[name].fn(spark, SF_SMOKE))
