@@ -265,3 +265,31 @@ def cap_per_group(
         .where(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str | Column,
+    n: int,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, derandomized — the
+    Efraimidis-Spirakis A-Res scheme with hash-derived uniforms: each row
+    scores ``ln(u) / w`` where ``u = (md5_bucket(key, salt) + 0.5) / 2^32``
+    (strictly inside (0,1)) and the n highest scores win — equivalent to
+    ranking on ``u^(1/w)``, so inclusion probability scales with weight while
+    the draw stays exactly reproducible in any engine (and re-rollable via
+    ``salt``). The training-data use: quality- or length-proportional subset
+    selection where a uniform draw (``stratified_exact_sample``) would
+    under-represent the documents worth keeping. Weights must be > 0.
+
+    Scale shape: one projection + TakeOrderedAndProject (heap top-n, no
+    global sort); adds a ``sample_score`` column (rounded to 10dp so
+    cross-engine float ulps cannot reorder near-ties; ties break on key)."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (md5_bucket(F.col(key_col), salt) + F.lit(0.5)) / F.lit(float(2**32))
+    scored = df.withColumn("sample_score", F.round(F.log(u) / w, 10))
+    return (
+        scored.orderBy(F.col("sample_score").desc(), F.col(key_col).asc()).limit(n)
+    )

@@ -441,3 +441,27 @@ def pipeline_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_group(
         scored, ["source"], 5, [F.col("q").desc(), F.col("doc_id").asc()]
     )
+
+
+@query(
+    "pipeline_weighted_sample",
+    oracle="""
+    SELECT doc_id, n_chars, sample_score FROM (
+      SELECT doc_id, n_chars,
+             round(ln((CAST(('0x' || substr(md5(doc_id::VARCHAR || 'ws'), 1, 8)) AS BIGINT)
+                       + 0.5) / 4294967296.0) / n_chars, 10) AS sample_score
+      FROM documents
+    )
+    ORDER BY sample_score DESC, doc_id ASC
+    LIMIT 50
+    """,
+)
+def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic sample: 50 documents drawn
+    proportionally to n_chars via derandomized A-Res
+    (operators/sampling.py:weighted_sample) — reproducible to the exact row
+    in any engine, served as a heap top-n."""
+    from parqueryd_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(docs, "doc_id", "n_chars", 50, salt="ws")

@@ -160,3 +160,40 @@ def test_normalize_text_variants(spark):
         normalize_text("text", lowercase=False, strip_punct=True).alias("n")
     ).first().n
     assert no_case == "Hello WORLD"
+
+
+def test_weighted_sample_favors_heavy_weights_and_matches_python(spark):
+    """The derandomized A-Res draw must reproduce a pure-Python walk exactly,
+    and across salts the inclusion frequency of a heavily-weighted row must
+    dominate a light one."""
+    import hashlib
+    import math
+
+    from parqueryd_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 100.0 if i % 10 == 0 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, w double")
+
+    def py_score(k, w, salt):
+        u = (int(hashlib.md5(f"{k}{salt}".encode()).hexdigest()[:8], 16) + 0.5) / 2**32
+        return round(math.log(u) / w, 10)
+
+    got = [(r.k, r.sample_score) for r in weighted_sample(df, "k", "w", 20, "s1").collect()]
+    want = sorted(
+        ((k, py_score(k, w, "s1")) for k, w in rows), key=lambda t: (-t[1], t[0])
+    )[:20]
+    assert got == want
+
+    heavy_hits = light_hits = 0
+    for salt in ("a", "b", "c", "d", "e"):
+        picked = {r.k for r in weighted_sample(df, "k", "w", 20, salt).collect()}
+        heavy_hits += sum(1 for k in picked if k % 10 == 0)
+        light_hits += sum(1 for k in picked if k % 10 != 0)
+    # 20 heavy rows at weight 100 vs 180 light at weight 1: the heavy tenth
+    # of the population must take the clear majority of every draw
+    assert heavy_hits > light_hits
+
+    # plan: heap top-n, never a global sort
+    from parqueryd_spark.plans.audit import plan_report
+
+    assert plan_report(weighted_sample(df, "k", "w", 20))["has_take_ordered"]
