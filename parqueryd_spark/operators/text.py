@@ -539,3 +539,41 @@ def text_index_append(
     _index_stats_partial(new_docs, text_col, n_buckets).write.mode(
         "overwrite"
     ).parquet(root + f"/_stats/batch={nxt}")
+
+
+def bigram_logprob(df, id_col: str, text_col: str, add_k: float = 1.0):
+    """Order-2 corpus-statistical quality score — the bigram upgrade of
+    :func:`unigram_logprob` (the CCNet/KenLM-filter shape): each document's
+    mean ``ln P(t_i | t_{i-1})`` under the corpus's own add-k-smoothed bigram
+    model, ``P = (c(prev,cur) + k) / (c(prev) + k*V)``. Catches word-salad
+    that unigram statistics miss (every token common, no token PAIR common).
+    Documents with fewer than 2 tokens have no bigrams and are excluded.
+    Returns (doc, n_bigrams, avg_logprob).
+
+    Scale shape: bigram and unigram count tables are each ONE map-side
+    partial-aggregated groupBy over exploded grams; the per-doc scoring
+    explodes bigrams once and joins the two count tables on their keys
+    (vocabulary-sized sides — AQE broadcasts while they fit, shuffles when
+    they won't), then one groupBy(doc) mean. All exact integer counts + ln,
+    so any SQL engine reproduces it bit-for-bit."""
+    grams = df.select(
+        F.col(id_col).alias("doc"), F.explode(ngrams_all(F.col(text_col), 2)).alias("big")
+    )
+    bi = grams.groupBy("big").agg(F.count("*").alias("cb"))
+    uni = df.select(F.explode(tokens(F.col(text_col))).alias("tok")).groupBy("tok").agg(
+        F.count("*").alias("cu")
+    )
+    vocab_n = uni.agg(F.count("*").cast("double").alias("v"))
+    return (
+        grams.withColumn("prev", F.split("big", " ")[0])
+        .join(bi, "big")
+        .join(uni.withColumnRenamed("tok", "prev"), "prev")
+        .crossJoin(F.broadcast(vocab_n))
+        .groupBy("doc")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.avg(
+                F.log((F.col("cb") + F.lit(add_k)) / (F.col("cu") + F.lit(add_k) * F.col("v")))
+            ).alias("avg_logprob"),
+        )
+    )

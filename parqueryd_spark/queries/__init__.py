@@ -65,20 +65,21 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # correctness gate records the FIRST 50 registry entries, and the highest-value
 # modules register first, so an addition pushing past 50 only drops the
 # lowest-value variants out of the window. Past the window as of round 6
-# (41 total, each still verified by tools/driver_sim.py and pytest):
+# (42 total, each still verified by tools/driver_sim.py and pytest):
 # #51 text_ngram_stats, #52 text_fingerprint, #53 text_bm25_search,
-# #54 hybrid_search_rerank, #55 scalar_string_funcs,
-# #56 scalar_date_json_funcs, #57 scalar_math_bucketing, #58 ann_pq_topk +
-# #59 text_heavy_hitter_tokens (rows-only by design),
-# #60 pipeline_domain_mixture, #61 pipeline_pii_redaction, #62 dedup_spans,
-# #63 pipeline_chunk_documents, #64 pipeline_exact_sample,
-# #65 text_unigram_logprob, #66 text_normalize_dedup,
-# #67 embedding_label_centroids, #68 fuzzy_join_part_names,
-# #69 part_price_quantiles, #70 pipeline_source_caps,
-# #71 pipeline_weighted_sample, #72 events_funnel,
-# #73 events_anomaly_zscore, #74 events_histogram_quantiles,
-# #75 events_cohort_retention, #76 quality_checks, #77 table_stats_part,
-# #78 table_diff_snapshots, #79-91 the extended TPC-H suite. In-window
+# #54 hybrid_search_rerank, #55 text_bigram_logprob,
+# #56 scalar_string_funcs, #57 scalar_date_json_funcs,
+# #58 scalar_math_bucketing, #59 ann_pq_topk +
+# #60 text_heavy_hitter_tokens (rows-only by design),
+# #61 pipeline_domain_mixture, #62 pipeline_pii_redaction, #63 dedup_spans,
+# #64 pipeline_chunk_documents, #65 pipeline_exact_sample,
+# #66 text_unigram_logprob, #67 text_normalize_dedup,
+# #68 embedding_label_centroids, #69 fuzzy_join_part_names,
+# #70 part_price_quantiles, #71 pipeline_source_caps,
+# #72 pipeline_weighted_sample, #73 events_funnel,
+# #74 events_anomaly_zscore, #75 events_histogram_quantiles,
+# #76 events_cohort_retention, #77 quality_checks, #78 table_stats_part,
+# #79 table_diff_snapshots, #80-92 the extended TPC-H suite. In-window
 # rows-only: events_sketch_aggs + ann_ivf_topk (estimates by design; each has
 # an oracle-checked exact companion row in the window).
 from parqueryd_spark.queries import core  # noqa: E402,F401

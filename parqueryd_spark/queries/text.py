@@ -423,3 +423,44 @@ def hybrid_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("doc_id").asc())
         .limit(10)
     )
+
+
+@query(
+    "text_bigram_logprob",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS big, t[i] AS prev
+      FROM toks, UNNEST(range(1, len(t))) AS u(i)
+      WHERE len(t) >= 2
+    ),
+    bi AS (SELECT big, count(*) AS cb FROM grams GROUP BY big),
+    uni AS (
+      SELECT tok, count(*) AS cu
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((bi.cb + 1.0) / (uni.cu + 1.0 * v.v))), 4) AS avg_logprob
+    FROM grams g
+    JOIN bi ON bi.big = g.big
+    JOIN uni ON uni.tok = g.prev
+    CROSS JOIN v
+    GROUP BY g.doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM quality scoring (operators/text.py:bigram_logprob): mean
+    ln P(token | previous) under the corpus's own add-1-smoothed bigram
+    distribution — flags word-salad whose unigram stats look normal."""
+    from parqueryd_spark.operators.text import bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bigram_logprob(docs, "doc_id", "text")
+    return out.select(
+        F.col("doc").alias("doc_id"),
+        "n_bigrams",
+        F.round("avg_logprob", 4).alias("avg_logprob"),
+    )
