@@ -577,3 +577,52 @@ def bigram_logprob(df, id_col: str, text_col: str, add_k: float = 1.0):
             ).alias("avg_logprob"),
         )
     )
+
+
+def build_vocab(df, text_col: str):
+    """Deterministic token vocabulary: (token, token_id, freq) with ids
+    assigned by (frequency desc, token asc) — the convention tokenizers use
+    so frequent tokens get small ids. One map-side partial-aggregated groupBy
+    over the exploded token stream; the id assignment is a window over the
+    vocabulary-sized result, not the corpus."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    return counts.withColumn("token_id", F.row_number().over(w) - 1).select(
+        "token", "token_id", "freq"
+    )
+
+
+def encode_documents(df, id_col: str, text_col: str, vocab=None, oov_id: int = -1):
+    """Token-id encoding — text to ``input_ids`` arrays, order preserved:
+    the step between curation and batch packing (``sampling.pack_contiguous``
+    packs the resulting lengths). Tokens absent from the vocabulary encode as
+    ``oov_id``. Returns (doc, n_tokens, input_ids).
+
+    Scale shape: posexplode to (doc, pos, token), LEFT join the
+    vocabulary (vocabulary-sized — AQE broadcasts while it fits), then one
+    groupBy(doc) reassembly via sorted collect of (pos, id) structs. The
+    corpus crosses exactly one shuffle (the doc-keyed regroup); the
+    token-keyed join side is the vocab, never the corpus re-aggregated."""
+    if vocab is None:
+        vocab = build_vocab(df, text_col)
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
+    )
+    return (
+        toks.join(vocab.select("token", "token_id"), "token", "left")
+        .withColumn("tid", F.coalesce("token_id", F.lit(oov_id)))
+        .groupBy("doc")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))), lambda s: s["tid"]
+            ).alias("input_ids"),
+        )
+    )

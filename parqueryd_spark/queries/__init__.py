@@ -65,21 +65,21 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # correctness gate records the FIRST 50 registry entries, and the highest-value
 # modules register first, so an addition pushing past 50 only drops the
 # lowest-value variants out of the window. Past the window as of round 6
-# (42 total, each still verified by tools/driver_sim.py and pytest):
+# (43 total, each still verified by tools/driver_sim.py and pytest):
 # #51 text_ngram_stats, #52 text_fingerprint, #53 text_bm25_search,
-# #54 hybrid_search_rerank, #55 text_bigram_logprob,
-# #56 scalar_string_funcs, #57 scalar_date_json_funcs,
-# #58 scalar_math_bucketing, #59 ann_pq_topk +
-# #60 text_heavy_hitter_tokens (rows-only by design),
-# #61 pipeline_domain_mixture, #62 pipeline_pii_redaction, #63 dedup_spans,
-# #64 pipeline_chunk_documents, #65 pipeline_exact_sample,
-# #66 text_unigram_logprob, #67 text_normalize_dedup,
-# #68 embedding_label_centroids, #69 fuzzy_join_part_names,
-# #70 part_price_quantiles, #71 pipeline_source_caps,
-# #72 pipeline_weighted_sample, #73 events_funnel,
-# #74 events_anomaly_zscore, #75 events_histogram_quantiles,
-# #76 events_cohort_retention, #77 quality_checks, #78 table_stats_part,
-# #79 table_diff_snapshots, #80-92 the extended TPC-H suite. In-window
+# #54 hybrid_search_rerank, #55 text_bigram_logprob, #56 text_encode_ids,
+# #57 scalar_string_funcs, #58 scalar_date_json_funcs,
+# #59 scalar_math_bucketing, #60 ann_pq_topk +
+# #61 text_heavy_hitter_tokens (rows-only by design),
+# #62 pipeline_domain_mixture, #63 pipeline_pii_redaction, #64 dedup_spans,
+# #65 pipeline_chunk_documents, #66 pipeline_exact_sample,
+# #67 text_unigram_logprob, #68 text_normalize_dedup,
+# #69 embedding_label_centroids, #70 fuzzy_join_part_names,
+# #71 part_price_quantiles, #72 pipeline_source_caps,
+# #73 pipeline_weighted_sample, #74 events_funnel,
+# #75 events_anomaly_zscore, #76 events_histogram_quantiles,
+# #77 events_cohort_retention, #78 quality_checks, #79 table_stats_part,
+# #80 table_diff_snapshots, #81-93 the extended TPC-H suite. In-window
 # rows-only: events_sketch_aggs + ann_ivf_topk (estimates by design; each has
 # an oracle-checked exact companion row in the window).
 from parqueryd_spark.queries import core  # noqa: E402,F401

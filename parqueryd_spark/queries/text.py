@@ -464,3 +464,44 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         F.round("avg_logprob", 4).alias("avg_logprob"),
     )
+
+
+@query(
+    "text_encode_ids",
+    oracle="""
+    WITH vocab AS (
+      SELECT tok AS token,
+             CAST(row_number() OVER (ORDER BY freq DESC, tok ASC) - 1 AS INT) AS token_id
+      FROM (
+        SELECT tok, count(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok
+      )
+    ),
+    toks AS (
+      SELECT doc_id, i AS pos, string_split(text, ' ')[i+1] AS token
+      FROM documents, UNNEST(range(0, len(string_split(text, ' ')))) AS u(i)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           md5(array_to_string(array_agg(COALESCE(v.token_id, -1) ORDER BY t.pos), ',')) AS ids_md5
+    FROM toks t LEFT JOIN vocab v ON v.token = t.token
+    GROUP BY doc_id
+    """,
+)
+def text_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-id encoding (operators/text.py:encode_documents): every document
+    as an order-preserved input_ids array under a frequency-ranked
+    vocabulary; the gate row compares an md5 over the comma-joined ids so the
+    whole array round-trips exactly."""
+    from parqueryd_spark.operators.text import encode_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = encode_documents(docs, "doc_id", "text")
+    return enc.select(
+        F.col("doc").alias("doc_id"),
+        "n_tokens",
+        F.md5(F.concat_ws(",", F.transform("input_ids", lambda x: x.cast("string")))).alias(
+            "ids_md5"
+        ),
+    )

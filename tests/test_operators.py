@@ -704,3 +704,26 @@ def test_bm25_index_append_equals_full_rebuild(spark, tmp_path):
         }
 
     assert scores(inc_idx) == scores(full_idx)
+
+
+def test_encode_documents_order_oov_and_vocab_rank(spark):
+    from parqueryd_spark.operators.text import build_vocab, encode_documents
+
+    docs = spark.createDataFrame(
+        [(1, "b a b c b a"), (2, "a c zz")], "doc_id long, text string"
+    )
+    vocab = {r.token: (r.token_id, r.freq) for r in build_vocab(docs, "text").collect()}
+    # frequency desc, token asc: a and b tie at 3 -> a=0, b=1; then c(2), zz(1)
+    assert vocab == {"a": (0, 3), "b": (1, 3), "c": (2, 2), "zz": (3, 1)}
+
+    enc = {r.doc: r for r in encode_documents(docs, "doc_id", "text").collect()}
+    assert enc[1].input_ids == [1, 0, 1, 2, 1, 0]  # order preserved
+    assert enc[1].n_tokens == 6
+
+    # encoding doc 2 under a vocab built from doc 1 only: zz is OOV
+    v1 = build_vocab(docs.where("doc_id = 1"), "text")
+    enc2 = {
+        r.doc: r
+        for r in encode_documents(docs, "doc_id", "text", vocab=v1, oov_id=-1).collect()
+    }
+    assert enc2[2].input_ids[-1] == -1
