@@ -293,3 +293,53 @@ def weighted_sample(
     return (
         scored.orderBy(F.col("sample_score").desc(), F.col(key_col).asc()).limit(n)
     )
+
+
+def materialize_packed_sequences(
+    encoded: DataFrame,
+    order_col: str = "doc",
+    ids_col: str = "input_ids",
+    seq_len: int = 512,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Turn per-document ``input_ids`` arrays (operators/text.py:
+    encode_documents) into training sequences: documents are laid end-to-end
+    in ``order_col`` order (:func:`pack_contiguous` decides each document's
+    bin), each bin's ids are concatenated, and the result is one row per bin
+    with the flat token array plus the per-document boundary offsets an
+    attention mask needs (tokens of different documents must not attend to
+    each other). Returns (bin_id, n_tokens, n_docs, token_ids, doc_offsets).
+
+    Bins target ``seq_len`` tokens; a document longer than ``seq_len`` makes
+    an oversized bin — chunk upstream (``chunk_documents``) if hard caps are
+    required. At scale pass ``group_cols`` so packing windows stay
+    partitioned (same contract as pack_contiguous).
+
+    Plan: the window cumsum assigns bins without moving the arrays, then ONE
+    groupBy(bin) regroup ships each id array exactly once."""
+    sized = encoded.withColumn("_n", F.size(F.col(ids_col)))
+    binned = pack_contiguous(sized, order_col, "_n", seq_len, group_cols=group_cols)
+    parts = [F.col(c) for c in (group_cols or [])]
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(ids_col).alias("ids")))
+    )
+    return (
+        binned.groupBy(*parts, "bin_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            ordered.alias("_packed"),
+        )
+        .select(
+            *parts,
+            "bin_id",
+            "n_docs",
+            F.flatten(F.transform("_packed", lambda s: s["ids"])).alias("token_ids"),
+            # boundary offsets: cumulative starts of each doc inside the bin
+            F.expr(
+                "transform(_packed, (s, i) -> "
+                "aggregate(slice(_packed, 1, i), 0, (acc, x) -> acc + size(x.ids)))"
+            ).alias("doc_offsets"),
+        )
+        .withColumn("n_tokens", F.size("token_ids").cast("long"))
+        .select(*[c for c in (group_cols or [])], "bin_id", "n_tokens", "n_docs", "token_ids", "doc_offsets")
+    )

@@ -197,3 +197,34 @@ def test_weighted_sample_favors_heavy_weights_and_matches_python(spark):
     from parqueryd_spark.plans.audit import plan_report
 
     assert plan_report(weighted_sample(df, "k", "w", 20))["has_take_ordered"]
+
+
+def test_materialize_packed_sequences_invariants(spark):
+    """Packed bins must reconstruct the exact token stream: flattening bins in
+    order equals concatenating the docs in order; offsets mark each doc's
+    start; bins respect the budget except for oversized single docs."""
+    from parqueryd_spark.operators.sampling import materialize_packed_sequences
+
+    rows = [
+        (1, [1, 2, 3]),
+        (2, [4, 5]),
+        (3, [6, 7, 8, 9]),
+        (4, [10]),
+        (5, list(range(20, 35))),  # 15 ids: longer than the budget on its own
+        (6, [99]),
+    ]
+    enc = spark.createDataFrame(rows, "doc long, input_ids array<int>")
+    out = sorted(
+        materialize_packed_sequences(enc, seq_len=6).collect(), key=lambda r: r.bin_id
+    )
+    # stream reconstruction
+    flat = [t for r in out for t in r.token_ids]
+    assert flat == [t for _, ids in rows for t in ids]
+    for r in out:
+        assert r.n_tokens == len(r.token_ids)
+        assert r.n_docs == len(r.doc_offsets)
+        assert r.doc_offsets[0] == 0
+        assert all(b > a for a, b in zip(r.doc_offsets, r.doc_offsets[1:]))
+    # every bin's START respects the budget rule; the oversized doc 5 gets
+    # its own bin(s) without corrupting neighbors
+    assert any(len(r.token_ids) > 6 for r in out)  # the oversized one
