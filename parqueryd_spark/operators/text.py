@@ -579,12 +579,20 @@ def bigram_logprob(df, id_col: str, text_col: str, add_k: float = 1.0):
     )
 
 
-def build_vocab(df, text_col: str):
+def build_vocab(df, text_col: str, max_vocab: int | None = None):
     """Deterministic token vocabulary: (token, token_id, freq) with ids
     assigned by (frequency desc, token asc) — the convention tokenizers use
     so frequent tokens get small ids. One map-side partial-aggregated groupBy
     over the exploded token stream; the id assignment is a window over the
-    vocabulary-sized result, not the corpus."""
+    vocabulary-sized result, not the corpus.
+
+    Scale contract: the id-assigning window is GLOBAL (ids must be dense and
+    total-ordered), so the vocabulary itself must be bounded. Real tokenizer
+    vocabularies are (32k-256k rows — trivial); for an open web-scale token
+    stream pass ``max_vocab`` to keep the top-V by (freq desc, token asc) via
+    a heap top-k BEFORE the window — everything else encodes as the OOV id
+    (the standard truncated-vocab practice, same floor as unigram_logprob's
+    OOV note)."""
     from pyspark.sql import Window
 
     counts = (
@@ -592,6 +600,8 @@ def build_vocab(df, text_col: str):
         .groupBy("token")
         .agg(F.count("*").alias("freq"))
     )
+    if max_vocab is not None:
+        counts = counts.orderBy(F.col("freq").desc(), F.col("token").asc()).limit(max_vocab)
     w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
     return counts.withColumn("token_id", F.row_number().over(w) - 1).select(
         "token", "token_id", "freq"

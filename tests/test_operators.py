@@ -727,3 +727,15 @@ def test_encode_documents_order_oov_and_vocab_rank(spark):
         for r in encode_documents(docs, "doc_id", "text", vocab=v1, oov_id=-1).collect()
     }
     assert enc2[2].input_ids[-1] == -1
+
+
+def test_build_vocab_max_vocab_truncation(spark):
+    from parqueryd_spark.operators.text import build_vocab, encode_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b zz")], "doc_id long, text string"
+    )
+    v2 = build_vocab(docs, "text", max_vocab=2)
+    assert {r.token: r.token_id for r in v2.collect()} == {"a": 0, "b": 1}
+    enc = {r.doc: r for r in encode_documents(docs, "doc_id", "text", vocab=v2).collect()}
+    assert enc[2].input_ids == [0, 1, -1]  # c and zz fall to OOV
