@@ -273,6 +273,7 @@ def weighted_sample(
     weight_col: str | Column,
     n: int,
     salt: str = "",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Weighted sampling WITHOUT replacement, derandomized — the
     Efraimidis-Spirakis A-Res scheme with hash-derived uniforms: each row
@@ -286,10 +287,22 @@ def weighted_sample(
 
     Scale shape: one projection + TakeOrderedAndProject (heap top-n, no
     global sort); adds a ``sample_score`` column (rounded to 10dp so
-    cross-engine float ulps cannot reorder near-ties; ties break on key)."""
+    cross-engine float ulps cannot reorder near-ties; ties break on key).
+    With ``group_cols`` the draw is n PER GROUP (weighted stratified
+    sampling) via a rank window that compiles to WindowGroupLimit — each
+    task pre-trims its local top-n per group before the shuffle."""
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     u = (md5_bucket(F.col(key_col), salt) + F.lit(0.5)) / F.lit(float(2**32))
     scored = df.withColumn("sample_score", F.round(F.log(u) / w, 10))
+    if group_cols:
+        win = Window.partitionBy(*group_cols).orderBy(
+            F.col("sample_score").desc(), F.col(key_col).asc()
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(win))
+            .where(F.col("_rn") <= n)
+            .drop("_rn")
+        )
     return (
         scored.orderBy(F.col("sample_score").desc(), F.col(key_col).asc()).limit(n)
     )

@@ -472,3 +472,32 @@ def cosine_near_dup_pairs(
         .select("id_a", "id_b", "cosine_sim")
         .distinct()
     )
+
+
+def search_literal(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine neighbors of ONE literal query vector — the ad-hoc
+    "find things like this embedding" call (the batch form with a query
+    TABLE is :func:`brute_force_topk`; the indexed form is
+    :func:`ivf_search` over a published index). Returns
+    (neighbor_id, cosine_sim, rank) as a heap top-k: scan -> score ->
+    TakeOrderedAndProject, no shuffle of the corpus."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        cosine(as_double(F.col(vec_col)), q).alias("cosine_sim"),
+    )
+    out = scored.orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc()).limit(k)
+    from pyspark.sql import Window
+
+    return out.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+        ),
+    )

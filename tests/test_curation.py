@@ -228,3 +228,18 @@ def test_materialize_packed_sequences_invariants(spark):
     # every bin's START respects the budget rule; the oversized doc 5 gets
     # its own bin(s) without corrupting neighbors
     assert any(len(r.token_ids) > 6 for r in out)  # the oversized one
+
+
+def test_weighted_sample_grouped_draws_n_per_group(spark):
+    from parqueryd_spark.operators.sampling import weighted_sample
+    from parqueryd_spark.plans.audit import explain_str
+
+    rows = [(i, ["x", "y", "z"][i % 3], float(1 + i % 7)) for i in range(90)]
+    df = spark.createDataFrame(rows, "k long, grp string, w double")
+    out = weighted_sample(df, "k", "w", 5, "s", group_cols=["grp"])
+    by_grp = {}
+    for r in out.collect():
+        by_grp.setdefault(r.grp, []).append(r.k)
+    assert {g: len(ks) for g, ks in by_grp.items()} == {"x": 5, "y": 5, "z": 5}
+    # grouped draw must pre-trim map-side (WindowGroupLimit), like cap_per_group
+    assert "WindowGroupLimit" in explain_str(out, "simple")

@@ -739,3 +739,23 @@ def test_build_vocab_max_vocab_truncation(spark):
     assert {r.token: r.token_id for r in v2.collect()} == {"a": 0, "b": 1}
     enc = {r.doc: r for r in encode_documents(docs, "doc_id", "text", vocab=v2).collect()}
     assert enc[2].input_ids == [0, 1, -1]  # c and zz fall to OOV
+
+
+def test_search_literal_matches_bruteforce(spark):
+    """Searching with vec_id 0's own vector as a literal must return the
+    same neighbor set as brute_force_topk querying vec_id 0 (plus itself at
+    cosine 1.0, which the table-query form excludes)."""
+    from parqueryd_spark.operators.similarity import search_literal
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    lit_hits = search_literal(emb, qvec, k=6)
+    rows = lit_hits.collect()
+    assert rows[0].neighbor_id == 0 and abs(rows[0].cosine_sim - 1.0) < 1e-9
+    assert [r.rank for r in rows] == list(range(1, 7))
+    table_hits = brute_force_topk(emb, emb.where(F.col("vec_id") == 0), k=5).collect()
+    assert [r.neighbor_id for r in rows[1:]] == [r.neighbor_id for r in table_hits]
+
+    from parqueryd_spark.plans.audit import plan_report
+
+    assert plan_report(search_literal(emb, qvec, k=6))["python_evals"] == 0
