@@ -69,7 +69,11 @@ def main() -> None:
         # 4. stream the rest in
         stream_in = os.path.join(tmp, "in")
         os.makedirs(stream_in)
-        late.limit(20).toPandas().to_parquet(os.path.join(stream_in, "b1.parquet"))
+        # deterministic, id-disjoint batches (the index precondition): an
+        # unordered limit() could overlap b2 or skip docs entirely
+        late.where(F.col("doc_id") < 220).toPandas().to_parquet(
+            os.path.join(stream_in, "b1.parquet")
+        )
         time.sleep(1.0)
         late.where(F.col("doc_id") >= 220).toPandas().to_parquet(
             os.path.join(stream_in, "b2.parquet")

@@ -150,8 +150,19 @@ def table_diff(
     make the join zero-exchange.
     """
     cc = compare_cols or [c for c in a.columns if c not in keys]
-    ha = a.select(*keys, F.xxhash64(*cc).alias("_ha"))
-    hb = b.select(*keys, F.xxhash64(*cc).alias("_hb"))
+
+    # xxhash64 SKIPS null inputs (the seed passes through), so without a
+    # per-column null flag the tuples (null,'x') and ('x',null) hash
+    # identically — a deterministic collision class, not a 2^-64 one. The
+    # interleaved is-null ints make every column's contribution positional.
+    def _digest(df: DataFrame):
+        parts = []
+        for c in cc:
+            parts += [F.col(c), F.isnull(c).cast("int")]
+        return F.xxhash64(*parts)
+
+    ha = a.select(*keys, _digest(a).alias("_ha"))
+    hb = b.select(*keys, _digest(b).alias("_hb"))
     j = ha.join(hb, on=list(keys), how="full_outer")
     status = (
         F.when(F.col("_ha").isNull(), F.lit("added"))

@@ -294,18 +294,10 @@ def weighted_sample(
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     u = (md5_bucket(F.col(key_col), salt) + F.lit(0.5)) / F.lit(float(2**32))
     scored = df.withColumn("sample_score", F.round(F.log(u) / w, 10))
+    order = [F.col("sample_score").desc(), F.col(key_col).asc()]
     if group_cols:
-        win = Window.partitionBy(*group_cols).orderBy(
-            F.col("sample_score").desc(), F.col(key_col).asc()
-        )
-        return (
-            scored.withColumn("_rn", F.row_number().over(win))
-            .where(F.col("_rn") <= n)
-            .drop("_rn")
-        )
-    return (
-        scored.orderBy(F.col("sample_score").desc(), F.col(key_col).asc()).limit(n)
-    )
+        return cap_per_group(scored, group_cols, n, order)
+    return scored.orderBy(*order).limit(n)
 
 
 def materialize_packed_sequences(
@@ -347,10 +339,14 @@ def materialize_packed_sequences(
             "bin_id",
             "n_docs",
             F.flatten(F.transform("_packed", lambda s: s["ids"])).alias("token_ids"),
-            # boundary offsets: cumulative starts of each doc inside the bin
+            # boundary offsets: one O(n_docs) prefix-sum fold over the doc
+            # sizes (an aggregate(slice(...)) per element would be quadratic
+            # in the many-short-docs bins packing exists for)
             F.expr(
-                "transform(_packed, (s, i) -> "
-                "aggregate(slice(_packed, 1, i), 0, (acc, x) -> acc + size(x.ids)))"
+                "aggregate(transform(_packed, s -> size(s.ids)), "
+                "named_struct('offs', cast(array() as array<int>), 'tot', 0), "
+                "(acc, x) -> named_struct('offs', array_append(acc.offs, acc.tot), "
+                "'tot', acc.tot + x), acc -> acc.offs)"
             ).alias("doc_offsets"),
         )
         .withColumn("n_tokens", F.size("token_ids").cast("long"))

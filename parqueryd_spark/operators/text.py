@@ -322,7 +322,11 @@ def bm25_scores(
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     # bag-of-terms semantics: a term listed twice scores twice (query-side
-    # boost), matching the classic Okapi formulation
+    # boost), matching the classic Okapi formulation.
+    # Null-text docs are excluded from the corpus entirely (they hold no
+    # tokens, can never match, and must not perturb N/avgdl) — the same
+    # definition the index path uses, so serve == scan holds on dirty data.
+    df = df.where(F.col(text_col).isNotNull())
     toks = tokens(text_col)
     nq = len(query_terms)
 
@@ -365,7 +369,9 @@ def bm25_scores(
 
 def _index_postings(df, id_col: str, text_col: str, n_buckets: int):
     """(token, doc, tf, dl, bucket) posting rows for a document set — one
-    shuffle to (doc, token) grain with map-side partials."""
+    shuffle to (doc, token) grain with map-side partials. Null-text docs are
+    excluded (same corpus definition as bm25_scores)."""
+    df = df.where(F.col(text_col).isNotNull())
     base = df.select(
         F.col(id_col).alias("doc"),
         tokens(text_col).alias("_toks"),
@@ -381,7 +387,11 @@ def _index_stats_partial(df, text_col: str, n_buckets: int):
     """One MERGEABLE stats row (n_docs, sum_dl, n_buckets) for a document
     set. The index stores one partial per generation/increment; the serve
     path sums them — so publish, append, and streaming maintenance all write
-    without reading what is already there (idempotent per partition)."""
+    without reading what is already there (idempotent per partition).
+    Null-text docs are excluded from n_docs exactly as their (absent)
+    postings are — otherwise the serve path's avgdl would divide by docs the
+    scan path never counts and serve == scan would break on dirty data."""
+    df = df.where(F.col(text_col).isNotNull())
     return df.select(tokens(text_col).alias("_toks")).agg(
         F.count("*").alias("n_docs"),
         F.coalesce(F.sum(F.size("_toks")), F.lit(0)).cast("long").alias("sum_dl"),
@@ -523,14 +533,18 @@ def text_index_append(
     ones — nothing is read-modified-rewritten, so a failed append leaves the
     index exactly as it was.
 
-    Preconditions: id-disjoint from already-indexed docs (re-ingesting an id
+    Batch-id spaces are disjoint by construction: manual appends allocate
+    NEGATIVE generations counting down from the published ``batch=-1``
+    (-2, -3, ...), while ``stream_index_text`` owns the nonnegative ids its
+    checkpoint assigns — so an append can never collide with (and silently
+    overwrite) a stream micro-batch partition on the same index.
+
+    Precondition: id-disjoint from already-indexed docs (re-ingesting an id
     would double its postings; dedup upstream with
-    ``dedup.incremental_minhash_pairs`` / exact id anti-join), and a single
-    maintainer — do not interleave manual appends with a live
-    ``stream_index_text`` on the same index (both allocate batch ids)."""
+    ``dedup.incremental_minhash_pairs`` / exact id anti-join)."""
     root = index_dir.rstrip("/")
     batches = _index_batches(spark, root)
-    nxt = max([b for b in batches if b >= 0], default=-1) + 1
+    nxt = min(batches, default=-1) - 1
     stats_any = spark.read.parquet(root + "/_stats").head()
     n_buckets = stats_any["n_buckets"]
     _index_postings(new_docs, id_col, text_col, n_buckets).write.mode(

@@ -181,22 +181,26 @@ def lint_plan(
                 "reusable partitioning, a broadcast, or partial aggregation",
             }
         )
-    if (
-        "Scan parquet" in plan
-        and "Filter" in simple
-        and "PushedFilters" in plan
-        and "PushedFilters: [" in plan
-        and all(
-            seg.startswith("]")  # every PushedFilters list is empty
-            for seg in plan.split("PushedFilters: [")[1:]
-        )
-    ):
+    # Pushdown check. A predicate wrapped in a cast/UDF (e.g. upper(c)='X')
+    # still pushes the implied IsNotNull, so "PushedFilters is empty" never
+    # fires on the case this rule exists for — treat IsNotNull-only pushed
+    # lists as nothing pushed. Fires only when NO scan pushes anything
+    # substantive while the plan still filters rows post-scan (per-scan
+    # attribution would need the tree walk; a plan where one scan pushes can
+    # still hide another's unpushed predicate — warn-grade precision).
+    scans = plan.split("PushedFilters: [")[1:]
+    substantive_anywhere = any(
+        any(p and not p.startswith("IsNotNull(") for p in seg.split("]", 1)[0].split(", "))
+        for seg in scans
+    )
+    if scans and not substantive_anywhere and "Filter (" in simple:
         findings.append(
             {
                 "rule": "unpushed-filters",
                 "severity": "warn",
-                "detail": "plan filters rows but no predicate reached any parquet "
-                "scan: check for casts/UDFs wrapping the filter column",
+                "detail": "the plan filters rows but no parquet scan pushes any "
+                "predicate beyond IsNotNull: check for casts/UDFs wrapping the "
+                "filter column (post-join predicates are expected exceptions)",
             }
         )
     return findings

@@ -12,10 +12,13 @@ totals never double-count. Corpus stats are mergeable partials summed at
 serve time, which is what makes the maintenance write-only — no
 read-modify-rewrite of a stats row, hence nothing to corrupt mid-crash.
 
-Single maintainer contract: the stream allocates nonnegative batch ids from
-its checkpoint; do not interleave manual ``text_index_append`` calls (which
-allocate max+1) with a live stream on the same index, and run
-``compact_text_index`` only between availableNow drains.
+Batch-id spaces are disjoint by construction: the stream owns the
+NONNEGATIVE ids its checkpoint assigns, manual ``text_index_append`` counts
+NEGATIVE generations down from the published ``batch=-1`` — so appends and
+stream micro-batches can never overwrite each other on the same index. Run
+``compact_text_index`` only between availableNow drains (it folds every
+generation into ``batch=-1``; a replay of a pre-compaction micro-batch would
+re-add its docs).
 """
 
 from __future__ import annotations
@@ -76,6 +79,9 @@ def compact_text_index(spark, index_dir: str, target_partitions: int = 8) -> int
         spark.read.parquet(root + "/postings")
         .select("token", "doc", "tf", "dl", "bucket")
         .withColumn("batch", F.lit(-1))
+        # without the repartition the rewrite keeps the accumulated
+        # per-micro-batch file spray — the exact thing compaction exists to fix
+        .repartition(target_partitions, "bucket")
     )
     atomic_publish(postings, root + "/postings", partition_by=["batch", "bucket"])
     stats = (

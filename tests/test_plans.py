@@ -248,6 +248,15 @@ def test_lint_plan_flags_bad_and_passes_good(spark):
     bad_udf = orders.select(plus("o_orderkey").alias("k"))
     rules = {f["rule"] for f in lint_plan(bad_udf)}
     assert "row-python-udf" in rules
+    # function-wrapped predicate: only the implied IsNotNull pushes, the real
+    # filter runs post-scan — the rule must see through the IsNotNull
+    nation = load_table(spark, SF_SMOKE, "nation")
+    wrapped = nation.where(F.upper(F.col("n_name")) == F.lit("KENYA"))
+    rules = {f["rule"] for f in lint_plan(wrapped)}
+    assert "unpushed-filters" in rules
+    # while a genuinely pushed predicate stays clean
+    pushed = nation.where(F.col("n_name") == "KENYA")
+    assert "unpushed-filters" not in {f["rule"] for f in lint_plan(pushed)}
 
 
 def test_cap_per_group_plans_group_limit(spark):

@@ -108,3 +108,15 @@ def test_compression_ratio_separates_repetitive_from_random(spark):
         for r in compression_ratio(docs.repartition(5), "doc_id", "text").collect()
     }
     assert {k: v.ratio for k, v in out.items()} == again
+
+
+def test_table_diff_detects_null_shifted_values(spark):
+    """(null,'x') vs ('x',null) must register as changed: xxhash64 skips null
+    inputs, so the digest interleaves per-column null flags to keep every
+    column's contribution positional."""
+    from parqueryd_spark.operators.quality import table_diff
+
+    a = spark.createDataFrame([(1, None, "x"), (2, "y", "y")], "k long, c1 string, c2 string")
+    b = spark.createDataFrame([(1, "x", None), (2, "y", "y")], "k long, c1 string, c2 string")
+    out = {r.k: r.status for r in table_diff(a, b, ["k"]).collect()}
+    assert out == {1: "changed"}
