@@ -300,6 +300,96 @@ def weighted_sample(
     return scored.orderBy(*order).limit(n)
 
 
+def group_aware_split(
+    df: DataFrame,
+    id_col: str,
+    groups: DataFrame,
+    weights: dict[str, float],
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: rows are assigned to splits by their
+    duplicate-GROUP key, not their own id, so every member of a near-dup group
+    lands in the SAME split — a plain per-row :func:`hash_split` after fuzzy
+    dedup still leaks near-copies of training documents into eval (the
+    contamination measured by benchmark decontamination studies), because
+    near-dup survivors and their dropped twins hash independently.
+
+    ``groups`` is a (doc_id, group_id) frame — the output of
+    ``operators.dedup.near_dup_groups`` over whatever pair generator fits the
+    corpus (minhash, simhash, embedding). Rows absent from ``groups``
+    (singletons) split by their own id, which IS their group key. The join is
+    groups-side small relative to the corpus (only grouped docs appear), so
+    AQE broadcasts it; the split itself stays a pure projection.
+    """
+    g = groups.select(
+        F.col("doc_id").alias(id_col), F.col("group_id").alias("_gkey")
+    )
+    joined = df.join(g, id_col, "left").withColumn(
+        "_skey", F.coalesce(F.col("_gkey"), F.col(id_col))
+    )
+    return hash_split(joined, "_skey", weights, salt, out_col).drop("_gkey", "_skey")
+
+
+def seeded_shuffle(
+    df: DataFrame,
+    key_col: str,
+    salt: str = "shuffle",
+    out_col: str = "shuffle_rank",
+    n_output_partitions: int = 32,
+) -> DataFrame:
+    """Deterministic global shuffle for training output: every row gets a
+    dense ``shuffle_rank`` (1..n) by md5-bucket order (ties broken on the key
+    itself), reproducible across engines and re-rollable via ``salt``. The
+    last step of a curation pipeline — training loaders want documents in a
+    fixed pseudorandom order decorrelated from source/crawl order, and
+    byte-identical re-runs.
+
+    Scale shape — a naive ``row_number() OVER (ORDER BY bucket)`` funnels the
+    corpus through ONE partition; instead: (1) range-partition on
+    (bucket, key) into ``n_output_partitions`` — output files then hold
+    contiguous rank spans, so a loader streams file i without any read-time
+    sort; (2) rank locally per partition (window partitioned by
+    ``spark_partition_id`` — every partition ranks in parallel); (3) lift
+    local ranks to global with per-partition row-count offsets, which are
+    metadata-scale (one number per partition, computed in one extra
+    aggregate-only pass over the shuffled layout; the input must be
+    deterministic between the two passes, which parquet scans are). Range
+    boundaries guarantee partition i's keys all precede partition i+1's, so
+    local-rank + offset IS the exact global rank.
+    """
+    b = md5_bucket(F.col(key_col), salt)
+    out = (
+        df.withColumn("_sb", b)
+        .repartitionByRange(n_output_partitions, F.col("_sb"), F.col(key_col))
+        .sortWithinPartitions(F.col("_sb"), F.col(key_col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    counts = sorted(
+        (r["_pid"], r["c"])
+        for r in out.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, c in counts:
+        offsets[pid] = acc
+        acc += c
+    if offsets:
+        off = F.element_at(
+            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+            F.col("_pid"),
+        )
+    else:
+        off = F.lit(0)
+    w = Window.partitionBy("_pid").orderBy(F.col("_sb").asc(), F.col(key_col).asc())
+    return (
+        out.withColumn(
+            out_col, (F.row_number().over(w) + F.coalesce(off, F.lit(0))).cast("long")
+        )
+        .drop("_sb", "_pid")
+    )
+
+
 def materialize_packed_sequences(
     encoded: DataFrame,
     order_col: str = "doc",

@@ -82,20 +82,22 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id: str = "centroid_id",
+    with_sim: bool = False,
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (max cosine, deterministic
-    tie-break on centroid id). One broadcast-join map pass over the corpus."""
+    tie-break on centroid id). One broadcast-join map pass over the corpus.
+    ``with_sim=True`` also returns the winning cosine as ``centroid_sim``
+    (what :func:`semantic_dedup` / :func:`prototype_scores` rank on)."""
     from pyspark.sql import Window as W
 
     c = spread_partitions(corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("v")))
     cen = centroids.select(F.col(centroid_id), as_double(F.col(vec_col)).alias("cv"))
     scored = c.crossJoin(F.broadcast(cen)).withColumn("sim", cosine(F.col("v"), F.col("cv")))
     w = W.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col(centroid_id).asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, centroid_id)
-    )
+    ranked = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    if with_sim:
+        return ranked.select(id_col, centroid_id, F.col("sim").alias("centroid_sim"))
+    return ranked.select(id_col, centroid_id)
 
 
 def kmeans_centroids(
@@ -500,4 +502,125 @@ def search_literal(
         F.row_number().over(
             Window.orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
         ),
+    )
+
+
+def _first_k_centroids(
+    vectors: DataFrame, n_centroids: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Deterministic fit-free centroids: the ``n_centroids`` lowest-id vectors,
+    with centroid_id = that vector's id (a K-row lookup, metadata-scale)."""
+    return (
+        vectors.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
+    )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    centroid_mode: str = "first_k",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public): the
+    embedding-space analog of minhash dedup for paraphrase/template duplicates
+    that share no exact n-grams.
+
+    Plan: (1) coarse-cluster the corpus — ``first_k`` deterministic centroids
+    or seeded MLlib KMeans (:func:`kmeans_centroids`); (2) generate candidate
+    pairs ONLY within a cluster (hash join on centroid_id — cost is
+    sum(cluster_size^2), never the n^2 cartesian the paper's GPU baseline
+    pays); (3) exact-cosine verify against ``threshold``; (4) fold pairs into
+    duplicate groups (connected components — edges never cross clusters, so a
+    group lives inside one cluster); (5) keep ONE representative per group:
+    the member LEAST similar to its centroid (the paper's diversity-keeping
+    low-prototypicality choice), ties broken on lowest id.
+
+    Returns one row per input vector: (id_col, centroid_id, centroid_sim,
+    group_id, keep) — ungrouped vectors keep themselves, group_id = own id.
+    At 100 TB: use ``centroid_mode="kmeans"`` with n_centroids ~ sqrt(n) so
+    clusters stay bounded; cross-cluster near-dups are missed by construction
+    (the documented SemDeDup approximation — the same tradeoff its published
+    results accept).
+    """
+    from parqueryd_spark.operators.dedup import near_dup_groups
+    from pyspark.sql import Window as W
+
+    if centroid_mode not in ("first_k", "kmeans"):
+        raise ValueError(f"centroid_mode must be 'first_k' or 'kmeans', got {centroid_mode!r}")
+    if centroid_mode == "kmeans":
+        centroids = kmeans_centroids(vectors, n_centroids, vec_col=vec_col)
+    else:
+        centroids = _first_k_centroids(vectors, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col, with_sim=True).persist()
+    v = spread_partitions(
+        vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    )
+    av = assigned.join(v, id_col)
+    a = av.select(F.col(id_col).alias("id_a"), "centroid_id", F.col("v").alias("va"))
+    b = av.select(F.col(id_col).alias("id_b"), "centroid_id", F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b")
+    )
+    groups = near_dup_groups(pairs)  # (doc_id, group_id), grouped vectors only
+    members = groups.join(
+        assigned.select(F.col(id_col).alias("doc_id"), "centroid_sim"), "doc_id"
+    )
+    w = W.partitionBy("group_id").orderBy(F.col("centroid_sim").asc(), F.col("doc_id").asc())
+    flagged = members.withColumn("keep", F.row_number().over(w) == 1).select(
+        F.col("doc_id").alias(id_col), F.col("group_id").alias("_gid"), "keep"
+    )
+    out = assigned.join(flagged, id_col, "left").select(
+        id_col,
+        "centroid_id",
+        "centroid_sim",
+        F.coalesce(F.col("_gid"), F.col(id_col)).alias("group_id"),
+        F.coalesce(F.col("keep"), F.lit(True)).alias("keep"),
+    )
+    return out
+
+
+def prototype_scores(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    centroid_mode: str = "first_k",
+) -> DataFrame:
+    """Prototypicality scoring for data pruning (Sorscher et al. 2022, "Beyond
+    neural scaling laws", public): rank every example by cosine similarity to
+    its cluster centroid. High-sim rows are prototypical/easy (prunable when
+    data is abundant); low-sim rows are hard/rare (prunable when data is
+    scarce). One broadcast assignment pass + one per-cluster window — no
+    pairwise work at all, so it scales linearly where pair-based dedup is
+    quadratic-per-bucket.
+
+    Returns (id_col, centroid_id, centroid_sim, proto_rank, cluster_n) with
+    ``proto_rank`` 1 = most prototypical within its cluster. Select a keep set
+    with e.g. ``F.col("proto_rank") > F.col("cluster_n") * lit(frac)`` (drop
+    the easiest ``frac``)."""
+    from pyspark.sql import Window as W
+
+    if centroid_mode not in ("first_k", "kmeans"):
+        raise ValueError(f"centroid_mode must be 'first_k' or 'kmeans', got {centroid_mode!r}")
+    if centroid_mode == "kmeans":
+        centroids = kmeans_centroids(vectors, n_centroids, vec_col=vec_col)
+    else:
+        centroids = _first_k_centroids(vectors, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col, with_sim=True)
+    w = W.partitionBy("centroid_id").orderBy(F.col("centroid_sim").desc(), F.col(id_col).asc())
+    wc = W.partitionBy("centroid_id")
+    return assigned.select(
+        id_col,
+        "centroid_id",
+        "centroid_sim",
+        F.row_number().over(w).alias("proto_rank"),
+        F.count(F.lit(1)).over(wc).alias("cluster_n"),
     )

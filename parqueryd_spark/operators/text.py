@@ -185,6 +185,54 @@ def winnow_fingerprints_md5(text: Column | str, k: int = 3, window: int = 4) -> 
     return F.array_distinct(win_mins)
 
 
+def winnow_overlap_pairs(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+    min_common: int = 5,
+    max_df: int | None = None,
+    hash_mode: str = "xxhash",
+):
+    """Document pairs sharing >= ``min_common`` winnowing fingerprints — the
+    MOSS-style partial-overlap detector (Schleimer et al. 2003): unlike
+    whole-document Jaccard it fires on CONTAINED copies (a paragraph lifted
+    into an otherwise-different document), because winnowing guarantees any
+    shared run longer than window+k-1 tokens contributes a shared fingerprint.
+
+    Plan: per-doc fingerprint arrays (pure Column winnowing), explode into an
+    inverted index (fingerprint -> doc), self-join on fingerprint, count per
+    pair. Costs one shuffle on fingerprint; per-fingerprint work is
+    posting-list^2, so ``max_df`` drops fingerprints appearing in more than
+    that many documents (boilerplate headers/licenses would otherwise create
+    quadratic hot lists at corpus scale — dropping them loses only evidence
+    every document shares, which identifies nothing). ``hash_mode="xxhash"``
+    is the production path (8-byte fingerprints); ``"md5"`` matches the
+    DuckDB-reproducible variant the gate oracle rebuilds.
+
+    Returns (id_a, id_b, n_common).
+    """
+    fp_col = (
+        winnow_fingerprints(text_col, k, window)
+        if hash_mode == "xxhash"
+        else winnow_fingerprints_md5(text_col, k, window)
+    )
+    ex = df.select(F.col(id_col).alias("doc"), F.explode(fp_col).alias("fp"))
+    if max_df is not None:
+        dfreq = ex.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+        ex = ex.join(dfreq.filter(F.col("_df") <= max_df).select("fp"), "fp")
+    a = ex.select(F.col("doc").alias("id_a"), "fp")
+    b = ex.select(F.col("doc").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+
+
 def shingles(text: Column | str, k: int = 3) -> Column:
     """k-gram token shingles (distinct), the unit for Jaccard/MinHash dedup.
 

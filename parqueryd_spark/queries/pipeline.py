@@ -154,4 +154,3 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_stats(corpus, bench, "doc_id", "text", k=3).select(
         F.col("doc").alias("doc_id"), "n_grams", "n_hits", "contaminated"
     )
-

@@ -1,0 +1,279 @@
+"""Data-selection queries: semantic dedup (SemDeDup), prototypicality
+pruning, leakage-safe splits, deterministic global shuffle, and
+winnowing-overlap detection — the curation steps between dedup and training
+that decide WHICH surviving documents a model actually sees.
+
+Registered after the core window (#81+ in the registry) so the audited
+50-row gate keeps its round-5 composition; every query here still carries a
+full DuckDB oracle and is verified by tests/test_registry_oracle.py and
+tools/driver_sim.py.
+
+Oracle notes: centroid assignment uses deterministic first-16 centroids so
+DuckDB can rebuild the identical mapping; connected components close with a
+recursive CTE (same pattern as dedup_groups); split/shuffle arithmetic is
+pure md5, byte-equal across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parqueryd_spark.operators import text as T
+from parqueryd_spark.operators.dedup import near_dup_groups, ngram_jaccard_pairs
+from parqueryd_spark.operators.sampling import (
+    group_aware_split,
+    seeded_shuffle,
+    split_threshold,
+)
+from parqueryd_spark.operators.similarity import prototype_scores, semantic_dedup
+from parqueryd_spark.queries import query
+from parqueryd_spark.sources.parquet import load_table
+
+_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_T_TRAIN = split_threshold(0.8)
+_T_VAL = split_threshold(0.9)
+
+
+def _cos_sql(x: str, y: str) -> str:
+    """DuckDB cosine between two named DOUBLE[] expressions (same sequential
+    double arithmetic as operators.similarity.cosine — bit-agreeing)."""
+    return (
+        f"list_dot_product({x}, {y})"
+        f" / (sqrt(list_dot_product({x}, {x})) * sqrt(list_dot_product({y}, {y})))"
+    )
+
+
+# Shared oracle CTEs: deterministic first-16 centroids + nearest-centroid
+# assignment with the winning cosine — the exact SQL mirror of
+# _first_k_centroids + ivf_assign(with_sim=True).
+_ASSIGN_SQL = f"""
+    cen AS (
+      SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings ORDER BY vec_id ASC LIMIT 16
+    ), v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+    ), assign AS (
+      SELECT vec_id, centroid_id, sim AS centroid_sim FROM (
+        SELECT v.vec_id, cen.centroid_id,
+               {_cos_sql('v.vv', 'cen.cv')} AS sim,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_cos_sql('v.vv', 'cen.cv')} DESC,
+                                           cen.centroid_id ASC) AS rn
+        FROM v CROSS JOIN cen
+      ) WHERE rn = 1
+    )
+"""
+
+
+@query(
+    "embedding_semantic_dedup",
+    oracle=f"""
+    WITH RECURSIVE {_ASSIGN_SQL}, pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assign a
+      JOIN assign b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      JOIN v va ON va.vec_id = a.vec_id
+      JOIN v vb ON vb.vec_id = b.vec_id
+      WHERE {_cos_sql('va.vv', 'vb.vv')} >= 0.45
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+    ), comp AS (
+      SELECT node, min(label) AS group_id FROM reach GROUP BY node
+    ), rep AS (
+      SELECT group_id, node AS rep_id FROM (
+        SELECT c.group_id, c.node,
+               row_number() OVER (PARTITION BY c.group_id
+                                  ORDER BY a.centroid_sim ASC, c.node ASC) AS rn
+        FROM comp c JOIN assign a ON a.vec_id = c.node
+      ) WHERE rn = 1
+    )
+    SELECT a.vec_id AS vec_id, a.centroid_id AS centroid_id,
+           a.centroid_sim AS centroid_sim,
+           COALESCE(c.group_id, a.vec_id) AS group_id,
+           (c.node IS NULL OR r.rep_id = a.vec_id) AS keep
+    FROM assign a
+    LEFT JOIN comp c ON c.node = a.vec_id
+    LEFT JOIN rep r ON r.group_id = c.group_id
+    """,
+)
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table (operators/similarity.py:
+    semantic_dedup): cluster-scoped cosine pairs at >= 0.45 folded into
+    duplicate groups, one least-prototypical representative kept per group.
+    Deterministic first-16 centroids so the oracle can rebuild the identical
+    assignment; the recursive CTE closes the pair graph exactly like the
+    min-label propagation. 0.45 for the same reason embedding_near_dup uses
+    it — this corpus's most-similar pair sits at 0.51."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.45, n_centroids=16, centroid_mode="first_k")
+
+
+@query(
+    "embedding_prototypes",
+    oracle=f"""
+    WITH {_ASSIGN_SQL}
+    SELECT vec_id, centroid_id, centroid_sim,
+           row_number() OVER (PARTITION BY centroid_id
+                              ORDER BY centroid_sim DESC, vec_id ASC) AS proto_rank,
+           count(*) OVER (PARTITION BY centroid_id) AS cluster_n
+    FROM assign
+    """,
+)
+def embedding_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality scores for data pruning (operators/similarity.py:
+    prototype_scores — Sorscher et al. 2022 ranking): per-cluster cosine rank
+    to the assigned centroid, linear cost, no pairwise work. The oracle
+    rebuilds the assignment and both windows in DuckDB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return prototype_scores(emb, n_centroids=16, centroid_mode="first_k")
+
+
+_JACCARD_GROUPS_SQL = """
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                   for i in range(1, greatest(len(t)-2, 1)+1)])) AS s
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), jpairs AS (
+      SELECT id_a, id_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE c / (sa.n + sb.n - c) >= 0.8
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM jpairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM jpairs
+    ), reach(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+    ), comp AS (
+      SELECT node, min(label) AS group_id FROM reach GROUP BY node
+    )
+"""
+
+
+@query(
+    "pipeline_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_GROUPS_SQL}, skeys AS (
+      SELECT d.doc_id, COALESCE(c.group_id, d.doc_id) AS skey,
+             c.node IS NOT NULL AS grouped
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ), assigned AS (
+      SELECT doc_id, skey, grouped,
+             CASE WHEN CAST(('0x' || substr(md5(skey::VARCHAR || 'leak'), 1, 8)) AS BIGINT)
+                       < {_T_TRAIN} THEN 'train'
+                  WHEN CAST(('0x' || substr(md5(skey::VARCHAR || 'leak'), 1, 8)) AS BIGINT)
+                       < {_T_VAL} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM skeys
+    )
+    SELECT split,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN grouped THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+           count(DISTINCT CASE WHEN grouped THEN skey END) AS n_groups
+    FROM assigned GROUP BY split
+    """,
+)
+def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (operators/sampling.py:
+    group_aware_split): near-dup groups from exact Jaccard >= 0.8 pairs become
+    the split unit, so a document and its near-copies can never straddle
+    train and eval — the leak a per-row hash split permits. Reports per-split
+    doc totals plus how many grouped (near-dup) docs and distinct groups each
+    split received; the oracle recomputes pairs, closes the graph with a
+    recursive CTE, and replays the identical md5 bucket arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+    groups = near_dup_groups(pairs)
+    split = group_aware_split(
+        docs.join(
+            groups.select("doc_id", F.col("group_id").alias("dup_group")), "doc_id", "left"
+        ),
+        "doc_id",
+        groups,
+        _WEIGHTS,
+        salt="leak",
+    )
+    grouped = F.col("dup_group").isNotNull()
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(grouped.cast("long")).alias("n_dup_docs"),
+        F.count_distinct(F.col("dup_group")).alias("n_groups"),
+    )
+
+
+@query(
+    "pipeline_global_shuffle",
+    oracle="""
+    SELECT doc_id, source,
+           CAST(row_number() OVER (
+             ORDER BY CAST(('0x' || substr(md5(doc_id::VARCHAR || 'shuffle'), 1, 8)) AS BIGINT) ASC,
+                      doc_id ASC) AS BIGINT) AS shuffle_rank
+    FROM documents
+    """,
+)
+def pipeline_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle (operators/sampling.py:seeded_shuffle):
+    dense pseudorandom rank over the corpus by md5-bucket order. Spark
+    computes it scalably — range-partition on the bucket, per-partition
+    window, metadata-scale offsets — while the oracle's single window at
+    sf0.01 verifies the composed rank is exactly the global one."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return seeded_shuffle(docs, "doc_id", salt="shuffle", n_output_partitions=8)
+
+
+@query(
+    "text_winnow_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), seqs AS (
+      SELECT doc_id,
+             [array_to_string(t[i:i+2], ' ')
+              for i in range(1, greatest(len(t)-2, 1)+1)] AS sq
+      FROM toks
+    ), hs AS (
+      SELECT doc_id, list_transform(sq, s -> md5(s)) AS h FROM seqs
+    ), fps AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(0, greatest(len(h) - 4, 0) + 1),
+               i -> list_aggregate(h[(i+1):(i+4)], 'min')))) AS fp
+      FROM hs
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 5
+    """,
+)
+def text_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap pairs via shared winnowing fingerprints
+    (operators/text.py:winnow_overlap_pairs, MOSS-style): documents sharing
+    >= 5 window-min fingerprints — catches contained copies whole-document
+    Jaccard misses. Runs the md5 variant so the oracle rebuilds the identical
+    fingerprint sets and brute-counts the shared ones; production runs use
+    xxhash64 fingerprints and a ``max_df`` boilerplate cap (asserted in
+    tests)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.winnow_overlap_pairs(
+        docs, "doc_id", "text", k=3, window=4, min_common=5, hash_mode="md5"
+    )

@@ -1,0 +1,167 @@
+"""Behavioral tests for the data-selection operators added in round 6:
+semantic dedup (SemDeDup), prototypicality pruning, leakage-safe splits,
+deterministic global shuffle, and winnowing-overlap pairs — the oracle SQL
+checks live in test_registry_oracle; these assert the operator CONTRACTS
+(group invariants, permutation properties, boilerplate caps) that a value
+hash alone does not pin down."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parqueryd_spark.operators.sampling import group_aware_split, seeded_shuffle
+from parqueryd_spark.operators.similarity import prototype_scores, semantic_dedup
+from parqueryd_spark.operators.text import winnow_overlap_pairs
+from parqueryd_spark.sources.parquet import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_semantic_dedup_group_invariants(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    out = semantic_dedup(emb, threshold=0.45, n_centroids=8).persist()
+    n = emb.count()
+    assert out.count() == n  # one row per vector, none dropped or duplicated
+    assert out.select("vec_id").distinct().count() == n
+    # exactly one keeper per group
+    per_group = out.groupBy("group_id").agg(
+        F.sum(F.col("keep").cast("int")).alias("kept"),
+        F.count_distinct("centroid_id").alias("n_cen"),
+    )
+    assert per_group.filter(F.col("kept") != 1).count() == 0
+    # edges never cross clusters => a group lives inside one cluster
+    assert per_group.filter(F.col("n_cen") != 1).count() == 0
+    # the kept member is the least centroid-similar of its group
+    grouped = out.groupBy("group_id").agg(
+        F.min("centroid_sim").alias("min_sim"), F.count(F.lit(1)).alias("sz")
+    )
+    kept = out.filter(F.col("keep")).select("group_id", "centroid_sim")
+    bad = (
+        kept.join(grouped, "group_id")
+        .filter((F.col("sz") > 1) & (F.col("centroid_sim") != F.col("min_sim")))
+        .count()
+    )
+    assert bad == 0
+    out.unpersist()
+
+
+def test_semantic_dedup_kmeans_mode_runs(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(60)
+    out = semantic_dedup(emb, threshold=0.45, n_centroids=4, centroid_mode="kmeans")
+    assert out.count() == 60
+
+
+def test_prototype_scores_rank_contract(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    scores = prototype_scores(emb, n_centroids=8).persist()
+    # ranks are a 1..cluster_n permutation inside each cluster
+    per = scores.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("proto_rank").alias("lo"),
+        F.max("proto_rank").alias("hi"),
+        F.count_distinct("proto_rank").alias("d"),
+        F.max("cluster_n").alias("cn"),
+        F.min("cluster_n").alias("cn2"),
+    )
+    bad = per.filter(
+        (F.col("lo") != 1)
+        | (F.col("hi") != F.col("n"))
+        | (F.col("d") != F.col("n"))
+        | (F.col("cn") != F.col("n"))
+        | (F.col("cn2") != F.col("n"))
+    )
+    assert bad.count() == 0
+    assert scores.count() == n
+    # rank order follows centroid similarity (non-increasing along rank)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("centroid_id").orderBy("proto_rank")
+    mono = scores.withColumn("prev", F.lag("centroid_sim").over(w)).filter(
+        F.col("prev").isNotNull() & (F.col("centroid_sim") > F.col("prev"))
+    )
+    assert mono.count() == 0
+    scores.unpersist()
+
+
+def test_group_aware_split_never_splits_a_group(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    from parqueryd_spark.operators.dedup import near_dup_groups, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+    groups = near_dup_groups(pairs).persist()
+    assert groups.count() > 0  # fixture corpus has implanted near-dups
+    split = group_aware_split(
+        docs, "doc_id", groups, {"train": 0.8, "val": 0.1, "test": 0.1}, salt="t"
+    )
+    spans = (
+        split.join(groups, "doc_id")
+        .groupBy("group_id")
+        .agg(F.count_distinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+    )
+    assert spans.count() == 0
+    # a plain per-row split on the same corpus DOES split at least one group
+    # (the leak this operator exists to prevent)
+    from parqueryd_spark.operators.sampling import hash_split
+
+    naive = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="t")
+    leaked = (
+        naive.join(groups, "doc_id")
+        .groupBy("group_id")
+        .agg(F.count_distinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+    )
+    assert leaked.count() > 0
+    groups.unpersist()
+
+
+def test_seeded_shuffle_is_a_deterministic_permutation(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id")
+    n = docs.count()
+    a = seeded_shuffle(docs, "doc_id", salt="s1", n_output_partitions=5).persist()
+    # dense permutation 1..n
+    stats = a.agg(
+        F.min("shuffle_rank").alias("lo"),
+        F.max("shuffle_rank").alias("hi"),
+        F.count_distinct("shuffle_rank").alias("d"),
+    ).first()
+    assert (stats["lo"], stats["hi"], stats["d"]) == (1, n, n)
+    # deterministic across runs; different salt gives a different order
+    b = seeded_shuffle(docs, "doc_id", salt="s1", n_output_partitions=5)
+    assert a.exceptAll(b).count() == 0
+    c = seeded_shuffle(docs, "doc_id", salt="s2", n_output_partitions=5)
+    assert a.exceptAll(c).count() > 0
+    # rank is independent of the partition count (the offset lift is exact)
+    d = seeded_shuffle(docs, "doc_id", salt="s1", n_output_partitions=2)
+    assert a.exceptAll(d).count() == 0
+    a.unpersist()
+
+
+def test_winnow_overlap_xxhash_and_max_df(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    fast = winnow_overlap_pairs(docs, min_common=5, hash_mode="xxhash").persist()
+    slow = winnow_overlap_pairs(docs, min_common=5, hash_mode="md5")
+    # both hash variants flag the same document pairs (counts may differ only
+    # if hash collisions differ; the pair sets over this corpus agree)
+    fp = {(r["id_a"], r["id_b"]) for r in fast.select("id_a", "id_b").collect()}
+    sp = {(r["id_a"], r["id_b"]) for r in slow.select("id_a", "id_b").collect()}
+    assert fp == sp and fp
+    # near-dup jaccard pairs all share winnow fingerprints (winnowing
+    # guarantees shared fingerprints for long shared runs; short documents
+    # may have fewer than 5 fingerprints total, so assert at min_common=1)
+    from parqueryd_spark.operators.dedup import ngram_jaccard_pairs
+
+    jp = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    loose = winnow_overlap_pairs(docs, min_common=1, hash_mode="xxhash")
+    lp = {(r["id_a"], r["id_b"]) for r in loose.select("id_a", "id_b").collect()}
+    assert jp <= lp
+    # a max_df boilerplate cap can only remove evidence, never add pairs
+    capped = winnow_overlap_pairs(docs, min_common=5, hash_mode="xxhash", max_df=2)
+    cp = {(r["id_a"], r["id_b"]) for r in capped.select("id_a", "id_b").collect()}
+    assert cp <= fp
+    fast.unpersist()
