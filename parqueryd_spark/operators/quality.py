@@ -206,3 +206,49 @@ def compression_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             )
 
     return narrow.mapInPandas(_ratios, out_schema)
+
+
+def data_card(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-source data card: the one-scan audit report a curation run
+    publishes alongside a dataset (datasheets-for-datasets style) — volume,
+    token budget, exact-duplicate rate, mean quality, PII incidence, and
+    language spread, grouped by ``group_cols`` (default: ``source``).
+
+    Everything is computed in a SINGLE aggregation over one projection pass:
+    per-doc signals (token count, content digest, quality score, PII flag,
+    predicted language) are pure codegen'd Column expressions, then one
+    groupBy folds them into the report — no second scan, no Python, report
+    rows = number of sources. Float columns are rounded to 4dp so the report
+    is stable across engines and row orders.
+    """
+    from parqueryd_spark.operators.pii import has_pii
+    from parqueryd_spark.operators.text import predict_lang, quality_score, token_count
+
+    groups = group_cols or ["source"]
+    t = F.col(text_col)
+    per_doc = df.select(
+        *groups,
+        F.col(id_col),
+        token_count(t).alias("_ntok"),
+        F.md5(t).alias("_digest"),
+        quality_score(t).alias("_q"),
+        has_pii(t).alias("_pii"),
+        predict_lang(t).alias("_lang"),
+    )
+    n = F.count(F.lit(1))
+    uniq = F.count_distinct(F.col("_digest"))
+    return per_doc.groupBy(*groups).agg(
+        n.alias("n_docs"),
+        F.sum("_ntok").cast("long").alias("n_tokens"),
+        F.round(F.avg("_ntok"), 4).alias("avg_tokens"),
+        uniq.alias("n_unique_texts"),
+        F.round(F.lit(1.0) - uniq / n.cast("double"), 4).alias("dup_pct"),
+        F.round(F.avg("_q"), 4).alias("avg_quality"),
+        F.sum(F.col("_pii").cast("long")).alias("docs_with_pii"),
+        F.count_distinct(F.col("_lang")).alias("n_langs"),
+    )

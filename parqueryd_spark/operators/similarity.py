@@ -624,3 +624,36 @@ def prototype_scores(
         F.row_number().over(w).alias("proto_rank"),
         F.count(F.lit(1)).over(wc).alias("cluster_n"),
     )
+
+
+def margin_topk_match(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    margin_threshold: float = 1.0,
+) -> DataFrame:
+    """Margin-scored nearest-neighbor matching (the ratio-margin criterion of
+    Artetxe & Schwenk 2019, public — the bitext-mining / cross-corpus
+    alignment scorer): each query's best match is accepted not on absolute
+    cosine (miscalibrated per query — hubness) but on how much it stands OUT:
+    ``margin = sim(top1) / mean(sim(top-k))``. A query whose neighborhood is
+    uniformly close (margin ~1) has no distinctive match; a real alignment
+    towers over its next-best alternatives. This is the forward-direction
+    variant; run it both ways and intersect for the paper's full
+    bidirectional criterion.
+
+    Plan: :func:`brute_force_topk` (broadcast queries, window top-k over the
+    corpus — swap in :func:`ivf_search` over a published index at scale),
+    then ONE aggregate per query: top-1 id via ``min_by(rank)``, top-1 sim
+    via ``max``, margin from the top-k mean. Returns
+    (query_id, neighbor_id, cosine_sim, margin) for margins >= threshold.
+    """
+    tk = brute_force_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    agg = tk.groupBy("query_id").agg(
+        F.min_by("neighbor_id", "rank").alias("neighbor_id"),
+        F.max("cosine_sim").alias("cosine_sim"),
+        (F.max("cosine_sim") / F.avg("cosine_sim")).alias("margin"),
+    )
+    return agg.filter(F.col("margin") >= margin_threshold)

@@ -277,3 +277,98 @@ def text_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.winnow_overlap_pairs(
         docs, "doc_id", "text", k=3, window=4, min_common=5, hash_mode="md5"
     )
+
+
+def _pii_any_sql() -> str:
+    """PII-presence predicate built from the SAME pattern dict the Spark
+    operator compiles (operators/pii.py:PII_PATTERNS) — no transcription
+    drift between engines."""
+    from parqueryd_spark.operators.pii import PII_PATTERNS
+
+    counts = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for pat in PII_PATTERNS.values()
+    )
+    return f"({counts}) > 0"
+
+
+def _data_card_oracle() -> str:
+    from parqueryd_spark.queries.text import _PRED_SQL, _STOP_SQL
+
+    quality = f"""
+      least(length(text) / 400.0, 1.0) * 0.5
+      + (len(list_filter(string_split(text, ' '), t -> t IN {_STOP_SQL}))
+         / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5
+      - ((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+         / CAST(length(text) AS DOUBLE))
+    """
+    return f"""
+    WITH per AS (
+      SELECT source, doc_id,
+             len(string_split(text, ' ')) AS n_tok,
+             md5(text)                    AS digest,
+             {quality}                    AS q,
+             {_pii_any_sql()}             AS pii,
+             {_PRED_SQL}                  AS plang
+      FROM documents
+    )
+    SELECT source,
+           count(*)                                        AS n_docs,
+           CAST(sum(n_tok) AS BIGINT)                      AS n_tokens,
+           round(avg(n_tok), 4)                            AS avg_tokens,
+           count(DISTINCT digest)                          AS n_unique_texts,
+           round(1 - count(DISTINCT digest)
+                     / CAST(count(*) AS DOUBLE), 4)        AS dup_pct,
+           round(avg(q), 4)                                AS avg_quality,
+           CAST(sum(CASE WHEN pii THEN 1 ELSE 0 END)
+                AS BIGINT)                                 AS docs_with_pii,
+           count(DISTINCT plang)                           AS n_langs
+    FROM per GROUP BY source
+    """
+
+
+@query("pipeline_data_card", oracle=_data_card_oracle())
+def pipeline_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data card (operators/quality.py:data_card — the
+    datasheets-for-datasets audit report): volume, token budget,
+    exact-duplicate rate, mean quality, PII incidence, and language spread in
+    ONE aggregation over one scan. The oracle recomputes every per-doc signal
+    from the shared SQL fragments (language CASE, stopword quality, the PII
+    regex dict itself) so the whole report cross-checks externally."""
+    from parqueryd_spark.operators.quality import data_card
+
+    docs = load_table(spark, sf_dir, "documents")
+    return data_card(docs, "doc_id", "text", group_cols=["source"])
+
+
+@query(
+    "ann_margin_match",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_cos_sql('CAST(a.embedding AS DOUBLE[])', 'CAST(b.embedding AS DOUBLE[])')} AS sim,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY {_cos_sql('CAST(a.embedding AS DOUBLE[])', 'CAST(b.embedding AS DOUBLE[])')} DESC,
+                                         b.vec_id ASC) AS rank
+      FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+      WHERE a.vec_id >= 10 AND a.vec_id < 18
+    ), tk AS (SELECT * FROM scored WHERE rank <= 4)
+    SELECT query_id,
+           arg_min(neighbor_id, rank) AS neighbor_id,
+           max(sim)                   AS cosine_sim,
+           max(sim) / avg(sim)        AS margin
+    FROM tk GROUP BY query_id
+    HAVING max(sim) / avg(sim) >= 1.0
+    """,
+)
+def ann_margin_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-scored nearest-neighbor matching (operators/similarity.py:
+    margin_topk_match, the Artetxe & Schwenk ratio-margin criterion): each
+    query's best match accepted on how far it towers over the rest of its
+    top-4 neighborhood rather than on raw cosine. Query vectors 10..17 (a
+    distinct slice from the other ANN gate rows); the oracle recomputes the
+    top-k window and the margin aggregate independently."""
+    from parqueryd_spark.operators.similarity import margin_topk_match
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 18))
+    return margin_topk_match(emb, qs, k=4, margin_threshold=1.0)

@@ -133,3 +133,25 @@ def test_round6_late_ops_on_empty(spark):
     assert added.count() == n and added.where(F.col("status") != "added").count() == 0
     removed = table_diff(full, docs, ["doc_id"])
     assert removed.count() == n and removed.where(F.col("status") != "removed").count() == 0
+
+
+def test_selection_ops_on_empty(spark):
+    from parqueryd_spark.operators.sampling import group_aware_split, seeded_shuffle
+    from parqueryd_spark.operators.similarity import prototype_scores, semantic_dedup
+    from parqueryd_spark.operators.text import winnow_overlap_pairs
+
+    docs = _empty_docs(spark)
+    emb = load_table(spark, SF_SMOKE, "embeddings").filter(F.lit(False))
+    assert semantic_dedup(emb, threshold=0.45, n_centroids=4).count() == 0
+    assert prototype_scores(emb, n_centroids=4).count() == 0
+    assert winnow_overlap_pairs(docs).count() == 0
+    assert winnow_overlap_pairs(docs, max_df=3).count() == 0
+    empty_groups = docs.select(
+        F.col("doc_id"), F.col("doc_id").alias("group_id")
+    )
+    split = group_aware_split(
+        docs, "doc_id", empty_groups, {"train": 0.9, "test": 0.1}
+    )
+    assert split.count() == 0 and "split" in split.columns
+    shuffled = seeded_shuffle(docs.select("doc_id"), "doc_id", n_output_partitions=4)
+    assert shuffled.count() == 0 and "shuffle_rank" in shuffled.columns

@@ -165,3 +165,38 @@ def test_winnow_overlap_xxhash_and_max_df(spark):
     cp = {(r["id_a"], r["id_b"]) for r in capped.select("id_a", "id_b").collect()}
     assert cp <= fp
     fast.unpersist()
+
+
+def test_data_card_invariants(spark):
+    from parqueryd_spark.operators.quality import data_card
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    card = data_card(docs).persist()
+    rows = {r["source"]: r for r in card.collect()}
+    assert sum(r["n_docs"] for r in rows.values()) == docs.count()
+    for r in rows.values():
+        assert 0 <= r["dup_pct"] <= 1
+        assert r["n_unique_texts"] <= r["n_docs"]
+        assert 0 <= r["docs_with_pii"] <= r["n_docs"]
+        assert 1 <= r["n_langs"]
+        assert r["n_tokens"] >= r["n_docs"]  # every doc has at least one token
+    card.unpersist()
+
+
+def test_margin_match_contract(spark):
+    from parqueryd_spark.operators.similarity import brute_force_topk, margin_topk_match
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    m = margin_topk_match(emb, qs, k=4, margin_threshold=1.0).persist()
+    assert m.count() == 10  # ratio margin is always >= 1, so all queries pass
+    # the accepted neighbor IS the exact top-1
+    top1 = brute_force_topk(emb, qs, k=1).select("query_id", "neighbor_id")
+    assert m.select("query_id", "neighbor_id").exceptAll(top1).count() == 0
+    # raising the threshold can only shrink the match set
+    strict = margin_topk_match(emb, qs, k=4, margin_threshold=1.5)
+    assert strict.count() <= 10
+    strict_ids = {r["query_id"] for r in strict.select("query_id").collect()}
+    loose_ids = {r["query_id"] for r in m.select("query_id").collect()}
+    assert strict_ids <= loose_ids
+    m.unpersist()
