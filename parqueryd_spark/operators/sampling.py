@@ -216,6 +216,26 @@ def mixture_fractions(
     return {d: (scale * targets[d]) / counts[d] for d in targets}
 
 
+def temperature_targets(counts: dict[str, int], alpha: float = 0.5) -> dict[str, float]:
+    """Temperature-scaled mixture targets: target_i proportional to
+    ``counts_i ** alpha`` — the multilingual/multi-source sampling rule
+    (alpha=1 keeps the natural distribution, alpha=0 forces uniform,
+    0<alpha<1 up-weights small sources without the unbounded repetition a
+    hard uniform mix would demand of them; 0.3-0.7 is the published range
+    for multilingual pretraining). Feed the result to
+    :func:`mixture_fractions` / :func:`resample_to_mixture`; since those
+    never upsample, the smallest source after temperature scaling sets the
+    achievable total. Pure driver-side float arithmetic over |domains|
+    numbers — metadata-scale."""
+    if not counts:
+        raise ValueError("counts must be non-empty")
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    weights = {d: float(n) ** alpha for d, n in counts.items() if n > 0}
+    total = sum(weights.values())
+    return {d: w / total for d, w in weights.items()}
+
+
 def resample_to_mixture(
     df: DataFrame,
     domain_col: str,

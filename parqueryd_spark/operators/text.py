@@ -698,3 +698,46 @@ def encode_documents(df, id_col: str, text_col: str, vocab=None, oov_id: int = -
             ).alias("input_ids"),
         )
     )
+
+
+def unigram_divergence(df, group_col: str, text_col: str = "text"):
+    """Per-group KL divergence of the unigram token distribution from the
+    whole corpus — the mixture diagnostic that tells a curation run which
+    sources are lexically off-distribution (candidates for down-weighting)
+    and which merely add volume. KL(p_group || p_corpus) is finite by
+    construction: every group token occurs in the corpus, so q > 0 wherever
+    p > 0.
+
+    Plan: one explode -> (group, token) count aggregation; corpus-level
+    counts DERIVE from the group counts (a second small aggregation, never a
+    second scan of the text); the corpus total joins in as a broadcast 1-row
+    scalar. Returns (group_col, n_tokens, n_distinct_tokens, kl_divergence)
+    with the divergence rounded to 6dp so cross-engine float-summation order
+    cannot leak into the report.
+    """
+    toks = df.select(F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("tok"))
+    grp_counts = toks.groupBy("grp", "tok").agg(F.count(F.lit(1)).alias("c"))
+    all_counts = grp_counts.groupBy("tok").agg(F.sum("c").alias("ac"))
+    totals = grp_counts.groupBy("grp").agg(
+        F.sum("c").alias("gt"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    corpus_total = all_counts.agg(F.sum("ac").alias("at"))
+    # totals is one row per group and corpus_total exactly one row — small by
+    # construction, so AQE broadcasts them from runtime statistics; a forced
+    # broadcast hint would turn wrong if the group column were high-cardinality
+    joined = (
+        grp_counts.join(all_counts, "tok")
+        .join(totals, "grp")
+        .crossJoin(F.broadcast(corpus_total))
+    )
+    p = F.col("c") / F.col("gt")
+    q = F.col("ac") / F.col("at")
+    return (
+        joined.groupBy("grp")
+        .agg(
+            F.max("gt").cast("long").alias("n_tokens"),
+            F.max("n_distinct").cast("long").alias("n_distinct_tokens"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_divergence"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )

@@ -65,7 +65,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # correctness gate records the FIRST 50 registry entries, and the highest-value
 # modules register first, so an addition pushing past 50 only drops the
 # lowest-value variants out of the window. Past the window as of round 6
-# (50 total, each still verified by tools/driver_sim.py and pytest):
+# (51 total, each still verified by tools/driver_sim.py and pytest):
 # #51 text_ngram_stats, #52 text_fingerprint, #53 text_bm25_search,
 # #54 hybrid_search_rerank, #55 text_bigram_logprob, #56 text_encode_ids,
 # #57 scalar_string_funcs, #58 scalar_date_json_funcs,
@@ -83,7 +83,8 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # #82 embedding_prototypes, #83 pipeline_leakage_safe_split,
 # #84 pipeline_global_shuffle, #85 text_winnow_overlap,
 # #86 pipeline_data_card, #87 ann_margin_match,
-# #88-100 the extended TPC-H suite. In-window
+# #88 text_source_divergence,
+# #89-101 the extended TPC-H suite. In-window
 # rows-only: events_sketch_aggs + ann_ivf_topk (estimates by design; each has
 # an oracle-checked exact companion row in the window).
 from parqueryd_spark.queries import core  # noqa: E402,F401

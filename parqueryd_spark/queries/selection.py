@@ -372,3 +372,41 @@ def ann_margin_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 18))
     return margin_topk_match(emb, qs, k=4, margin_threshold=1.0)
+
+
+@query(
+    "text_source_divergence",
+    oracle="""
+    WITH toks AS (
+      SELECT source AS grp, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), grp_counts AS (
+      SELECT grp, tok, count(*) AS c FROM toks GROUP BY grp, tok
+    ), all_counts AS (
+      SELECT tok, CAST(sum(c) AS BIGINT) AS ac FROM grp_counts GROUP BY tok
+    ), totals AS (
+      SELECT grp, CAST(sum(c) AS BIGINT) AS gt, count(*) AS n_distinct
+      FROM grp_counts GROUP BY grp
+    ), corpus AS (
+      SELECT CAST(sum(ac) AS BIGINT) AS at FROM all_counts
+    )
+    SELECT g.grp AS source,
+           max(t.gt)                                  AS n_tokens,
+           max(t.n_distinct)                          AS n_distinct_tokens,
+           round(sum((g.c / CAST(t.gt AS DOUBLE))
+                     * ln((g.c / CAST(t.gt AS DOUBLE))
+                          / (a.ac / CAST(c.at AS DOUBLE)))), 6) AS kl_divergence
+    FROM grp_counts g
+    JOIN all_counts a USING (tok)
+    JOIN totals t USING (grp)
+    CROSS JOIN corpus c
+    GROUP BY g.grp
+    """,
+)
+def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence from the corpus distribution
+    (operators/text.py:unigram_divergence) — the lexical-drift diagnostic a
+    mixture-tuning pass reads before reweighting sources. The oracle rebuilds
+    the token distributions and the divergence sum in DuckDB; both engines
+    round to 6dp so float-summation order cannot differ."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.unigram_divergence(docs, "source", "text")

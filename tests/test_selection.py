@@ -200,3 +200,53 @@ def test_margin_match_contract(spark):
     loose_ids = {r["query_id"] for r in m.select("query_id").collect()}
     assert strict_ids <= loose_ids
     m.unpersist()
+
+
+def test_unigram_divergence_properties(spark):
+    from parqueryd_spark.operators.text import unigram_divergence
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    div = unigram_divergence(docs, "source").persist()
+    rows = div.collect()
+    assert len(rows) == docs.select("source").distinct().count()
+    # KL is non-negative, and token totals reconcile with the corpus
+    assert all(r["kl_divergence"] >= 0 for r in rows)
+    total = sum(r["n_tokens"] for r in rows)
+    from parqueryd_spark.operators.text import token_count
+
+    assert total == docs.select(F.sum(token_count("text"))).first()[0]
+    # a single-group corpus diverges from itself by exactly zero
+    one = unigram_divergence(docs.withColumn("source", F.lit("all")), "source")
+    assert one.first()["kl_divergence"] == 0.0
+    div.unpersist()
+
+
+def test_temperature_targets(spark):
+    from parqueryd_spark.operators.sampling import (
+        mixture_fractions,
+        resample_to_mixture,
+        temperature_targets,
+    )
+
+    counts = {"big": 1000, "mid": 100, "small": 10}
+    nat = temperature_targets(counts, alpha=1.0)
+    assert abs(nat["big"] - 1000 / 1110) < 1e-12  # alpha=1 = natural mix
+    uni = temperature_targets(counts, alpha=0.0)
+    assert all(abs(v - 1 / 3) < 1e-12 for v in uni.values())  # alpha=0 = uniform
+    mid = temperature_targets(counts, alpha=0.5)
+    # temperature compresses the ratio monotonically between the extremes
+    assert nat["big"] > mid["big"] > uni["big"]
+    assert nat["small"] < mid["small"] < uni["small"]
+    assert abs(sum(mid.values()) - 1.0) < 1e-12
+    # composes with the no-upsampling fraction solver: every fraction <= 1
+    fracs = mixture_fractions(counts, mid)
+    assert all(0 < f <= 1.0 + 1e-12 for f in fracs.values())
+    # and end-to-end: the resampled corpus approaches the temperature mix
+    docs = load_table(spark, SF_SMOKE, "documents")
+    dcounts = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    targets = temperature_targets(dcounts, alpha=0.5)
+    out = resample_to_mixture(docs, "source", targets, "doc_id", salt="temp")
+    assert 0 < out.count() <= docs.count()
