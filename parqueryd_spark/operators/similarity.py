@@ -657,3 +657,67 @@ def margin_topk_match(
         (F.max("cosine_sim") / F.avg("cosine_sim")).alias("margin"),
     )
     return agg.filter(F.col("margin") >= margin_threshold)
+
+
+def incremental_semantic_pairs(
+    spark,
+    index_dir: str,
+    new_vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+) -> DataFrame:
+    """Embedding near-dup pairs of a NEW vector batch against a published IVF
+    index (:func:`ivf_publish`) plus within the batch itself — the vector
+    twin of ``dedup.incremental_minhash_pairs``: a growing corpus dedups its
+    daily increment without ever re-pairing corpus x corpus.
+
+    Plan: centroids load driver-side (metadata-scale) and become literal
+    arrays, so the new batch multiprobes into its ``nprobe`` nearest buckets
+    in one codegen'd map pass — no join, no shuffle of the increment; the
+    index side is read ONLY for the probed ``centroid_id`` partitions
+    (partition-pruned — the reason the index persists partitioned by
+    centroid). Candidates are exact-cosine verified, so precision is 1.0;
+    recall follows the same (n_centroids, nprobe) tradeoff as
+    ``cosine_near_dup_pairs`` — a corpus vector is found when its home
+    bucket is among the new vector's probes (nprobe = n_centroids is
+    exhaustive and exact). Cost per increment: |new| signature work +
+    sum(probed-bucket sizes), never |corpus|^2.
+
+    Precondition: id spaces of the index and the new batch are disjoint
+    (same contract as incremental_minhash_pairs). Returns
+    (id_a = new id, id_b = corpus-or-new id, cosine_sim).
+    """
+    vectors, centroids_df = ivf_load(spark, index_dir)
+    cents = [
+        (int(r["centroid_id"]), [float(x) for x in r[vec_col]])
+        for r in centroids_df.collect()
+    ]
+    assigned = spread_partitions(
+        multiprobe_assign(new_vectors, cents, nprobe, id_col, vec_col)
+    )
+    a = assigned.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "centroid_id")
+    corpus = vectors.select(
+        F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb"), "centroid_id"
+    )
+    # a corpus vector lives in exactly one bucket, so each (new, corpus) pair
+    # joins at most once — no distinct needed on this branch
+    new_vs_corpus = (
+        a.join(corpus, "centroid_id")
+        .withColumn("cosine_sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+    b = assigned.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "centroid_id")
+    # new-new pairs can share up to nprobe buckets; verified survivors are
+    # bit-identical, so distinct() dedups exactly
+    new_vs_new = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+        .distinct()
+    )
+    return new_vs_corpus.unionByName(new_vs_new)

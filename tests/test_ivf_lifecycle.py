@@ -138,3 +138,52 @@ def test_pca_components_order_by_variance(spark, emb):
     ).first()
     variances = [stats[f"v{i}"] for i in range(4)]
     assert variances == sorted(variances, reverse=True)
+
+
+def test_incremental_semantic_pairs_exhaustive_equals_exact(spark, emb, centroids, tmp_path):
+    """With nprobe = n_centroids the incremental pairs equal the exact
+    new-vs-all near-dup set (every bucket probed, every candidate verified)."""
+    from parqueryd_spark.operators.similarity import (
+        as_double,
+        cosine,
+        incremental_semantic_pairs,
+    )
+
+    idx = str(tmp_path / "ivf_inc")
+    corpus = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    ivf_publish(spark, idx, corpus, centroids)
+    got = incremental_semantic_pairs(
+        spark, idx, new, threshold=0.4, nprobe=8
+    )
+    gp = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    # exact oracle: every (new, corpus) and ordered (new, new) pair
+    a = emb.select(F.col("vec_id").alias("id_a"), as_double("embedding").alias("va")).filter(
+        F.col("id_a") >= 400
+    )
+    ball = emb.select(F.col("vec_id").alias("id_b"), as_double("embedding").alias("vb"))
+    cand = a.join(
+        ball, (F.col("id_b") < 400) | (F.col("id_a") < F.col("id_b"))
+    ).withColumn("cs", cosine(F.col("va"), F.col("vb")))
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cand.filter(F.col("cs") >= 0.4).select("id_a", "id_b").collect()
+    }
+    assert gp == exact and gp  # nonvacuous: the fixture corpus has such pairs
+
+
+def test_incremental_semantic_pairs_finds_copies_at_small_nprobe(spark, emb, centroids, tmp_path):
+    """An exact copy of a corpus vector must be caught even at nprobe=2: the
+    copy probes the same home bucket its original was assigned to."""
+    from parqueryd_spark.operators.similarity import incremental_semantic_pairs
+
+    idx = str(tmp_path / "ivf_copy")
+    corpus = emb.filter(F.col("vec_id") < 400)
+    ivf_publish(spark, idx, corpus, centroids)
+    copies = (
+        emb.filter(F.col("vec_id") < 5)
+        .select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    )
+    got = incremental_semantic_pairs(spark, idx, copies, threshold=0.999, nprobe=2)
+    found = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    assert {(i + 10000, i) for i in range(5)} <= found
