@@ -77,7 +77,7 @@ def main() -> None:
     assert shuffled.agg(F.max("shuffle_rank")).first()[0] == n_train
 
     # 5. The data card that ships with the published dataset.
-    card = data_card(train, "doc_id", "text")
+    card = data_card(train, "text")
 
     print(f"embeddings: {n_emb} -> {n_kept} after SemDeDup -> {n_pruned} after pruning")
     print(f"documents:  train={n_train} of {docs.count()}, 0 groups leak across splits")

@@ -210,7 +210,6 @@ def compression_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def data_card(
     df: DataFrame,
-    id_col: str = "doc_id",
     text_col: str = "text",
     group_cols: list[str] | None = None,
 ) -> DataFrame:
@@ -233,7 +232,6 @@ def data_card(
     t = F.col(text_col)
     per_doc = df.select(
         *groups,
-        F.col(id_col),
         token_count(t).alias("_ntok"),
         F.md5(t).alias("_digest"),
         quality_score(t).alias("_q"),

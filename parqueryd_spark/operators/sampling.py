@@ -231,7 +231,12 @@ def temperature_targets(counts: dict[str, int], alpha: float = 0.5) -> dict[str,
         raise ValueError("counts must be non-empty")
     if alpha < 0:
         raise ValueError(f"alpha must be >= 0, got {alpha}")
-    weights = {d: float(n) ** alpha for d, n in counts.items() if n > 0}
+    empty = [d for d, n in counts.items() if n <= 0]
+    if empty:
+        # silently dropping them would return a mixture over a different
+        # domain set than the caller passed — make the exclusion deliberate
+        raise ValueError(f"domains with no rows (exclude them first): {empty}")
+    weights = {d: float(n) ** alpha for d, n in counts.items()}
     total = sum(weights.values())
     return {d: w / total for d, w in weights.items()}
 
@@ -367,27 +372,35 @@ def seeded_shuffle(
 
     Scale shape — a naive ``row_number() OVER (ORDER BY bucket)`` funnels the
     corpus through ONE partition; instead: (1) range-partition on
-    (bucket, key) into ``n_output_partitions`` — output files then hold
-    contiguous rank spans, so a loader streams file i without any read-time
-    sort; (2) rank locally per partition (window partitioned by
-    ``spark_partition_id`` — every partition ranks in parallel); (3) lift
-    local ranks to global with per-partition row-count offsets, which are
-    metadata-scale (one number per partition, computed in one extra
-    aggregate-only pass over the shuffled layout; the input must be
-    deterministic between the two passes, which parquet scans are). Range
-    boundaries guarantee partition i's keys all precede partition i+1's, so
-    local-rank + offset IS the exact global rank.
+    (bucket, key) into ``n_output_partitions``, locally sort, and
+    ``localCheckpoint`` the result so BOTH passes below read one frozen
+    materialization (re-evaluating ``repartitionByRange`` re-samples its
+    range boundaries with a different seed per execution, which would move
+    rows between partitions mid-computation and silently corrupt ranks);
+    (2) collect per-partition row counts — metadata-scale, one number per
+    partition; (3) lift each row's WITHIN-partition index (the low 33 bits
+    of ``monotonically_increasing_id``, which counts rows in partition
+    iteration order — exactly the sorted order the checkpoint froze) by its
+    partition's cumulative offset. Range boundaries guarantee partition i's
+    keys all precede partition i+1's, so local-index + offset IS the exact
+    global rank, every partition ranks in parallel with NO further exchange,
+    and output files really do hold contiguous rank spans. The checkpoint
+    stores one copy of the shuffled layout on executor-local storage — the
+    price of frozen two-pass composition; partitions must stay under 2^33
+    rows (the id's per-partition counter width).
     """
     b = md5_bucket(F.col(key_col), salt)
     out = (
         df.withColumn("_sb", b)
         .repartitionByRange(n_output_partitions, F.col("_sb"), F.col(key_col))
         .sortWithinPartitions(F.col("_sb"), F.col(key_col))
-        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     counts = sorted(
         (r["_pid"], r["c"])
-        for r in out.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+        for r in out.groupBy(F.spark_partition_id().alias("_pid"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
     )
     offsets: dict[int, int] = {}
     acc = 0
@@ -397,17 +410,14 @@ def seeded_shuffle(
     if offsets:
         off = F.element_at(
             F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
-            F.col("_pid"),
+            F.spark_partition_id(),
         )
     else:
         off = F.lit(0)
-    w = Window.partitionBy("_pid").orderBy(F.col("_sb").asc(), F.col(key_col).asc())
-    return (
-        out.withColumn(
-            out_col, (F.row_number().over(w) + F.coalesce(off, F.lit(0))).cast("long")
-        )
-        .drop("_sb", "_pid")
-    )
+    local_idx = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+    return out.withColumn(
+        out_col, (F.coalesce(off, F.lit(0)) + local_idx + F.lit(1)).cast("long")
+    ).drop("_sb")
 
 
 def materialize_packed_sequences(

@@ -555,7 +555,11 @@ def semantic_dedup(
         centroids = kmeans_centroids(vectors, n_centroids, vec_col=vec_col)
     else:
         centroids = _first_k_centroids(vectors, n_centroids, id_col, vec_col)
-    assigned = ivf_assign(vectors, centroids, id_col, vec_col, with_sim=True).persist()
+    # localCheckpoint (not persist): the assignment is reused across the
+    # fixpoint loop's actions AND the returned plan, so a bare persist could
+    # never be unpersisted without recompute — the checkpoint truncates
+    # lineage instead and its storage is released with the DataFrame
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col, with_sim=True).localCheckpoint()
     v = spread_partitions(
         vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
     )
@@ -632,17 +636,26 @@ def margin_topk_match(
     k: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    margin_threshold: float = 1.0,
+    margin_threshold: float = 0.0,
+    margin_mode: str = "distance",
 ) -> DataFrame:
-    """Margin-scored nearest-neighbor matching (the ratio-margin criterion of
+    """Margin-scored nearest-neighbor matching (the margin criterion of
     Artetxe & Schwenk 2019, public — the bitext-mining / cross-corpus
     alignment scorer): each query's best match is accepted not on absolute
-    cosine (miscalibrated per query — hubness) but on how much it stands OUT:
-    ``margin = sim(top1) / mean(sim(top-k))``. A query whose neighborhood is
-    uniformly close (margin ~1) has no distinctive match; a real alignment
-    towers over its next-best alternatives. This is the forward-direction
+    cosine (miscalibrated per query — hubness) but on how much it stands OUT
+    from the rest of its top-k neighborhood. This is the forward-direction
     variant; run it both ways and intersect for the paper's full
     bidirectional criterion.
+
+    ``margin_mode="distance"`` (default): ``sim(top1) - mean(sim(top-k))``
+    — the paper's distance variant, sign-safe over the full cosine range
+    [-1, 1] (always >= 0, larger = more distinctive).
+    ``margin_mode="ratio"``: ``sim(top1) / mean(sim(top-k))`` — the ratio
+    variant; only meaningful when the neighborhood mean is positive (a zero
+    or negative mean flips/undefines the ratio and would reject exactly the
+    outlier queries whose one real match towers over a dissimilar
+    neighborhood), so reserve it for normalized same-domain corpora where
+    top-k cosines are positive by construction.
 
     Plan: :func:`brute_force_topk` (broadcast queries, window top-k over the
     corpus — swap in :func:`ivf_search` over a published index at scale),
@@ -650,11 +663,17 @@ def margin_topk_match(
     via ``max``, margin from the top-k mean. Returns
     (query_id, neighbor_id, cosine_sim, margin) for margins >= threshold.
     """
+    if margin_mode not in ("distance", "ratio"):
+        raise ValueError(f"margin_mode must be 'distance' or 'ratio', got {margin_mode!r}")
     tk = brute_force_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    if margin_mode == "distance":
+        margin = F.max("cosine_sim") - F.avg("cosine_sim")
+    else:
+        margin = F.max("cosine_sim") / F.avg("cosine_sim")
     agg = tk.groupBy("query_id").agg(
         F.min_by("neighbor_id", "rank").alias("neighbor_id"),
         F.max("cosine_sim").alias("cosine_sim"),
-        (F.max("cosine_sim") / F.avg("cosine_sim")).alias("margin"),
+        margin.alias("margin"),
     )
     return agg.filter(F.col("margin") >= margin_threshold)
 

@@ -337,7 +337,7 @@ def pipeline_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parqueryd_spark.operators.quality import data_card
 
     docs = load_table(spark, sf_dir, "documents")
-    return data_card(docs, "doc_id", "text", group_cols=["source"])
+    return data_card(docs, "text", group_cols=["source"])
 
 
 @query(
@@ -355,14 +355,15 @@ def pipeline_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT query_id,
            arg_min(neighbor_id, rank) AS neighbor_id,
            max(sim)                   AS cosine_sim,
-           max(sim) / avg(sim)        AS margin
+           max(sim) - avg(sim)        AS margin
     FROM tk GROUP BY query_id
-    HAVING max(sim) / avg(sim) >= 1.0
+    HAVING max(sim) - avg(sim) >= 0.0
     """,
 )
 def ann_margin_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-scored nearest-neighbor matching (operators/similarity.py:
-    margin_topk_match, the Artetxe & Schwenk ratio-margin criterion): each
+    margin_topk_match, the Artetxe & Schwenk distance-margin criterion —
+    sign-safe over the full cosine range, unlike the ratio variant): each
     query's best match accepted on how far it towers over the rest of its
     top-4 neighborhood rather than on raw cosine. Query vectors 10..17 (a
     distinct slice from the other ANN gate rows); the oracle recomputes the
@@ -371,7 +372,7 @@ def ann_margin_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 18))
-    return margin_topk_match(emb, qs, k=4, margin_threshold=1.0)
+    return margin_topk_match(emb, qs, k=4, margin_threshold=0.0)
 
 
 @query(

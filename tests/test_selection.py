@@ -188,18 +188,59 @@ def test_margin_match_contract(spark):
 
     emb = load_table(spark, SF_SMOKE, "embeddings")
     qs = emb.filter(F.col("vec_id") < 10)
-    m = margin_topk_match(emb, qs, k=4, margin_threshold=1.0).persist()
-    assert m.count() == 10  # ratio margin is always >= 1, so all queries pass
+    m = margin_topk_match(emb, qs, k=4, margin_threshold=0.0).persist()
+    assert m.count() == 10  # distance margin is always >= 0, so all queries pass
     # the accepted neighbor IS the exact top-1
     top1 = brute_force_topk(emb, qs, k=1).select("query_id", "neighbor_id")
     assert m.select("query_id", "neighbor_id").exceptAll(top1).count() == 0
     # raising the threshold can only shrink the match set
-    strict = margin_topk_match(emb, qs, k=4, margin_threshold=1.5)
+    strict = margin_topk_match(emb, qs, k=4, margin_threshold=0.15)
     assert strict.count() <= 10
     strict_ids = {r["query_id"] for r in strict.select("query_id").collect()}
     loose_ids = {r["query_id"] for r in m.select("query_id").collect()}
     assert strict_ids <= loose_ids
     m.unpersist()
+
+
+def test_margin_match_negative_neighborhood(spark):
+    """The distance margin must ACCEPT an outlier query whose one real match
+    towers over an otherwise-dissimilar (negative-cosine) neighborhood — the
+    case where the ratio variant flips sign and rejects it."""
+    from parqueryd_spark.operators.similarity import margin_topk_match
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),     # query
+        (1, [1.0, 0.01, 0.0]),    # its real near-match
+        (2, [-1.0, 0.0, 0.0]),    # everything else: opposite direction
+        (3, [-1.0, 0.1, 0.0]),
+        (4, [0.0, -1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 0)
+    got = margin_topk_match(df, q, k=4, margin_threshold=0.5).collect()
+    assert len(got) == 1 and got[0]["neighbor_id"] == 1
+    # ratio mode documents the restriction and indeed rejects this shape
+    ratio = margin_topk_match(df, q, k=4, margin_threshold=1.0, margin_mode="ratio")
+    assert ratio.count() == 0
+
+
+def test_seeded_shuffle_dense_at_scale(spark):
+    """300k rows across uneven input partitions: the rank must be a dense
+    1..n permutation — this is the scale at which re-sampled range boundaries
+    between the count pass and the rank pass would corrupt the composition
+    if the shuffled layout were not frozen first."""
+    from parqueryd_spark.operators.sampling import seeded_shuffle
+
+    n = 300_000
+    df = spark.range(n).repartition(8).select(F.col("id").alias("k"))
+    out = seeded_shuffle(df, "k", salt="big", n_output_partitions=6)
+    stats = out.agg(
+        F.min("shuffle_rank").alias("lo"),
+        F.max("shuffle_rank").alias("hi"),
+        F.count_distinct("shuffle_rank").alias("d"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    assert (stats["lo"], stats["hi"], stats["d"], stats["n"]) == (1, n, n, n)
 
 
 def test_unigram_divergence_properties(spark):
