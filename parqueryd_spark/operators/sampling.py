@@ -362,6 +362,7 @@ def seeded_shuffle(
     salt: str = "shuffle",
     out_col: str = "shuffle_rank",
     n_output_partitions: int = 32,
+    curriculum_cols: list[str] | None = None,
 ) -> DataFrame:
     """Deterministic global shuffle for training output: every row gets a
     dense ``shuffle_rank`` (1..n) by md5-bucket order (ties broken on the key
@@ -388,12 +389,18 @@ def seeded_shuffle(
     stores one copy of the shuffled layout on executor-local storage — the
     price of frozen two-pass composition; partitions must stay under 2^33
     rows (the id's per-partition counter width).
+
+    ``curriculum_cols``: optional leading sort columns (a difficulty bucket,
+    a quality tier) — rows then order by (curriculum, bucket, key): stages
+    in curriculum order, pseudorandomly shuffled WITHIN each stage. The
+    curriculum-training layout, same cost and same rank guarantees.
     """
     b = md5_bucket(F.col(key_col), salt)
+    order = [F.col(c) for c in (curriculum_cols or [])] + [F.col("_sb"), F.col(key_col)]
     out = (
         df.withColumn("_sb", b)
-        .repartitionByRange(n_output_partitions, F.col("_sb"), F.col(key_col))
-        .sortWithinPartitions(F.col("_sb"), F.col(key_col))
+        .repartitionByRange(n_output_partitions, *order)
+        .sortWithinPartitions(*order)
         .localCheckpoint()
     )
     counts = sorted(

@@ -333,7 +333,10 @@ def pipeline_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-duplicate rate, mean quality, PII incidence, and language spread in
     ONE aggregation over one scan. The oracle recomputes every per-doc signal
     from the shared SQL fragments (language CASE, stopword quality, the PII
-    regex dict itself) so the whole report cross-checks externally."""
+    regex dict itself) so the whole report cross-checks externally. The raw
+    fixture corpus carries no PII, so docs_with_pii is legitimately 0 here;
+    the PII arithmetic is exercised non-vacuously by
+    pipeline_pii_redaction's deterministically enriched gate row."""
     from parqueryd_spark.operators.quality import data_card
 
     docs = load_table(spark, sf_dir, "documents")

@@ -291,3 +291,39 @@ def test_temperature_targets(spark):
     targets = temperature_targets(dcounts, alpha=0.5)
     out = resample_to_mixture(docs, "source", targets, "doc_id", salt="temp")
     assert 0 < out.count() <= docs.count()
+
+
+def test_seeded_shuffle_curriculum_stages(spark):
+    """With curriculum columns, every stage's ranks precede the next stage's,
+    and within a stage the order is the same md5 shuffle."""
+    from parqueryd_spark.operators.sampling import seeded_shuffle
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang")
+    out = seeded_shuffle(
+        docs, "doc_id", salt="cur", n_output_partitions=4, curriculum_cols=["lang"]
+    ).persist()
+    n = docs.count()
+    stats = out.agg(
+        F.min("shuffle_rank").alias("lo"),
+        F.max("shuffle_rank").alias("hi"),
+        F.count_distinct("shuffle_rank").alias("d"),
+    ).first()
+    assert (stats["lo"], stats["hi"], stats["d"]) == (1, n, n)
+    stages = (
+        out.groupBy("lang")
+        .agg(F.min("shuffle_rank").alias("lo"), F.max("shuffle_rank").alias("hi"))
+        .orderBy("lang")
+        .collect()
+    )
+    assert len(stages) >= 2  # fixture corpus has several langs
+    for prev, nxt in zip(stages, stages[1:]):
+        assert prev["hi"] < nxt["lo"]  # stage ranges never interleave
+    # within a stage, relative order equals the stage-restricted plain shuffle
+    lang0 = stages[0]["lang"]
+    within = seeded_shuffle(
+        docs.filter(F.col("lang") == lang0), "doc_id", salt="cur", n_output_partitions=4
+    )
+    a = [r["doc_id"] for r in out.filter(F.col("lang") == lang0).orderBy("shuffle_rank").collect()]
+    b = [r["doc_id"] for r in within.orderBy("shuffle_rank").collect()]
+    assert a == b
+    out.unpersist()
