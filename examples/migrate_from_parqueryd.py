@@ -39,6 +39,11 @@ def main() -> None:
     print("groupby:")
     df.show()
 
+    # reference:  rpc.last_call_duration  (rpc.py:186-187)
+    # stamped after every groupby/sql/apply_pandas; note calls return LAZY
+    # DataFrames, so this times the facade call — execution is in the Spark UI
+    print("last_call_duration:", eng.last_call_duration)
+
     # sharded tables: pass every shard path; missing shards silently ignored
     # (controller.py:618-621 semantics), results globally merged (not the
     # reference's duplicate-key concat — pass shard_merge='concat' to

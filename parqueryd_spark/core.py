@@ -118,6 +118,18 @@ class ParquetEngine:
         self.spark = spark
         self.data_dir = data_dir
         self._tickets: dict[str, "Ticket"] = {}
+        #: Wall-clock seconds of the most recent groupby/sql/apply_pandas
+        #: call — parity with the reference's only client-side timing surface
+        #: (rpc.py:186-187 stamps rpc.last_call_duration after every RPC).
+        #: Here calls return LAZY DataFrames, so this measures the facade
+        #: call (resolution + plan construction; the collect submission for
+        #: wait=False) — cluster execution time lives in the Spark UI/metrics.
+        self.last_call_duration: float | None = None
+
+    def _stamp(self, t0: float):
+        import time
+
+        self.last_call_duration = time.perf_counter() - t0
 
     def groupby(
         self,
@@ -131,6 +143,9 @@ class ParquetEngine:
         """The flagship call. ``wait=False`` submits the collect as an async
         ticket (reference fire-and-forget surface, controller.py:524-530) —
         poll ``status()``, then ``result()`` for the rows."""
+        import time
+
+        t0 = time.perf_counter()
         result = aggregate_files(
             self.spark,
             filenames,
@@ -143,8 +158,11 @@ class ParquetEngine:
         if result is None:
             result = self.spark.createDataFrame([], schema="struct<>")
         if wait:
+            self._stamp(t0)
             return result
-        return self.submit(result.collect, description=f"groupby({groupby_cols})")
+        ticket = self.submit(result.collect, description=f"groupby({groupby_cols})")
+        self._stamp(t0)
+        return ticket
 
     # --- service-surface analogs (SURVEY.md §2.3) ---
 
@@ -238,8 +256,13 @@ class ParquetEngine:
         :meth:`attach_tables` plus anything the session registered. Full
         optimizer treatment (pushdown, pruning, join reordering, AQE) applies
         — this is ``spark.sql`` with the engine's table resolution."""
+        import time
+
+        t0 = time.perf_counter()
         self.attach_tables()
-        return self.spark.sql(query)
+        out = self.spark.sql(query)
+        self._stamp(t0)
+        return out
 
     def apply_pandas(
         self,
@@ -260,13 +283,19 @@ class ParquetEngine:
         ("OK, <fn> dispatched", controller.py:530): the transform is submitted
         as an async ticket that collects in the background.
         """
+        import time
+
+        t0 = time.perf_counter()
         df = read_parquet(self.spark, filenames, data_dir=self.data_dir)
         if df is None:
             df = self.spark.createDataFrame([], schema=schema)
         out = df.mapInPandas(fn, schema=schema)
         if wait:
+            self._stamp(t0)
             return out
-        return self.submit(out.collect, description="apply_pandas")
+        ticket = self.submit(out.collect, description="apply_pandas")
+        self._stamp(t0)
+        return ticket
 
     def loglevel(self, level: str) -> None:
         """Propagate log level (controller.py:498-510 analog)."""

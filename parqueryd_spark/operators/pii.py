@@ -24,6 +24,10 @@ from pyspark.sql import functions as F
 
 # Order matters for redaction: SSN-shaped ids run before phones so the
 # dashed-digit pattern is not half-eaten by the phone rule.
+# Compatibility constraint: these patterns are ALSO interpolated into DuckDB
+# oracle SQL (queries/selection.py:_pii_any_sql), whose regex engine is
+# RE2-family — keep them to the common subset (no backrefs, no lookaround)
+# and prefer avoiding single quotes (escaped defensively on the SQL side).
 PII_PATTERNS: dict[str, str] = {
     # user.name+tag@host.tld
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",

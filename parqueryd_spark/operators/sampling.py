@@ -342,13 +342,23 @@ def group_aware_split(
 
     ``groups`` is a (doc_id, group_id) frame — the output of
     ``operators.dedup.near_dup_groups`` over whatever pair generator fits the
-    corpus (minhash, simhash, embedding). Rows absent from ``groups``
-    (singletons) split by their own id, which IS their group key. The join is
-    groups-side small relative to the corpus (only grouped docs appear), so
-    AQE broadcasts it; the split itself stays a pure projection.
+    corpus (minhash, simhash, embedding); duplicate doc_id rows are collapsed
+    (min group_id) before the join so a malformed mapping can never fan out
+    corpus rows. Rows absent from ``groups`` (singletons) split by their own
+    id, which IS their group key. The join is groups-side small relative to
+    the corpus (only grouped docs appear), so AQE broadcasts it; the split
+    itself stays a pure projection.
     """
-    g = groups.select(
-        F.col("doc_id").alias(id_col), F.col("group_id").alias("_gkey")
+    for reserved in ("_gkey", "_skey"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"group_aware_split uses internal column {reserved!r}, which "
+                "already exists on the input — rename it first"
+            )
+    g = (
+        groups.select(F.col("doc_id").alias(id_col), F.col("group_id").alias("_gkey"))
+        .groupBy(id_col)
+        .agg(F.min("_gkey").alias("_gkey"))
     )
     joined = df.join(g, id_col, "left").withColumn(
         "_skey", F.coalesce(F.col("_gkey"), F.col(id_col))

@@ -85,7 +85,19 @@ def plan_report(df: DataFrame) -> dict[str, bool | int]:
 
 def lint_plan(
     df: DataFrame,
-    fact_tables: tuple[str, ...] = ("lineitem", "orders", "events", "documents", "embeddings"),
+    fact_tables: tuple[str, ...] = (
+        "lineitem",
+        "orders",
+        "events",
+        "documents",
+        "embeddings",
+        # SF-growing "dims": broadcastable at toy SF by estimate (fine,
+        # reverts), a scale bug when hint-forced — lint warns so the hint
+        # gets a second look (VERDICT r6 #3)
+        "supplier",
+        "customer",
+        "part",
+    ),
     max_exchanges: int = 6,
 ) -> list[dict]:
     """Lint a DataFrame's physical plan against the scale rules this repo

@@ -200,7 +200,8 @@ def events_sketch_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates per event_type: HLL++ distinct users
     (approx_count_distinct, rsd 2%) and KLL-style quantiles
     (percentile_approx p50/p95). Rows-only check — sketch estimates are
-    engine-specific by design; relative error against the exact answers is
+    engine-specific by design; the error bounds are DRIVER-gated through the
+    oracle-backed companion sketch_error_bounds (queries/estimates.py) and
     asserted in tests/test_scale.py. At 100 TB these replace exact
     countDistinct/percentile: fixed-size mergeable state per group instead of
     a distinct-shuffle of every user id. The two percentiles are emitted as

@@ -20,7 +20,9 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (16× vs float32, 32× vs float64); search touches only codes until the
     refine×k shortlist is exactly re-ranked. The 100 TB memory tier below IVF
     bucket pruning. Deterministic: seeded sample training, first-min
-    tie-breaks, neighbor-id-ordered windows."""
+    tie-breaks, neighbor-id-ordered windows. Recall vs exact brute force is
+    DRIVER-gated via the oracle-backed ann_pq_recall_bound
+    (queries/estimates.py)."""
     from parqueryd_spark.operators.quantization import pq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -35,9 +37,10 @@ def text_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     counters + one tiny merge shuffle, instead of shuffling every token
     occurrence. est_count <= true <= est_count + max_undercount is part of
     the result. Rows-only row (sketch estimates are engine-specific); the
-    bound and exact-top-k agreement are asserted in tests/test_sketches.py,
-    and the exact token-frequency pipeline is oracled in-window via
-    text_ngram_stats' bigram branch."""
+    est <= true <= est+undercount invariant is DRIVER-gated via the
+    oracle-backed heavy_hitter_bound (queries/estimates.py), asserted in
+    tests/test_sketches.py, and the exact token-frequency pipeline is oracled
+    in-window via text_ngram_stats' bigram branch."""
     from parqueryd_spark.operators import text as T
     from parqueryd_spark.operators.sketches import heavy_hitters
 

@@ -285,8 +285,13 @@ def _pii_any_sql() -> str:
     drift between engines."""
     from parqueryd_spark.operators.pii import PII_PATTERNS
 
+    def lit(pat: str) -> str:
+        # single quotes would break the SQL literal silently (skewed oracle);
+        # escape defensively even though current patterns contain none
+        return pat.replace("'", "''")
+
     counts = " + ".join(
-        f"len(regexp_extract_all(text, '{pat}'))" for pat in PII_PATTERNS.values()
+        f"len(regexp_extract_all(text, '{lit(pat)}'))" for pat in PII_PATTERNS.values()
     )
     return f"({counts}) > 0"
 

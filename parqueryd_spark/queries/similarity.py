@@ -82,8 +82,9 @@ def embedding_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ann_ivf_topk", oracle=None)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-5 (scale path; rows-only check — approximate
-    by design, recall asserted against the exact baseline in tests; the IVF
-    machinery itself is externally gated by ann_ivf_exhaustive_topk)."""
+    by design). Recall >= 0.8 at this exact configuration is DRIVER-gated via
+    the oracle-backed ann_ivf_recall_bound (queries/estimates.py), and the IVF
+    machinery itself is externally gated by ann_ivf_exhaustive_topk."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), n_centroids=16, nprobe=4, k=5)
 

@@ -77,8 +77,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (partsupp derived from lineitem): cheapest EUROPE
     supplier per STANDARD/size-15 part. The correlated min subquery becomes a
     window min over the part key — one shuffle on l_partkey instead of a
-    rescan per outer row; the region-restricted supplier dim is tiny and
-    broadcast."""
+    rescan per outer row. nation/region are hint-broadcast (fixed 25/5 rows);
+    the region-restricted supplier side grows with SF, so its join strategy
+    is AQE's call."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
@@ -93,7 +94,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs = (
         li.groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
-        .join(F.broadcast(euro), F.col("l_suppkey") == F.col("s_suppkey"))
+        # euro is supplier-derived (~1/5 of suppliers, grows with SF): leave
+        # the strategy to AQE's size estimate rather than a hint that can
+        # never revert (VERDICT r6 #3)
+        .join(euro, F.col("l_suppkey") == F.col("s_suppkey"))
     )
     w = Window.partitionBy("l_partkey")
     return (
@@ -293,7 +297,9 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pv = (
         load_table(spark, sf_dir, "lineitem")
-        .join(F.broadcast(nat0), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        # nat0 is supplier-derived (1/25 of suppliers, grows with SF): the
+        # semi-join strategy is AQE's call, never a hint that can't revert
+        .join(nat0, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey")
         .agg(F.sum("l_extendedprice").alias("value"))
     )
@@ -425,8 +431,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape (part<->supplier pairs from lineitem; the excluded-
     supplier list is negative-balance instead of the absent comment column):
-    distinct supplier counts per part class. The NOT IN subquery is a
-    broadcast anti join — never a per-row probe."""
+    distinct supplier counts per part class. The NOT IN subquery is an anti
+    join (AQE broadcasts it while it fits) — never a per-row probe."""
     bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
@@ -435,7 +441,9 @@ def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         load_table(spark, sf_dir, "lineitem")
-        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        # bad is supplier-derived (negative-balance fraction, grows with SF):
+        # anti-join strategy left to AQE's size estimate
+        .join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .join(part, F.col("l_partkey") == F.col("p_partkey"))  # filtered part: AQE decides
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
@@ -550,7 +558,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     key and its late-line count are recoverable inside the same aggregate
     (max/sum over the late rows), so the big lineitem⋈orders intermediate is
     scanned ONCE and never re-joined: SMJ → two shrinking aggregates →
-    broadcast supplier lookup. (The previous shape re-joined the late lines
+    AQE-decided supplier lookup. (The previous shape re-joined the late lines
     against the per-order aggregate — a second shuffle of the full join
     result; measured ~35% slower at sf0.1.)"""
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
@@ -571,7 +579,9 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
         .join(
-            F.broadcast(load_table(spark, sf_dir, "supplier")),
+            # supplier grows with SF: estimate-driven broadcast (AQE) while it
+            # fits, shuffle join beyond — never hint-forced (VERDICT r6 #3)
+            load_table(spark, sf_dir, "supplier"),
             F.col("late_supp") == F.col("s_suppkey"),
         )
         .groupBy("s_name")

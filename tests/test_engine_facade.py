@@ -126,3 +126,30 @@ def test_sql_requires_data_dir(spark):
 
     with pytest.raises(ValueError, match="data_dir"):
         ParquetEngine(spark).attach_tables()
+
+
+def test_last_call_duration_stamps_per_call(spark):
+    """Reference parity: rpc.last_call_duration (rpc.py:186-187) updates after
+    every call. Here the facade stamps groupby/sql/apply_pandas — including
+    wait=False ticket submissions."""
+    eng = ParquetEngine(spark, data_dir=SF_SMOKE)
+    assert eng.last_call_duration is None
+
+    eng.groupby(["lineitem.parquet"], ["l_returnflag"], [["l_quantity"]])
+    first = eng.last_call_duration
+    assert first is not None and first > 0
+
+    try:
+        eng.sql("SELECT count(*) AS n FROM nation")
+        assert eng.last_call_duration is not None and eng.last_call_duration > 0
+        assert eng.last_call_duration != first  # re-stamped, not sticky
+    finally:
+        for t in eng.attach_tables():
+            spark.catalog.dropTempView(t)
+
+    def ident(batches):
+        yield from batches
+
+    t = eng.apply_pandas(["nation.parquet"], ident, "n_nationkey long", wait=False)
+    assert eng.last_call_duration is not None and eng.last_call_duration > 0
+    t.result()

@@ -1,0 +1,31 @@
+"""The driver's correctness gate audits the FIRST 50 registry entries; these
+tests pin that window to the invariants VERDICT r6 item #1 required — 50
+entries, every one oracle-backed — so a registration-order change can never
+silently push an audited query out or pull a rows-only row in again."""
+
+from __future__ import annotations
+
+from parqueryd_spark import queries as Q
+
+
+def test_gate_window_is_50_oracle_backed():
+    head = list(Q.REGISTRY)[:50]
+    assert head == Q.GATE_WINDOW
+    missing = [n for n in head if Q.REGISTRY[n].oracle is None]
+    assert not missing, f"gate-window rows without a DuckDB oracle: {missing}"
+
+
+def test_estimate_rows_have_driver_checked_companions():
+    # every rows-only (oracle=None) estimate row has an oracle-backed
+    # error-bound or exact companion somewhere in the registry
+    companions = {
+        "events_sketch_aggs": ["events_exact_distinct_pcts", "sketch_error_bounds"],
+        "ann_ivf_topk": ["ann_ivf_exhaustive_topk", "ann_ivf_recall_bound"],
+        "ann_pq_topk": ["ann_pq_recall_bound"],
+        "text_heavy_hitter_tokens": ["heavy_hitter_bound"],
+    }
+    no_oracle = [n for n, q in Q.REGISTRY.items() if q.oracle is None]
+    assert set(no_oracle) == set(companions), no_oracle
+    for est, comps in companions.items():
+        for c in comps:
+            assert c in Q.REGISTRY and Q.REGISTRY[c].oracle is not None, (est, c)

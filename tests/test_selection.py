@@ -327,3 +327,23 @@ def test_seeded_shuffle_curriculum_stages(spark):
     b = [r["doc_id"] for r in within.orderBy("shuffle_rank").collect()]
     assert a == b
     out.unpersist()
+
+
+def test_group_aware_split_guards_inputs(spark):
+    """ADVICE r6: reserved internal columns must raise, and duplicate doc_id
+    rows in the groups mapping must not fan out corpus rows."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    groups = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 10)], "doc_id long, group_id long"
+    )
+    out = group_aware_split(docs, "doc_id", groups, {"train": 0.5, "val": 0.5})
+    assert out.count() == docs.count()  # dupes collapsed, no fan-out
+    assert set(out.columns) == {"doc_id", "text", "split"}
+
+    clash = docs.withColumn("_gkey", F.lit(0))
+    with pytest.raises(ValueError, match="_gkey"):
+        group_aware_split(clash, "doc_id", groups, {"train": 0.5, "val": 0.5})

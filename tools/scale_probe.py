@@ -1,0 +1,165 @@
+"""One-shot scale probe (VERDICT r6 item #7): sf0.1's 2k-doc / 2k-vector
+corpora cannot expose skew or candidate blowup, so this script self-unions
+documents and embeddings up to 32x (each replica token-perturbed so documents
+stay globally distinct while keeping the per-replica near-dup structure) and
+runs the dedup/ANN headliners at 1x/4x/16x/32x, printing a markdown table of
+wall time and candidate counts. The claim under test: candidate generation is
+BUCKETED — candidates and runtime grow ~linearly with corpus size, never
+quadratically. Not part of the driver bench (writes scratch data to /tmp).
+
+Run:  python /root/repo/tools/scale_probe.py [max_factor]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def replicate_documents(spark, factor: int):
+    """factor copies of the documents table; replica i prefixes every token
+    with 'r{i}' so cross-replica Jaccard is ~0 (documents stay distinct) while
+    each replica keeps sf0.1's implanted near-dup pairs."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    parts = []
+    for i in range(factor):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * n)).alias("doc_id"),
+                F.array_join(
+                    F.transform(
+                        F.split("text", " "), lambda t: F.concat(F.lit(f"r{i}"), t)
+                    ),
+                    " ",
+                ).alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def replicate_embeddings(spark, factor: int):
+    """factor copies of embeddings; replica i nudges the first component by
+    i*1e-3 so vectors stay distinct but the neighborhood structure holds."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    n = emb.agg(F.max("vec_id")).first()[0] + 1
+    parts = []
+    for i in range(factor):
+        bump = F.lit(float(i) * 1e-3)
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * n)).alias("vec_id"),
+                F.concat(
+                    F.array(F.element_at("embedding", 1) + bump),
+                    F.slice("embedding", 2, 10_000),
+                ).alias("embedding"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def main() -> None:
+    max_factor = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    factors = [f for f in (1, 4, 16, 32) if f <= max_factor]
+
+    from pyspark.sql import SparkSession
+
+    from parqueryd_spark.operators.dedup import (
+        _hashed_shingle_arrays,
+        _prefix_candidates,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from parqueryd_spark.operators.similarity import cosine_near_dup_pairs, ivf_topk
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(int(cpus) * 4))
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    scratch = "/tmp/spark_graft_scale_probe"
+    rows = []
+    for f in factors:
+        docs_path = f"{scratch}/docs_x{f}"
+        emb_path = f"{scratch}/emb_x{f}"
+        replicate_documents(spark, f).write.mode("overwrite").parquet(docs_path)
+        replicate_embeddings(spark, f).write.mode("overwrite").parquet(emb_path)
+        docs = spark.read.parquet(docs_path)
+        emb = spark.read.parquet(emb_path)
+        n_docs, n_vecs = docs.count(), emb.count()
+
+        base = _hashed_shingle_arrays(docs, "doc_id", "text", 3, persist=False)
+        t0 = time.perf_counter()
+        ppjoin_cands = _prefix_candidates(base, 0.8, max_prefix_df=1000).count()
+        t_cand = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        jacc_pairs = ngram_jaccard_pairs(
+            docs, "doc_id", "text", persist_intermediate=True
+        ).count()
+        t_jacc = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        mh_pairs = minhash_lsh_pairs(
+            docs, "doc_id", "text", persist_intermediate=True
+        ).count()
+        t_mh = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        nd_pairs = cosine_near_dup_pairs(emb, threshold=0.45, mode="bucketed").count()
+        t_nd = time.perf_counter() - t0
+
+        from pyspark.sql import functions as F
+
+        t0 = time.perf_counter()
+        ivf_rows = ivf_topk(
+            emb, emb.filter(F.col("vec_id") < 5), n_centroids=16, nprobe=4, k=5
+        ).count()
+        t_ivf = time.perf_counter() - t0
+
+        rows.append(
+            (f, n_docs, n_vecs, ppjoin_cands, t_cand, jacc_pairs, t_jacc,
+             mh_pairs, t_mh, nd_pairs, t_nd, ivf_rows, t_ivf)
+        )
+        print(f"x{f}: docs={n_docs} cands={ppjoin_cands} ({t_cand:.1f}s) "
+              f"jacc={jacc_pairs} ({t_jacc:.1f}s) mh={mh_pairs} ({t_mh:.1f}s) "
+              f"emb_nd={nd_pairs} ({t_nd:.1f}s) ivf={ivf_rows} ({t_ivf:.1f}s)",
+              flush=True)
+
+    print("\n| factor | docs | ppjoin cands | cand s | jaccard pairs | s | "
+          "minhash pairs | s | emb near-dup | s | ivf top-k | s |")
+    print("|---|---|---|---|---|---|---|---|---|---|---|---|")
+    for r in rows:
+        print(f"| x{r[0]} | {r[1]} | {r[3]} | {r[4]:.1f} | {r[5]} | {r[6]:.1f} "
+              f"| {r[7]} | {r[8]:.1f} | {r[9]} | {r[10]:.1f} | {r[11]} | {r[12]:.1f} |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
