@@ -15,9 +15,16 @@ with true frequency > Σ⌊n_p/(capacity+1)⌋ is guaranteed to surface.
 This is the pattern the engine uses for custom sketches Spark lacks: a
 self-contained mapInPandas summarizer + an algebraic merge expressed as a
 plain groupBy — no state stores, no driver collection.
+
+Also here: the mergeable HLL distinct-count rollup (hll_rollup /
+hll_rollup_merge / hll_estimate) over Spark's built-in Datasketches HLL
+binary sketches — persisted distinct-count state that merges across
+partitions/days without touching raw ids again.
 """
 
 from __future__ import annotations
+
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -95,3 +102,51 @@ def heavy_hitters(
         .orderBy(F.col("est_count").desc(), F.col(key_col).asc())
         .limit(k)
     )
+
+
+def hll_rollup(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    lgk: int = 14,
+) -> DataFrame:
+    """Mergeable distinct-count state at rest: one Datasketches HLL sketch
+    (binary, ~2^lgk bytes max) per group over ``value_col``.
+
+    The 100 TB pattern this enables: sketch each day/partition ONCE at ingest
+    (cost: one scan), persist the (keys..., user_sketch, n_rows) rows, and
+    answer "distinct users for any key over any day range" by merging a
+    handful of kilobyte sketches (:func:`hll_rollup_merge`) instead of
+    re-shuffling every raw id — the same maintenance shape as
+    operators/rollup.py's incremental_rollup, extended to the one aggregate
+    (count distinct) plain partials can't merge.
+
+    HLL union is register-wise max, so merge ∘ split ≡ sketching the whole
+    input directly — bit-identical estimates, asserted in tests and
+    driver-gated via the events_hll_rollup_bound oracle row.
+    """
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(value_col, F.lit(lgk)).alias("hll"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def hll_rollup_merge(parts: Sequence[DataFrame], keys: Sequence[str]) -> DataFrame:
+    """Union N hll_rollup outputs (e.g. per-day states) into one rollup at the
+    same key grain: sketches merge with hll_union_agg (register-wise max),
+    row counts add. Cost ∝ number of STATE rows, never the raw data."""
+    from functools import reduce
+
+    all_parts = reduce(lambda a, b: a.unionByName(b), parts)
+    return all_parts.groupBy(*keys).agg(
+        F.hll_union_agg("hll").alias("hll"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+
+
+def hll_estimate(rollup: DataFrame, estimate_col: str = "n_distinct") -> DataFrame:
+    """Finalize a rollup: replace the binary sketch with its cardinality
+    estimate (standard error ~1.04/sqrt(2^lgk): ~0.8% at the default lgk=14)."""
+    return rollup.withColumn(
+        estimate_col, F.hll_sketch_estimate("hll").cast("long")
+    ).drop("hll")

@@ -366,9 +366,21 @@ def bm25_scores(
     queries over a corpus, a full scan beats materializing an index; for a
     standing query workload, build the index once with ``tfidf_terms`` and
     join on its (token) grain instead.
+
+    Practical term cap: the scan path builds one tf column PER QUERY TERM, so
+    codegen'd expression width grows linearly with |Q| — fine for human-sized
+    queries, degenerate past a few dozen terms (~32 is a sensible ceiling;
+    enforced softly below). Long queries belong on the index path
+    (``bm25_index_search``), where terms are rows, not columns.
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    if len(query_terms) > 64:
+        raise ValueError(
+            f"{len(query_terms)} query terms: the scan path widens the plan "
+            "per term — use the bucketed index path for long queries "
+            "(practical scan ceiling ~32 terms)"
+        )
     # bag-of-terms semantics: a term listed twice scores twice (query-side
     # boost), matching the classic Okapi formulation.
     # Null-text docs are excluded from the corpus entirely (they hold no

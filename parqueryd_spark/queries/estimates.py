@@ -167,3 +167,69 @@ def heavy_hitter_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"),
         F.min(F.coalesce(ok, F.lit(False))).alias("bounds_ok"),
     )
+
+
+@query(
+    "events_hll_rollup_bound",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           TRUE AS merge_ok,
+           TRUE AS err_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_hll_rollup_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable HLL distinct-count rollup (operators/sketches.py:
+    hll_rollup family) gated through the oracle.
+
+    Splits events at 2024-01-16, sketches each half independently, merges the
+    binary sketches, and checks two claims per event_type next to the exact
+    count-distinct (which the oracle also computes, so the exact pipeline is
+    value-checked too):
+
+    - merge_ok: merge-of-splits estimate == direct whole-input estimate (HLL
+      union is register-wise max, so this must hold EXACTLY — a merge bug
+      flips it);
+    - err_ok: |estimate - exact| <= 3% * exact (lgk=14 => ~0.8% standard
+      error; 3% is the 3-sigma envelope with slack).
+
+    This is the state-at-rest pattern for 100 TB distinct counts: sketch each
+    ingest partition once, persist kilobyte sketches, answer any-range
+    distinct queries by merging state instead of re-shuffling raw ids.
+    """
+    from parqueryd_spark.operators.sketches import (
+        hll_estimate,
+        hll_rollup,
+        hll_rollup_merge,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    merged = hll_estimate(
+        hll_rollup_merge(
+            [
+                hll_rollup(ev.where(F.col("ts") < split), ["event_type"], "user_id"),
+                hll_rollup(ev.where(F.col("ts") >= split), ["event_type"], "user_id"),
+            ],
+            ["event_type"],
+        ),
+        "est_merged",
+    )
+    direct = hll_estimate(
+        hll_rollup(ev, ["event_type"], "user_id"), "est_direct"
+    ).select("event_type", "est_direct")
+    exact = ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n_users"))
+    return (
+        merged.join(direct, "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_users",
+            (F.col("est_merged") == F.col("est_direct")).alias("merge_ok"),
+            (F.abs(F.col("est_direct") - F.col("n_users")) <= 0.03 * F.col("n_users")).alias(
+                "err_ok"
+            ),
+        )
+    )

@@ -493,3 +493,40 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("last_click_value"),
         F.col("ts_right").alias("click_ts"),
     )
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted equi-join (operators/scale.py:salted_join) must
+    equal the plain join — the oracle IS the plain join. The salted plan
+    spreads each order key's lineitem rows over 8 salt buckets (deterministic
+    whole-row xxhash64 salt) while replicating the orders side across buckets,
+    so one hot key can never melt a reducer; revenue per priority then proves
+    no row was lost or double-counted through the salt machinery."""
+    from parqueryd_spark.operators.scale import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, orders, "l_orderkey", salt_buckets=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )

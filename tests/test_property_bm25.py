@@ -60,3 +60,16 @@ def test_bm25_matches_pure_python(spark, texts, terms):
     for d in want:
         assert got[d][0] == want[d][0]
         assert abs(got[d][1] - want[d][1]) < 1e-9, (d, got[d], want[d])
+
+
+def test_bm25_scan_path_rejects_degenerate_term_count(spark):
+    """The scan path widens the plan per query term; past the documented
+    ceiling it must push users to the index path instead of compiling a
+    pathological expression tree."""
+    import pytest
+
+    from parqueryd_spark.operators.text import bm25_scores
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="index path"):
+        bm25_scores(df, "doc_id", "text", [f"t{i}" for i in range(65)])

@@ -321,3 +321,48 @@ def test_skew_stats_uniform_key_needs_no_salt(spark):
     _top, summary = skew_stats(df, ["k"])
     assert summary["skew_factor"] == 1.0
     assert summary["suggested_salt_buckets"] == 1
+
+
+def test_salted_join_matches_plain_join_all_hows(spark):
+    """salted_join must be row-for-row equivalent to the plain join for every
+    supported (left-preserving) how, including null-key and no-match rows."""
+    from parqueryd_spark.operators.scale import salted_join
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d"), (None, "e")],
+        "k int, lv string",
+    )
+    right = spark.createDataFrame([(1, "X"), (2, "Y"), (4, "Z")], "k int, rv string")
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        plain = {tuple(r) for r in left.join(right, "k", how).collect()}
+        salted = {
+            tuple(r) for r in salted_join(left, right, "k", salt_buckets=4, how=how).collect()
+        }
+        assert salted == plain, how
+
+
+def test_salted_join_rejects_right_preserving_hows(spark):
+    import pytest
+
+    from parqueryd_spark.operators.scale import salted_join
+
+    left = spark.createDataFrame([(1, "a")], "k int, lv string")
+    right = spark.createDataFrame([(1, "X")], "k int, rv string")
+    for how in ("right", "full", "left_outer_bogus"):
+        with pytest.raises(ValueError):
+            salted_join(left, right, "k", how=how)
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """A key owning most rows must land in multiple salt buckets — the whole
+    point. Inspect the salt distribution the operator derives."""
+    from pyspark.sql import functions as F
+
+    hot = spark.range(10_000).select(F.lit(7).alias("k"), F.col("id").alias("lv"))
+    salted = hot.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.struct(*hot.columns)), F.lit(8)).cast("int")
+    )
+    per_bucket = salted.groupBy("__salt").count().collect()
+    assert len(per_bucket) == 8  # every bucket used
+    counts = [r["count"] for r in per_bucket]
+    assert max(counts) < 2 * min(counts)  # roughly level

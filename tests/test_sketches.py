@@ -89,3 +89,41 @@ def test_resample_to_mixture_hits_targets(spark):
     # deterministic
     out2 = resample_to_mixture(df, "dom", {"a": 0.5, "b": 0.5}, "id")
     assert sorted(r.id for r in out.collect()) == sorted(r.id for r in out2.collect())
+
+
+def test_hll_rollup_merge_equals_direct_and_bounds_error(spark):
+    """HLL union is register-wise max: merging per-half sketches must equal
+    sketching the whole input (bit-identical estimates), and the estimate must
+    sit inside the lgk=14 error envelope vs exact count-distinct."""
+    import pyspark.sql.functions as F
+
+    from parqueryd_spark.operators.sketches import (
+        hll_estimate,
+        hll_rollup,
+        hll_rollup_merge,
+    )
+    from parqueryd_spark.sources.parquet import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    merged = hll_estimate(
+        hll_rollup_merge(
+            [
+                hll_rollup(ev.where(F.col("ts") < split), ["event_type"], "user_id"),
+                hll_rollup(ev.where(F.col("ts") >= split), ["event_type"], "user_id"),
+            ],
+            ["event_type"],
+        )
+    )
+    direct = hll_estimate(hll_rollup(ev, ["event_type"], "user_id"))
+    m = {r.event_type: (r.n_distinct, r.n_rows) for r in merged.collect()}
+    d = {r.event_type: (r.n_distinct, r.n_rows) for r in direct.collect()}
+    assert m == d  # merge ∘ split ≡ direct, rows included
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, (est, _) in d.items():
+        assert abs(est - exact[k]) <= 0.03 * exact[k], (k, est, exact[k])

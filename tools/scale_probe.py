@@ -53,8 +53,15 @@ def replicate_documents(spark, factor: int):
 
 
 def replicate_embeddings(spark, factor: int):
-    """factor copies of embeddings; replica i nudges the first component by
-    i*1e-3 so vectors stay distinct but the neighborhood structure holds."""
+    """factor copies of embeddings; replica i applies a deterministic
+    Rademacher sign pattern (xxhash64(i, component) -> ±1). A shared sign
+    pattern preserves every intra-replica cosine EXACTLY (so each replica
+    keeps sf0.1's neighborhood structure), while cross-replica cosines
+    concentrate around 0 (~1/sqrt(dim) noise) — replicas are effectively
+    independent corpora. (Earlier attempts: a tiny +i*1e-3 nudge left
+    replicas at cosine ~1, injecting C(factor,2)*n artificial near-dup pairs;
+    a circular shift left these structured synthetic vectors autocorrelated.)
+    """
     from pyspark.sql import functions as F
 
     emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).select(
@@ -63,14 +70,17 @@ def replicate_embeddings(spark, factor: int):
     n = emb.agg(F.max("vec_id")).first()[0] + 1
     parts = []
     for i in range(factor):
-        bump = F.lit(float(i) * 1e-3)
+        flipped = F.transform(
+            "embedding",
+            lambda x, idx: x
+            * F.when(F.pmod(F.xxhash64(F.lit(i), idx), F.lit(2)) == 0, F.lit(1.0)).otherwise(
+                F.lit(-1.0)
+            ),
+        ).cast("array<float>")
         parts.append(
             emb.select(
                 (F.col("vec_id") + F.lit(i * n)).alias("vec_id"),
-                F.concat(
-                    F.array(F.element_at("embedding", 1) + bump),
-                    F.slice("embedding", 2, 10_000),
-                ).alias("embedding"),
+                flipped.alias("embedding"),
             )
         )
     out = parts[0]
@@ -91,7 +101,7 @@ def main() -> None:
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
     )
-    from parqueryd_spark.operators.similarity import cosine_near_dup_pairs, ivf_topk
+    from parqueryd_spark.operators.similarity import ivf_topk
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
     spark = (
@@ -131,33 +141,40 @@ def main() -> None:
         ).count()
         t_mh = time.perf_counter() - t0
 
-        t0 = time.perf_counter()
-        nd_pairs = cosine_near_dup_pairs(emb, threshold=0.45, mode="bucketed").count()
-        t_nd = time.perf_counter() - t0
-
+        # Embedding-side probe: IVF top-k SEARCH, with the operators' own
+        # scale guidance n_centroids ~ sqrt(n) (operators/similarity.py) so
+        # per-bucket cost stays flat. cosine_near_dup_pairs is deliberately
+        # NOT in this table: threshold-pair OUTPUT on iid-replicated vectors
+        # is inherently ~n^2 * P(cos>=t) — measured: 489 intra-replica vs
+        # 1745 cross-replica pairs at 4x, every one a verified true positive
+        # (precision 1.0) — so its row would measure the corpus's pair
+        # density, not the engine. Its engine-side claim (candidates =
+        # sum(bucket^2), never n^2) is pytest-asserted instead, and the
+        # bounded-output dedup setting is covered by the text rows above.
+        nc = max(16, int(n_vecs**0.5))
         from pyspark.sql import functions as F
 
         t0 = time.perf_counter()
         ivf_rows = ivf_topk(
-            emb, emb.filter(F.col("vec_id") < 5), n_centroids=16, nprobe=4, k=5
+            emb, emb.filter(F.col("vec_id") < 5), n_centroids=nc, nprobe=4, k=5
         ).count()
         t_ivf = time.perf_counter() - t0
 
         rows.append(
             (f, n_docs, n_vecs, ppjoin_cands, t_cand, jacc_pairs, t_jacc,
-             mh_pairs, t_mh, nd_pairs, t_nd, ivf_rows, t_ivf)
+             mh_pairs, t_mh, ivf_rows, t_ivf)
         )
         print(f"x{f}: docs={n_docs} cands={ppjoin_cands} ({t_cand:.1f}s) "
               f"jacc={jacc_pairs} ({t_jacc:.1f}s) mh={mh_pairs} ({t_mh:.1f}s) "
-              f"emb_nd={nd_pairs} ({t_nd:.1f}s) ivf={ivf_rows} ({t_ivf:.1f}s)",
+              f"ivf={ivf_rows} ({t_ivf:.1f}s)",
               flush=True)
 
     print("\n| factor | docs | ppjoin cands | cand s | jaccard pairs | s | "
-          "minhash pairs | s | emb near-dup | s | ivf top-k | s |")
-    print("|---|---|---|---|---|---|---|---|---|---|---|---|")
+          "minhash pairs | s | ivf top-k rows | s |")
+    print("|---|---|---|---|---|---|---|---|---|---|")
     for r in rows:
         print(f"| x{r[0]} | {r[1]} | {r[3]} | {r[4]:.1f} | {r[5]} | {r[6]:.1f} "
-              f"| {r[7]} | {r[8]:.1f} | {r[9]} | {r[10]:.1f} | {r[11]} | {r[12]:.1f} |")
+              f"| {r[7]} | {r[8]:.1f} | {r[9]} | {r[10]:.1f} |")
     spark.stop()
 
 
