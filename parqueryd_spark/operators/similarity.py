@@ -87,17 +87,31 @@ def ivf_assign(
     """Assign every vector to its nearest centroid (max cosine, deterministic
     tie-break on centroid id). One broadcast-join map pass over the corpus.
     ``with_sim=True`` also returns the winning cosine as ``centroid_sim``
-    (what :func:`semantic_dedup` / :func:`prototype_scores` rank on)."""
-    from pyspark.sql import Window as W
+    (what :func:`semantic_dedup` / :func:`prototype_scores` rank on).
 
+    The argmax is a groupBy + max(struct(sim, -centroid_id)): max on the
+    struct picks highest sim, ties resolve to the lowest centroid id, and —
+    unlike the row_number()-window formulation this replaces — the aggregate
+    gets MAP-SIDE partial combine, so the exchange carries one row per vector
+    instead of the full |corpus| x |centroids| cross-join fan-out (at 4096
+    centroids, a 4096x shuffle-volume difference; locally identical results
+    and wall time, verified at 64k x 400)."""
     c = spread_partitions(corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("v")))
     cen = centroids.select(F.col(centroid_id), as_double(F.col(vec_col)).alias("cv"))
     scored = c.crossJoin(F.broadcast(cen)).withColumn("sim", cosine(F.col("v"), F.col("cv")))
-    w = W.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col(centroid_id).asc())
-    ranked = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(F.col("sim"), (-F.col(centroid_id)).alias("neg_cid"))
+        ).alias("b")
+    )
+    out = best.select(
+        id_col,
+        (-F.col("b.neg_cid")).alias(centroid_id),  # type-preserving double negate
+        F.col("b.sim").alias("centroid_sim"),
+    )
     if with_sim:
-        return ranked.select(id_col, centroid_id, F.col("sim").alias("centroid_sim"))
-    return ranked.select(id_col, centroid_id)
+        return out
+    return out.drop("centroid_sim")
 
 
 def kmeans_centroids(
