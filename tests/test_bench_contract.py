@@ -1,0 +1,53 @@
+"""Pin bench.py's driver contract (VERDICT r7 item #1 / item #8).
+
+Round 7 regression class: the single output JSON line grew past the driver's
+stdout tail capture and BENCH_r07.json recorded ``parsed: null``. These tests
+pin, without starting Spark, that (a) the final payload carries exactly the
+compact driver keys, (b) it serializes well under the tail budget at the real
+registry's bench-query count, and (c) the diagnostics payload is a separate
+object marked as such.
+"""
+
+from __future__ import annotations
+
+import json
+
+import bench
+from parqueryd_spark import queries as Q
+
+
+def _fake_results(names):
+    trials = {n: [0.1234, 0.2345, 0.3456, 0.4567, 0.5678] for n in names}
+    timings = {n: min(ts) for n, ts in trials.items()}
+    medians = {n: sorted(ts)[2] for n, ts in trials.items()}
+    return timings, medians, trials
+
+
+def test_final_line_is_compact_and_parseable():
+    names = list(Q.bench_queries())
+    assert len(names) >= 15
+    timings, medians, trials = _fake_results(names)
+    diagnostics, final = bench.build_outputs(timings, medians, trials, 0.1)
+
+    line = json.dumps(final)
+    assert tuple(final) == bench.FINAL_LINE_KEYS
+    assert len(line.encode()) < bench.FINAL_LINE_MAX_BYTES, (
+        f"driver line {len(line)}B risks the stdout tail capture "
+        f"(budget {bench.FINAL_LINE_MAX_BYTES}B) — trim bench set or keys"
+    )
+    parsed = json.loads(line)  # what the driver does with the LAST line
+    assert parsed["metric"] == "headline_queries_total_wall"
+    assert parsed["unit"] == "sec"
+    assert parsed["sf"] == 0.1
+    assert parsed["value"] == round(sum(timings.values()), 4)
+    assert set(parsed["queries"]) == set(names)
+
+
+def test_diagnostics_are_separate_from_driver_line():
+    names = list(Q.bench_queries())
+    timings, medians, trials = _fake_results(names)
+    diagnostics, final = bench.build_outputs(timings, medians, trials, 0.1)
+    assert diagnostics["bench_diagnostics"] is True
+    assert "queries_trials" in diagnostics and "queries_spread" in diagnostics
+    # none of the bulky diagnostic keys may leak into the final line
+    assert not set(final) & {"queries_trials", "queries_median", "queries_spread"}
