@@ -193,6 +193,19 @@ def _keep_first_unit_dedup(
 
 _SHINGLE_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 _SHINGLE_CACHE_MAX = 4
+_SHINGLE_CACHE_LOCK = __import__("threading").Lock()
+
+
+def _shingle_cache_drop(entries) -> None:
+    """Unpersist displaced cache values so evicted/overwritten/cleared entries
+    release executor storage instead of pinning it to session end (ADVICE r7:
+    the overwrite and error-clear paths previously leaked the persisted
+    DataFrame)."""
+    for _, cached in entries:
+        try:
+            cached.unpersist()
+        except Exception:
+            pass
 
 
 def _hashed_shingle_arrays(
@@ -226,27 +239,31 @@ def _hashed_shingle_arrays(
     )
     if not persist:
         return base
-    try:
-        key = (df.semanticHash(), id_col, text_col, k)
-        hit = _SHINGLE_CACHE.get(key)
-        if hit is not None:
-            src, cached = hit
-            if src.sameSemantics(df):
-                return cached
-    except Exception:
-        # stale session / analysis failure on the cached handle: fall through
-        # to a fresh persist (correctness never depends on the memo)
-        _SHINGLE_CACHE.clear()
-        key = None
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
-    if key is not None:
-        while len(_SHINGLE_CACHE) >= _SHINGLE_CACHE_MAX:
-            _, old = _SHINGLE_CACHE.pop(next(iter(_SHINGLE_CACHE)))  # FIFO evict
-            try:
-                old.unpersist()
-            except Exception:
-                pass
-        _SHINGLE_CACHE[key] = (df, base)
+    with _SHINGLE_CACHE_LOCK:
+        try:
+            key = (df.semanticHash(), id_col, text_col, k)
+            hit = _SHINGLE_CACHE.get(key)
+            if hit is not None:
+                src, cached = hit
+                if src.sameSemantics(df):
+                    return cached
+                # semanticHash collision with different semantics: the stale
+                # entry is displaced below — release its storage now
+                _shingle_cache_drop([_SHINGLE_CACHE.pop(key)])
+        except Exception:
+            # stale session / analysis failure on the cached handle: fall
+            # through to a fresh persist (correctness never depends on the
+            # memo); unpersist what we drop
+            _shingle_cache_drop(_SHINGLE_CACHE.values())
+            _SHINGLE_CACHE.clear()
+            key = None
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        if key is not None:
+            while len(_SHINGLE_CACHE) >= _SHINGLE_CACHE_MAX:
+                _shingle_cache_drop(
+                    [_SHINGLE_CACHE.pop(next(iter(_SHINGLE_CACHE)))]  # FIFO evict
+                )
+            _SHINGLE_CACHE[key] = (df, base)
     return base
 
 

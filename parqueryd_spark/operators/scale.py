@@ -15,6 +15,17 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _check_no_salt_column(df: DataFrame, side: str) -> None:
+    """Reserved-column guard (mirrors group_aware_split's, ADVICE r7): a
+    pre-existing ``__salt`` would be silently replaced by withColumn and then
+    dropped, corrupting the caller's data."""
+    if "__salt" in df.columns:
+        raise ValueError(
+            f"{side} input already has a '__salt' column — rename it before "
+            "calling the salted operators ('__salt' is reserved internally)"
+        )
+
+
 def salted_groupby_agg(
     df: DataFrame,
     keys: Sequence[str],
@@ -35,6 +46,7 @@ def salted_groupby_agg(
     """
     merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
     phase1_fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    _check_no_salt_column(df, "df")
     salted = df.withColumn("__salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt_buckets)))
     p1 = salted.groupBy(*keys, "__salt").agg(
         *[phase1_fn[m](c).alias(out) for out, (c, m) in aggs.items()]
@@ -138,7 +150,14 @@ def salted_join(
 
     The left salt derives from xxhash64 over the WHOLE row (deterministic,
     uniform within a hot key — a salt from the key alone would land the whole
-    key in one bucket again). Only left-preserving joins are valid: each left
+    key in one bucket again). Caveat (documented + tested): rows that are
+    IDENTICAL in every column hash to the SAME salt, so a hot key consisting
+    of exact duplicate rows still lands in one bucket — whole-row salting
+    levels keys whose rows differ anywhere (the common case: payloads,
+    timestamps, ids). If your skew is literal duplicate rows, aggregate them
+    first (count) or add a disambiguating column before salting.
+
+    Only left-preserving joins are valid: each left
     row meets each right match exactly once (its own salt), but a right row
     meets left rows in ALL buckets, so right/full/right-semi semantics would
     double-count. Supported: inner, left, left_outer, left_semi, left_anti.
@@ -149,6 +168,8 @@ def salted_join(
         raise ValueError(f"salted_join supports left-preserving joins {sorted(ok)}, got {how!r}")
     if salt_buckets < 1:
         raise ValueError("salt_buckets must be >= 1")
+    _check_no_salt_column(left, "left")
+    _check_no_salt_column(right, "right")
     lsalt = left.withColumn(
         "__salt", F.pmod(F.xxhash64(F.struct(*left.columns)), F.lit(salt_buckets)).cast("int")
     )

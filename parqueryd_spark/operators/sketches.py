@@ -122,8 +122,9 @@ def hll_rollup(
     (count distinct) plain partials can't merge.
 
     HLL union is register-wise max, so merge ∘ split ≡ sketching the whole
-    input directly — bit-identical estimates, asserted in tests and
-    driver-gated via the events_hll_rollup_bound oracle row.
+    input directly — bit-identical estimates, asserted in tests and checked
+    against the oracle-backed events_hll_rollup_bound row (pytest +
+    driver_sim; registered past the driver's 50-row gate window).
     """
     return df.groupBy(*keys).agg(
         F.hll_sketch_agg(value_col, F.lit(lgk)).alias("hll"),
@@ -137,6 +138,8 @@ def hll_rollup_merge(parts: Sequence[DataFrame], keys: Sequence[str]) -> DataFra
     row counts add. Cost ∝ number of STATE rows, never the raw data."""
     from functools import reduce
 
+    if not parts:
+        raise ValueError("hll_rollup_merge needs at least one rollup part")
     all_parts = reduce(lambda a, b: a.unionByName(b), parts)
     return all_parts.groupBy(*keys).agg(
         F.hll_union_agg("hll").alias("hll"),

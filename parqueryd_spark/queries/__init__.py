@@ -88,9 +88,14 @@ from parqueryd_spark.queries import tpch_extended  # noqa: E402,F401
 # (parqueryd parity, TPC-H core, dedup, events, ANN, multimodal, pipeline,
 # relational, text) so the gate signal never depends on module import order.
 # Rows-only-by-design estimate queries (events_sketch_aggs, ann_ivf_topk,
-# ann_pq_topk, text_heavy_hitter_tokens) sit just past the window; their
-# accuracy is driver-checked via oracle-backed error-bound companions in
-# queries/estimates.py and exact companions in-window.
+# ann_pq_topk, text_heavy_hitter_tokens) sit past the window; their accuracy
+# IS driver-checked: the oracle-backed error-bound companions from
+# queries/estimates.py (sketch_error_bounds, ann_ivf_recall_bound,
+# ann_pq_recall_bound, heavy_hitter_bound) are IN the window (VERDICT r7
+# item #2), in place of four TPC-H rows whose operator shape an in-window
+# twin already covers (q14~q19/q6 filter-ratio, q18~having_scalar_subquery,
+# q10~q3+topk_orders, q4~join_types_suite's semi-join; all four stay
+# registered and pytest-oracled past the window).
 GATE_WINDOW = [
     "q1_pricing_summary",
     "groupby_agg_methods",
@@ -100,11 +105,11 @@ GATE_WINDOW = [
     "q3_shipping_priority",
     "q5_local_volume",
     "q6_forecast_revenue",
-    "q4_priority_exists",
-    "q14_promo_revenue",
-    "q18_large_orders",
+    "sketch_error_bounds",
+    "ann_ivf_recall_bound",
+    "ann_pq_recall_bound",
     "q19_disjunctive_filter",
-    "q10_returned_items",
+    "heavy_hitter_bound",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -69,9 +69,38 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_ngram_jaccard", oracle=_EXACT_JACCARD_SQL, bench=True)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (shingle inverted-index join)."""
+    """Exact n-gram Jaccard near-dup pairs (shingle inverted-index join).
+
+    max_prefix_df=None EXPLICITLY (ADVICE r7): this row is hash-compared
+    against an exact all-pairs DuckDB oracle, so it must stay exact even on a
+    corpus where a true pair's shared prefix shingles all exceed the default
+    hot-key cap (df>1000). The capped default remains the scale path —
+    dedup_ngram_capped benches it and test_property_prefix_cap.py bounds its
+    recall tradeoff."""
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.8, max_prefix_df=None
+    )
+
+
+# DATA DEPENDENCY (ADVICE r7): the capped row reuses the EXACT oracle because
+# on this corpus no true pair's shared prefix shingles all exceed df=1000 (the
+# cap only drops boilerplate-grade non-discriminative tokens here, verified at
+# every test SF). On a corpus violating that, the cap trades recall for linear
+# candidate growth — tests/test_property_prefix_cap.py bounds the tradeoff.
+# This row registers PAST the gate window (pytest/driver_sim-checked); the
+# gate's dedup_ngram_jaccard stays cap-free and data-independent.
+@query("dedup_ngram_capped", oracle=_EXACT_JACCARD_SQL, bench=True)
+def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB default for n-gram Jaccard: PPJoin prefix filter PLUS the
+    prefix-df hot-key cap (max_prefix_df=1000), which keeps candidate counts
+    linear on shared-boilerplate corpora (719k -> 2.4k candidates on the
+    1,200-doc boilerplate fixture, BENCH_NOTES_r07.md). Benched separately
+    from the exact row so the cap's flat cost stays visible."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.8, max_prefix_df=1000
+    )
 
 
 @query("dedup_minhash_lsh", oracle=_EXACT_JACCARD_SQL, bench=True)

@@ -15,6 +15,18 @@ def test_gate_window_is_50_oracle_backed():
     assert not missing, f"gate-window rows without a DuckDB oracle: {missing}"
 
 
+def test_estimate_bound_rows_are_inside_the_gate_window():
+    """VERDICT r7 item #2: approximation quality is part of the hard driver
+    gate — the oracle-backed bound rows must sit INSIDE the first 50."""
+    for name in (
+        "sketch_error_bounds",
+        "ann_ivf_recall_bound",
+        "ann_pq_recall_bound",
+        "heavy_hitter_bound",
+    ):
+        assert name in Q.GATE_WINDOW, name
+
+
 def test_estimate_rows_have_driver_checked_companions():
     # every rows-only (oracle=None) estimate row has an oracle-backed
     # error-bound or exact companion somewhere in the registry

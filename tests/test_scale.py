@@ -366,3 +366,43 @@ def test_salted_join_spreads_hot_key(spark):
     assert len(per_bucket) == 8  # every bucket used
     counts = [r["count"] for r in per_bucket]
     assert max(counts) < 2 * min(counts)  # roughly level
+
+
+def test_salted_operators_reject_reserved_salt_column(spark):
+    """ADVICE r7: a pre-existing __salt column would be silently replaced and
+    dropped — both salted operators must refuse it up front."""
+    import pytest
+
+    from parqueryd_spark.operators.scale import salted_groupby_agg, salted_join
+
+    tainted = spark.createDataFrame([(1, 0)], "k int, __salt int")
+    clean = spark.createDataFrame([(1, "X")], "k int, rv string")
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(tainted, clean, "k")
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(clean.withColumnRenamed("rv", "lv"), tainted, "k")
+    with pytest.raises(ValueError, match="__salt"):
+        salted_groupby_agg(tainted, ["k"], {"n": ("k", "count")})
+
+
+def test_salted_join_identical_duplicate_rows_share_salt(spark):
+    """Documented caveat: whole-row-hash salting gives IDENTICAL rows the same
+    salt (no spread), while rows differing in any column spread. Pins the
+    caveat so the docstring stays honest; results stay correct either way."""
+    from pyspark.sql import functions as F
+
+    from parqueryd_spark.operators.scale import salted_join
+
+    dup = spark.range(1000).select(F.lit(7).alias("k"), F.lit("same").alias("lv"))
+    salts = (
+        dup.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.struct(*dup.columns)), F.lit(8)).cast("int")
+        )
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert salts == 1  # identical rows -> one bucket (the caveat)
+    right = spark.createDataFrame([(7, "X")], "k int, rv string")
+    out = salted_join(dup, right, "k", salt_buckets=8).collect()
+    assert len(out) == 1000 and all(r["rv"] == "X" for r in out)  # still correct
