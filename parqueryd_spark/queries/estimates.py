@@ -82,23 +82,31 @@ def sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_ivf_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ann_ivf_topk's approximation quality gated through the oracle.
+    """The IVF route's approximation quality gated through the oracle.
 
-    Runs the same IVF configuration as the estimate row (n_centroids=16,
+    Runs the same IVF configuration as the estimate rows (n_centroids=16,
     nprobe=4, k=5, queries vec_id<5) against the exhaustively-probed
     nprobe=16 run — which the in-window ann_ivf_exhaustive_topk row proves
     equal to exact brute force — and reduces to overall recall@5 >= 0.8.
     The oracle derives n_queries from the data and asserts recall_ok, so an
     IVF recall regression is a driver hash failure, not just a pytest one.
-    """
-    from parqueryd_spark.operators.similarity import ivf_topk
 
+    Both sides run over the PUBLISHED centroid-partitioned index
+    (queries/similarity.py:served_ivf_index) — the same serving route as
+    ann_ivf_index_topk — so this in-gate-window row gates the 100 TB index
+    path itself: a publish/partition/pruning bug surfaces here as a recall or
+    row-count failure (VERDICT r7 item #3).
+    """
+    from parqueryd_spark.operators.similarity import ivf_search
+    from parqueryd_spark.queries.similarity import served_ivf_index
+
+    index, cents = served_ivf_index(spark, sf_dir, n_centroids=16)
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 5)
-    exact = ivf_topk(emb, qs, n_centroids=16, nprobe=16, k=5).select(
+    exact = ivf_search(index, cents, qs, nprobe=16, k=5).select(
         "query_id", "neighbor_id"
     )
-    approx = ivf_topk(emb, qs, n_centroids=16, nprobe=4, k=5).select(
+    approx = ivf_search(index, cents, qs, nprobe=4, k=5).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit")
     )
     joined = exact.join(approx, ["query_id", "neighbor_id"], "left")
@@ -195,6 +203,7 @@ def heavy_hitter_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     GROUP BY event_type
     """,
+    bench=True,
 )
 def events_hll_rollup_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mergeable HLL distinct-count rollup (operators/sketches.py:

@@ -21,7 +21,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     refine×k shortlist is exactly re-ranked. The 100 TB memory tier below IVF
     bucket pruning. Deterministic: seeded sample training, first-min
     tie-breaks, neighbor-id-ordered windows. Recall vs exact brute force is
-    DRIVER-gated via the oracle-backed ann_pq_recall_bound
+    DRIVER-gated via the oracle-backed, in-gate-window ann_pq_recall_bound
     (queries/estimates.py)."""
     from parqueryd_spark.operators.quantization import pq_topk
 

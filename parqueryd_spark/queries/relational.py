@@ -504,6 +504,7 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """,
+    bench=True,
 )
 def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resistant salted equi-join (operators/scale.py:salted_join) must

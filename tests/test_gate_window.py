@@ -33,6 +33,9 @@ def test_estimate_rows_have_driver_checked_companions():
     companions = {
         "events_sketch_aggs": ["events_exact_distinct_pcts", "sketch_error_bounds"],
         "ann_ivf_topk": ["ann_ivf_exhaustive_topk", "ann_ivf_recall_bound"],
+        # the recall bound runs over the same published-index route, so it
+        # companions the index row too
+        "ann_ivf_index_topk": ["ann_ivf_exhaustive_topk", "ann_ivf_recall_bound"],
         "ann_pq_topk": ["ann_pq_recall_bound"],
         "text_heavy_hitter_tokens": ["heavy_hitter_bound"],
     }

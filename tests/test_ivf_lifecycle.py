@@ -187,3 +187,24 @@ def test_incremental_semantic_pairs_finds_copies_at_small_nprobe(spark, emb, cen
     got = incremental_semantic_pairs(spark, idx, copies, threshold=0.999, nprobe=2)
     found = {(r["id_a"], r["id_b"]) for r in got.collect()}
     assert {(i + 10000, i) for i in range(5)} <= found
+
+
+def test_served_index_route_equals_adhoc_ivf(spark):
+    """ann_ivf_index_topk (published-index route, the benched 100 TB artifact)
+    must return exactly what the ad-hoc ivf_topk composition returns at the
+    same configuration — same centroids, same probes, same ranks."""
+    from parqueryd_spark.queries.similarity import ann_ivf_index_topk, ann_ivf_topk
+
+    idx = {
+        tuple(r)
+        for r in ann_ivf_index_topk(spark, SF_SMOKE)
+        .select("query_id", "neighbor_id", "rank")
+        .collect()
+    }
+    adhoc = {
+        tuple(r)
+        for r in ann_ivf_topk(spark, SF_SMOKE)
+        .select("query_id", "neighbor_id", "rank")
+        .collect()
+    }
+    assert idx == adhoc and idx

@@ -76,6 +76,9 @@ def _bounded_build_ok() -> set[str]:
         # ANN query/probe sets: fixed handful of query vectors by contract
         "ann_bruteforce_topk",       # 5 query vectors
         "ann_ivf_topk",              # 5 query vectors + 16 centroids
+        "ann_ivf_index_topk",        # 5 query vectors x nprobe=4 probe rows +
+                                     # 16 centroids (published-index route;
+                                     # the corpus side is the pruned scan)
         "ann_ivf_exhaustive_topk",   # 5 query vectors + 16 centroids
         "ann_pq_topk",               # 8 query vectors + 16x16 codebook
         "ann_margin_match",          # bounded query set
@@ -371,3 +374,18 @@ def test_registry_lints_error_free(spark):
         if finds:
             errors[name] = finds
     assert errors == {}
+
+
+def test_ivf_index_search_is_partition_pruned(spark):
+    """VERDICT r7 item #3: the gated/benched IVF row must serve from the
+    published centroid-partitioned index with the scan pruned to the probed
+    buckets — the plan's PartitionFilters must carry a
+    dynamicpruningexpression on centroid_id (DPP from the broadcast probe
+    join), so a query batch scans ~nprobe/n_centroids of the corpus
+    regardless of corpus size, with no driver-side collect."""
+    from parqueryd_spark.queries.similarity import ann_ivf_index_topk
+
+    plan = explain_str(ann_ivf_index_topk(spark, SF_SMOKE), "formatted")
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf, "index scan lost its partition filters"
+    assert any("dynamicpruningexpression" in l and "centroid_id" in l for l in pf), pf

@@ -1,11 +1,22 @@
-"""One-shot scale probe (VERDICT r6 item #7): sf0.1's 2k-doc / 2k-vector
-corpora cannot expose skew or candidate blowup, so this script self-unions
-documents and embeddings up to 32x (each replica token-perturbed so documents
-stay globally distinct while keeping the per-replica near-dup structure) and
-runs the dedup/ANN headliners at 1x/4x/16x/32x, printing a markdown table of
-wall time and candidate counts. The claim under test: candidate generation is
-BUCKETED — candidates and runtime grow ~linearly with corpus size, never
-quadratically. Not part of the driver bench (writes scratch data to /tmp).
+"""One-shot scale probe (VERDICT r6 item #7 / r7 items #3-#4): sf0.1's
+2k-doc / 2k-vector corpora cannot expose skew or candidate blowup, so this
+script self-unions documents and embeddings up to 32x (each replica
+token-perturbed so documents stay globally distinct while keeping the
+per-replica near-dup structure) and runs the dedup/ANN headliners at
+1x/4x/16x/32x, printing markdown tables of wall time and candidate counts.
+Claims under test:
+
+- candidate generation is BUCKETED — candidates and runtime grow ~linearly
+  with corpus size, never quadratically;
+- IVF SEARCH over the published centroid-partitioned index stays ~flat as the
+  corpus grows (DPP scans ~nprobe/n_centroids of it; with n_centroids~sqrt(n)
+  the scanned rows grow ~sqrt(n)); only the one-time index BUILD grows
+  linearly (r7's super-linear row was the ad-hoc per-query assignment path);
+- salted_join levels reducers on a skewed key where the plain shuffle join
+  straggles (probed with broadcast + AQE skew-split disabled — the regime
+  salting exists for: forced hash/shuffle joins AQE can't rescue).
+
+Not part of the driver bench (writes scratch data to /tmp).
 
 Run:  python /root/repo/tools/scale_probe.py [max_factor]
 """
@@ -101,8 +112,6 @@ def main() -> None:
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
     )
-    from parqueryd_spark.operators.similarity import ivf_topk
-
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -151,31 +160,107 @@ def main() -> None:
         # density, not the engine. Its engine-side claim (candidates =
         # sum(bucket^2), never n^2) is pytest-asserted instead, and the
         # bounded-output dedup setting is covered by the text rows above.
+        # IVF via the PUBLISHED index (r7 item #3: the ad-hoc ivf_topk path
+        # re-assigned the whole corpus per query batch and grew super-linearly
+        # — 2.1s -> 25.0s at x32). Build once (linear, amortized over every
+        # batch), then search against the partitioned index: DPP prunes the
+        # scan to the probed buckets, so SEARCH should stay ~flat.
         nc = max(16, int(n_vecs**0.5))
         from pyspark.sql import functions as F
 
+        from parqueryd_spark.operators.similarity import ivf_load, ivf_publish, ivf_search
+
+        cents = (
+            emb.orderBy(F.col("vec_id").asc())
+            .limit(nc)
+            .select(F.col("vec_id").cast("int").alias("centroid_id"), "embedding")
+        )
+        idx_path = f"{scratch}/ivf_x{f}"
         t0 = time.perf_counter()
-        ivf_rows = ivf_topk(
-            emb, emb.filter(F.col("vec_id") < 5), n_centroids=nc, nprobe=4, k=5
+        ivf_publish(spark, idx_path, emb, cents)
+        t_build = time.perf_counter() - t0
+        vectors, cen = ivf_load(spark, idx_path)
+        t0 = time.perf_counter()
+        ivf_rows = ivf_search(
+            vectors, cen, emb.filter(F.col("vec_id") < 5), nprobe=4, k=5
         ).count()
         t_ivf = time.perf_counter() - t0
 
         rows.append(
             (f, n_docs, n_vecs, ppjoin_cands, t_cand, jacc_pairs, t_jacc,
-             mh_pairs, t_mh, ivf_rows, t_ivf)
+             mh_pairs, t_mh, ivf_rows, t_build, t_ivf)
         )
         print(f"x{f}: docs={n_docs} cands={ppjoin_cands} ({t_cand:.1f}s) "
               f"jacc={jacc_pairs} ({t_jacc:.1f}s) mh={mh_pairs} ({t_mh:.1f}s) "
-              f"ivf={ivf_rows} ({t_ivf:.1f}s)",
+              f"ivf={ivf_rows} (build {t_build:.1f}s, search {t_ivf:.1f}s)",
               flush=True)
 
     print("\n| factor | docs | ppjoin cands | cand s | jaccard pairs | s | "
-          "minhash pairs | s | ivf top-k rows | s |")
-    print("|---|---|---|---|---|---|---|---|---|---|")
+          "minhash pairs | s | ivf top-k rows | build s | search s |")
+    print("|---|---|---|---|---|---|---|---|---|---|---|")
     for r in rows:
         print(f"| x{r[0]} | {r[1]} | {r[3]} | {r[4]:.1f} | {r[5]} | {r[6]:.1f} "
-              f"| {r[7]} | {r[8]:.1f} | {r[9]} | {r[10]:.1f} |")
+              f"| {r[7]} | {r[8]:.1f} | {r[9]} | {r[10]:.1f} | {r[11]:.1f} |")
+
+    skew_probe(spark)
     spark.stop()
+
+
+def skew_probe(spark) -> None:
+    """salted_join vs plain join on a skewed key (r7 item #4): the hot key
+    owns 80% of left rows. Broadcast and AQE skew-split are disabled for this
+    section — modeling the regime salting exists for (the right side too big
+    to broadcast / a hash join AQE cannot split); AQE's own SMJ rescue is
+    separately asserted in tests/test_scale.py. Reports wall time plus the
+    max rows any single reducer key carries (plain: the hot key in one task;
+    salted: hot key / salt_buckets). At 40% hot / <=8M rows the hot task
+    still fits one core's budget and salting's overhead (whole-row hash +
+    16x right replication) loses — salting is a remedy for genuine
+    stragglers, not a default."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from parqueryd_spark.operators.scale import salted_join
+
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.skewJoin.enabled": spark.conf.get(
+            "spark.sql.adaptive.skewJoin.enabled"
+        ),
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    try:
+        print("\nskew probe (hot key = 80% of left rows, 10k cold keys, "
+              "broadcast + AQE skew-split off):")
+        print("| left rows | plain s | salted s | max reducer rows plain | salted |")
+        print("|---|---|---|---|---|")
+        for n in (4_000_000, 16_000_000, 32_000_000):
+            left = spark.range(n).select(
+                F.when(F.col("id") % 10 < 8, F.lit(0))
+                .otherwise(F.pmod(F.xxhash64("id"), F.lit(10_000)))
+                .alias("k"),
+                F.col("id").alias("payload"),
+            )
+            right = spark.range(10_000).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("rv")
+            )
+            t0 = time.perf_counter()
+            n_plain = left.join(right, "k").count()
+            t_plain = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            n_salt = salted_join(left, right, "k", salt_buckets=16).count()
+            t_salt = time.perf_counter() - t0
+            assert n_plain == n_salt, (n_plain, n_salt)
+            hot = int(n * 0.8)
+            print(f"| {n} | {t_plain:.1f} | {t_salt:.1f} | {hot} | {hot // 16} |",
+                  flush=True)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
 
 
 if __name__ == "__main__":
