@@ -264,3 +264,144 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def ivfpq_publish(
+    spark,
+    index_dir: str,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    dim: int,
+    m: int = 16,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch: str = "base",
+) -> None:
+    """Publish an IVF-PQ index — the canonical 100 TB ANN layout (coarse
+    quantizer for pruning x product quantizer for compression, the
+    FAISS-IVFPQ architecture; Jegou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011):
+
+    - ``<index_dir>/centroids`` — the coarse centroids (metadata scale);
+    - ``<index_dir>/codebooks`` — the m per-subspace codebooks as
+      (j, code, sub) rows (m x k_codes rows, metadata scale);
+    - ``<index_dir>/codes`` — one (id, codes: array<int>, batch, centroid_id)
+      row per vector, PARTITIONED BY (batch, centroid_id): m small ints per
+      vector instead of dim floats (16x compression at dim=64/m=16), bucketed
+      so searches dynamic-partition-prune to the probed buckets.
+
+    At 100 TB the codes table is the only corpus-sized artifact a search
+    touches (~m bytes/vector, further cut nprobe/n_centroids by pruning);
+    full-precision vectors are read ONLY for the refine-k re-rank join.
+    Codes quantize the raw (normalized) vectors, not IVF residuals — one
+    shared codebook set serves every bucket, appends stay embarrassingly
+    parallel, and the refine re-rank recovers most of the residual path's
+    recall edge; swap in residual encoding if un-refined ADC ranking quality
+    ever becomes the binding constraint.
+    """
+    from parqueryd_spark.operators.similarity import ivf_assign
+
+    cb = pq_train(corpus, dim=dim, m=m, k=k_codes, vec_col=vec_col, id_col=id_col)
+    centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    cb_rows = [(j, c, cb[j][c]) for j in range(len(cb)) for c in range(len(cb[j]))]
+    spark.createDataFrame(cb_rows, "j int, code int, sub array<double>").write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/codebooks")
+    assignment = ivf_assign(corpus, centroids, id_col, vec_col)
+    (
+        pq_encode(corpus, cb, id_col=id_col, vec_col=vec_col)
+        .join(assignment, id_col)
+        .withColumn("batch", F.lit(batch))
+        .write.mode("overwrite")
+        .partitionBy("batch", "centroid_id")
+        .parquet(f"{index_dir}/codes")
+    )
+
+
+def ivfpq_load(spark, index_dir: str):
+    """(codes, centroids, codebooks) of a published IVF-PQ index. The
+    codebooks parquet is collected back to the nested-list form the
+    encode/LUT operators take — m x k_codes rows, metadata scale, same
+    posture as the centroid bootstrap."""
+    codes = spark.read.parquet(f"{index_dir}/codes")
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    rows = spark.read.parquet(f"{index_dir}/codebooks").collect()
+    mm = 1 + max(r["j"] for r in rows)
+    kk = 1 + max(r["code"] for r in rows)
+    cb = [[None] * kk for _ in range(mm)]
+    for r in rows:
+        cb[r["j"]][r["code"]] = list(r["sub"])
+    return codes, cents, cb
+
+
+def ivfpq_search(
+    codes: DataFrame,
+    centroids: DataFrame,
+    codebooks: list,
+    queries: DataFrame,
+    corpus: DataFrame | None = None,
+    nprobe: int = 4,
+    k: int = 5,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against a published IVF-PQ index: rank centroids per query
+    (broadcast — metadata scale), ADC-score ONLY the probed buckets' codes
+    (the probe-LUT join prunes the partitioned codes scan via DPP, asserted
+    in tests/test_plans.py), shortlist ``refine*k`` by approximate distance,
+    then exactly cosine-re-rank the shortlist against full-precision vectors
+    (``corpus``; reads |queries| x refine x k rows). ``refine=0`` (or
+    ``corpus=None``) returns the raw ADC ranking
+    (query_id, neighbor_id, approx_dist, rank); with refine it returns
+    (query_id, neighbor_id, cosine_sim, rank)."""
+    from pyspark.sql import Window as W
+
+    from parqueryd_spark.operators.similarity import as_double, cosine
+
+    mm = len(codebooks)
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
+    cen = centroids.select("centroid_id", as_double(F.col(vec_col)).alias("cv"))
+    w_probe = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cen))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    luts = pq_lut(queries, codebooks, id_col=id_col, vec_col=vec_col)
+    probe_luts = probes.join(luts, "query_id")  # nqueries x nprobe rows
+    approx = F.lit(0.0)
+    for j in range(mm):
+        approx = approx + F.element_at(F.element_at("lut", j + 1), F.col("codes")[j] + 1)
+    scored = (
+        codes.select(F.col(id_col).alias("neighbor_id"), "codes", "centroid_id")
+        .join(F.broadcast(probe_luts), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("approx_dist", approx)
+    )
+    shortlist_k = k if (refine <= 0 or corpus is None) else refine * k
+    w = W.partitionBy("query_id").orderBy(F.col("approx_dist").asc(), F.col("neighbor_id").asc())
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= shortlist_k)
+        .select(
+            "query_id", "neighbor_id", F.round("approx_dist", 6).alias("approx_dist"), "rank"
+        )
+    )
+    if refine <= 0 or corpus is None:
+        return shortlist
+    cand = shortlist.select("query_id", "neighbor_id").join(
+        corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nv")),
+        "neighbor_id",
+    )
+    qv = F.broadcast(q)
+    rer = cand.join(qv, "query_id").withColumn("cosine_sim", F.round(cosine("qv", "nv"), 6))
+    w2 = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

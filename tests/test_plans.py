@@ -81,6 +81,9 @@ def _bounded_build_ok() -> set[str]:
                                      # the corpus side is the pruned scan)
         "ann_ivf_exhaustive_topk",   # 5 query vectors + 16 centroids
         "ann_pq_topk",               # 8 query vectors + 16x16 codebook
+        "ann_ivfpq_index_topk",      # 5 query vectors x nprobe=4 LUT rows +
+                                     # 16 centroids + refine*k shortlist
+        "ann_ivfpq_recall_bound",    # same builds, 8 query vectors
         "ann_margin_match",          # bounded query set
         "ann_ivf_recall_bound",      # same builds as the two IVF rows
         "ann_pq_recall_bound",       # same builds as ann_pq_topk
@@ -388,4 +391,15 @@ def test_ivf_index_search_is_partition_pruned(spark):
     plan = explain_str(ann_ivf_index_topk(spark, SF_SMOKE), "formatted")
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf, "index scan lost its partition filters"
+    assert any("dynamicpruningexpression" in l and "centroid_id" in l for l in pf), pf
+
+
+def test_ivfpq_index_search_is_partition_pruned(spark):
+    """Same DPP contract as the IVF row: the served IVF-PQ search's codes
+    scan must be pruned to the probed centroid buckets."""
+    from parqueryd_spark.queries.quantization import ann_ivfpq_index_topk
+
+    plan = explain_str(ann_ivfpq_index_topk(spark, SF_SMOKE), "formatted")
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf, "codes scan lost its partition filters"
     assert any("dynamicpruningexpression" in l and "centroid_id" in l for l in pf), pf
