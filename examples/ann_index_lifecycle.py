@@ -68,6 +68,29 @@ def main() -> None:
         for r in ivf_bucket_stats(spark, idx).orderBy("centroid_id", "batch").collect():
             print(f"  bucket {r.centroid_id} batch {r.batch}: {r.n_vectors}")
 
+        # memory tier below: IVF-PQ — same bucketed layout, but the scan
+        # reads 16-byte PQ codes instead of full vectors; full-precision
+        # reads touch only the refine*k shortlist re-rank
+        from parqueryd_spark.operators.quantization import (
+            ivfpq_load,
+            ivfpq_publish,
+            ivfpq_search,
+        )
+
+        pq_idx = os.path.join(work, "ivfpq")
+        cents16 = (
+            emb.orderBy(F.col("vec_id").asc())
+            .limit(8)
+            .select(F.col("vec_id").cast("int").alias("centroid_id"), "embedding")
+        )
+        ivfpq_publish(spark, pq_idx, emb, cents16, dim=64, m=16, k_codes=16)
+        codes, cen2, cb = ivfpq_load(spark, pq_idx)
+        pq_approx = ivfpq_search(
+            codes, cen2, cb, queries, corpus=emb, nprobe=3, k=5, refine=4
+        )
+        p = {(r.query_id, r.neighbor_id) for r in pq_approx.collect()}
+        print(f"IVF-PQ recall@5 at nprobe=3/8, refine=4: {len(p & e) / len(e):.2f}")
+
 
 if __name__ == "__main__":
     main()

@@ -127,3 +127,12 @@ def test_hll_rollup_merge_equals_direct_and_bounds_error(spark):
     }
     for k, (est, _) in d.items():
         assert abs(est - exact[k]) <= 0.03 * exact[k], (k, est, exact[k])
+
+
+def test_hll_rollup_merge_rejects_empty_parts():
+    import pytest
+
+    from parqueryd_spark.operators.sketches import hll_rollup_merge
+
+    with pytest.raises(ValueError, match="at least one"):
+        hll_rollup_merge([], ["event_type"])
