@@ -31,6 +31,7 @@ All signatures derive from F.xxhash64 — deterministic across runs/cluster.
 
 from __future__ import annotations
 
+import threading
 import warnings
 
 from pyspark.sql import DataFrame
@@ -193,7 +194,7 @@ def _keep_first_unit_dedup(
 
 _SHINGLE_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 _SHINGLE_CACHE_MAX = 4
-_SHINGLE_CACHE_LOCK = __import__("threading").Lock()
+_SHINGLE_CACHE_LOCK = threading.Lock()
 
 
 def _shingle_cache_drop(entries) -> None:

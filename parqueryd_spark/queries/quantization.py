@@ -9,6 +9,8 @@ to the published IVF-PQ serving route (`served_ivfpq_index` /
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -112,7 +114,7 @@ def pipeline_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVFPQ_INDEX_CACHE: dict[tuple, str] = {}
-_IVFPQ_INDEX_LOCK = __import__("threading").Lock()
+_IVFPQ_INDEX_LOCK = threading.Lock()
 
 
 def served_ivfpq_index(spark: SparkSession, sf_dir: str, n_centroids: int = 16):

@@ -10,6 +10,8 @@ neighbor id.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -93,7 +95,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_INDEX_CACHE: dict[tuple, str] = {}
-_IVF_INDEX_LOCK = __import__("threading").Lock()
+_IVF_INDEX_LOCK = threading.Lock()
 
 
 def served_ivf_index(

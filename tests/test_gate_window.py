@@ -25,6 +25,12 @@ def test_estimate_bound_rows_are_inside_the_gate_window():
         "heavy_hitter_bound",
     ):
         assert name in Q.GATE_WINDOW, name
+    # the four TPC-H rows they displaced must stay registered (oracle-tested
+    # past the window), not silently dropped
+    for name in ("q4_priority_exists", "q10_returned_items",
+                 "q14_promo_revenue", "q18_large_orders"):
+        assert name in Q.REGISTRY and name not in Q.GATE_WINDOW, name
+        assert Q.REGISTRY[name].oracle is not None, name
 
 
 def test_estimate_rows_have_driver_checked_companions():
