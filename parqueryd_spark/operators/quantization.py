@@ -81,6 +81,8 @@ def pq_train(
         .limit(sample_n)
         .collect()
     )
+    if not rows:
+        raise ValueError("pq_train needs a non-empty corpus to fit codebooks")
     X = np.array([r["v"] for r in rows], dtype=np.float64)
     if normalize:
         X = X / np.linalg.norm(X, axis=1, keepdims=True)

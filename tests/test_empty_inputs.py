@@ -155,3 +155,35 @@ def test_selection_ops_on_empty(spark):
     assert split.count() == 0 and "split" in split.columns
     shuffled = seeded_shuffle(docs.select("doc_id"), "doc_id", n_output_partitions=4)
     assert shuffled.count() == 0 and "shuffle_rank" in shuffled.columns
+
+
+def test_quantization_ops_on_empty(spark):
+    """pq_train on an empty corpus must fail loudly (codebooks are
+    meaningless), while empty QUERY sets flow through search as empty
+    results — the shapes a scheduled pipeline actually hits."""
+    import pytest
+
+    from parqueryd_spark.operators.quantization import (
+        ivfpq_load,
+        ivfpq_publish,
+        ivfpq_search,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    empty = emb.filter(F.lit(False))
+    with pytest.raises(ValueError, match="non-empty corpus"):
+        pq_train(empty, dim=64)
+    assert pq_topk(emb, empty, dim=64, k=5).count() == 0
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="ivfpq_empty_")
+    cents = (
+        emb.orderBy(F.col("vec_id").asc())
+        .limit(4)
+        .select(F.col("vec_id").cast("int").alias("centroid_id"), "embedding")
+    )
+    ivfpq_publish(spark, d, emb, cents, dim=64, m=16, k_codes=16)
+    codes, cen, cb = ivfpq_load(spark, d)
+    assert ivfpq_search(codes, cen, cb, empty, corpus=emb, nprobe=2, k=5).count() == 0
