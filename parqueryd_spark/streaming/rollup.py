@@ -128,3 +128,48 @@ def read_histogram_quantiles(
 
     parts = spark.read.parquet(hist_dir).drop("batch")
     return histogram_quantiles(merge_histograms(parts, keys=keys), probs, lo, hi, bins, keys)
+
+
+def stream_maintain_hll(
+    event_stream: DataFrame,
+    hll_dir: str,
+    checkpoint_dir: str,
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "user_id",
+    lgk: int = 14,
+):
+    """Continuously-maintained DISTINCT-count state — the streaming face of
+    operators/sketches.hll_rollup, closing the one aggregate the
+    sum/count/min/max partials above can't merge. Each micro-batch sketches
+    its own rows into one Datasketches HLL binary per key (kilobytes) and
+    lands it in an idempotent ``batch=<id>`` partition — the identical
+    contract as stream_maintain_rollup: replayed batches overwrite their own
+    partition (effectively-exactly-once), late data just lands in a later
+    partition, and because HLL union is register-wise max, DUPLICATED values
+    across batches never double-count — distinct-ness is global by
+    construction, no dedup state store needed. State per batch is keys x
+    ~2^lgk bytes regardless of row volume."""
+    from parqueryd_spark.operators.sketches import hll_rollup
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        part = hll_rollup(batch_df, list(keys), value_col, lgk)
+        part.write.mode("overwrite").parquet(os.path.join(hll_dir, f"batch={batch_id}"))
+
+    return (
+        event_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_hll_distinct(
+    spark, hll_dir: str, keys: tuple[str, ...] = ("event_type",)
+) -> DataFrame:
+    """Distinct-count estimates over ALL published batches: merge-on-read of
+    the kilobyte sketches (hll_union_agg, register-wise max), never touching
+    raw values. Returns (keys..., n_rows, n_distinct)."""
+    from parqueryd_spark.operators.sketches import hll_estimate, hll_rollup_merge
+
+    parts = spark.read.parquet(hll_dir).drop("batch")
+    return hll_estimate(hll_rollup_merge([parts], list(keys)))

@@ -81,3 +81,62 @@ def test_stream_rollup_matches_batch_and_replays_idempotently(spark, tmp_path):
     _write(os.path.join(stream_in, "b3.parquet"), LATE)
     _drain(docs, rollup_dir, ckpt)
     assert _canon(read_rollup(spark, rollup_dir)) == _canon(_direct(spark, B1 + B2 + LATE))
+
+
+def test_stream_hll_distinct_matches_batch_and_never_double_counts(spark, tmp_path):
+    """Streaming HLL maintenance: merged per-batch sketches must equal the
+    one-shot batch sketch EXACTLY (register-wise-max merge), checkpoint
+    replay must not change the answer, and a user id repeated across batches
+    must not double-count."""
+    from pyspark.sql import functions as F
+
+    from parqueryd_spark.operators.sketches import hll_estimate, hll_rollup
+    from parqueryd_spark.streaming.rollup import read_hll_distinct, stream_maintain_hll
+
+    stream_in = str(tmp_path / "in")
+    hll_dir = str(tmp_path / "hll")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(stream_in)
+
+    # user 1 clicks in BOTH batches: global distinct for click must stay 2
+    rows1 = [(1, dt.datetime(2024, 1, 1, 0, 5), "click", 1.0),
+             (2, dt.datetime(2024, 1, 1, 0, 9), "click", 2.0),
+             (3, dt.datetime(2024, 1, 1, 1, 0), "view", 1.0)]
+    rows2 = [(1, dt.datetime(2024, 1, 2, 0, 5), "click", 9.0),
+             (4, dt.datetime(2024, 1, 2, 2, 0), "view", 4.0)]
+
+    def _w(name, rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type", "value"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pdf.to_parquet(os.path.join(stream_in, name))
+
+    _w("b1.parquet", rows1)
+    time.sleep(1.1)
+    _w("b2.parquet", rows2)
+
+    schema = spark.read.parquet(os.path.join(stream_in, "b1.parquet")).schema
+    ev = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stream_in)
+    stream_maintain_hll(ev, hll_dir, ckpt).awaitTermination()
+
+    got = {
+        (r.event_type, r.n_rows, r.n_distinct)
+        for r in read_hll_distinct(spark, hll_dir).collect()
+    }
+    all_rows = spark.createDataFrame(
+        pd.DataFrame(rows1 + rows2, columns=["user_id", "ts", "event_type", "value"])
+    )
+    want = {
+        (r.event_type, r.n_rows, r.n_distinct)
+        for r in hll_estimate(hll_rollup(all_rows, ["event_type"], "user_id")).collect()
+    }
+    assert got == want
+    assert ("click", 3, 2) in got  # repeated user never double-counts
+
+    # checkpoint replay: idempotent partition overwrite, same answer
+    ev2 = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stream_in)
+    stream_maintain_hll(ev2, hll_dir, ckpt).awaitTermination()
+    got2 = {
+        (r.event_type, r.n_rows, r.n_distinct)
+        for r in read_hll_distinct(spark, hll_dir).collect()
+    }
+    assert got2 == got
