@@ -61,6 +61,24 @@ def main() -> None:
         assert sorted(map(tuple, served.collect())) == sorted(map(tuple, direct.collect()))
         print("maintained rollup == full recompute: OK")
 
+        # the one aggregate plain partials can't merge — DISTINCT users —
+        # uses the same split/merge loop with kilobyte HLL sketch state
+        from parqueryd_spark.operators.sketches import (
+            hll_estimate,
+            hll_rollup,
+            hll_rollup_merge,
+        )
+
+        merged_hll = hll_rollup_merge(
+            [hll_rollup(history, ["event_type"], "user_id"),
+             hll_rollup(increment, ["event_type"], "user_id")],
+            ["event_type"],
+        )
+        got = hll_estimate(merged_hll)
+        want = hll_estimate(hll_rollup(ev, ["event_type"], "user_id"))
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+        print("maintained HLL distinct state == direct sketch: OK")
+
     spark.stop()
 
 

@@ -186,21 +186,46 @@ def main() -> None:
         ).count()
         t_ivf = time.perf_counter() - t0
 
+        # IVF-PQ: same bucketed pruning, but the pruned scan reads 16-byte
+        # codes instead of full vectors; full-precision reads are only the
+        # refine*k shortlist re-rank. Search should stay as flat as IVF's
+        # with a strictly smaller scan payload.
+        from parqueryd_spark.operators.quantization import (
+            ivfpq_load,
+            ivfpq_publish,
+            ivfpq_search,
+        )
+
+        pq_path = f"{scratch}/ivfpq_x{f}"
+        t0 = time.perf_counter()
+        ivfpq_publish(spark, pq_path, emb, cents, dim=64, m=16, k_codes=16)
+        t_pq_build = time.perf_counter() - t0
+        codes, cen2, cb = ivfpq_load(spark, pq_path)
+        t0 = time.perf_counter()
+        ivfpq_rows = ivfpq_search(
+            codes, cen2, cb, emb.filter(F.col("vec_id") < 5),
+            corpus=emb, nprobe=4, k=5, refine=4,
+        ).count()
+        t_ivfpq = time.perf_counter() - t0
+
         rows.append(
             (f, n_docs, n_vecs, ppjoin_cands, t_cand, jacc_pairs, t_jacc,
-             mh_pairs, t_mh, ivf_rows, t_build, t_ivf)
+             mh_pairs, t_mh, ivf_rows, t_build, t_ivf, t_pq_build, t_ivfpq)
         )
         print(f"x{f}: docs={n_docs} cands={ppjoin_cands} ({t_cand:.1f}s) "
               f"jacc={jacc_pairs} ({t_jacc:.1f}s) mh={mh_pairs} ({t_mh:.1f}s) "
-              f"ivf={ivf_rows} (build {t_build:.1f}s, search {t_ivf:.1f}s)",
+              f"ivf={ivf_rows} (build {t_build:.1f}s, search {t_ivf:.1f}s) "
+              f"ivfpq={ivfpq_rows} (build {t_pq_build:.1f}s, search {t_ivfpq:.1f}s)",
               flush=True)
 
     print("\n| factor | docs | ppjoin cands | cand s | jaccard pairs | s | "
-          "minhash pairs | s | ivf top-k rows | build s | search s |")
-    print("|---|---|---|---|---|---|---|---|---|---|---|")
+          "minhash pairs | s | ivf top-k rows | build s | search s | "
+          "ivfpq build s | ivfpq search s |")
+    print("|---|---|---|---|---|---|---|---|---|---|---|---|---|")
     for r in rows:
         print(f"| x{r[0]} | {r[1]} | {r[3]} | {r[4]:.1f} | {r[5]} | {r[6]:.1f} "
-              f"| {r[7]} | {r[8]:.1f} | {r[9]} | {r[10]:.1f} | {r[11]:.1f} |")
+              f"| {r[7]} | {r[8]:.1f} | {r[9]} | {r[10]:.1f} | {r[11]:.1f} "
+              f"| {r[12]:.1f} | {r[13]:.1f} |")
 
     skew_probe(spark)
     spark.stop()
