@@ -91,11 +91,12 @@ from parqueryd_spark.queries import tpch_extended  # noqa: E402,F401
 # ann_pq_topk, text_heavy_hitter_tokens) sit past the window; their accuracy
 # IS driver-checked: the oracle-backed error-bound companions from
 # queries/estimates.py (sketch_error_bounds, ann_ivf_recall_bound,
-# ann_pq_recall_bound, heavy_hitter_bound) are IN the window (VERDICT r7
-# item #2), in place of four TPC-H rows whose operator shape an in-window
-# twin already covers (q14~q19/q6 filter-ratio, q18~having_scalar_subquery,
-# q10~q3+topk_orders, q4~join_types_suite's semi-join; all four stay
-# registered and pytest-oracled past the window).
+# ann_pq_recall_bound, heavy_hitter_bound, and round 8's
+# ann_ivfpq_recall_bound) are IN the window (VERDICT r7 item #2), in place
+# of five TPC-H rows whose operator shape an in-window twin already covers
+# (q14~q19/q6 filter-ratio, q18~having_scalar_subquery, q10~q3+topk_orders,
+# q4~join_types_suite's semi-join, q6~q1+q19's single-table filter+agg; all
+# five stay registered and pytest-oracled past the window).
 GATE_WINDOW = [
     "q1_pricing_summary",
     "groupby_agg_methods",
@@ -104,7 +105,7 @@ GATE_WINDOW = [
     "global_agg_no_keys",
     "q3_shipping_priority",
     "q5_local_volume",
-    "q6_forecast_revenue",
+    "ann_ivfpq_recall_bound",
     "sketch_error_bounds",
     "ann_ivf_recall_bound",
     "ann_pq_recall_bound",

@@ -11,7 +11,8 @@ holds (``TRUE``) for the same keys. A drifting sketch or a recall regression
 flips a boolean, the value hash mismatches, and the row fails.
 
 Since round 8, ``sketch_error_bounds`` / ``ann_ivf_recall_bound`` /
-``ann_pq_recall_bound`` / ``heavy_hitter_bound`` sit INSIDE the driver's
+``ann_pq_recall_bound`` / ``heavy_hitter_bound`` (and round 8's
+``ann_ivfpq_recall_bound``, queries/quantization.py) sit INSIDE the driver's
 50-row gate window (queries/__init__.py:GATE_WINDOW, VERDICT r7 item #2), so
 the DRIVER — not just pytest/driver_sim — executes them every round.
 ``events_hll_rollup_bound`` stays past the window (pytest/driver_sim-checked;

@@ -154,10 +154,9 @@ def ann_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan-asserted in tests/test_plans.py), then exactly re-ranks a
     refine*k=20-row shortlist against full vectors. Rows-only check
     (approximate by design); recall >= 0.7 at this family's configuration is
-    oracle-backed via ann_ivfpq_recall_bound (pytest/driver_sim-checked —
-    the 50-row gate window predates this row), and the full machinery is
-    anchored by the exhaustive-probe == flat-PQ equality test in
-    tests/test_quantization.py."""
+    DRIVER-gated via the oracle-backed, in-gate-window ann_ivfpq_recall_bound
+    below, and the full machinery is anchored by the exhaustive-probe ==
+    flat-PQ equality test in tests/test_quantization.py."""
     from parqueryd_spark.operators.quantization import ivfpq_search
 
     codes, cents, cb = served_ivfpq_index(spark, sf_dir, n_centroids=16)
@@ -179,9 +178,9 @@ def ann_ivfpq_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-assertable boolean (same pattern as queries/estimates.py):
     recall@10 of the served IVF-PQ route (nprobe=4 of 16, refine=8) against
     exact brute force over 8 query vectors, >= 0.7. Measured recall:
-    0.90/0.90/0.94 at sf0.001/0.01/0.1. Oracle-backed and
-    pytest/driver_sim-checked every round (registered past the driver's
-    50-row gate window, which is pinned elsewhere)."""
+    0.90/0.90/0.94 at sf0.001/0.01/0.1. In the driver's 50-row gate window
+    (queries/__init__.py:GATE_WINDOW), so an IVF-PQ recall regression fails
+    the DRIVER, matching the other estimate-bound rows."""
     from parqueryd_spark.operators.quantization import ivfpq_search
     from parqueryd_spark.operators.similarity import brute_force_topk
 

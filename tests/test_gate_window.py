@@ -23,12 +23,14 @@ def test_estimate_bound_rows_are_inside_the_gate_window():
         "ann_ivf_recall_bound",
         "ann_pq_recall_bound",
         "heavy_hitter_bound",
+        "ann_ivfpq_recall_bound",
     ):
         assert name in Q.GATE_WINDOW, name
-    # the four TPC-H rows they displaced must stay registered (oracle-tested
+    # the five TPC-H rows they displaced must stay registered (oracle-tested
     # past the window), not silently dropped
     for name in ("q4_priority_exists", "q10_returned_items",
-                 "q14_promo_revenue", "q18_large_orders"):
+                 "q14_promo_revenue", "q18_large_orders",
+                 "q6_forecast_revenue"):
         assert name in Q.REGISTRY and name not in Q.GATE_WINDOW, name
         assert Q.REGISTRY[name].oracle is not None, name
 
