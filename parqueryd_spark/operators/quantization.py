@@ -407,3 +407,54 @@ def ivfpq_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def ivfpq_append(
+    spark,
+    index_dir: str,
+    new_vectors: DataFrame,
+    batch: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental IVF-PQ maintenance, the compressed-tier twin of
+    operators/similarity.ivf_append: encode ``new_vectors`` against the
+    index's OWN persisted codebooks and assign them against its persisted
+    centroids, landing the increment as the ``batch=<batch>`` partition —
+    one broadcast-assign + one Arrow-batched encode pass over the increment,
+    never a re-scan, re-cluster, or re-train of the existing corpus. Returns
+    per-centroid counts of the appended batch.
+
+    Re-running the same batch id overwrites exactly that partition (dynamic
+    partition overwrite), so a failed-and-replayed ingest cannot
+    double-count.
+
+    Both quantizers are frozen at publish time: appended vectors far from
+    every coarse centroid degrade probe recall, and drift from the PQ
+    codebooks' training distribution degrades ADC ranking. Watch bucket
+    occupancy (the IVF signal) and refined-vs-raw recall on a holdout (the
+    PQ signal); on drift, rebuild with fresh centroids/codebooks and
+    republish.
+    """
+    from parqueryd_spark.operators.similarity import ivf_assign
+
+    _, _, cb = ivfpq_load(spark, index_dir)
+    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    assignment = ivf_assign(new_vectors, centroids, id_col, vec_col)
+    assigned = (
+        pq_encode(new_vectors, cb, id_col=id_col, vec_col=vec_col)
+        .join(assignment, id_col)
+        .withColumn("batch", F.lit(batch))
+    )
+    (
+        assigned.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch", "centroid_id")
+        .parquet(f"{index_dir}/codes")
+    )
+    return (
+        spark.read.parquet(f"{index_dir}/codes")
+        .filter(F.col("batch") == batch)
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n_appended"))
+    )
