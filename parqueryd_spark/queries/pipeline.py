@@ -154,3 +154,59 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_stats(corpus, bench, "doc_id", "text", k=3).select(
         F.col("doc").alias("doc_id"), "n_grams", "n_hits", "contaminated"
     )
+
+
+@query(
+    "pipeline_bloom_decontaminate",
+    oracle="""
+    WITH bench AS (
+      SELECT doc_id AS b_id, text FROM documents WHERE doc_id % 20 = 0
+    ),
+    corpus AS (
+      SELECT c.doc_id, c.source, c.n_chars, coalesce(b.text, c.text) AS text
+      FROM (SELECT *, CASE WHEN doc_id % 9 = 1
+                           THEN doc_id - doc_id % 20 END AS b_id
+            FROM documents WHERE doc_id % 20 <> 0) c
+      LEFT JOIN bench b USING (b_id)
+    )
+    SELECT source,
+           count(*) AS n_clean,
+           CAST(sum(n_chars) AS BIGINT) AS chars_clean
+    FROM corpus
+    WHERE text NOT IN (SELECT text FROM bench)
+    GROUP BY source
+    """,
+)
+def pipeline_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level decontamination served by the Bloom runtime filter
+    (operators/membership.py bloom_anti_join): docs with doc_id % 20 == 0 are
+    the eval benchmark; the training corpus is the rest, with leakage
+    injected deterministically (every doc_id % 9 == 1 doc takes the text of
+    the bench doc at its floor-of-20 id, mirrored in the oracle). The anti
+    join is EXACT — probe misses never shuffle, the maybe-fraction is
+    verified against the real key set — so the oracle is a plain NOT IN.
+    Complements pipeline_decontaminate (gram-overlap scoring, broadcast gram
+    set): the bloom route is the shape for benchmark sets too big to
+    broadcast raw, at ~1.2 bytes per key."""
+    from parqueryd_spark.operators.membership import bloom_anti_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = (
+        docs.filter(F.col("doc_id") % 20 != 0)
+        .withColumn(
+            "b_id",
+            F.when(F.col("doc_id") % 9 == 1, F.col("doc_id") - F.col("doc_id") % 20),
+        )
+        .join(
+            bench.select(F.col("doc_id").alias("b_id"), F.col("text").alias("b_text")),
+            "b_id",
+            "left",
+        )
+        .select("doc_id", "source", "n_chars", F.coalesce("b_text", "text").alias("text"))
+    )
+    clean = bloom_anti_join(corpus, bench.select("text"), "text", fpp=0.01)
+    return clean.groupBy("source").agg(
+        F.count("*").alias("n_clean"),
+        F.sum("n_chars").cast("bigint").alias("chars_clean"),
+    )

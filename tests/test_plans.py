@@ -103,6 +103,10 @@ def _bounded_build_ok() -> set[str]:
         "pipeline_decontaminate",    # benchmark k-grams: eval suites are small
                                      # by contract (the corpus side never
                                      # shuffles by gram — that's the design)
+        "pipeline_bloom_decontaminate",  # one bloom row (map of <= m/64 longs,
+                                     # ~1.2 B/key at fpp=1%) + the verified
+                                     # contaminated key set (hits + ~fpp FPs)
+                                     # — both parameter-bounded reductions
         "events_cohort_retention",   # one row per cohort week: grows with the
                                      # calendar (~52/yr), not with event rows
     }
