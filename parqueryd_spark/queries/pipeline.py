@@ -158,6 +158,7 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipeline_bloom_decontaminate",
+    bench=True,
     oracle="""
     WITH bench AS (
       SELECT doc_id AS b_id, text FROM documents WHERE doc_id % 20 = 0
