@@ -108,17 +108,54 @@ def bloom_build(
         .groupBy("word")
         .agg(F.expr("bit_or(lane)").alias("bits"))
     )
+    return _assemble(lanes).select(
+        F.lit(num_bits).cast("bigint").alias("n_bits"),
+        F.lit(num_hashes).cast("int").alias("n_hashes"),
+        "bitmap",
+    )
+
+
+def _assemble(lanes: DataFrame) -> DataFrame:
+    """Collect (word, bits) lanes into the single bitmap row (empty input ->
+    empty map, not null)."""
     entries = F.collect_list(F.struct("word", "bits"))
     return lanes.agg(
         F.coalesce(
             F.when(F.size(entries) > 0, F.map_from_entries(entries)),
             F.expr("CAST(map() AS MAP<INT, BIGINT>)"),
         ).alias("bitmap")
-    ).select(
-        F.lit(num_bits).cast("bigint").alias("n_bits"),
-        F.lit(num_hashes).cast("int").alias("n_hashes"),
-        "bitmap",
     )
+
+
+def bloom_merge(blooms: list[DataFrame]) -> DataFrame:
+    """Union membership without rebuilding: bit_or the bitmaps of blooms
+    built with IDENTICAL (num_bits, num_hashes) — bloom_merge([bloom(A),
+    bloom(B)]) is bit-for-bit bloom(A ∪ B), because each key sets the same
+    positions wherever it is built. This is the incremental-maintenance face
+    of the family (the minhash-index / ivf_append / HLL-rollup contract):
+    build a bloom per day/partition/increment, persist the rows, merge at
+    read time — never re-scan the standing corpus. Parameter mismatch fails
+    at execution (raise_error), not silently."""
+    if not blooms:
+        raise ValueError("bloom_merge needs at least one bloom")
+    u = blooms[0]
+    for b in blooms[1:]:
+        u = u.unionByName(b)
+    params = u.groupBy().agg(
+        F.expr(
+            "CASE WHEN count(DISTINCT n_bits) = 1 AND count(DISTINCT n_hashes) = 1"
+            " THEN max(n_bits)"
+            " ELSE raise_error('bloom_merge: blooms have mismatched"
+            " num_bits/num_hashes') END"
+        ).alias("n_bits"),
+        F.max("n_hashes").alias("n_hashes"),
+    )
+    lanes = (
+        u.select(F.explode("bitmap").alias("word", "bits"))
+        .groupBy("word")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+    return params.crossJoin(_assemble(lanes)).select("n_bits", "n_hashes", "bitmap")
 
 
 def with_bloom_flag(

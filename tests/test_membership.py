@@ -100,3 +100,49 @@ def test_probe_is_jvm_only(spark):
     bench = _keys(spark, 0, 100)
     rep = plan_report(bloom_anti_join(corpus, bench, "k"))
     assert rep["python_evals"] == 0
+
+
+def test_bloom_merge_equals_union_build(spark):
+    """bloom(A) ⊔ bloom(B) must be bit-for-bit bloom(A ∪ B) — the
+    incremental-maintenance contract: per-increment blooms merge at read
+    time instead of re-scanning the standing corpus."""
+    a = _keys(spark, 0, 500)
+    b = _keys(spark, 400, 900)
+    m, k = bloom_params(1000, 0.01)
+    from parqueryd_spark.operators.membership import bloom_merge
+
+    merged = bloom_merge(
+        [
+            bloom_build(a, "k", num_bits=m, num_hashes=k),
+            bloom_build(b, "k", num_bits=m, num_hashes=k),
+        ]
+    ).collect()[0]
+    direct = bloom_build(
+        a.unionByName(b), "k", num_bits=m, num_hashes=k
+    ).collect()[0]
+    assert merged.n_bits == direct.n_bits and merged.n_hashes == direct.n_hashes
+    assert dict(merged.bitmap) == dict(direct.bitmap)
+
+
+def test_bloom_merge_rejects_mismatched_params(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from parqueryd_spark.operators.membership import bloom_merge
+
+    a = bloom_build(_keys(spark, 0, 10), "k", num_bits=64, num_hashes=1)
+    b = bloom_build(_keys(spark, 0, 10), "k", num_bits=128, num_hashes=1)
+    with pytest.raises((SparkRuntimeException, Exception), match="mismatched"):
+        bloom_merge([a, b]).collect()
+    with pytest.raises(ValueError):
+        bloom_merge([])
+
+
+def test_bloom_roundtrips_via_parquet(spark, tmp_path):
+    """The filter is plain data: write/read parquet and probe identically."""
+    bench = _keys(spark, 0, 300)
+    m, k = bloom_params(300, 0.01)
+    path = str(tmp_path / "bloom")
+    bloom_build(bench, "k", num_bits=m, num_hashes=k).write.parquet(path)
+    reloaded = spark.read.parquet(path)
+    flagged = with_bloom_flag(bench, "k", reloaded)
+    assert flagged.filter(~F.col("maybe_member")).count() == 0
