@@ -190,3 +190,37 @@ def global_agg_no_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["l_orderkey", "count", "cnt"],
         ],
     )
+
+
+@query(
+    "scan_zonemap_pruned",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(round(sum(value), 4) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE value >= 50.0 AND value < 120.0 AND event_type IN ('click', 'view')
+    GROUP BY event_type
+    """,
+)
+def scan_zonemap_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data skipping (sources/manifest.py): the same where-term
+    triples the execution path compiles (functions/compile.py) are evaluated
+    at PLAN time against a footer-derived per-file min/max manifest, pruning
+    whole files before Spark schedules the read; the exact compiled filter
+    then runs on the kept files. Identical results to a full scan by
+    construction — this row proves it against the plain-SQL oracle."""
+    from pyspark.sql import functions as F
+
+    from parqueryd_spark.sources.manifest import scan_pruned
+
+    terms = [
+        ["value", ">=", 50.0],
+        ["value", "<", 120.0],
+        ["event_type", "in", ["click", "view"]],
+    ]
+    df = scan_pruned(spark, table_path(sf_dir, "events"), terms)
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )

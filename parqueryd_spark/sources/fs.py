@@ -67,3 +67,27 @@ class HadoopFS:
     def listdir(self, path: str) -> list[str]:
         """Child basenames of a directory (``os.listdir`` analog)."""
         return [st.getPath().getName() for st in self._fs.listStatus(self._Path(path))]
+
+    def list_files(self, path: str, suffix: str | None = ".parquet") -> list[str]:
+        """Fully-qualified data-file paths under ``path`` (recursive), skipping
+        hidden/marker entries (``_SUCCESS``, ``.crc``, ``_metadata``). A
+        ``path`` that is itself a file returns ``[path]`` — datasets are
+        sometimes a single parquet file (the testdata layout), sometimes a
+        directory of parts (Spark writes)."""
+        if not self.is_dir(path):
+            return [self.qualify(path)]
+        out: list[str] = []
+
+        def walk(p: str) -> None:
+            for st in self._fs.listStatus(self._Path(p)):
+                name = st.getPath().getName()
+                if name.startswith(("_", ".")):
+                    continue
+                q = st.getPath().toString()
+                if st.isDirectory():
+                    walk(q)
+                elif suffix is None or name.endswith(suffix):
+                    out.append(q)
+
+        walk(path)
+        return sorted(out)

@@ -1,0 +1,371 @@
+"""Zone-map data skipping: a file-level min/max manifest built from parquet
+footers, and a scan that prunes files BEFORE Spark plans the read.
+
+Vanilla Spark pushes predicates into the parquet reader, but that pruning
+happens per row group INSIDE each scheduled task — every file is still
+listed, split, and scheduled. At 100 TB a selective query over a
+well-clustered layout (``sources/layout.py``: range-sorted or Z-ordered
+writes) should not schedule a task per file just to discover min/max
+disjointness; that is the file-skipping layer table formats (Delta, Iceberg,
+Hudi — and the reference's bcolz-era per-shard metadata) add over a bare
+directory of parquet. This module is that layer as plain DataFrames:
+
+- ``build_manifest``: one distributed pass over the footers (mapInPandas —
+  each task opens only metadata, never data pages) producing one row per
+  (file, column): row count, null count, and min/max encoded both
+  numerically and lexically. The manifest is itself a small DataFrame —
+  persist it next to the data and rebuild incrementally per publish batch
+  (it unions/overwrites per file, like the other incremental indexes).
+- ``prune_files``: evaluate the reference's ``[[col, op, value], ...]``
+  where-terms (the same triples ``functions/compile.py`` executes — one
+  predicate language for execution AND planning) against the manifest,
+  yielding a per-file keep verdict.
+- ``scan_pruned``: read only the kept files, then apply the exact compiled
+  filter — pruning is an optimization, never a semantics change.
+
+Soundness: the parquet spec defines ``min_value``/``max_value`` as BOUNDS
+(they may be truncated toward wider ranges, e.g. long strings), so interval
+disjointness proves a file has no matching row; missing statistics or an
+unprunable op keep the file. NULL semantics make every where-op
+unsatisfiable on an all-null chunk (``x != v`` is NULL for NULL x), so
+``null_count == n_rows`` skips for every op. The residual exact filter makes
+even a pruning bug a perf bug, not a wrong answer — but the property test
+asserts kept ⊇ matching-files anyway.
+
+Driver-side cost is one collect of the KEPT file paths — the same O(files)
+planning-time listing Spark's own FileIndex does; verdict evaluation stays
+distributed. Note: reading a pruned subset of a hive-partitioned dataset by
+file path drops the directory-derived partition columns — use this on plain
+(non-hive) datasets; hive layouts already get directory-level pruning from
+Spark (``write_partitioned``).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from collections.abc import Iterable, Sequence
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from parqueryd_spark.functions.compile import QueryCompileError, compile_where_terms
+from parqueryd_spark.sources.fs import HadoopFS
+
+MANIFEST_SCHEMA = StructType(
+    [
+        StructField("file", StringType(), False),
+        StructField("column", StringType(), False),
+        StructField("n_rows", LongType(), False),
+        StructField("null_count", LongType(), True),
+        StructField("has_min_max", BooleanType(), False),
+        StructField("min_num", DoubleType(), True),
+        StructField("max_num", DoubleType(), True),
+        StructField("min_str", StringType(), True),
+        StructField("max_str", StringType(), True),
+    ]
+)
+
+_EPOCH_DT = _dt.datetime(1970, 1, 1)
+_EPOCH_D = _dt.date(1970, 1, 1)
+
+
+def _coerce_num(value) -> float | None:
+    """Python term-value -> the manifest's numeric encoding (None = not
+    numeric). Dates encode as days since epoch, datetimes as epoch seconds —
+    matching the footer-side encoding in ``build_manifest`` so planning
+    compares like with like."""
+    if isinstance(value, bool):
+        return float(value)
+    if isinstance(value, (int, float)):
+        return float(value)
+    if isinstance(value, _dt.datetime):
+        base = _EPOCH_DT.replace(tzinfo=value.tzinfo) if value.tzinfo else _EPOCH_DT
+        return (value - base).total_seconds()
+    if isinstance(value, _dt.date):
+        return float((value - _EPOCH_D).days)
+    return None
+
+
+def build_manifest(
+    spark: SparkSession, path: str, columns: Sequence[str] | None = None
+) -> DataFrame:
+    """One (file, column) stats row per data file under ``path`` — a
+    distributed footer sweep; data pages are never read. ``columns`` limits
+    the manifest to the hot filter columns (pruning treats absent columns as
+    unprunable, so a narrow manifest stays sound)."""
+    files = HadoopFS(spark, path).list_files(path)
+    if not files:
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
+    slices = min(len(files), 64)
+    return (
+        spark.createDataFrame([(f,) for f in files], "file string")
+        .repartition(slices)
+        .mapInPandas(_footer_reader(list(columns) if columns else None), MANIFEST_SCHEMA)
+    )
+
+
+def _footer_reader(wanted: list[str] | None):
+    """mapInPandas fn over a ``file string`` column of parquet URIs ->
+    MANIFEST_SCHEMA rows. Returned closure is self-contained (imports
+    inside, no module globals) so executors never need the repo importable."""
+    out_cols = [f.name for f in MANIFEST_SCHEMA.fields]
+
+    def _footers(batches):
+        # self-contained closure: executors must not need the repo on their
+        # import path (cloudpickled by value, imports inside)
+        import datetime as dt
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        epoch_dt = dt.datetime(1970, 1, 1)
+        epoch_d = dt.date(1970, 1, 1)
+
+        def num(v):
+            if v is None:
+                return None
+            if isinstance(v, bool):
+                return float(v)
+            if isinstance(v, (int, float)):
+                return float(v)
+            if isinstance(v, dt.datetime):
+                base = epoch_dt.replace(tzinfo=v.tzinfo) if v.tzinfo else epoch_dt
+                return (v - base).total_seconds()
+            if isinstance(v, dt.date):
+                return float((v - epoch_d).days)
+            return None
+
+        def lex(v):
+            return v if isinstance(v, str) else None
+
+        for batch in batches:
+            rows = []
+            for uri in batch["file"]:
+                local = uri[5:] if uri.startswith("file:") else uri
+                md = pq.ParquetFile(local).metadata
+                n_rows = md.num_rows
+                # fold row-group chunk stats to file grain: min of mins /
+                # max of maxs is still a valid bound; ANY chunk without
+                # stats poisons the file's bounds (has_min_max=False)
+                acc = {}
+                for rg in range(md.num_row_groups):
+                    for ci in range(md.num_columns):
+                        cc = md.row_group(rg).column(ci)
+                        name = cc.path_in_schema
+                        if wanted is not None and name not in wanted:
+                            continue
+                        st = cc.statistics
+                        cur = acc.setdefault(name, {"null": 0, "ok": True, "mins": [], "maxs": []})
+                        if st is None or not st.has_min_max:
+                            cur["ok"] = False
+                        else:
+                            cur["mins"].append(st.min)
+                            cur["maxs"].append(st.max)
+                        if cur["null"] is not None:
+                            nc = (
+                                st.null_count
+                                if st is not None and st.has_null_count
+                                else None
+                            )
+                            cur["null"] = None if nc is None else cur["null"] + nc
+                for name, cur in acc.items():
+                    ok = cur["ok"] and cur["mins"]
+                    mn = min(cur["mins"]) if ok else None
+                    mx = max(cur["maxs"]) if ok else None
+                    rows.append(
+                        {
+                            "file": uri,
+                            "column": name,
+                            "n_rows": n_rows,
+                            "null_count": cur["null"],
+                            "has_min_max": bool(ok),
+                            "min_num": num(mn),
+                            "max_num": num(mx),
+                            "min_str": lex(mn),
+                            "max_str": lex(mx),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return _footers
+
+
+def refresh_manifest(
+    spark: SparkSession,
+    path: str,
+    old: DataFrame,
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """Incrementally maintain a persisted manifest: footer-sweep ONLY files
+    not already covered, drop rows for files that vanished (compaction /
+    atomic_publish swaps). Cost is O(new files), the same increment contract
+    as the minhash/IVF/HLL indexes — a 100 TB corpus appending a daily batch
+    re-reads a day of footers, not the standing corpus's."""
+    current = set(HadoopFS(spark, path).list_files(path))
+    if not current:
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
+    known = {r.file for r in old.select("file").distinct().collect()}
+    current_df = spark.createDataFrame([(f,) for f in sorted(current)], "file string")
+    # semi join, not a giant isin literal: the file list can be millions long
+    kept = old.join(current_df, "file", "left_semi")
+    new_files = sorted(current - known)
+    if not new_files:
+        return kept
+    slices = min(len(new_files), 64)
+    fresh = (
+        spark.createDataFrame([(f,) for f in new_files], "file string")
+        .repartition(slices)
+        .mapInPandas(_footer_reader(list(columns) if columns else None), MANIFEST_SCHEMA)
+    )
+    return kept.unionByName(fresh)
+
+
+def _window_pred(value):
+    """Column predicate: could [min, max] contain ``value``?"""
+    v_num = _coerce_num(value)
+    if v_num is not None:
+        lo, hi, v = F.col("min_num"), F.col("max_num"), F.lit(v_num)
+    elif isinstance(value, str):
+        lo, hi, v = F.col("min_str"), F.col("max_str"), F.lit(value)
+    else:
+        return F.lit(True)  # unencodable type: never prune on it
+    # bounds of the wrong family (e.g. numeric term on a string column)
+    # stay conservative via the coalesce(True)
+    return F.coalesce((lo <= v) & (hi >= v), F.lit(True))
+
+
+def _point_pred(value):
+    """Column predicate: is the file constant at exactly ``value``?"""
+    v_num = _coerce_num(value)
+    if v_num is not None:
+        lo, hi, v = F.col("min_num"), F.col("max_num"), F.lit(v_num)
+    elif isinstance(value, str):
+        lo, hi, v = F.col("min_str"), F.col("max_str"), F.lit(value)
+    else:
+        return F.lit(False)
+    return F.coalesce((lo == v) & (hi == v), F.lit(False))
+
+
+def _bound_pred(op: str, value):
+    """Keep-verdict for one term over a (file, column) stats row that HAS
+    min/max bounds. Conservative by construction: anything uncertain
+    evaluates to keep."""
+    if op in ("==", "="):
+        return _window_pred(value)
+    if op in (">", ">=", "<", "<="):
+        v_num = _coerce_num(value)
+        if v_num is not None:
+            lo, hi, v = F.col("min_num"), F.col("max_num"), F.lit(v_num)
+        elif isinstance(value, str):
+            lo, hi, v = F.col("min_str"), F.col("max_str"), F.lit(value)
+        else:
+            return F.lit(True)
+        cmp = {">": hi > v, ">=": hi >= v, "<": lo < v, "<=": lo <= v}[op]
+        return F.coalesce(cmp, F.lit(True))
+    if op == "in":
+        vs = value if isinstance(value, (list, tuple, set)) else [value]
+        preds = [_window_pred(v) for v in vs]
+        return reduce(lambda a, b: a | b, preds) if preds else F.lit(False)
+    if op == "!=":
+        # a constant-at-v file has no satisfying non-null row; NULLs never
+        # satisfy != either, so null_count is irrelevant here
+        return ~_point_pred(value)
+    if op == "not in":
+        vs = value if isinstance(value, (list, tuple, set)) else [value]
+        hit = [_point_pred(v) for v in vs]
+        return ~(reduce(lambda a, b: a | b, hit)) if hit else F.lit(True)
+    raise QueryCompileError(f"unsupported where op {op!r} for pruning")
+
+
+def prune_files(
+    manifest: DataFrame, where_terms: Sequence[Sequence] | None
+) -> DataFrame:
+    """Per-file keep verdicts ``(file, keep)`` for AND-combined where-terms
+    (the reference's triple syntax — ``functions/compile.py``). A term whose
+    column is absent from the manifest keeps every file; an all-null chunk
+    satisfies no op (SQL NULL comparison semantics) and is skipped."""
+    files = manifest.select("file").distinct()
+    if not where_terms:
+        return files.withColumn("keep", F.lit(True))
+    out = files
+    for i, term in enumerate(where_terms):
+        if not isinstance(term, (list, tuple)) or len(term) != 3:
+            raise QueryCompileError(f"where term must be [col, op, value], got {term!r}")
+        col_name, op, value = term
+        op_key = str(op).strip().lower()
+        all_null = F.col("null_count").isNotNull() & (
+            F.col("null_count") == F.col("n_rows")
+        )
+        keep = F.when(all_null, F.lit(False)).otherwise(
+            F.when(~F.col("has_min_max"), F.lit(True)).otherwise(
+                _bound_pred(op_key, value)
+            )
+        )
+        verdict = (
+            manifest.filter(F.col("column") == col_name)
+            .select("file", keep.alias(f"__k{i}"))
+        )
+        out = out.join(verdict, "file", "left")
+    ks = [F.coalesce(F.col(f"__k{i}"), F.lit(True)) for i in range(len(where_terms))]
+    return out.select("file", reduce(lambda a, b: a & b, ks).alias("keep"))
+
+
+def pruned_file_list(
+    manifest: DataFrame, where_terms: Sequence[Sequence] | None
+) -> list[str]:
+    """The kept file paths — the planning-time collect (O(kept files), the
+    analog of Spark's own driver-side file listing)."""
+    return sorted(
+        r.file for r in prune_files(manifest, where_terms).filter("keep").collect()
+    )
+
+
+def skip_stats(manifest: DataFrame, where_terms: Sequence[Sequence] | None) -> dict:
+    """How much the layout lets this predicate skip: files/rows total vs
+    kept. ``rows_kept`` is the scheduling bound (rows in files we must
+    read), not the match count."""
+    per_file = manifest.groupBy("file").agg(F.max("n_rows").alias("n_rows"))
+    joined = per_file.join(prune_files(manifest, where_terms), "file")
+    row = joined.agg(
+        F.count(F.lit(1)).alias("files_total"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("files_kept"),
+        F.sum("n_rows").alias("rows_total"),
+        F.sum(F.when(F.col("keep"), F.col("n_rows")).otherwise(0)).alias("rows_kept"),
+    ).collect()[0]
+    return {k: (0 if row[k] is None else int(row[k])) for k in row.asDict()}
+
+
+def scan_pruned(
+    spark: SparkSession,
+    path: str,
+    where_terms: Sequence[Sequence] | None,
+    manifest: DataFrame | None = None,
+    select: Iterable[str] | None = None,
+) -> DataFrame:
+    """Read only the files the manifest cannot rule out, then apply the
+    EXACT compiled predicate — identical results to a full scan + filter
+    (property-tested), minus the skipped files' tasks. Pass a persisted
+    ``manifest`` for standing data; omitting it builds one on the fly (a
+    footer sweep — still cheaper than a data scan for selective queries,
+    but the point of the layer is to build once per publish)."""
+    mf = manifest if manifest is not None else build_manifest(spark, path)
+    kept = pruned_file_list(mf, where_terms)
+    pred = compile_where_terms(where_terms)
+    if not kept:
+        base = spark.read.parquet(path).filter(F.lit(False))
+    else:
+        base = spark.read.parquet(*kept)
+        if pred is not None:
+            base = base.filter(pred)
+    if select is not None:
+        base = base.select(*select)
+    return base

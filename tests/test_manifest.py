@@ -1,0 +1,184 @@
+"""Zone-map manifest pruning (sources/manifest.py): footer-derived min/max
+bounds prune whole files at plan time; soundness (kept ⊇ files with matches)
+and full-scan equivalence hold for every where-op; all-null chunks skip."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from parqueryd_spark.sources.manifest import (
+    build_manifest,
+    prune_files,
+    pruned_file_list,
+    scan_pruned,
+    skip_stats,
+)
+
+N_FILES = 10
+N_ROWS = 1000
+
+
+@pytest.fixture(scope="module")
+def layout(spark, tmp_path_factory):
+    """10 value-range-clustered files: file i ≈ values [100i, 100(i+1))."""
+    path = str(tmp_path_factory.mktemp("zonemap") / "data")
+    df = spark.range(N_ROWS).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("double").alias("value"),
+        F.format_string("u%04d", F.col("id")).alias("name"),
+        F.date_add(F.to_date(F.lit("2026-01-01")), (F.col("id") % 365).cast("int")).alias("d"),
+        F.lit(None).cast("string").alias("dead"),
+    )
+    df.repartitionByRange(N_FILES, "value").sortWithinPartitions("value").write.parquet(path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def manifest(spark, layout):
+    mf = build_manifest(spark, layout).cache()
+    mf.count()
+    return mf
+
+
+TERMS = [
+    [["value", ">=", 250.0], ["value", "<", 260.0]],
+    [["value", "==", 777.0]],
+    [["value", ">", 949.5]],
+    [["value", "<=", 3.0]],
+    [["k", "in", [5, 505, 905]]],
+    [["name", ">=", "u0990"]],
+    [["name", "==", "u0123"]],
+    [["d", "==", dt.date(2026, 1, 5)]],
+    [["value", "!=", 1.0]],
+    [["value", "not in", [1.0, 2.0]]],
+    [["value", ">=", 250.0], ["name", "<", "u0255"]],
+    [],
+]
+
+
+@pytest.mark.parametrize("terms", TERMS)
+def test_scan_pruned_equals_full_scan(spark, layout, manifest, terms):
+    from parqueryd_spark.functions.compile import compile_where_terms
+
+    full = spark.read.parquet(layout)
+    pred = compile_where_terms(terms)
+    if pred is not None:
+        full = full.filter(pred)
+    got = sorted(r.k for r in scan_pruned(spark, layout, terms, manifest=manifest).collect())
+    want = sorted(r.k for r in full.collect())
+    assert got == want and (not terms or len(want) < N_ROWS)
+
+
+def test_soundness_keeps_every_matching_file(spark, layout, manifest):
+    """Property: any file containing a matching row MUST be kept — a false
+    skip would silently drop rows (the exact residual filter can't recover
+    them)."""
+    from parqueryd_spark.functions.compile import compile_where_terms
+
+    def norm(uri: str) -> str:
+        # input_file_name() says file:///x; Hadoop qualify says file:/x
+        return "/" + uri.split(":", 1)[-1].lstrip("/") if ":" in uri else uri
+
+    for terms in TERMS:
+        if not terms:
+            continue
+        pred = compile_where_terms(terms)
+        matching = {
+            norm(r.f)
+            for r in spark.read.parquet(layout)
+            .filter(pred)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        }
+        kept = {norm(f) for f in pruned_file_list(manifest, terms)}
+        assert matching <= kept, terms
+
+
+def test_selective_queries_skip_most_files(manifest):
+    s = skip_stats(manifest, [["value", ">=", 250.0], ["value", "<", 260.0]])
+    assert s["files_total"] == N_FILES and s["files_kept"] <= 2
+    assert s["rows_kept"] <= 2 * (N_ROWS // N_FILES)
+    # a term on an unprunable op alone keeps everything
+    s2 = skip_stats(manifest, [["value", "!=", 250.0]])
+    assert s2["files_kept"] == N_FILES
+
+
+def test_all_null_column_skips_every_op(manifest):
+    for op, v in [("==", "x"), ("!=", "x"), (">", "a"), ("in", ["x"]), ("not in", ["x"])]:
+        kept = pruned_file_list(manifest, [["dead", op, v]])
+        assert kept == [], op
+
+
+def test_absent_manifest_column_is_conservative(spark, layout):
+    """A manifest narrowed to the hot columns must keep every file for terms
+    on columns it doesn't carry (sound, just unhelpful)."""
+    mf = build_manifest(spark, layout, columns=["value"])
+    assert set(r.column for r in mf.select("column").distinct().collect()) == {"value"}
+    assert len(pruned_file_list(mf, [["name", "==", "u0123"]])) == N_FILES
+    got = scan_pruned(spark, layout, [["name", "==", "u0123"]], manifest=mf).collect()
+    assert [r.k for r in got] == [123]
+
+
+def test_empty_prune_returns_empty_with_schema(spark, layout, manifest):
+    out = scan_pruned(spark, layout, [["value", ">", 1e9]], manifest=manifest)
+    assert out.count() == 0
+    assert set(out.columns) == {"k", "value", "name", "d", "dead"}
+
+
+def test_single_file_dataset_and_select(spark, manifest):
+    """The testdata tables are single parquet FILES — list_files must treat
+    a file path as a one-file dataset; select pushes projection."""
+    path = "/root/testdata/sf0.001/events.parquet"
+    mf = build_manifest(spark, path)
+    assert mf.select("file").distinct().count() == 1
+    out = scan_pruned(
+        spark, path, [["event_type", "==", "click"]], manifest=mf, select=["event_id", "value"]
+    )
+    assert out.columns == ["event_id", "value"]
+    exact = (
+        spark.read.parquet(path).filter(F.col("event_type") == "click").count()
+    )
+    assert out.count() == exact
+
+
+def test_refresh_manifest_is_incremental(spark, tmp_path):
+    """refresh sweeps ONLY new files' footers, drops vanished files' rows,
+    and the result equals a from-scratch rebuild."""
+    import os
+
+    from parqueryd_spark.sources.manifest import refresh_manifest
+
+    path = str(tmp_path / "inc")
+    os.makedirs(path)
+
+    def write_one(name, lo, hi):
+        spark.range(lo, hi).select(
+            F.col("id").alias("k"), F.col("id").cast("double").alias("value")
+        ).coalesce(1).write.parquet(str(tmp_path / "stage"), mode="overwrite")
+        part = [
+            f
+            for f in os.listdir(str(tmp_path / "stage"))
+            if f.endswith(".parquet")
+        ][0]
+        os.replace(str(tmp_path / "stage" / part), os.path.join(path, name))
+
+    write_one("a.parquet", 0, 100)
+    m1 = build_manifest(spark, path).cache()
+    assert m1.select("file").distinct().count() == 1
+
+    write_one("b.parquet", 100, 200)
+    m2 = refresh_manifest(spark, path, m1).cache()
+    rebuilt = build_manifest(spark, path)
+    key = lambda r: (r.file, r.column)
+    assert sorted(map(key, m2.collect())) == sorted(map(key, rebuilt.collect()))
+    # prune still correct over the refreshed state
+    assert len(pruned_file_list(m2, [["value", ">=", 150.0]])) == 1
+
+    os.remove(os.path.join(path, "a.parquet"))
+    m3 = refresh_manifest(spark, path, m2)
+    files = [r.file for r in m3.select("file").distinct().collect()]
+    assert len(files) == 1 and files[0].endswith("b.parquet")
