@@ -299,3 +299,53 @@ def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         *[F.round(c, 4).alias(c) for c in ("sum_value", "min_value", "max_value", "avg_value", "std_value")],
     )
+
+
+@query(
+    "scd2_events_asof",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_type, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    versions AS (
+      SELECT user_id, ts AS eff_from, event_type, event_id
+      FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    chained AS (
+      SELECT user_id, eff_from, event_type,
+             lead(eff_from) OVER (PARTITION BY user_id ORDER BY eff_from, event_id)
+               AS eff_to
+      FROM versions
+    )
+    SELECT event_type, count(*) AS n_users
+    FROM chained
+    WHERE eff_from <= TIMESTAMP '2024-01-20 00:00:00'
+      AND (eff_to IS NULL OR eff_to > TIMESTAMP '2024-01-20 00:00:00')
+    GROUP BY event_type
+    """,
+)
+def scd2_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 type-2 history (operators/history.py) treating each user's event
+    stream as a change log of their "state" (event_type as the tracked
+    attribute, restatements collapsed): build the effective-dated version
+    chains, then take the point-in-time snapshot — which state was each user
+    in on Jan 20 — and count users per state. The oracle rebuilds the same
+    chains with a lag/lead window reformulation in DuckDB, so the version
+    collapse, interval chaining, and inclusive/exclusive as-of bounds are all
+    externally checked."""
+    import datetime as dt
+
+    from parqueryd_spark.operators.history import scd2_as_of, scd2_init
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    hist = scd2_init(
+        ev, ["user_id"], "ts", compare_cols=["event_type"], tiebreak_cols=["event_id"]
+    )
+    snap = scd2_as_of(hist, dt.datetime(2024, 1, 20))
+    return snap.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
