@@ -227,8 +227,69 @@ def main() -> None:
               f"| {r[7]} | {r[8]:.1f} | {r[9]} | {r[10]:.1f} | {r[11]:.1f} "
               f"| {r[12]:.1f} | {r[13]:.1f} |")
 
+    zonemap_probe(spark)
     skew_probe(spark)
     spark.stop()
+
+
+def zonemap_probe(spark) -> None:
+    """Zone-map manifest (sources/manifest.py) at growing file counts: build
+    is a distributed footer sweep (linear in files, no data pages), a
+    fixed-selectivity range predicate keeps a constant FRACTION of files,
+    and the pruned scan's cost tracks the matching data while the full
+    scan's tracks the corpus. Counts are asserted equal (pruning is an
+    optimization, never a semantics change)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from parqueryd_spark.functions.compile import compile_where_terms
+    from parqueryd_spark.sources.manifest import build_manifest, pruned_file_list
+
+    scratch = "/tmp/spark_graft_scale_probe"
+    print("\nzone-map probe (value-clustered files, fixed 1%-of-range predicate).")
+    print("plan s = manifest verdict joins + kept-path collect, a CONSTANT few")
+    print("tiny jobs over O(files) manifest rows; read s = the pruned read —")
+    print("the part that scales with matching data while full s scales with")
+    print("the corpus. At toy scale plan overhead dominates; the crossover is")
+    print("where full-scan cost exceeds ~1s of planning, i.e. immediately at")
+    print("cluster scale.")
+    print("| files | rows | manifest s | kept | plan s | read s | full s |")
+    print("|---|---|---|---|---|---|---|")
+    for n_files, n in ((32, 1_000_000), (128, 4_000_000), (512, 16_000_000)):
+        path = f"{scratch}/zonemap_{n_files}"
+        df = spark.range(n).select(
+            F.col("id").cast("double").alias("value"),
+            F.pmod(F.col("id"), F.lit(97)).alias("k"),
+        )
+        (
+            df.repartitionByRange(n_files, "value")
+            .sortWithinPartitions("value")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        t0 = time.perf_counter()
+        mf = build_manifest(spark, path).cache()
+        mf.count()
+        t_build = time.perf_counter() - t0
+        terms = [["value", ">=", n * 0.495], ["value", "<", n * 0.505]]
+        pred = compile_where_terms(terms)
+        t0 = time.perf_counter()
+        kept = pruned_file_list(mf, terms)
+        t_plan = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        c_pruned = spark.read.parquet(*kept).filter(pred).count()
+        t_read = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        c_full = spark.read.parquet(path).filter(pred).count()
+        t_full = time.perf_counter() - t0
+        assert c_pruned == c_full == n // 100, (c_pruned, c_full)
+        print(
+            f"| {n_files} | {n} | {t_build:.1f} | {len(kept)} "
+            f"| {t_plan:.2f} | {t_read:.2f} | {t_full:.2f} |",
+            flush=True,
+        )
+        mf.unpersist()
 
 
 def skew_probe(spark) -> None:
