@@ -90,11 +90,16 @@ def scd2_apply(
     keys = changes.select(*key_cols).distinct()
     untouched = history.join(keys, key_cols, "left_anti")
     affected = history.join(keys, key_cols, "left_semi")
-    # back to change-log grain: every stored version is a change at eff_from
+    # back to change-log grain: every stored version is a change at eff_from.
+    # The dedup on (key, ts, tiebreak) — which must identify a change — makes
+    # apply IDEMPOTENT: replaying a batch already absorbed into the history
+    # re-unions the identical change rows and collapses to the same chains,
+    # the at-least-once contract the streaming maintainers rely on.
     replay = affected.drop(*_RESERVED)
-    rebuilt = scd2_init(
-        replay.unionByName(changes), key_cols, ts_col, compare_cols, tiebreak_cols
+    combined = replay.unionByName(changes).dropDuplicates(
+        [*key_cols, ts_col, *(tiebreak_cols or [])]
     )
+    rebuilt = scd2_init(combined, key_cols, ts_col, compare_cols, tiebreak_cols)
     return untouched.unionByName(rebuilt)
 
 

@@ -114,3 +114,16 @@ def test_apply_only_shuffles_affected_keys(spark, log):
     applied = scd2_apply(hist0, late, ["k"], "ts", compare_cols=["tier"], tiebreak_cols=["seq"])
     plan = applied._jdf.queryExecution().optimizedPlan().toString()
     assert "LeftAnti" in plan and "LeftSemi" in plan
+
+
+def test_apply_is_idempotent_under_replay(spark, log):
+    """At-least-once contract: re-applying a batch the history already
+    absorbed must be a no-op — the streaming face replays batches after a
+    crash, and a replay that re-opened versions would corrupt chains."""
+    late = spark.createDataFrame(
+        [("A", _ts(3), "silver", 10)], "k string, ts timestamp, tier string, seq int"
+    )
+    hist0 = scd2_init(log, ["k"], "ts", compare_cols=["tier"], tiebreak_cols=["seq"])
+    once = scd2_apply(hist0, late, ["k"], "ts", compare_cols=["tier"], tiebreak_cols=["seq"])
+    twice = scd2_apply(once, late, ["k"], "ts", compare_cols=["tier"], tiebreak_cols=["seq"])
+    assert _chains(twice) == _chains(once)
