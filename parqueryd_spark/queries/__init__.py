@@ -124,7 +124,7 @@ GATE_WINDOW = [
     "events_incremental_rollup",
     "ann_bruteforce_topk",
     "embedding_array_ops",
-    "ann_ivf_exhaustive_topk",
+    "scan_zonemap_pruned",
     "embedding_near_dup",
     "multimodal_metadata",
     "multimodal_features",
@@ -145,7 +145,7 @@ GATE_WINDOW = [
     "asof_join_events",
     "text_token_lang_stats",
     "text_edit_distance",
-    "text_winnow_fingerprint",
+    "scd2_events_asof",
     "text_curation_funnel",
     "text_bm25_search",
 ]

@@ -53,3 +53,19 @@ def test_estimate_rows_have_driver_checked_companions():
     for est, comps in companions.items():
         for c in comps:
             assert c in Q.REGISTRY and Q.REGISTRY[c].oracle is not None, (est, c)
+
+
+def test_round8_family_rows_are_inside_the_gate_window():
+    """Round 8's new operator families are under the hard gate: zone-map
+    pruned scan (plan-time file skipping must equal a full scan exactly) and
+    SCD2 as-of (version collapse + interval chaining vs an independent
+    lag/lead oracle). The displaced rows — shapes redundantly covered by
+    in-window kin (exhaustive-probe IVF ≡ brute force is subsumed by
+    ann_bruteforce_topk + the recall bounds over the same served index;
+    winnowing by the in-window fingerprint family) — stay registered and
+    oracle-tested past the window."""
+    for name in ("scan_zonemap_pruned", "scd2_events_asof"):
+        assert name in Q.GATE_WINDOW, name
+    for name in ("ann_ivf_exhaustive_topk", "text_winnow_fingerprint"):
+        assert name in Q.REGISTRY and name not in Q.GATE_WINDOW, name
+        assert Q.REGISTRY[name].oracle is not None, name
