@@ -194,6 +194,7 @@ def global_agg_no_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "scan_zonemap_pruned",
+    bench=True,
     oracle="""
     SELECT event_type,
            count(*) AS n_events,

@@ -264,3 +264,70 @@ def events_hll_rollup_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "events_kmv_overlap_bound",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT event_type, user_id FROM events)
+    SELECT a.event_type AS t1, b.event_type AS t2,
+           count(*) AS n_common,
+           TRUE AS inter_ok, TRUE AS union_ok
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def events_kmv_overlap_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV theta-sketch set operations gated as error bounds: per
+    event-type PAIR, the sketch intersection/union estimates
+    (operators/sketches.py kmv_sketch / kmv_set_estimates, k=128) next to
+    the exact distinct-user overlap, reduced to within-25%/within-15%
+    booleans (>= 3 sigma of the ~8.9% rel error at k=128; at sf0.01 the 150
+    distinct users per type exceed k, so the ESTIMATION path — not the
+    undersized exact path — is what's checked). The oracle recomputes the
+    exact overlaps and asserts TRUE, so a sketch regression flips a boolean
+    and fails the hash."""
+    from parqueryd_spark.operators.sketches import kmv_set_estimates, kmv_sketch
+
+    k = 128
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, ["event_type"], "user_id", k=k)
+    a = sk.select(F.col("event_type").alias("t1"), F.col("kmv").alias("a_kmv"))
+    b = sk.select(F.col("event_type").alias("t2"), F.col("kmv").alias("b_kmv"))
+    i_est, u_est = kmv_set_estimates("a", "b", k)
+    pairs = a.join(b, F.col("t1") < F.col("t2")).select("t1", "t2", i_est, u_est)
+
+    ut = ev.select("event_type", "user_id").distinct()
+    exact_pair = (
+        ut.alias("x")
+        .join(
+            ut.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("t1"), F.col("y.event_type").alias("t2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    per_type = ut.groupBy("event_type").agg(F.count_distinct("user_id").alias("n"))
+    exact = (
+        exact_pair.join(per_type.withColumnRenamed("event_type", "t1"), "t1")
+        .withColumnRenamed("n", "n1")
+        .join(per_type.withColumnRenamed("event_type", "t2"), "t2")
+        .withColumnRenamed("n", "n2")
+        .withColumn("n_union", F.col("n1") + F.col("n2") - F.col("n_common"))
+    )
+    return pairs.join(exact, ["t1", "t2"]).select(
+        "t1",
+        "t2",
+        "n_common",
+        (
+            F.abs(F.col("n_intersect_est") - F.col("n_common"))
+            <= 0.25 * F.col("n_common")
+        ).alias("inter_ok"),
+        (F.abs(F.col("n_union_est") - F.col("n_union")) <= 0.15 * F.col("n_union")).alias(
+            "union_ok"
+        ),
+    )

@@ -303,6 +303,7 @@ def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "scd2_events_asof",
+    bench=True,
     oracle="""
     WITH ordered AS (
       SELECT user_id, ts, event_type, event_id,
