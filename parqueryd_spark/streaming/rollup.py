@@ -173,3 +173,63 @@ def read_hll_distinct(
 
     parts = spark.read.parquet(hll_dir).drop("batch")
     return hll_estimate(hll_rollup_merge([parts], list(keys)))
+
+
+def stream_maintain_kmv(
+    event_stream: DataFrame,
+    kmv_dir: str,
+    checkpoint_dir: str,
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "user_id",
+    k: int = 1024,
+):
+    """Continuously-maintained SET-OPERATION state — the streaming face of
+    operators/sketches.kmv_sketch, extending stream_maintain_hll from
+    union-only distinct counts to intersections/overlaps. Each micro-batch
+    sketches its rows into one k-minimum-values array per key (<= 8k bytes)
+    in an idempotent ``batch=<id>`` partition; because KMV union is
+    "k smallest of the combined distinct hashes", values repeated across
+    batches collapse at merge time — global distinct-ness with no dedup
+    state store, same as the HLL twin, but the merged state can also
+    intersect across keys (read_kmv_overlap)."""
+    from parqueryd_spark.operators.sketches import kmv_sketch
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        part = kmv_sketch(batch_df, list(keys), value_col, k)
+        part.write.mode("overwrite").parquet(os.path.join(kmv_dir, f"batch={batch_id}"))
+
+    return (
+        event_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_kmv_distinct(
+    spark, kmv_dir: str, keys: tuple[str, ...] = ("event_type",), k: int = 1024
+) -> DataFrame:
+    """Distinct-count estimates over ALL published batches: merge-on-read of
+    the k-value arrays, never touching raw values."""
+    from parqueryd_spark.operators.sketches import kmv_distinct, kmv_merge
+
+    parts = spark.read.parquet(kmv_dir).drop("batch")
+    return kmv_distinct(kmv_merge([parts], list(keys), k), k)
+
+
+def read_kmv_overlap(
+    spark, kmv_dir: str, key: str = "event_type", k: int = 1024
+) -> DataFrame:
+    """Pairwise overlap estimates across key values from the published state:
+    merge each key's batches, then estimate |A ∩ B| / |A ∪ B| per pair from
+    the merged sketches — the query HLL state cannot answer."""
+    from pyspark.sql import functions as F
+
+    from parqueryd_spark.operators.sketches import kmv_merge, kmv_set_estimates
+
+    parts = spark.read.parquet(kmv_dir).drop("batch")
+    merged = kmv_merge([parts], [key], k)
+    a = merged.select(F.col(key).alias("t1"), F.col("kmv").alias("a_kmv"))
+    b = merged.select(F.col(key).alias("t2"), F.col("kmv").alias("b_kmv"))
+    i_est, u_est = kmv_set_estimates("a", "b", k)
+    return a.join(b, F.col("t1") < F.col("t2")).select("t1", "t2", i_est, u_est)

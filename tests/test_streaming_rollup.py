@@ -140,3 +140,69 @@ def test_stream_hll_distinct_matches_batch_and_never_double_counts(spark, tmp_pa
         for r in read_hll_distinct(spark, hll_dir).collect()
     }
     assert got2 == got
+
+
+def test_stream_kmv_state_matches_batch_and_overlaps(spark, tmp_path):
+    """Streaming KMV maintenance: merged per-batch sketches must equal the
+    one-shot batch sketch BIT-EXACTLY (k-smallest-of-union merge), repeated
+    values across batches never double-count, and the published state
+    answers pairwise overlap — the query HLL state can't."""
+    from parqueryd_spark.operators.sketches import kmv_sketch
+    from parqueryd_spark.streaming.rollup import (
+        read_kmv_distinct,
+        read_kmv_overlap,
+        stream_maintain_kmv,
+    )
+
+    stream_in = str(tmp_path / "in")
+    kmv_dir = str(tmp_path / "kmv")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(stream_in)
+
+    # user 1 does click in both batches AND view: overlap(click, view) = {1}
+    rows1 = [(1, dt.datetime(2024, 1, 1, 0, 5), "click", 1.0),
+             (2, dt.datetime(2024, 1, 1, 0, 9), "click", 2.0),
+             (1, dt.datetime(2024, 1, 1, 1, 0), "view", 1.0)]
+    rows2 = [(1, dt.datetime(2024, 1, 2, 0, 5), "click", 9.0),
+             (4, dt.datetime(2024, 1, 2, 2, 0), "view", 4.0)]
+
+    def _w(name, rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type", "value"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pdf.to_parquet(os.path.join(stream_in, name))
+
+    _w("b1.parquet", rows1)
+    time.sleep(1.1)
+    _w("b2.parquet", rows2)
+
+    schema = spark.read.parquet(os.path.join(stream_in, "b1.parquet")).schema
+    ev = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stream_in)
+    stream_maintain_kmv(ev, kmv_dir, ckpt, k=64).awaitTermination()
+
+    got = {
+        (r.event_type, r.n_distinct)
+        for r in read_kmv_distinct(spark, kmv_dir, k=64).collect()
+    }
+    assert got == {("click", 2), ("view", 2)}  # user 1 never double-counts
+
+    # merged streaming state ≡ one-shot batch sketch, bit for bit
+    all_rows = spark.createDataFrame(
+        pd.DataFrame(rows1 + rows2, columns=["user_id", "ts", "event_type", "value"])
+    )
+    direct = {
+        r.event_type: r.kmv
+        for r in kmv_sketch(all_rows, ["event_type"], "user_id", 64).collect()
+    }
+    from parqueryd_spark.operators.sketches import kmv_merge
+
+    merged = {
+        r.event_type: r.kmv
+        for r in kmv_merge(
+            [spark.read.parquet(kmv_dir).drop("batch")], ["event_type"], 64
+        ).collect()
+    }
+    assert merged == direct
+
+    # overlap query over published state: |click ∩ view| = 1 exactly (< k)
+    ov = read_kmv_overlap(spark, kmv_dir, k=64).collect()
+    assert len(ov) == 1 and ov[0].n_intersect_est == 1 and ov[0].n_union_est == 3
