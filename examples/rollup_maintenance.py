@@ -79,6 +79,26 @@ def main() -> None:
         assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
         print("maintained HLL distinct state == direct sketch: OK")
 
+        # set operations HLL can't answer — cross-type user OVERLAP — use
+        # KMV state with the same split/merge loop (merge is bit-exact)
+        from parqueryd_spark.operators.sketches import (
+            kmv_merge,
+            kmv_set_estimates,
+            kmv_sketch,
+        )
+
+        merged_kmv = kmv_merge(
+            [kmv_sketch(history, ["event_type"], "user_id", 256),
+             kmv_sketch(increment, ["event_type"], "user_id", 256)],
+            ["event_type"], 256,
+        )
+        a = merged_kmv.select(F.col("event_type").alias("t1"), F.col("kmv").alias("a_kmv"))
+        b = merged_kmv.select(F.col("event_type").alias("t2"), F.col("kmv").alias("b_kmv"))
+        i_est, u_est = kmv_set_estimates("a", "b", 256)
+        overlaps = a.join(b, F.col("t1") < F.col("t2")).select("t1", "t2", i_est, u_est)
+        print("pairwise distinct-user overlap from maintained KMV state:")
+        overlaps.orderBy("t1", "t2").show(5)
+
     spark.stop()
 
 

@@ -40,6 +40,7 @@ def aggregate_files(
     aggregate: bool = True,
     data_dir: str | None = None,
     shard_merge: str = "global",
+    manifest: DataFrame | None = None,
 ) -> DataFrame | None:
     """Run the reference's ``groupby`` call shape over parquet shards.
 
@@ -65,6 +66,14 @@ def aggregate_files(
     Missing shards are silently ignored; if none exist, returns ``None``
     (reference empty-result protocol — callers may prefer
     :meth:`ParquetEngine.groupby`, which returns an empty DataFrame instead).
+
+    ``manifest`` (a ``sources.manifest.build_manifest`` DataFrame, typically
+    persisted next to the data) turns the where-terms into PLAN-TIME shard
+    skipping: shards whose footer min/max bounds cannot contain a match are
+    dropped before Spark lists them — the stats-driven analog of the
+    reference's per-shard metadata skip. Pruning never changes results (the
+    exact predicate still runs; a fully-pruned query returns the same empty
+    aggregate a fully-filtered one would, not the all-missing ``None``).
     """
     if shard_merge not in ("global", "concat"):
         raise ValueError(f"shard_merge must be 'global' or 'concat', got {shard_merge!r}")
@@ -87,6 +96,21 @@ def aggregate_files(
         if groupby_cols:
             return df.groupBy(*groupby_cols).agg(*aggs)
         return df.agg(*aggs)
+
+    if manifest is not None:
+        from pyspark.sql import functions as _F
+
+        from parqueryd_spark.sources.manifest import prune_paths
+
+        existing = resolve_paths(paths, data_dir=data_dir, spark=spark)
+        if not existing:
+            return None
+        kept = prune_paths(manifest, existing, where_terms)
+        if not kept:
+            # every shard provably disjoint from the predicate: same result
+            # as filtering everything out (schema from a real shard, 0 rows)
+            return _one(spark.read.parquet(existing[0]).filter(_F.lit(False)))
+        paths, data_dir = kept, None
 
     if shard_merge == "concat" and aggregate:
         existing = resolve_paths(paths, data_dir=data_dir, spark=spark)
@@ -139,10 +163,12 @@ class ParquetEngine:
         where_terms: Sequence[Sequence] | None = None,
         aggregate: bool = True,
         wait: bool = True,
+        manifest: DataFrame | None = None,
     ) -> DataFrame | "Ticket":
         """The flagship call. ``wait=False`` submits the collect as an async
         ticket (reference fire-and-forget surface, controller.py:524-530) —
-        poll ``status()``, then ``result()`` for the rows."""
+        poll ``status()``, then ``result()`` for the rows. ``manifest``
+        enables zone-map shard skipping (see :func:`aggregate_files`)."""
         import time
 
         t0 = time.perf_counter()
@@ -154,6 +180,7 @@ class ParquetEngine:
             where_terms=where_terms,
             aggregate=aggregate,
             data_dir=self.data_dir,
+            manifest=manifest,
         )
         if result is None:
             result = self.spark.createDataFrame([], schema="struct<>")

@@ -329,6 +329,41 @@ def pruned_file_list(
     )
 
 
+def prune_paths(
+    manifest: DataFrame,
+    paths: Sequence[str],
+    where_terms: Sequence[Sequence] | None,
+) -> list[str]:
+    """Filter a caller-resolved shard list by the manifest's verdicts — the
+    hook the parity API uses (``aggregate_files(..., manifest=)``): the
+    reference's worker skipped work via per-shard metadata; here the same
+    where-term triples skip whole shards before Spark ever lists them.
+    Paths absent from the manifest are KEPT (conservative), and scheme
+    spelling differences (``file:/x`` vs ``/x`` vs ``file:///x``) are
+    normalized away before matching.
+
+    A shard path may be a FILE or a DIRECTORY of part-files (Spark writes):
+    a directory is dropped only when EVERY manifest file under it is ruled
+    out; a path with no manifest coverage at all is kept.
+    """
+
+    def norm(u: str) -> str:
+        return "/" + u.split(":", 1)[-1].lstrip("/") if ":" in u else u
+
+    verdicts = {
+        norm(r.file): bool(r.keep)
+        for r in prune_files(manifest, where_terms).collect()
+    }
+    kept: list[str] = []
+    for p in paths:
+        np_ = norm(p)
+        prefix = np_.rstrip("/") + "/"
+        under = [k for f, k in verdicts.items() if f == np_ or f.startswith(prefix)]
+        if not under or any(under):
+            kept.append(p)
+    return kept
+
+
 def skip_stats(manifest: DataFrame, where_terms: Sequence[Sequence] | None) -> dict:
     """How much the layout lets this predicate skip: files/rows total vs
     kept. ``rows_kept`` is the scheduling bound (rows in files we must

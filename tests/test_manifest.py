@@ -182,3 +182,51 @@ def test_refresh_manifest_is_incremental(spark, tmp_path):
     m3 = refresh_manifest(spark, path, m2)
     files = [r.file for r in m3.select("file").distinct().collect()]
     assert len(files) == 1 and files[0].endswith("b.parquet")
+
+
+def test_aggregate_files_prunes_shards_with_manifest(spark, tmp_path):
+    """The parity surface's zone-map hook: aggregate_files(manifest=) skips
+    shards whose bounds cannot match the where-terms (the stats-driven analog
+    of the reference's per-shard metadata skip), with identical results."""
+    import os
+
+    from parqueryd_spark.core import aggregate_files
+
+    d = str(tmp_path / "shards")
+    os.makedirs(d)
+    # 4 shards with disjoint value ranges
+    for i in range(4):
+        spark.range(i * 100, (i + 1) * 100).select(
+            F.col("id").cast("double").alias("value"),
+            F.pmod(F.col("id"), F.lit(3)).alias("grp"),
+        ).coalesce(1).write.parquet(os.path.join(d, f"s{i}.parquet"))
+    shards = [os.path.join(d, f"s{i}.parquet") for i in range(4)]
+    mf = build_manifest(spark, d)
+    terms = [["value", ">=", 150.0], ["value", "<", 250.0]]
+
+    pruned = aggregate_files(
+        spark, shards, ["grp"], [["value", "sum", "sv"]], terms, manifest=mf
+    )
+    plain = aggregate_files(spark, shards, ["grp"], [["value", "sum", "sv"]], terms)
+    key = lambda r: (r.grp, round(r.sv, 6))
+    assert sorted(map(key, pruned.collect())) == sorted(map(key, plain.collect()))
+    # only the 2 overlapping shards are in the pruned plan's scan
+    scanned = pruned.inputFiles()
+    assert len(scanned) == 2 and all("/s1.parquet/" in f or "/s2.parquet/" in f for f in scanned)
+
+    # fully-pruned query: empty aggregate with the right schema, not None
+    none_match = aggregate_files(
+        spark, shards, ["grp"], [["value", "sum", "sv"]],
+        [["value", ">", 1e9]], manifest=mf,
+    )
+    assert none_match.columns == ["grp", "sv"] and none_match.count() == 0
+
+    # engine facade pass-through
+    from parqueryd_spark.core import ParquetEngine
+
+    eng = ParquetEngine(spark, data_dir=d)
+    via_engine = eng.groupby(
+        [f"s{i}.parquet" for i in range(4)], ["grp"], [["value", "sum", "sv"]],
+        terms, manifest=mf,
+    )
+    assert sorted(map(key, via_engine.collect())) == sorted(map(key, plain.collect()))
