@@ -225,3 +225,26 @@ def scan_zonemap_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+@query(
+    "scan_zonemap_count",
+    oracle="""
+    SELECT count(*) AS n_rows FROM events
+    WHERE value >= 100.0 AND event_type != 'error'
+    """,
+)
+def scan_zonemap_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-assisted COUNT(*) (sources/manifest.py count_pruned): files
+    the footer stats prove fully satisfy every term contribute their row
+    counts without being read; boundary files are scanned with the exact
+    predicate. The oracle is the plain SQL count, so the stat/scan split
+    must reassemble the exact answer."""
+    from parqueryd_spark.sources.manifest import count_pruned
+
+    n = count_pruned(
+        spark,
+        table_path(sf_dir, "events"),
+        [["value", ">=", 100.0], ["event_type", "!=", "error"]],
+    )
+    return spark.createDataFrame([(n,)], "n_rows bigint")

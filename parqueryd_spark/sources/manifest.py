@@ -404,3 +404,102 @@ def scan_pruned(
     if select is not None:
         base = base.select(*select)
     return base
+
+
+def _full_pred(op: str, value):
+    """Keep-verdict complement: does EVERY non-null row of a (file, column)
+    stats row satisfy the term? Conservative toward False (uncertain files
+    get scanned, never stat-counted)."""
+    v_num = _coerce_num(value)
+    if v_num is not None:
+        lo, hi, v = F.col("min_num"), F.col("max_num"), F.lit(v_num)
+    elif isinstance(value, str):
+        lo, hi, v = F.col("min_str"), F.col("max_str"), F.lit(value)
+    else:
+        return F.lit(False)
+    if op in ("==", "="):
+        core = (lo == v) & (hi == v)
+    elif op == ">":
+        core = lo > v
+    elif op == ">=":
+        core = lo >= v
+    elif op == "<":
+        core = hi < v
+    elif op == "<=":
+        core = hi <= v
+    elif op == "!=":
+        core = (hi < v) | (lo > v)
+    elif op == "in":
+        vs = value if isinstance(value, (list, tuple, set)) else [value]
+        # whole file inside the set: only provable for a constant file
+        per = [_point_pred(x) for x in vs]
+        core = reduce(lambda a, b: a | b, per) if per else F.lit(False)
+    elif op == "not in":
+        vs = value if isinstance(value, (list, tuple, set)) else [value]
+        outs = [
+            (F.col("max_num") < _coerce_num(x)) | (F.col("min_num") > _coerce_num(x))
+            if _coerce_num(x) is not None
+            else (F.col("max_str") < x) | (F.col("min_str") > x)
+            if isinstance(x, str)
+            else F.lit(False)
+            for x in vs
+        ]
+        core = reduce(lambda a, b: a & b, outs) if outs else F.lit(True)
+    else:
+        return F.lit(False)
+    # NULL rows never satisfy a predicate, so a stat-counted file must have
+    # a proven-zero null count for the term's column
+    return (
+        F.col("has_min_max")
+        & F.col("null_count").isNotNull()
+        & (F.col("null_count") == 0)
+        & F.coalesce(core, F.lit(False))
+    )
+
+
+def count_pruned(
+    spark: SparkSession,
+    path: str,
+    where_terms: Sequence[Sequence] | None,
+    manifest: DataFrame | None = None,
+) -> int:
+    """COUNT(*) under AND-combined where-terms with METADATA-ONLY counting
+    where the stats prove it: a file every term fully satisfies contributes
+    its footer row count without being read; a file no term can match
+    contributes nothing; only BOUNDARY files — possibly-matching but not
+    provably-all-matching — are scanned with the exact predicate. On a
+    clustered layout (sources/layout.py) a range count touches the two edge
+    files of the range and sums the interior from kilobytes of manifest —
+    the zone-map analog of partition-level count pushdown."""
+    mf = manifest if manifest is not None else build_manifest(spark, path)
+    terms = list(where_terms or [])
+    per_file = mf.groupBy("file").agg(F.max("n_rows").alias("n_rows"))
+    maybe = prune_files(mf, terms)
+    if not terms:
+        full = per_file.select("file", F.lit(True).alias("full"))
+    else:
+        full = per_file.select("file")
+        for i, term in enumerate(terms):
+            col_name, op, value = term
+            sat = (
+                mf.filter(F.col("column") == col_name)
+                .select("file", _full_pred(str(op).strip().lower(), value).alias(f"__s{i}"))
+            )
+            full = full.join(sat, "file", "left")
+        alls = [F.coalesce(F.col(f"__s{i}"), F.lit(False)) for i in range(len(terms))]
+        full = full.select("file", reduce(lambda a, b: a & b, alls).alias("full"))
+    plan = (
+        per_file.join(maybe, "file")
+        .join(full, "file")
+        .select("file", "n_rows", "keep", "full")
+        .collect()
+    )
+    stat_count = sum(r.n_rows for r in plan if r.keep and r.full)
+    boundary = sorted(r.file for r in plan if r.keep and not r.full)
+    if not boundary:
+        return int(stat_count)
+    pred = compile_where_terms(terms)
+    scan = spark.read.parquet(*boundary)
+    if pred is not None:
+        scan = scan.filter(pred)
+    return int(stat_count + scan.count())

@@ -230,3 +230,43 @@ def test_aggregate_files_prunes_shards_with_manifest(spark, tmp_path):
         terms, manifest=mf,
     )
     assert sorted(map(key, via_engine.collect())) == sorted(map(key, plain.collect()))
+
+
+def test_count_pruned_matches_exact(spark, layout, manifest):
+    """Metadata-only counting: stat-count fully-satisfying files, scan only
+    boundary files — must equal the exact filtered count for every op."""
+    from parqueryd_spark.functions.compile import compile_where_terms
+    from parqueryd_spark.sources.manifest import count_pruned
+
+    for terms in TERMS:
+        pred = compile_where_terms(terms)
+        full = spark.read.parquet(layout)
+        want = (full.filter(pred) if pred is not None else full).count()
+        got = count_pruned(spark, layout, terms, manifest=manifest)
+        assert got == want, terms
+
+
+def test_count_pruned_is_metadata_only_when_provable(spark, tmp_path):
+    """A predicate every file FULLY satisfies needs no data read at all:
+    delete the data files after building the manifest — a stat-only count
+    still answers; any accidental scan would blow up on the missing files."""
+    import os
+    import shutil
+
+    from parqueryd_spark.sources.manifest import count_pruned
+
+    path = str(tmp_path / "gone")
+    spark.range(1000).select(F.col("id").cast("double").alias("value")).repartition(
+        4
+    ).write.parquet(path)
+    mf = build_manifest(spark, path).cache()
+    mf.count()
+    shutil.rmtree(path)
+    os.makedirs(path)
+    assert count_pruned(spark, path, [["value", ">=", 0.0]], manifest=mf) == 1000
+    # range ending mid-data still stat-counts the provable prefix only if
+    # boundary files exist on disk — here they don't, so it must raise
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        count_pruned(spark, path, [["value", ">=", 500.0]], manifest=mf)
