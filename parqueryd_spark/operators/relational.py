@@ -157,3 +157,76 @@ def edit_distance_join(
         .filter(F.col("distance") >= 0)  # threshold form returns -1 past the bound
         .select(left_id, right_id, "distance")
     )
+
+
+def interval_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_range: tuple[str, str],
+    b_range: tuple[str, str],
+    bucket_width: float,
+    max_buckets_per_interval: int = 10_000,
+) -> DataFrame:
+    """General interval-OVERLAP join of two interval tables (half-open
+    ``[start, end)`` on each side; numeric or timestamp columns) — the join
+    Spark has no built-in for and whose naive form is a broadcast-nested-loop
+    (quadratic). Sessions x campaign windows, speech segments x transcript
+    spans, genomic intervals.
+
+    Plan shape: each interval explodes into the ``bucket_width``-sized time
+    buckets it covers; candidates meet in an EQUI-join on the bucket (one
+    shuffle, AQE/skew-split eligible), the exact overlap predicate
+    (``a.start < b.end AND b.start < a.end``) filters, and each surviving
+    pair is emitted from exactly ONE canonical bucket —
+    ``max(floor(a.start/w), floor(b.start/w))``, which both sides provably
+    cover whenever they overlap — so there is no dropDuplicates shuffle.
+    Cost scales with intervals x buckets-per-interval; choose
+    ``bucket_width`` near the typical interval length (~1-2 buckets each).
+    An interval spanning more than ``max_buckets_per_interval`` buckets fails
+    fast at execution with a clear error instead of exploding the join.
+
+    Column names must be disjoint across the two sides (rename before
+    joining); both sides keep all their columns in the result.
+    """
+    common = set(a.columns) & set(b.columns)
+    if common:
+        raise ValueError(
+            f"interval_join requires disjoint column names; shared: {sorted(common)}"
+        )
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be > 0")
+    w = float(bucket_width)
+
+    def prep(df: DataFrame, start: str, end: str, side: str) -> DataFrame:
+        s = F.col(start).cast("double")
+        e = F.col(end).cast("double")
+        b0 = F.floor(s / w)
+        b1 = F.floor(e / w)
+        n = b1 - b0 + 1
+        guard = F.assert_true(
+            n <= max_buckets_per_interval,
+            F.format_string(
+                "interval_join: an interval on the %s side spans %%d buckets "
+                "(max %d) — raise bucket_width or max_buckets_per_interval"
+                % (side, max_buckets_per_interval),
+                n,
+            ),
+        ).isNull()
+        return df.where(s < e).where(guard).select(
+            "*",
+            s.alias(f"__{side}s"),
+            e.alias(f"__{side}e"),
+            F.explode(F.sequence(b0, b1)).alias("__bkt" if side == "a" else "__bktb"),
+        )
+
+    ea = prep(a, *a_range, "a")
+    eb = prep(b, *b_range, "b").withColumnRenamed("__bktb", "__bkt")
+    canonical = F.greatest(
+        F.floor(F.col("__as") / w), F.floor(F.col("__bs") / w)
+    ) == F.col("__bkt")
+    overlap = (F.col("__as") < F.col("__be")) & (F.col("__bs") < F.col("__ae"))
+    return (
+        ea.join(eb, "__bkt")
+        .where(overlap & canonical)
+        .drop("__bkt", "__as", "__ae", "__bs", "__be")
+    )

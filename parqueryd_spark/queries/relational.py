@@ -531,3 +531,49 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "interval_join_user_windows",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id, min(ts) AS s, max(ts) + INTERVAL '1 second' AS e
+      FROM events GROUP BY user_id
+    ),
+    w AS (
+      SELECT i AS wid,
+             TIMESTAMP '2024-01-01' + (i * 2) * INTERVAL '1 day' AS ws,
+             TIMESTAMP '2024-01-01' + (i * 2 + 2) * INTERVAL '1 day' AS we
+      FROM generate_series(0, 14) t(i)
+    )
+    SELECT wid, count(*) AS n_users
+    FROM spans JOIN w ON s < we AND ws < e
+    GROUP BY wid
+    """,
+)
+def interval_join_user_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General interval-OVERLAP join (operators/relational.py interval_join):
+    per-user activity spans [first event, last event + 1s) against fixed
+    2-day campaign windows — how many users were active during each window.
+    The operator buckets both interval sets (1-day buckets), equi-joins on
+    the bucket, applies the exact overlap predicate, and emits each pair
+    from one canonical bucket (no dedup shuffle, no nested-loop join —
+    plan-asserted in tests/test_interval_join.py). The oracle is DuckDB's
+    exact theta join over the same spans and windows."""
+    from parqueryd_spark.operators.relational import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.min("ts").alias("astart"),
+        (F.max("ts") + F.expr("INTERVAL 1 SECOND")).alias("aend"),
+    )
+    epoch_jan1 = 1704067200  # 2024-01-01 UTC
+    windows = spark.range(15).select(
+        F.col("id").alias("wid"),
+        F.timestamp_seconds(F.lit(epoch_jan1) + F.col("id") * 172800).alias("bstart"),
+        F.timestamp_seconds(F.lit(epoch_jan1) + (F.col("id") + 1) * 172800).alias("bend"),
+    )
+    joined = interval_join(
+        spans, windows, ("astart", "aend"), ("bstart", "bend"), 86400.0
+    )
+    return joined.groupBy("wid").agg(F.count(F.lit(1)).alias("n_users"))
