@@ -228,6 +228,7 @@ def main() -> None:
               f"| {r[12]:.1f} | {r[13]:.1f} |")
 
     zonemap_probe(spark)
+    interval_probe(spark)
     skew_probe(spark)
     spark.stop()
 
@@ -290,6 +291,37 @@ def zonemap_probe(spark) -> None:
             flush=True,
         )
         mf.unpersist()
+
+
+def interval_probe(spark) -> None:
+    """interval_join at growing interval counts: intervals x buckets-covered
+    candidates keep wall time linear where the naive theta join (nested
+    loop) would be quadratic. Output pairs grow ~linearly too because the
+    interval density per unit time is held constant (timeline stretches
+    with n)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from parqueryd_spark.operators.relational import interval_join
+
+    print("\ninterval-join probe (avg length 20, bucket width 32, constant density):")
+    print("| a rows | b rows | pairs | wall s |")
+    print("|---|---|---|---|")
+    for n in (100_000, 400_000, 1_600_000):
+        horizon = float(n)  # stretch timeline with n: constant density
+        a = spark.range(n).select(
+            F.col("id").alias("aid"),
+            (F.pmod(F.xxhash64("id"), F.lit(int(horizon))).cast("double")).alias("as_"),
+        ).withColumn("ae_", F.col("as_") + 1 + F.pmod(F.xxhash64("aid", F.lit(1)), F.lit(40)))
+        b = spark.range(n // 4).select(
+            F.col("id").alias("bid"),
+            (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(int(horizon))).cast("double")).alias("bs_"),
+        ).withColumn("be_", F.col("bs_") + 1 + F.pmod(F.xxhash64("bid", F.lit(3)), F.lit(40)))
+        t0 = time.perf_counter()
+        pairs = interval_join(a, b, ("as_", "ae_"), ("bs_", "be_"), 32.0).count()
+        t = time.perf_counter() - t0
+        print(f"| {n} | {n // 4} | {pairs} | {t:.1f} |", flush=True)
 
 
 def skew_probe(spark) -> None:
