@@ -230,3 +230,54 @@ def interval_join(
         .where(overlap & canonical)
         .drop("__bkt", "__as", "__ae", "__bs", "__be")
     )
+
+
+def band_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_col: str,
+    b_col: str,
+    delta: float,
+    equi_keys: Sequence[tuple[str, str]] = (),
+    bucket_width: float | None = None,
+) -> DataFrame:
+    """Proximity (band) join: pairs with ``|a.a_col - b.b_col| <= delta``
+    (numeric or timestamp), optionally ALSO equal on ``equi_keys``
+    [(a_key, b_key), ...] — fuzzy timestamp matching, sensor alignment,
+    near-value reconciliation. The naive form is a pure theta join (nested
+    loop); here the left value explodes into the buckets its band can reach
+    while the right value sits in exactly ONE bucket, so every qualifying
+    pair meets exactly once in an equi-join — no dedup step exists at all,
+    and the equi keys ride the same shuffle. Choose ``bucket_width`` >=
+    delta (default: delta) so the left explodes into at most 3 buckets."""
+    common = set(a.columns) & set(b.columns)
+    if common:
+        raise ValueError(
+            f"band_join requires disjoint column names; shared: {sorted(common)}"
+        )
+    if delta < 0:
+        raise ValueError("delta must be >= 0")
+    w = float(bucket_width if bucket_width is not None else max(delta, 1e-12))
+    if w < delta:
+        raise ValueError("bucket_width must be >= delta (or the band escapes its buckets)")
+    x = F.col(a_col).cast("double")
+    y = F.col(b_col).cast("double")
+    ea = a.select(
+        "*",
+        x.alias("__x"),
+        F.explode(F.sequence(F.floor((x - delta) / w), F.floor((x + delta) / w))).alias(
+            "__bkt"
+        ),
+    )
+    eb = b.select("*", y.alias("__y"), F.floor(y / w).alias("__bkt"))
+    on = [ea["__bkt"] == eb["__bkt"]] + [
+        ea[ak] == eb[bk] for ak, bk in equi_keys
+    ]
+    cond = on[0]
+    for c in on[1:]:
+        cond = cond & c
+    return (
+        ea.join(eb, cond)
+        .where(F.abs(F.col("__x") - F.col("__y")) <= delta)
+        .drop("__bkt", "__x", "__y")
+    )

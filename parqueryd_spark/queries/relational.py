@@ -577,3 +577,36 @@ def interval_join_user_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         spans, windows, ("astart", "aend"), ("bstart", "bend"), 86400.0
     )
     return joined.groupBy("wid").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@query(
+    "band_join_error_click",
+    oracle="""
+    SELECT a.user_id, count(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'error' AND b.event_type = 'click'
+     AND abs(epoch(a.ts) - epoch(b.ts)) <= 3600
+    GROUP BY a.user_id
+    """,
+)
+def band_join_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity (band) join (operators/relational.py band_join): for each
+    user, every (error, click) event pair within +/-1 hour — the "what
+    was clicked around the failure" query. The error side explodes into the
+    <=3 time buckets its band can reach while the click side sits in exactly
+    one bucket, so pairs meet once in an equi-join on (user_id, bucket) with
+    no dedup step; the oracle is DuckDB's exact theta join."""
+    from parqueryd_spark.operators.relational import band_join
+
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("au"), F.col("ts").alias("ats")
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("bu"), F.col("ts").alias("bts")
+    )
+    pairs = band_join(err, clk, "ats", "bts", 3600.0, equi_keys=[("au", "bu")])
+    return pairs.groupBy(F.col("au").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )

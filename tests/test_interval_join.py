@@ -92,3 +92,56 @@ def test_guards(spark, sides):
             wide, b, ("astart", "aend"), ("bstart", "bend"), 1.0,
             max_buckets_per_interval=100,
         ).collect()
+
+
+def test_band_join_equals_naive(spark):
+    """band_join: |x - y| <= delta (+ optional equi keys) must equal the
+    naive theta join — one-sided explode means each pair meets exactly once,
+    so there is no dedup step to get wrong."""
+    from parqueryd_spark.operators.relational import band_join
+
+    a = spark.range(500).select(
+        F.col("id").alias("aid"),
+        F.pmod(F.xxhash64("id"), F.lit(200)).alias("ak"),
+        (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(10000)).cast("double") / 10).alias("x"),
+    )
+    b = spark.range(500).select(
+        F.col("id").alias("bid"),
+        F.pmod(F.xxhash64("id", F.lit(8)), F.lit(200)).alias("bk"),
+        (F.pmod(F.xxhash64("id", F.lit(9)), F.lit(10000)).cast("double") / 10).alias("y"),
+    )
+    for delta, width in ((5.0, None), (5.0, 20.0), (0.0, 1.0)):
+        got = sorted(
+            (r.aid, r.bid)
+            for r in band_join(a, b, "x", "y", delta, bucket_width=width).collect()
+        )
+        want = sorted(
+            (r.aid, r.bid)
+            for r in a.join(b, F.abs(F.col("x") - F.col("y")) <= delta).collect()
+        )
+        assert got == want, (delta, width)
+    # with equi keys riding the same shuffle
+    got = sorted(
+        (r.aid, r.bid)
+        for r in band_join(a, b, "x", "y", 25.0, equi_keys=[("ak", "bk")]).collect()
+    )
+    want = sorted(
+        (r.aid, r.bid)
+        for r in a.join(
+            b, (F.col("ak") == F.col("bk")) & (F.abs(F.col("x") - F.col("y")) <= 25.0)
+        ).collect()
+    )
+    assert got == want and len(want) > 0
+
+
+def test_band_join_guards(spark):
+    from parqueryd_spark.operators.relational import band_join
+
+    a = spark.range(3).select(F.col("id").alias("aid"), F.col("id").cast("double").alias("x"))
+    b = spark.range(3).select(F.col("id").alias("bid"), F.col("id").cast("double").alias("y"))
+    with pytest.raises(ValueError, match="bucket_width"):
+        band_join(a, b, "x", "y", 10.0, bucket_width=5.0)
+    with pytest.raises(ValueError, match="delta"):
+        band_join(a, b, "x", "y", -1.0)
+    plan = band_join(a, b, "x", "y", 1.0)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Cartesian" not in plan
