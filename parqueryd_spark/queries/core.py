@@ -248,3 +248,32 @@ def scan_zonemap_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         [["value", ">=", 100.0], ["event_type", "!=", "error"]],
     )
     return spark.createDataFrame([(n,)], "n_rows bigint")
+
+
+@query(
+    "scan_bloom_lookup",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           CAST(round(sum(value), 4) AS DOUBLE) AS sum_value
+    FROM events WHERE user_id IN (7, 42, 99)
+    GROUP BY user_id
+    """,
+)
+def scan_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-set lookup through the per-file Bloom manifest
+    (sources/manifest.py bloom_manifest / scan_bloom_pruned) — the skipping
+    mechanism for UNCLUSTERED high-cardinality keys, where min/max zone maps
+    keep every file: each file's bloom proves the keys' absence, the probe
+    has no false negatives, and the exact isin filter runs on the kept
+    files, so the result equals the plain SQL lookup."""
+    from pyspark.sql import functions as F
+
+    from parqueryd_spark.sources.manifest import bloom_manifest, scan_bloom_pruned
+
+    path = table_path(sf_dir, "events")
+    bm = bloom_manifest(spark, path, "user_id", fpp=0.01)
+    df = scan_bloom_pruned(spark, path, "user_id", [7, 42, 99], bm)
+    return df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )

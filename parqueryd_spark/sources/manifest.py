@@ -503,3 +503,127 @@ def count_pruned(
     if pred is not None:
         scan = scan.filter(pred)
     return int(stat_count + scan.count())
+
+
+def bloom_manifest(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    fpp: float = 0.01,
+    num_bits: int | None = None,
+    num_hashes: int | None = None,
+) -> DataFrame:
+    """Per-FILE Bloom filters for point-lookup skipping on UNCLUSTERED
+    columns — the skipping mechanism min/max zone maps can't provide: when a
+    high-cardinality key is scattered (not range-clustered), every file's
+    [min, max] spans the whole domain and ``prune_files`` keeps everything,
+    but a key lives in few files and each file's bloom proves its absence
+    from the rest. One row per file ``(file, n_bits, n_hashes, bitmap)`` —
+    the operators/membership.py filter at file grain, same double-hashing
+    probe, so no false negatives and lookups stay EXACT after the residual
+    filter.
+
+    Build reads the key column once (unlike the footer manifest) — an
+    ingest-time cost amortized over every lookup; sizing defaults to the
+    largest file's row count at ``fpp``. NULL keys are excluded (a NULL
+    never equals a lookup value). Persist the rows next to the data and
+    maintain per publish batch like the other incremental indexes."""
+    base = (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("file"), F.col(key_col).alias("__k"))
+        .where(F.col("__k").isNotNull())
+    )
+    if num_bits is None or num_hashes is None:
+        from parqueryd_spark.operators.membership import bloom_params
+
+        mx = (
+            base.groupBy("file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n"))
+            .collect()[0][0]
+        )
+        num_bits, num_hashes = bloom_params(int(mx or 1), fpp)
+    from parqueryd_spark.operators.membership import _SEED2, _positions_sql
+
+    lanes = (
+        base.select(
+            "file",
+            F.xxhash64("__k").alias("__h1"),
+            F.xxhash64("__k", F.lit(_SEED2)).alias("__h2"),
+        )
+        .select(
+            "file",
+            F.explode(
+                F.expr(_positions_sql("__h1", "__h2", str(num_hashes), f"{num_bits}L"))
+            ).alias("pos"),
+        )
+        .select(
+            "file",
+            F.expr("CAST(pos DIV 64 AS INT)").alias("word"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("lane"),
+        )
+        .groupBy("file", "word")
+        .agg(F.expr("bit_or(lane)").alias("bits"))
+    )
+    return lanes.groupBy("file").agg(
+        F.lit(int(num_bits)).cast("bigint").alias("n_bits"),
+        F.lit(int(num_hashes)).cast("int").alias("n_hashes"),
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bitmap"),
+    )
+
+
+def prune_files_bloom(bloom_mf: DataFrame, values: Sequence, value_type=None) -> DataFrame:
+    """Per-file keep verdicts for ``key IN values``: a file is kept iff ANY
+    lookup value probes positive in its bloom (expected kept ≈ true hits +
+    fpp x files). IMPORTANT: hash equality requires TYPE equality — cast
+    ``values`` to the key column's exact Spark type via ``value_type``
+    (``scan_bloom_pruned`` does this from the data schema automatically)."""
+    from parqueryd_spark.operators.membership import _SEED2, _positions_sql
+
+    spark = bloom_mf.sparkSession
+    vals = spark.createDataFrame([(v,) for v in values], ["__v"])
+    if value_type is not None:
+        vals = vals.select(F.col("__v").cast(value_type).alias("__v"))
+    vals = vals.select(
+        F.xxhash64("__v").alias("__h1"), F.xxhash64("__v", F.lit(_SEED2)).alias("__h2")
+    )
+    hit = F.expr(
+        "forall("
+        + _positions_sql("__h1", "__h2", "n_hashes", "n_bits")
+        + ", p -> (shiftright(coalesce(element_at(bitmap, CAST(p DIV 64 AS INT)), 0L),"
+        "            CAST(p % 64 AS INT)) & 1) = 1)"
+    )
+    return (
+        bloom_mf.crossJoin(F.broadcast(vals))
+        .withColumn("__hit", hit)
+        .groupBy("file")
+        .agg(F.expr("bool_or(__hit)").alias("keep"))
+    )
+
+
+def scan_bloom_pruned(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    values: Sequence,
+    bloom_mf: DataFrame,
+) -> DataFrame:
+    """Point-in-set lookup reading only files whose bloom may contain one of
+    ``values``; the exact ``isin`` filter then runs on the survivors —
+    identical results to a full scan. Files without manifest coverage are
+    kept (conservative), matching the other pruned-scan contracts."""
+    all_files = HadoopFS(spark, path).list_files(path)
+    dtype = spark.read.parquet(path).schema[key_col].dataType
+
+    def norm(u: str) -> str:
+        return "/" + u.split(":", 1)[-1].lstrip("/") if ":" in u else u
+
+    verdicts = {
+        norm(r.file): bool(r.keep)
+        for r in prune_files_bloom(bloom_mf, values, value_type=dtype).collect()
+    }
+    kept = [f for f in all_files if verdicts.get(norm(f), True)]
+    typed = [F.lit(v).cast(dtype) for v in values]
+    if not kept:
+        return spark.read.parquet(path).filter(F.lit(False))
+    return spark.read.parquet(*kept).filter(F.col(key_col).isin(*typed))

@@ -270,3 +270,44 @@ def test_count_pruned_is_metadata_only_when_provable(spark, tmp_path):
 
     with _pytest.raises(Exception):
         count_pruned(spark, path, [["value", ">=", 500.0]], manifest=mf)
+
+
+def test_bloom_manifest_point_lookup(spark, tmp_path):
+    """Bloom file-manifest: on an UNCLUSTERED key (where min/max zone maps
+    keep everything), point lookups read ~1 file instead of all of them,
+    results stay exact, and absent keys read nothing."""
+    from parqueryd_spark.sources.manifest import (
+        bloom_manifest,
+        prune_files_bloom,
+        scan_bloom_pruned,
+    )
+
+    path = str(tmp_path / "scattered")
+    n, n_files = 20_000, 20
+    # shuffle ids across files: every file spans the whole id domain
+    spark.range(n).select(
+        F.col("id").alias("k"), F.xxhash64("id").alias("scatter")
+    ).repartitionByRange(n_files, "scatter").drop("scatter").write.parquet(path)
+
+    # zone maps are useless here: every file's [min, max] covers the point
+    zm = build_manifest(spark, path)
+    assert len(pruned_file_list(zm, [["k", "==", 12345]])) == n_files
+
+    bm = bloom_manifest(spark, path, "k", fpp=0.01).cache()
+    assert bm.count() == n_files
+
+    out = scan_bloom_pruned(spark, path, "k", [12345], bm)
+    assert [r.k for r in out.collect()] == [12345]
+    assert len(out.inputFiles()) <= 3  # 1 true file + ~fpp * 20 false posits
+
+    # multi-value lookup: exact result set
+    vals = [1, 7777, 19999]
+    out3 = scan_bloom_pruned(spark, path, "k", vals, bm)
+    assert sorted(r.k for r in out3.collect()) == vals
+
+    # absent key: usually zero files survive (no false negatives ever)
+    verdicts = prune_files_bloom(bm, [10**12], value_type="bigint")
+    kept = verdicts.filter("keep").count()
+    assert kept <= 2  # fpp noise only
+    missing = scan_bloom_pruned(spark, path, "k", [10**12], bm)
+    assert missing.count() == 0
