@@ -627,3 +627,52 @@ def scan_bloom_pruned(
     if not kept:
         return spark.read.parquet(path).filter(F.lit(False))
     return spark.read.parquet(*kept).filter(F.col(key_col).isin(*typed))
+
+
+def optimize_dataset(
+    spark: SparkSession,
+    dataset_dir: str,
+    target_partitions: int,
+    cluster_by: Sequence[str] | None = None,
+    partition_by: Sequence[str] | None = None,
+    manifest_dir: str | None = None,
+    manifest_columns: Sequence[str] | None = None,
+    bloom_cols: Sequence[str] | None = None,
+    bloom_fpp: float = 0.01,
+) -> dict:
+    """The OPTIMIZE maintenance op for plain parquet, one call: compact
+    small files and re-cluster (``sinks.compact_parquet`` — range-sort for
+    one ``cluster_by`` column, Z-order for several, readers stay on the old
+    generation until the atomic swap), then REBUILD the skipping indexes the
+    rewrite just invalidated — the zone-map manifest (every file is new, so
+    a full footer sweep IS the increment) and optional per-column Bloom
+    manifests — persisting them under ``manifest_dir`` (``zonemap/`` and
+    ``bloom=<col>/`` datasets) for every later ``scan_pruned`` /
+    ``scan_bloom_pruned`` / ``aggregate_files(manifest=)`` call. This is the
+    moment skipping indexes should be refreshed: clustering is what makes
+    zone-map bounds tight, and stale manifests after a rewrite would keep
+    phantom files. Returns {'rows', 'files', 'manifest_rows'}."""
+    import os
+
+    from parqueryd_spark.sources.sinks import compact_parquet
+
+    n_rows = compact_parquet(
+        spark,
+        dataset_dir,
+        target_partitions,
+        list(partition_by) if partition_by else None,
+        list(cluster_by) if cluster_by else None,
+    )
+    out = {"rows": int(n_rows), "files": len(HadoopFS(spark, dataset_dir).list_files(dataset_dir))}
+    if manifest_dir is not None:
+        mf = build_manifest(
+            spark, dataset_dir, list(manifest_columns) if manifest_columns else None
+        )
+        zdir = os.path.join(manifest_dir, "zonemap")
+        mf.write.mode("overwrite").parquet(zdir)
+        out["manifest_rows"] = spark.read.parquet(zdir).count()
+        for c in bloom_cols or []:
+            bloom_manifest(spark, dataset_dir, c, fpp=bloom_fpp).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(manifest_dir, f"bloom={c}"))
+    return out

@@ -311,3 +311,31 @@ def test_bloom_manifest_point_lookup(spark, tmp_path):
     assert kept <= 2  # fpp noise only
     missing = scan_bloom_pruned(spark, path, "k", [10**12], bm)
     assert missing.count() == 0
+
+
+def test_optimize_dataset_compacts_and_rebuilds_indexes(spark, tmp_path):
+    """One-call OPTIMIZE: small scattered files -> few clustered files, with
+    the zone-map and bloom manifests rebuilt and persisted so later pruned
+    scans work off the fresh state (no phantom files)."""
+    from parqueryd_spark.sources.manifest import optimize_dataset, scan_bloom_pruned
+
+    d = str(tmp_path / "ds")
+    mdir = str(tmp_path / "idx")
+    spark.range(2000).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("value")
+    ).repartition(16).write.parquet(d)  # 16 scattered files, unclustered
+
+    stats = optimize_dataset(
+        spark, d, 4, cluster_by=["value"], manifest_dir=mdir, bloom_cols=["k"]
+    )
+    assert stats["rows"] == 2000 and stats["files"] == 4
+
+    zm = spark.read.parquet(mdir + "/zonemap")
+    kept = pruned_file_list(zm, [["value", ">=", 1800.0]])
+    assert len(kept) == 1  # clustering made the bounds tight
+    got = scan_pruned(spark, d, [["value", ">=", 1800.0]], manifest=zm)
+    assert got.count() == 200
+
+    bm = spark.read.parquet(mdir + "/bloom=k")
+    out = scan_bloom_pruned(spark, d, "k", [123], bm)
+    assert [r.k for r in out.collect()] == [123]
