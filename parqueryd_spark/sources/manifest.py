@@ -629,6 +629,86 @@ def scan_bloom_pruned(
     return spark.read.parquet(*kept).filter(F.col(key_col).isin(*typed))
 
 
+def refresh_bloom_manifest(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    old: DataFrame,
+) -> DataFrame:
+    """Incrementally maintain a persisted bloom manifest: build blooms ONLY
+    for files not already covered (reading just their key column), drop rows
+    for vanished files, and reuse the OLD rows' (n_bits, n_hashes) so every
+    file probes identically — the refresh_manifest contract for the bloom
+    layer. Cost is O(new files' rows), never the standing corpus."""
+    current = set(HadoopFS(spark, path).list_files(path))
+    if not current:
+        return old.limit(0)
+
+    def norm(u: str) -> str:
+        return "/" + u.split(":", 1)[-1].lstrip("/") if ":" in u else u
+
+    # manifest rows carry input_file_name() spellings (file:///x) while the
+    # lister yields Hadoop-qualified ones (file:/x) — join on the normalized
+    # path, not the raw string
+    norm_sql = F.concat(
+        F.lit("/"), F.expr("trim(LEADING '/' FROM element_at(split(file, ':', 2), -1))")
+    )
+    current_df = spark.createDataFrame(
+        [(norm(f),) for f in sorted(current)], "nf string"
+    )
+    kept = old.join(
+        current_df, norm_sql == F.col("nf"), "left_semi"
+    )
+    known = {r.file for r in old.select("file").distinct().collect()}
+    known_n = {norm(f) for f in known}
+    new_files = sorted(f for f in current if norm(f) not in known_n)
+    if not new_files:
+        return kept
+    params = old.select("n_bits", "n_hashes").limit(1).collect()
+    if params:
+        num_bits, num_hashes = int(params[0].n_bits), int(params[0].n_hashes)
+    else:
+        num_bits = num_hashes = None  # empty old manifest: size from the new files
+    from parqueryd_spark.operators.membership import _SEED2, _positions_sql, bloom_params
+
+    base = (
+        spark.read.parquet(*new_files)
+        .select(F.input_file_name().alias("file"), F.col(key_col).alias("__k"))
+        .where(F.col("__k").isNotNull())
+    )
+    if num_bits is None:
+        mx = (
+            base.groupBy("file").agg(F.count(F.lit(1)).alias("n")).agg(F.max("n")).collect()[0][0]
+        )
+        num_bits, num_hashes = bloom_params(int(mx or 1), 0.01)
+    lanes = (
+        base.select(
+            "file",
+            F.xxhash64("__k").alias("__h1"),
+            F.xxhash64("__k", F.lit(_SEED2)).alias("__h2"),
+        )
+        .select(
+            "file",
+            F.explode(
+                F.expr(_positions_sql("__h1", "__h2", str(num_hashes), f"{num_bits}L"))
+            ).alias("pos"),
+        )
+        .select(
+            "file",
+            F.expr("CAST(pos DIV 64 AS INT)").alias("word"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("lane"),
+        )
+        .groupBy("file", "word")
+        .agg(F.expr("bit_or(lane)").alias("bits"))
+    )
+    fresh = lanes.groupBy("file").agg(
+        F.lit(num_bits).cast("bigint").alias("n_bits"),
+        F.lit(num_hashes).cast("int").alias("n_hashes"),
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bitmap"),
+    )
+    return kept.unionByName(fresh)
+
+
 def optimize_dataset(
     spark: SparkSession,
     dataset_dir: str,

@@ -339,3 +339,48 @@ def test_optimize_dataset_compacts_and_rebuilds_indexes(spark, tmp_path):
     bm = spark.read.parquet(mdir + "/bloom=k")
     out = scan_bloom_pruned(spark, d, "k", [123], bm)
     assert [r.k for r in out.collect()] == [123]
+
+
+def test_refresh_bloom_manifest_incremental(spark, tmp_path):
+    """Bloom-manifest refresh: blooms built ONLY for new files with the OLD
+    parameters (probe compatibility), vanished files' rows dropped, and the
+    merged state serves exact lookups across old + new data."""
+    import os
+    import shutil
+
+    from parqueryd_spark.sources.manifest import (
+        bloom_manifest,
+        refresh_bloom_manifest,
+        scan_bloom_pruned,
+    )
+
+    path = str(tmp_path / "grow")
+    os.makedirs(path)
+
+    def add(name, lo, hi):
+        stage = str(tmp_path / "st")
+        spark.range(lo, hi).select(F.col("id").alias("k")).coalesce(1).write.parquet(
+            stage, mode="overwrite"
+        )
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        os.replace(os.path.join(stage, part), os.path.join(path, name))
+
+    add("a.parquet", 0, 1000)
+    m1 = bloom_manifest(spark, path, "k", fpp=0.01).cache()
+    m1.count()
+    p1 = m1.select("n_bits", "n_hashes").collect()[0]
+
+    add("b.parquet", 1000, 2000)
+    m2 = refresh_bloom_manifest(spark, path, "k", m1).cache()
+    rows = m2.collect()
+    assert len(rows) == 2
+    assert all((r.n_bits, r.n_hashes) == (p1.n_bits, p1.n_hashes) for r in rows)
+    # lookups hit both generations exactly
+    out = scan_bloom_pruned(spark, path, "k", [5, 1500], m2)
+    assert sorted(r.k for r in out.collect()) == [5, 1500]
+    assert len(out.inputFiles()) == 2
+
+    os.remove(os.path.join(path, "a.parquet"))
+    m3 = refresh_bloom_manifest(spark, path, "k", m2)
+    files = [r.file for r in m3.collect()]
+    assert len(files) == 1 and files[0].endswith("b.parquet")
