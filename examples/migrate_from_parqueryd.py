@@ -67,6 +67,23 @@ def main() -> None:
     enriched = eng.apply_pandas(["lineitem"], enrich, "l_orderkey long, value double")
     print("apply_pandas rows:", enriched.count())
 
+    # reference:  bcolz per-shard metadata let workers skip shards
+    # here:       a persisted zone-map manifest does the same from parquet
+    #             footers — the SAME where-terms prune whole shards at plan
+    #             time, results identical (exact predicate still runs)
+    from parqueryd_spark.sources.manifest import build_manifest
+
+    manifest = build_manifest(spark, DATA_DIR)
+    pruned = eng.groupby(
+        ["lineitem.parquet"],
+        ["l_returnflag"],
+        [["l_quantity", "sum", "sum_qty"]],
+        [["l_shipdate", ">", "1998-09-02"]],
+        manifest=manifest,
+    )
+    print("manifest-pruned groupby:")
+    pruned.show()
+
     # reference:  rpc.download(...) + moveparquet barrier    (S3 -> local sync)
     # here:       not needed — Spark reads object storage directly; atomic
     #             publication is sources.sinks.atomic_publish
