@@ -385,15 +385,41 @@ def scan_pruned(
     where_terms: Sequence[Sequence] | None,
     manifest: DataFrame | None = None,
     select: Iterable[str] | None = None,
+    bloom_manifests: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Read only the files the manifest cannot rule out, then apply the
     EXACT compiled predicate — identical results to a full scan + filter
     (property-tested), minus the skipped files' tasks. Pass a persisted
     ``manifest`` for standing data; omitting it builds one on the fly (a
     footer sweep — still cheaper than a data scan for selective queries,
-    but the point of the layer is to build once per publish)."""
+    but the point of the layer is to build once per publish).
+
+    ``bloom_manifests`` ({column: bloom_manifest DataFrame}) stacks the
+    second pruning mechanism: for each ``==``/``in`` term on a covered
+    column, the per-file blooms rule out files the min/max bounds can't —
+    the two verdict sets INTERSECT, so a query like "value in this range
+    AND key == X" reads only files passing both. Sound either way (bloom:
+    no false negatives; zone map: spec bounds; exact filter regardless)."""
     mf = manifest if manifest is not None else build_manifest(spark, path)
     kept = pruned_file_list(mf, where_terms)
+    if bloom_manifests:
+        def norm(u: str) -> str:
+            return "/" + u.split(":", 1)[-1].lstrip("/") if ":" in u else u
+
+        dtypes = {f.name: f.dataType for f in spark.read.parquet(path).schema.fields}
+        for term in where_terms or []:
+            col_name, op, value = term
+            op_key = str(op).strip().lower()
+            if col_name not in bloom_manifests or op_key not in ("==", "=", "in"):
+                continue
+            vals = list(value) if isinstance(value, (list, tuple, set)) else [value]
+            verdicts = {
+                norm(r.file): bool(r.keep)
+                for r in prune_files_bloom(
+                    bloom_manifests[col_name], vals, value_type=dtypes.get(col_name)
+                ).collect()
+            }
+            kept = [f for f in kept if verdicts.get(norm(f), True)]
     pred = compile_where_terms(where_terms)
     if not kept:
         base = spark.read.parquet(path).filter(F.lit(False))

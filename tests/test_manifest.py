@@ -384,3 +384,40 @@ def test_refresh_bloom_manifest_incremental(spark, tmp_path):
     m3 = refresh_bloom_manifest(spark, path, "k", m2)
     files = [r.file for r in m3.collect()]
     assert len(files) == 1 and files[0].endswith("b.parquet")
+
+
+def test_scan_pruned_stacks_bloom_and_zonemap(spark, tmp_path):
+    """Combined pruning: a range term prunes via min/max bounds while an
+    equality term on an unclustered key prunes via per-file blooms — the
+    verdicts intersect, and results stay exact."""
+    from parqueryd_spark.sources.manifest import bloom_manifest, scan_pruned
+
+    path = str(tmp_path / "both")
+    n, n_files = 10_000, 10
+    # clustered on value, scattered on k (k is a permutation of ids)
+    spark.range(n).select(
+        F.col("id").cast("double").alias("value"),
+        F.pmod(F.xxhash64("id"), F.lit(10**9)).alias("k"),
+    ).repartitionByRange(n_files, "value").sortWithinPartitions("value").write.parquet(path)
+
+    zm = build_manifest(spark, path).cache()
+    zm.count()
+    bm = bloom_manifest(spark, path, "k", fpp=0.01).cache()
+    bm.count()
+
+    # pick a real (value, k) pair to look up
+    row = spark.read.parquet(path).filter("value = 4321").collect()[0]
+    terms = [["value", ">=", 4000.0], ["value", "<", 5000.0], ["k", "==", row.k]]
+    out = scan_pruned(spark, path, terms, manifest=zm, bloom_manifests={"k": bm})
+    assert [r.value for r in out.collect()] == [4321.0]
+    assert len(out.inputFiles()) == 1  # range keeps 1-2, bloom confirms 1
+
+    # a k from OUTSIDE the value range: intersection usually empty, result
+    # exact (empty) either way
+    other = spark.read.parquet(path).filter("value = 9000").collect()[0]
+    out2 = scan_pruned(
+        spark, path,
+        [["value", ">=", 4000.0], ["value", "<", 5000.0], ["k", "==", other.k]],
+        manifest=zm, bloom_manifests={"k": bm},
+    )
+    assert out2.count() == 0
