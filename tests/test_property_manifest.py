@@ -71,3 +71,80 @@ def test_pruned_scan_and_count_equal_exact(spark, seq, rows, terms, n_files):
     )
     assert got == want, (terms, rows)
     assert count_pruned(spark, path, terms, manifest=mf) == len(want), (terms, rows)
+
+
+_INTERVALS = st.lists(
+    st.tuples(st.integers(-30, 30), st.integers(0, 25)), min_size=1, max_size=20
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    ia=_INTERVALS,
+    ib=_INTERVALS,
+    width=st.sampled_from([1.0, 3.0, 7.0, 50.0]),
+)
+def test_interval_join_equals_theta_property(spark, ia, ib, width):
+    """interval_join over arbitrary (possibly touching, nested, duplicate,
+    zero-length) intervals equals the naive theta join at any bucket width —
+    zero-length intervals [x, x) match nothing (half-open)."""
+    from parqueryd_spark.operators.relational import interval_join
+
+    a = spark.createDataFrame(
+        [(i, float(s), float(s + l)) for i, (s, l) in enumerate(ia)],
+        "aid long, astart double, aend double",
+    )
+    b = spark.createDataFrame(
+        [(i, float(s), float(s + l)) for i, (s, l) in enumerate(ib)],
+        "bid long, bstart double, bend double",
+    )
+    got = sorted(
+        (r.aid, r.bid)
+        for r in interval_join(a, b, ("astart", "aend"), ("bstart", "bend"), width).collect()
+    )
+    # pure-Python oracle: exact, and far cheaper than a second Spark job
+    want = sorted(
+        (i, j)
+        for i, (s, l) in enumerate(ia)
+        for j, (t, m) in enumerate(ib)
+        if s < t + m and t < s + l
+    )
+    assert got == want, (ia, ib, width)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    xs=st.lists(st.integers(-40, 40), min_size=1, max_size=20),
+    ys=st.lists(st.integers(-40, 40), min_size=1, max_size=20),
+    delta=st.sampled_from([0.0, 1.0, 5.0, 13.0]),
+    wmul=st.sampled_from([1.0, 2.5, 10.0]),
+)
+def test_band_join_equals_theta_property(spark, xs, ys, delta, wmul):
+    from parqueryd_spark.operators.relational import band_join
+
+    a = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(xs)], "aid long, x double"
+    )
+    b = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(ys)], "bid long, y double"
+    )
+    width = max(delta, 1e-9) * wmul
+    got = sorted(
+        (r.aid, r.bid)
+        for r in band_join(a, b, "x", "y", delta, bucket_width=width).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, x in enumerate(xs)
+        for j, y in enumerate(ys)
+        if abs(x - y) <= delta
+    )
+    assert got == want, (xs, ys, delta, wmul)
