@@ -185,6 +185,12 @@ def interval_join(
     An interval spanning more than ``max_buckets_per_interval`` buckets fails
     fast at execution with a clear error instead of exploding the join.
 
+    Empty intervals (``end <= start``) contain no points and are dropped —
+    they overlap NOTHING, which deliberately differs from the naive
+    ``a.start < b.end AND b.start < a.end`` theta predicate (that formula is
+    only valid for non-empty intervals; on ``[x, x)`` it manufactures
+    phantom overlaps). Property-tested against the guarded oracle.
+
     Column names must be disjoint across the two sides (rename before
     joining); both sides keep all their columns in the result.
     """

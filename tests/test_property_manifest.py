@@ -106,12 +106,17 @@ def test_interval_join_equals_theta_property(spark, ia, ib, width):
         (r.aid, r.bid)
         for r in interval_join(a, b, ("astart", "aend"), ("bstart", "bend"), width).collect()
     )
-    # pure-Python oracle: exact, and far cheaper than a second Spark job
+    # pure-Python oracle: exact, and far cheaper than a second Spark job.
+    # The l > 0 / m > 0 guards matter: the naive s < f && t < e overlap
+    # formula is only valid for NON-empty intervals — a zero-length [x, x)
+    # contains no points and overlaps nothing (hypothesis found exactly this
+    # counterexample against the unguarded oracle; the operator drops empty
+    # intervals by construction).
     want = sorted(
         (i, j)
         for i, (s, l) in enumerate(ia)
         for j, (t, m) in enumerate(ib)
-        if s < t + m and t < s + l
+        if l > 0 and m > 0 and s < t + m and t < s + l
     )
     assert got == want, (ia, ib, width)
 
