@@ -94,10 +94,22 @@ def scd2_apply(
     # The dedup on (key, ts, tiebreak) — which must identify a change — makes
     # apply IDEMPOTENT: replaying a batch already absorbed into the history
     # re-unions the identical change rows and collapses to the same chains,
-    # the at-least-once contract the streaming maintainers rely on.
-    replay = affected.drop(*_RESERVED)
-    combined = replay.unionByName(changes).dropDuplicates(
-        [*key_cols, ts_col, *(tiebreak_cols or [])]
+    # the at-least-once contract the streaming maintainers rely on. When a
+    # replayed version and an incoming change share the same identity but
+    # differ in attribute values (a correcting RESTATEMENT), the incoming
+    # batch row wins deterministically via the precedence rank — a bare
+    # dropDuplicates would keep an arbitrary side run to run. Identity
+    # collisions WITHIN one batch remain caller error (the tiebreak columns
+    # exist to make change identity total).
+    replay = affected.drop(*_RESERVED).withColumn("__prec", F.lit(0))
+    combined = replay.unionByName(changes.withColumn("__prec", F.lit(1)))
+    ident = Window.partitionBy(
+        *key_cols, ts_col, *(tiebreak_cols or [])
+    ).orderBy(F.col("__prec").desc())
+    combined = (
+        combined.withColumn("__rn", F.row_number().over(ident))
+        .filter(F.col("__rn") == 1)
+        .drop("__prec", "__rn")
     )
     rebuilt = scd2_init(combined, key_cols, ts_col, compare_cols, tiebreak_cols)
     return untouched.unionByName(rebuilt)

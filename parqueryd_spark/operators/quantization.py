@@ -268,6 +268,35 @@ def pq_topk(
     )
 
 
+def _residual_frame(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, centroid_id, __resid): each vector's IVF residual — unit-normalized
+    vector minus its unit-normalized assigned centroid — computed JVM-side
+    (transform/zip_with; one broadcast-assign pass, no Python on the corpus).
+    Unit space keeps the residual formulation consistent with the cosine
+    metric the buckets are probed with (‖â−b̂‖² = 2−2·cos)."""
+    from parqueryd_spark.operators.similarity import ivf_assign, norm
+
+    assignment = ivf_assign(corpus, centroids, id_col, vec_col)
+    cen = centroids.select("centroid_id", as_double(F.col(vec_col)).alias("__cv"))
+    base = (
+        corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
+        .join(assignment, id_col)
+        .join(F.broadcast(cen), "centroid_id")
+    )
+    xhat = F.transform(F.col("__v"), lambda x: x / norm(F.col("__v")))
+    chat = F.transform(F.col("__cv"), lambda x: x / norm(F.col("__cv")))
+    return base.select(
+        F.col(id_col),
+        F.col("centroid_id"),
+        F.zip_with(xhat, chat, lambda a, b: a - b).alias("__resid"),
+    )
+
+
 def ivfpq_publish(
     spark,
     index_dir: str,
@@ -279,6 +308,7 @@ def ivfpq_publish(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     batch: str = "base",
+    residual: bool = False,
 ) -> None:
     """Publish an IVF-PQ index — the canonical 100 TB ANN layout (coarse
     quantizer for pruning x product quantizer for compression, the
@@ -296,29 +326,61 @@ def ivfpq_publish(
     At 100 TB the codes table is the only corpus-sized artifact a search
     touches (~m bytes/vector, further cut nprobe/n_centroids by pruning);
     full-precision vectors are read ONLY for the refine-k re-rank join.
-    Codes quantize the raw (normalized) vectors, not IVF residuals — one
-    shared codebook set serves every bucket, appends stay embarrassingly
-    parallel, and the refine re-rank recovers most of the residual path's
-    recall edge; swap in residual encoding if un-refined ADC ranking quality
-    ever becomes the binding constraint.
+
+    ``residual=False`` (default): codes quantize the raw (normalized)
+    vectors — one shared codebook set serves every bucket, appends stay
+    embarrassingly parallel, and the refine re-rank recovers most of the
+    residual path's recall edge; this is the oracle-stable registry route.
+    ``residual=True``: the standard IVF-PQ formulation (Jegou et al. §III) —
+    codes quantize ``x̂ − ĉ(x)`` (the vector minus its assigned coarse
+    centroid, unit space), which concentrates the quantizer's dynamic range
+    on the within-bucket spread, so un-refined ADC ranking is measurably
+    sharper at equal (m, k_codes); searches then build one LUT per
+    (query, probed centroid) pair instead of per query. The flag is
+    persisted in ``<index_dir>/meta`` and honored by load/append/search.
     """
     from parqueryd_spark.operators.similarity import ivf_assign
 
-    cb = pq_train(corpus, dim=dim, m=m, k=k_codes, vec_col=vec_col, id_col=id_col)
     centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    if residual:
+        resid = _residual_frame(corpus, centroids, id_col, vec_col)
+        cb = pq_train(
+            resid, dim=dim, m=m, k=k_codes, vec_col="__resid", id_col=id_col,
+            normalize=False,
+        )
+        encoded = pq_encode(
+            resid, cb, id_col=id_col, vec_col="__resid", normalize=False
+        ).join(resid.select(id_col, "centroid_id"), id_col)
+    else:
+        cb = pq_train(corpus, dim=dim, m=m, k=k_codes, vec_col=vec_col, id_col=id_col)
+        assignment = ivf_assign(corpus, centroids, id_col, vec_col)
+        encoded = pq_encode(corpus, cb, id_col=id_col, vec_col=vec_col).join(
+            assignment, id_col
+        )
     cb_rows = [(j, c, cb[j][c]) for j in range(len(cb)) for c in range(len(cb[j]))]
     spark.createDataFrame(cb_rows, "j int, code int, sub array<double>").write.mode(
         "overwrite"
     ).parquet(f"{index_dir}/codebooks")
-    assignment = ivf_assign(corpus, centroids, id_col, vec_col)
+    spark.createDataFrame([(bool(residual),)], "residual boolean").write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/meta")
     (
-        pq_encode(corpus, cb, id_col=id_col, vec_col=vec_col)
-        .join(assignment, id_col)
-        .withColumn("batch", F.lit(batch))
+        encoded.withColumn("batch", F.lit(batch))
         .write.mode("overwrite")
         .partitionBy("batch", "centroid_id")
         .parquet(f"{index_dir}/codes")
     )
+
+
+def ivfpq_meta(spark, index_dir: str) -> dict:
+    """Index metadata ({'residual': bool}); indexes published before the
+    residual flag existed have no meta dataset and default to the raw-vector
+    encoding."""
+    try:
+        row = spark.read.parquet(f"{index_dir}/meta").collect()[0]
+        return {"residual": bool(row["residual"])}
+    except Exception:
+        return {"residual": False}
 
 
 def ivfpq_load(spark, index_dir: str):
@@ -337,6 +399,38 @@ def ivfpq_load(spark, index_dir: str):
     return codes, cents, cb
 
 
+def _pair_luts(pairs: DataFrame, codebooks: list) -> DataFrame:
+    """Residual ADC tables: one LUT per (query, probed centroid) pair over
+    ``q̂ − ĉ`` — the residual-space twin of :func:`pq_lut` (which is
+    per-query). ``pairs`` carries (query_id, centroid_id, qv, cv); the UDF is
+    a self-contained Arrow-batched closure over the small probe-pair frame
+    (|queries| × nprobe rows, metadata scale)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(codebooks, dtype=np.float64)
+
+    @pandas_udf("array<array<double>>")
+    def _lut2(qvs, cvs):
+        import numpy as _np
+        import pandas as _pd
+
+        out = []
+        m, _, dsub = C.shape
+        for qv, cv in zip(qvs, cvs):
+            q = _np.asarray(qv, dtype=_np.float64)
+            c = _np.asarray(cv, dtype=_np.float64)
+            x = q / _np.linalg.norm(q) - c / _np.linalg.norm(c)
+            rows = []
+            for j in range(m):
+                s = x[j * dsub : (j + 1) * dsub]
+                rows.append(((C[j] - s[None, :]) ** 2).sum(axis=1))
+            out.append(_np.array(rows))
+        return _pd.Series(out)
+
+    return pairs.withColumn("lut", _lut2("qv", "cv")).drop("qv", "cv")
+
+
 def ivfpq_search(
     codes: DataFrame,
     centroids: DataFrame,
@@ -348,6 +442,7 @@ def ivfpq_search(
     refine: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> DataFrame:
     """Top-k against a published IVF-PQ index: rank centroids per query
     (broadcast — metadata scale), ADC-score ONLY the probed buckets' codes
@@ -357,7 +452,13 @@ def ivfpq_search(
     (``corpus``; reads |queries| x refine x k rows). ``refine=0`` (or
     ``corpus=None``) returns the raw ADC ranking
     (query_id, neighbor_id, approx_dist, rank); with refine it returns
-    (query_id, neighbor_id, cosine_sim, rank)."""
+    (query_id, neighbor_id, cosine_sim, rank).
+
+    ``residual`` must match the index's publish-time flag (see
+    ``ivfpq_meta``): the residual path builds one LUT per (query, probed
+    centroid) pair — same broadcast size (|queries| × nprobe LUT rows reach
+    every probed bucket either way), the corpus-sized codes stream and the
+    JVM-side ``element_at`` scoring are identical."""
     from pyspark.sql import Window as W
 
     from parqueryd_spark.operators.similarity import as_double, cosine
@@ -371,10 +472,13 @@ def ivfpq_search(
         .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
         .withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= nprobe)
-        .select("query_id", "centroid_id")
+        .select("query_id", "centroid_id", "qv", "cv")
     )
-    luts = pq_lut(queries, codebooks, id_col=id_col, vec_col=vec_col)
-    probe_luts = probes.join(luts, "query_id")  # nqueries x nprobe rows
+    if residual:
+        probe_luts = _pair_luts(probes, codebooks)  # nqueries x nprobe rows
+    else:
+        luts = pq_lut(queries, codebooks, id_col=id_col, vec_col=vec_col)
+        probe_luts = probes.drop("qv", "cv").join(luts, "query_id")
     approx = F.lit(0.0)
     for j in range(mm):
         approx = approx + F.element_at(F.element_at("lut", j + 1), F.col("codes")[j] + 1)
@@ -440,12 +544,20 @@ def ivfpq_append(
 
     _, _, cb = ivfpq_load(spark, index_dir)
     centroids = spark.read.parquet(f"{index_dir}/centroids")
-    assignment = ivf_assign(new_vectors, centroids, id_col, vec_col)
-    assigned = (
-        pq_encode(new_vectors, cb, id_col=id_col, vec_col=vec_col)
-        .join(assignment, id_col)
-        .withColumn("batch", F.lit(batch))
-    )
+    if ivfpq_meta(spark, index_dir)["residual"]:
+        resid = _residual_frame(new_vectors, centroids, id_col, vec_col)
+        assigned = (
+            pq_encode(resid, cb, id_col=id_col, vec_col="__resid", normalize=False)
+            .join(resid.select(id_col, "centroid_id"), id_col)
+            .withColumn("batch", F.lit(batch))
+        )
+    else:
+        assignment = ivf_assign(new_vectors, centroids, id_col, vec_col)
+        assigned = (
+            pq_encode(new_vectors, cb, id_col=id_col, vec_col=vec_col)
+            .join(assignment, id_col)
+            .withColumn("batch", F.lit(batch))
+        )
     (
         assigned.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

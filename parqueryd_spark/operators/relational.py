@@ -209,8 +209,13 @@ def interval_join(
         b0 = F.floor(s / w)
         b1 = F.floor(e / w)
         n = b1 - b0 + 1
+        # NULL-tolerant guard: a NULL bound makes `n <= max` NULL, and
+        # assert_true raises on NULL conditions; the isNull disjuncts keep
+        # the condition TRUE for null-bound rows, which the notnull filter
+        # below then drops (Catalyst folds chained wheres into one And and
+        # may evaluate the guard before the filter proves it dead)
         guard = F.assert_true(
-            n <= max_buckets_per_interval,
+            s.isNull() | e.isNull() | (n <= max_buckets_per_interval),
             F.format_string(
                 "interval_join: an interval on the %s side spans %%d buckets "
                 "(max %d) — raise bucket_width or max_buckets_per_interval"
@@ -218,7 +223,9 @@ def interval_join(
                 n,
             ),
         ).isNull()
-        return df.where(s < e).where(guard).select(
+        # NULL start/end rows contain no points: drop them like empty
+        # intervals (s < e is NULL for them, but keep the check explicit)
+        return df.where(s.isNotNull() & e.isNotNull() & (s < e)).where(guard).select(
             "*",
             s.alias(f"__{side}s"),
             e.alias(f"__{side}e"),

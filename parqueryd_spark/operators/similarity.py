@@ -12,9 +12,12 @@ Scale design (100 TB / billions of vectors):
 - **IVF bucketing**: coarse-quantize the corpus to its nearest centroid
   (broadcast centroid list, one map pass), then search only the query's
   ``nprobe`` closest buckets — corpus scan cost drops by ~n_centroids/nprobe.
-  Centroids here are taken deterministically from the corpus itself (first K
-  by id) so the operator is reproducible without an iterative k-means fit;
-  plug in MLlib KMeans centroids for production quality.
+  Centroids are either taken deterministically from the corpus itself (first
+  K by id — reproducible without an iterative fit; the oracle-stable default)
+  or fitted with seeded MLlib KMeans under cosine distance
+  (:func:`kmeans_centroids`, ``ivf_publish(..., centroids="kmeans")`` — the
+  production coarse quantizer; recall dominance on clustered corpora is
+  pytest-pinned in tests/test_ivf_lifecycle.py).
 """
 
 from __future__ import annotations
@@ -322,10 +325,12 @@ def ivf_publish(
     spark,
     index_dir: str,
     corpus: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     batch: str = "base",
+    n_centroids: int | None = None,
+    seed: int = 42,
 ) -> None:
     """Persist a self-contained IVF index: centroids at
     ``<index_dir>/centroids`` and assigned vectors at ``<index_dir>/vectors``
@@ -335,7 +340,33 @@ def ivf_publish(
     ``ivf_append`` adds later corpus increments as new ``batch=`` partitions
     (idempotently replayable — re-writing a batch overwrites exactly its own
     partition); the centroids file is the metadata the appends quantize
-    against."""
+    against.
+
+    ``centroids`` is either a prebuilt centroids DataFrame
+    (``centroid_id, vec_col``) or a fit mode string (``n_centroids``
+    required): ``"kmeans"`` fits seeded MLlib KMeans with cosine distance
+    (:func:`kmeans_centroids` — the production coarse quantizer: on
+    clustered corpora fitted centroids track the real cluster structure, so
+    equal-``nprobe`` searches probe the buckets the true neighbors actually
+    landed in; recall dominance over first-K is pytest-pinned on a clustered
+    synthetic corpus); ``"first_k"`` takes the first ``n_centroids`` corpus
+    vectors by id (deterministic and fit-free — the oracle-stable default
+    the registry rows use)."""
+    if isinstance(centroids, str):
+        if n_centroids is None:
+            raise ValueError("centroids mode string requires n_centroids")
+        if centroids == "kmeans":
+            centroids = kmeans_centroids(corpus, n_centroids, vec_col=vec_col, seed=seed)
+        elif centroids == "first_k":
+            centroids = (
+                corpus.orderBy(F.col(id_col).asc())
+                .limit(n_centroids)
+                .select(F.col(id_col).cast("int").alias("centroid_id"), F.col(vec_col))
+            )
+        else:
+            raise ValueError(
+                f"centroids must be a DataFrame, 'kmeans', or 'first_k'; got {centroids!r}"
+            )
     centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")
     (
         ivf_index(corpus, centroids, id_col, vec_col)

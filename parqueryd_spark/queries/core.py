@@ -192,6 +192,40 @@ def global_agg_no_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MANIFEST_SERVE_CACHE: dict = {}
+
+
+def _served_manifest(spark: SparkSession, sf_dir: str, table: str, kind: str, **kw):
+    """The skipping indexes on their SERVE path (VERDICT r8 item #2): build
+    the zone-map / bloom manifest ONCE per (process, sf_dir, table[, col]),
+    PUBLISH it to a temp-dir parquet dataset, and hand every later call the
+    read-back — the `served_ivf_index` pattern. Standing data pays the footer
+    sweep (zone map) or key-column read (bloom) at ingest/OPTIMIZE time and
+    amortizes it over every query; the registry/bench rows now time the scan,
+    not a per-call index rebuild. Maintenance between publishes is
+    `refresh_manifest` / `refresh_bloom_manifest` (O(new files) — equality
+    with a from-scratch rebuild is pytest-pinned)."""
+    import tempfile
+    import threading
+
+    lock = _MANIFEST_SERVE_CACHE.setdefault("__lock", threading.Lock())
+    key = (kind, os.path.abspath(sf_dir), table, tuple(sorted(kw.items())))
+    with lock:
+        path = _MANIFEST_SERVE_CACHE.get(key)
+        if path is None or not os.path.isdir(path):
+            from parqueryd_spark.sources.manifest import bloom_manifest, build_manifest
+
+            data = table_path(sf_dir, table)
+            if kind == "zonemap":
+                mf = build_manifest(spark, data)
+            else:
+                mf = bloom_manifest(spark, data, kw["key_col"], fpp=kw.get("fpp", 0.01))
+            path = tempfile.mkdtemp(prefix=f"parqueryd_spark_{kind}_manifest_")
+            mf.write.mode("overwrite").parquet(path)
+            _MANIFEST_SERVE_CACHE[key] = path
+    return spark.read.parquet(path)
+
+
 @query(
     "scan_zonemap_pruned",
     bench=True,
@@ -220,7 +254,8 @@ def scan_zonemap_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["value", "<", 120.0],
         ["event_type", "in", ["click", "view"]],
     ]
-    df = scan_pruned(spark, table_path(sf_dir, "events"), terms)
+    mf = _served_manifest(spark, sf_dir, "events", "zonemap")
+    df = scan_pruned(spark, table_path(sf_dir, "events"), terms, manifest=mf)
     return df.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("sum_value"),
@@ -246,6 +281,7 @@ def scan_zonemap_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         table_path(sf_dir, "events"),
         [["value", ">=", 100.0], ["event_type", "!=", "error"]],
+        manifest=_served_manifest(spark, sf_dir, "events", "zonemap"),
     )
     return spark.createDataFrame([(n,)], "n_rows bigint")
 
@@ -268,12 +304,85 @@ def scan_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     files, so the result equals the plain SQL lookup."""
     from pyspark.sql import functions as F
 
-    from parqueryd_spark.sources.manifest import bloom_manifest, scan_bloom_pruned
+    from parqueryd_spark.sources.manifest import scan_bloom_pruned
 
     path = table_path(sf_dir, "events")
-    bm = bloom_manifest(spark, path, "user_id", fpp=0.01)
+    bm = _served_manifest(spark, sf_dir, "events", "bloom", key_col="user_id")
     df = scan_bloom_pruned(spark, path, "user_id", [7, 42, 99], bm)
     return df.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+_DRIFT_CACHE: dict = {}
+
+
+def _drift_shards(spark: SparkSession, sf_dir: str) -> str:
+    """Two orders shards with DRIFTED schemas, built once per (process,
+    sf_dir) into a temp dir — the data-model semantic SURVEY §1 carries from
+    the reference's shard files (one logical table, per-shard schemas free to
+    evolve): shard_even has every column, shard_odd predates the
+    ``o_orderpriority`` column. Deterministic content (keyed split of the
+    standing table), so the DuckDB oracle can reproduce the merged read from
+    the registered view alone."""
+    import tempfile
+    import threading
+
+    lock = _DRIFT_CACHE.setdefault("__lock", threading.Lock())
+    key = os.path.abspath(sf_dir)
+    with lock:
+        path = _DRIFT_CACHE.get(key)
+        if path is not None and os.path.isdir(path):
+            return path
+        from pyspark.sql import functions as F
+
+        orders = spark.read.parquet(table_path(sf_dir, "orders"))
+        d = tempfile.mkdtemp(prefix="parqueryd_spark_drift_")
+        orders.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.parquet(
+            os.path.join(d, "shard_even.parquet")
+        )
+        orders.filter(F.col("o_orderkey") % 2 == 1).drop("o_orderpriority").coalesce(
+            1
+        ).write.parquet(os.path.join(d, "shard_odd.parquet"))
+        _DRIFT_CACHE[key] = d
+        return d
+
+
+@query(
+    "shard_schema_drift",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           count(CASE WHEN o_orderkey % 2 = 0 THEN o_orderpriority END) AS n_priority,
+           CAST(round(sum(o_totalprice), 4) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def shard_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard SCHEMA DRIFT under the parity reader (VERDICT r8 item #5): one
+    logical table whose shards disagree on schema — ``shard_odd`` predates
+    ``o_orderpriority`` — read via ``read_parquet(..., merge_schema=True)``
+    (sources/parquet.py; reference shards share no enforced schema, the
+    bcolz-era files evolved independently), with a missing shard name in the
+    list exercising the silent-missing contract (controller.py:618-621) in
+    the same call. Rows from the pre-drift shard surface the absent column
+    as NULL — the oracle reconstructs exactly that from the standing view,
+    so the merged read is value-checked, not just row-counted."""
+    from pyspark.sql import functions as F
+
+    from parqueryd_spark.sources.parquet import read_parquet
+
+    d = _drift_shards(spark, sf_dir)
+    merged = read_parquet(
+        spark,
+        ["shard_even.parquet", "shard_odd.parquet", "no_such_shard.parquet"],
+        data_dir=d,
+        merge_schema=True,
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count("o_orderpriority").alias("n_priority"),
+        F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
     )

@@ -34,10 +34,12 @@ asserts kept ⊇ matching-files anyway.
 
 Driver-side cost is one collect of the KEPT file paths — the same O(files)
 planning-time listing Spark's own FileIndex does; verdict evaluation stays
-distributed. Note: reading a pruned subset of a hive-partitioned dataset by
-file path drops the directory-derived partition columns — use this on plain
-(non-hive) datasets; hive layouts already get directory-level pruning from
-Spark (``write_partitioned``).
+distributed. Hive-partitioned layouts compose: ``build_manifest`` records
+directory-derived ``key=value`` partition values as constant-per-file stats
+rows (so partition terms prune through the same verdict machinery as data
+stats), and pruned subset reads pass ``basePath`` so the partition columns
+survive — a query filtering on a partition key AND a clustered data column
+skips via both layers at once.
 """
 
 from __future__ import annotations
@@ -78,11 +80,21 @@ _EPOCH_DT = _dt.datetime(1970, 1, 1)
 _EPOCH_D = _dt.date(1970, 1, 1)
 
 
+def _norm_path(u: str) -> str:
+    """Normalize URI spelling differences (``file:/x`` vs ``/x`` vs
+    ``file:///x``) so manifest rows (input_file_name / lister spellings)
+    match caller paths."""
+    return "/" + u.split(":", 1)[-1].lstrip("/") if ":" in u else u
+
+
 def _coerce_num(value) -> float | None:
     """Python term-value -> the manifest's numeric encoding (None = not
-    numeric). Dates encode as days since epoch, datetimes as epoch seconds —
-    matching the footer-side encoding in ``build_manifest`` so planning
-    compares like with like."""
+    numeric). Dates AND datetimes both encode as epoch SECONDS (dates at
+    midnight, matching Spark's date->timestamp cast), mirroring the
+    footer-side encoding in ``build_manifest``, so a ``date`` term against a
+    timestamp column (or vice versa) compares in ONE unit — encoding dates
+    as days would silently prune everything on mixed-type terms (the
+    day-count ~2e4 sits below every epoch-second bound ~2e9)."""
     if isinstance(value, bool):
         return float(value)
     if isinstance(value, (int, float)):
@@ -91,7 +103,7 @@ def _coerce_num(value) -> float | None:
         base = _EPOCH_DT.replace(tzinfo=value.tzinfo) if value.tzinfo else _EPOCH_DT
         return (value - base).total_seconds()
     if isinstance(value, _dt.date):
-        return float((value - _EPOCH_D).days)
+        return float((value - _EPOCH_D).days) * 86400.0
     return None
 
 
@@ -109,26 +121,69 @@ def build_manifest(
     return (
         spark.createDataFrame([(f,) for f in files], "file string")
         .repartition(slices)
-        .mapInPandas(_footer_reader(list(columns) if columns else None), MANIFEST_SCHEMA)
+        .mapInPandas(
+            _footer_reader(list(columns) if columns else None, root=path),
+            MANIFEST_SCHEMA,
+        )
     )
 
 
-def _footer_reader(wanted: list[str] | None):
+def _footer_reader(wanted: list[str] | None, root: str | None = None):
     """mapInPandas fn over a ``file string`` column of parquet URIs ->
     MANIFEST_SCHEMA rows. Returned closure is self-contained (imports
-    inside, no module globals) so executors never need the repo importable."""
+    inside, no module globals) so executors never need the repo importable.
+
+    With ``root``, hive-style ``key=value`` path segments between the root
+    and each file ALSO become manifest rows (min == max == the partition
+    value, encoded both lexically and — when it parses as a number or ISO
+    date — numerically; ``__HIVE_DEFAULT_PARTITION__`` registers as all-null)
+    so where-terms on partition columns prune through the SAME verdict
+    machinery as data-column stats, and the two pruning layers compose."""
     out_cols = [f.name for f in MANIFEST_SCHEMA.fields]
+    norm_root = (
+        ("/" + root.split(":", 1)[-1].lstrip("/") if ":" in root else root).rstrip("/")
+        if root is not None
+        else None
+    )
 
     def _footers(batches):
         # self-contained closure: executors must not need the repo on their
         # import path (cloudpickled by value, imports inside)
         import datetime as dt
+        from urllib.parse import unquote
 
         import pandas as pd
         import pyarrow.parquet as pq
 
         epoch_dt = dt.datetime(1970, 1, 1)
         epoch_d = dt.date(1970, 1, 1)
+
+        def hive_parts(uri):
+            if norm_root is None:
+                return []
+            p = "/" + uri.split(":", 1)[-1].lstrip("/") if ":" in uri else uri
+            if not p.startswith(norm_root + "/"):
+                return []
+            out = []
+            for seg in p[len(norm_root) + 1 :].split("/")[:-1]:  # dirs only
+                if "=" in seg:
+                    k, _, v = seg.partition("=")
+                    out.append((k, unquote(v)))
+            return out
+
+        def part_num(v):
+            try:
+                return float(int(v))
+            except ValueError:
+                pass
+            try:
+                return float(v)
+            except ValueError:
+                pass
+            try:
+                return float((dt.date.fromisoformat(v) - epoch_d).days) * 86400.0
+            except ValueError:
+                return None
 
         def num(v):
             if v is None:
@@ -141,7 +196,9 @@ def _footer_reader(wanted: list[str] | None):
                 base = epoch_dt.replace(tzinfo=v.tzinfo) if v.tzinfo else epoch_dt
                 return (v - base).total_seconds()
             if isinstance(v, dt.date):
-                return float((v - epoch_d).days)
+                # epoch SECONDS (midnight), same unit as datetimes — keeps
+                # date/timestamp cross-type terms comparable (see _coerce_num)
+                return float((v - epoch_d).days) * 86400.0
             return None
 
         def lex(v):
@@ -177,6 +234,44 @@ def _footer_reader(wanted: list[str] | None):
                                 else None
                             )
                             cur["null"] = None if nc is None else cur["null"] + nc
+                # directory-derived hive partition columns: constant per file
+                # (min == max == value; exact-zero nulls), so equality/range
+                # terms on them prune files exactly like clustered data stats
+                for pk, pv in hive_parts(uri):
+                    if wanted is not None and pk not in wanted:
+                        continue
+                    is_null = pv == "__HIVE_DEFAULT_PARTITION__"
+                    rows.append(
+                        {
+                            "file": uri,
+                            "column": pk,
+                            "n_rows": n_rows,
+                            "null_count": n_rows if is_null else 0,
+                            "has_min_max": not is_null,
+                            "min_num": None if is_null else part_num(pv),
+                            "max_num": None if is_null else part_num(pv),
+                            "min_str": None if is_null else pv,
+                            "max_str": None if is_null else pv,
+                        }
+                    )
+                # sentinel coverage row (column=""): EVERY swept file gets at
+                # least one manifest row, so a narrowed manifest over a file
+                # whose schema lacks every wanted column still registers the
+                # file in prune_files' universe (absent columns stay
+                # unprunable instead of silently dropping the file's rows)
+                rows.append(
+                    {
+                        "file": uri,
+                        "column": "",
+                        "n_rows": n_rows,
+                        "null_count": None,
+                        "has_min_max": False,
+                        "min_num": None,
+                        "max_num": None,
+                        "min_str": None,
+                        "max_str": None,
+                    }
+                )
                 for name, cur in acc.items():
                     ok = cur["ok"] and cur["mins"]
                     mn = min(cur["mins"]) if ok else None
@@ -224,7 +319,10 @@ def refresh_manifest(
     fresh = (
         spark.createDataFrame([(f,) for f in new_files], "file string")
         .repartition(slices)
-        .mapInPandas(_footer_reader(list(columns) if columns else None), MANIFEST_SCHEMA)
+        .mapInPandas(
+            _footer_reader(list(columns) if columns else None, root=path),
+            MANIFEST_SCHEMA,
+        )
     )
     return kept.unionByName(fresh)
 
@@ -345,23 +443,41 @@ def prune_paths(
     A shard path may be a FILE or a DIRECTORY of part-files (Spark writes):
     a directory is dropped only when EVERY manifest file under it is ruled
     out; a path with no manifest coverage at all is kept.
-    """
 
-    def norm(u: str) -> str:
-        return "/" + u.split(":", 1)[-1].lstrip("/") if ":" in u else u
+    Driver-side cost is O(paths log files): verdict keys are sorted once and
+    each shard path binary-searches its prefix range (a per-path linear scan
+    of the verdict dict would be quadratic at millions of files).
+    """
+    import bisect
 
     verdicts = {
-        norm(r.file): bool(r.keep)
+        _norm_path(r.file): bool(r.keep)
         for r in prune_files(manifest, where_terms).collect()
     }
+    keys = sorted(verdicts)
     kept: list[str] = []
     for p in paths:
-        np_ = norm(p)
+        np_ = _norm_path(p)
         prefix = np_.rstrip("/") + "/"
-        under = [k for f, k in verdicts.items() if f == np_ or f.startswith(prefix)]
+        # files under the directory form a contiguous sorted range
+        # [prefix, prefix + U+10FFFF); an exact-file shard matches np_ itself
+        lo = bisect.bisect_left(keys, prefix)
+        hi = bisect.bisect_left(keys, prefix + "\U0010ffff")
+        under = [verdicts[k] for k in keys[lo:hi]]
+        if np_ in verdicts:
+            under.append(verdicts[np_])
         if not under or any(under):
             kept.append(p)
     return kept
+
+
+def _uncovered_live_files(spark: SparkSession, path: str, mf: DataFrame) -> list[str]:
+    """Live files under ``path`` with NO manifest coverage — a stale
+    persisted manifest's blind spot; callers keep (scan) them."""
+    covered = {_norm_path(r.file) for r in mf.select("file").distinct().collect()}
+    return sorted(
+        f for f in HadoopFS(spark, path).list_files(path) if _norm_path(f) not in covered
+    )
 
 
 def skip_stats(manifest: DataFrame, where_terms: Sequence[Sequence] | None) -> dict:
@@ -402,10 +518,16 @@ def scan_pruned(
     no false negatives; zone map: spec bounds; exact filter regardless)."""
     mf = manifest if manifest is not None else build_manifest(spark, path)
     kept = pruned_file_list(mf, where_terms)
+    if manifest is not None:
+        # a STALE persisted manifest (new files published since the last
+        # refresh) must not silently drop the uncovered files' rows: union
+        # the live listing and keep anything without manifest coverage
+        # (conservative — the same contract as an absent column). A freshly
+        # built manifest just listed the same files, so this only runs for
+        # caller-persisted manifests.
+        kept = kept + _uncovered_live_files(spark, path, mf)
     if bloom_manifests:
-        def norm(u: str) -> str:
-            return "/" + u.split(":", 1)[-1].lstrip("/") if ":" in u else u
-
+        norm = _norm_path
         dtypes = {f.name: f.dataType for f in spark.read.parquet(path).schema.fields}
         for term in where_terms or []:
             col_name, op, value = term
@@ -424,7 +546,14 @@ def scan_pruned(
     if not kept:
         base = spark.read.parquet(path).filter(F.lit(False))
     else:
-        base = spark.read.parquet(*kept)
+        # basePath keeps directory-derived (hive) partition columns alive on
+        # a subset-of-files read — without it a pruned read of a partitioned
+        # dataset would silently drop those columns. Only meaningful when
+        # ``path`` is a directory above the kept files.
+        reader = spark.read
+        if any(_norm_path(f) != _norm_path(path) for f in kept):
+            reader = reader.option("basePath", path)
+        base = reader.parquet(*kept)
         if pred is not None:
             base = base.filter(pred)
     if select is not None:
@@ -522,10 +651,17 @@ def count_pruned(
     )
     stat_count = sum(r.n_rows for r in plan if r.keep and r.full)
     boundary = sorted(r.file for r in plan if r.keep and not r.full)
+    if manifest is not None:
+        # stale-manifest guard (see scan_pruned): uncovered live files can't
+        # be stat-counted or ruled out — scan them with the exact predicate
+        boundary = boundary + _uncovered_live_files(spark, path, mf)
     if not boundary:
         return int(stat_count)
     pred = compile_where_terms(terms)
-    scan = spark.read.parquet(*boundary)
+    reader = spark.read
+    if any(_norm_path(f) != _norm_path(path) for f in boundary):
+        reader = reader.option("basePath", path)  # keep hive partition cols
+    scan = reader.parquet(*boundary)
     if pred is not None:
         scan = scan.filter(pred)
     return int(stat_count + scan.count())

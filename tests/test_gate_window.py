@@ -69,3 +69,34 @@ def test_round8_family_rows_are_inside_the_gate_window():
     for name in ("ann_ivf_exhaustive_topk", "text_winnow_fingerprint"):
         assert name in Q.REGISTRY and name not in Q.GATE_WINDOW, name
         assert Q.REGISTRY[name].oracle is not None, name
+
+
+def test_round9_rotation_families_are_inside_the_gate_window():
+    """VERDICT r8 items #1/#5: the six oracle-backed round-8 family rows the
+    external gate had never executed, plus the shard-schema-drift row, are
+    inside the first 50; the seven displaced rows (each with an in-window
+    shape twin — see the GATE_WINDOW comment) stay registered and
+    oracle-tested past the window."""
+    rotated_in = (
+        "interval_join_user_windows",
+        "band_join_error_click",
+        "scan_bloom_lookup",
+        "scan_zonemap_count",
+        "events_kmv_overlap_bound",
+        "pipeline_bloom_decontaminate",
+        "shard_schema_drift",
+    )
+    for name in rotated_in:
+        assert name in Q.GATE_WINDOW, name
+    displaced = (
+        "q3_shipping_priority",
+        "dedup_simhash",
+        "dedup_spans",
+        "multimodal_metadata",
+        "events_exact_distinct_pcts",
+        "pivot_agg",
+        "having_scalar_subquery",
+    )
+    for name in displaced:
+        assert name in Q.REGISTRY and name not in Q.GATE_WINDOW, name
+        assert Q.REGISTRY[name].oracle is not None, name

@@ -127,3 +127,26 @@ def test_apply_is_idempotent_under_replay(spark, log):
     once = scd2_apply(hist0, late, ["k"], "ts", compare_cols=["tier"], tiebreak_cols=["seq"])
     twice = scd2_apply(once, late, ["k"], "ts", compare_cols=["tier"], tiebreak_cols=["seq"])
     assert _chains(twice) == _chains(once)
+
+
+def test_apply_restatement_prefers_incoming_batch(spark):
+    """ADVICE r8: when an incoming change shares (key, ts, tiebreak) identity
+    with a replayed history version but restates attribute values, the
+    incoming row must win deterministically (not dropDuplicates roulette)."""
+    from parqueryd_spark.operators.history import scd2_apply, scd2_current, scd2_init
+
+    log = spark.createDataFrame(
+        [("A", _ts(1), "bronze", 1), ("A", _ts(5), "silver", 2)],
+        "k string, ts timestamp, tier string, seq int",
+    )
+    hist0 = scd2_init(log, ["k"], "ts", compare_cols=["tier"], tiebreak_cols=["seq"])
+    restate = spark.createDataFrame(
+        [("A", _ts(5), "gold", 2)], "k string, ts timestamp, tier string, seq int"
+    )
+    for _ in range(3):  # stable across runs, not one lucky draw
+        out = scd2_apply(
+            hist0, restate, ["k"], "ts", compare_cols=["tier"], tiebreak_cols=["seq"]
+        )
+        cur = scd2_current(out).collect()
+        assert [(r.k, r.tier) for r in cur] == [("A", "gold")]
+        assert out.count() == 2

@@ -145,3 +145,21 @@ def test_band_join_guards(spark):
         band_join(a, b, "x", "y", -1.0)
     plan = band_join(a, b, "x", "y", 1.0)._jdf.queryExecution().optimizedPlan().toString()
     assert "Cartesian" not in plan
+
+
+def test_null_bounds_are_dropped_not_crashed(spark):
+    """ADVICE r8: Catalyst's And evaluates the right side when the left is
+    NULL, so the long-interval assert_true guard used to raise on rows with
+    NULL start/end instead of letting the bounds filter drop them."""
+    a = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, None, 10.0), (3, 5.0, None), (4, None, None)],
+        "aid long, astart double, aend double",
+    )
+    b = spark.createDataFrame(
+        [(10, 5.0, 15.0), (11, None, 20.0)], "bid long, bstart double, bend double"
+    )
+    got = sorted(
+        (r.aid, r.bid)
+        for r in interval_join(a, b, ("astart", "aend"), ("bstart", "bend"), 8.0).collect()
+    )
+    assert got == [(1, 10)]

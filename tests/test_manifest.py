@@ -115,12 +115,113 @@ def test_all_null_column_skips_every_op(manifest):
 
 def test_absent_manifest_column_is_conservative(spark, layout):
     """A manifest narrowed to the hot columns must keep every file for terms
-    on columns it doesn't carry (sound, just unhelpful)."""
+    on columns it doesn't carry (sound, just unhelpful). Every file also
+    carries the sentinel coverage row (column="") so the file universe never
+    shrinks with the column list."""
     mf = build_manifest(spark, layout, columns=["value"])
-    assert set(r.column for r in mf.select("column").distinct().collect()) == {"value"}
+    assert set(r.column for r in mf.select("column").distinct().collect()) == {"", "value"}
+    assert mf.filter("column = ''").count() == N_FILES
     assert len(pruned_file_list(mf, [["name", "==", "u0123"]])) == N_FILES
     got = scan_pruned(spark, layout, [["name", "==", "u0123"]], manifest=mf).collect()
     assert [r.k for r in got] == [123]
+
+
+def test_narrow_manifest_keeps_files_lacking_every_wanted_column(spark, tmp_path):
+    """ADVICE r8: a file whose schema lacks EVERY manifest column used to
+    emit zero manifest rows, so prune_files silently dropped it from the
+    universe and scan_pruned lost its rows. The sentinel row keeps it."""
+    import os
+
+    d = str(tmp_path / "drifted")
+    os.makedirs(d)
+
+    def write_one(name, df):
+        stage = str(tmp_path / "stage")
+        df.coalesce(1).write.parquet(stage, mode="overwrite")
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        os.replace(os.path.join(stage, part), os.path.join(d, name))
+
+    write_one(
+        "a.parquet",
+        spark.range(100).select(
+            F.col("id").alias("k"), F.col("id").cast("double").alias("hot")
+        ),
+    )
+    # b lacks the hot (manifest) column entirely — schema evolution
+    write_one("b.parquet", spark.range(100, 200).select(F.col("id").alias("k")))
+
+    mf = build_manifest(spark, d, columns=["hot"])
+    assert mf.select("file").distinct().count() == 2  # sentinel keeps b in the universe
+    # filter on k (present in BOTH files; the manifest simply can't prune on
+    # it): b's rows must survive — pre-fix, b had zero manifest rows and its
+    # 100 rows vanished from the pruned scan
+    kept = pruned_file_list(mf, [["k", ">=", 50]])
+    assert any(f.endswith("b.parquet") for f in kept)
+    got = scan_pruned(spark, d, [["k", ">=", 50]], manifest=mf, select=["k"])
+    assert sorted(r.k for r in got.collect()) == list(range(50, 200))
+    # a mistyped manifest column list must degrade to keep-everything too
+    mistyped = build_manifest(spark, d, columns=["no_such_column"])
+    all_rows = scan_pruned(spark, d, None, manifest=mistyped, select=["k"])
+    assert all_rows.count() == 200
+
+
+def test_stale_persisted_manifest_keeps_new_files(spark, tmp_path):
+    """ADVICE r8: files published AFTER the manifest was persisted (and
+    before a refresh) must still be scanned — scan_pruned/count_pruned union
+    the live listing and keep uncovered files conservatively."""
+    import os
+
+    from parqueryd_spark.sources.manifest import count_pruned
+
+    d = str(tmp_path / "growing")
+    os.makedirs(d)
+
+    def write_one(name, lo, hi):
+        stage = str(tmp_path / "stage2")
+        spark.range(lo, hi).select(
+            F.col("id").alias("k"), F.col("id").cast("double").alias("value")
+        ).coalesce(1).write.parquet(stage, mode="overwrite")
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        os.replace(os.path.join(stage, part), os.path.join(d, name))
+
+    write_one("a.parquet", 0, 100)
+    mf = build_manifest(spark, d).cache()
+    mf.count()
+    write_one("b.parquet", 100, 200)  # published after the manifest snapshot
+
+    got = scan_pruned(spark, d, [["value", ">=", 50.0]], manifest=mf)
+    assert sorted(r.k for r in got.collect()) == list(range(50, 200))
+    assert count_pruned(spark, d, [["value", ">=", 50.0]], manifest=mf) == 150
+
+
+def test_date_term_against_timestamp_column_prunes_soundly(spark, tmp_path):
+    """ADVICE r8: dates and datetimes encode in ONE unit (epoch seconds) on
+    both the term and footer sides — a date term against a timestamp column
+    used to compare days to seconds and prune every file (silent empty
+    results)."""
+    path = str(tmp_path / "ts")
+    df = spark.range(200).select(
+        F.col("id").alias("k"),
+        F.expr("timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,CAST(id AS INT),0,0)").alias("ts"),
+        F.date_add(F.to_date(F.lit("2026-01-01")), F.col("id").cast("int")).alias("d"),
+    )
+    df.repartitionByRange(4, "k").write.parquet(path)
+    mf = build_manifest(spark, path)
+    from parqueryd_spark.functions.compile import compile_where_terms
+
+    cases = [
+        [["ts", "<", dt.date(2026, 1, 3)]],        # date term, timestamp col
+        [["ts", ">=", dt.datetime(2026, 1, 5, 12)]],
+        [["d", "<", dt.datetime(2026, 3, 1, 6)]],  # datetime term, date col
+        [["d", "==", dt.date(2026, 1, 5)]],
+    ]
+    for terms in cases:
+        want = sorted(
+            r.k for r in spark.read.parquet(path).filter(compile_where_terms(terms)).collect()
+        )
+        assert want, terms  # the case must actually match something
+        got = sorted(r.k for r in scan_pruned(spark, path, terms, manifest=mf).collect())
+        assert got == want, terms
 
 
 def test_empty_prune_returns_empty_with_schema(spark, layout, manifest):
@@ -421,3 +522,94 @@ def test_scan_pruned_stacks_bloom_and_zonemap(spark, tmp_path):
         manifest=zm, bloom_manifests={"k": bm},
     )
     assert out2.count() == 0
+
+
+def test_refresh_then_scan_equals_rebuild_then_scan(spark, tmp_path):
+    """Serve-path contract (VERDICT r8 item #2): a persisted manifest
+    maintained by refresh_manifest must drive scan_pruned/count_pruned to the
+    SAME results as a from-scratch rebuild — the registry rows serve from
+    published manifests, so refresh is the correctness-critical path."""
+    import os
+
+    from parqueryd_spark.sources.manifest import count_pruned, refresh_manifest
+
+    d = str(tmp_path / "serve")
+    os.makedirs(d)
+
+    def write_one(name, lo, hi):
+        stage = str(tmp_path / "sstage")
+        spark.range(lo, hi).select(
+            F.col("id").alias("k"), F.col("id").cast("double").alias("value")
+        ).coalesce(1).write.parquet(stage, mode="overwrite")
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        os.replace(os.path.join(stage, part), os.path.join(d, name))
+
+    write_one("a.parquet", 0, 500)
+    mdir = str(tmp_path / "published_mf")
+    build_manifest(spark, d).write.parquet(mdir)
+
+    write_one("b.parquet", 500, 1000)
+    refreshed = refresh_manifest(spark, d, spark.read.parquet(mdir))
+    refreshed.write.mode("overwrite").parquet(mdir + "2")
+    served = spark.read.parquet(mdir + "2")
+    rebuilt = build_manifest(spark, d)
+
+    terms = [["value", ">=", 250.0], ["value", "<", 750.0]]
+    got = sorted(r.k for r in scan_pruned(spark, d, terms, manifest=served).collect())
+    want = sorted(r.k for r in scan_pruned(spark, d, terms, manifest=rebuilt).collect())
+    assert got == want == list(range(250, 750))
+    assert count_pruned(spark, d, terms, manifest=served) == 500
+
+
+def test_hive_partition_values_prune_and_survive_pruned_reads(spark, tmp_path):
+    """VERDICT r8 item #6: directory-derived key=value partition values are
+    manifest rows (min == max == value), so partition terms prune through the
+    same verdict machinery as data stats AND compose with data-column terms;
+    pruned subset reads keep the partition columns via basePath (the old
+    non-hive restriction)."""
+    from parqueryd_spark.functions.compile import compile_where_terms
+    from parqueryd_spark.sources.manifest import count_pruned
+
+    path = str(tmp_path / "hive")
+    df = spark.range(1200).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("double").alias("value"),
+        F.pmod(F.col("id"), F.lit(3)).cast("int").alias("p"),
+        F.date_add(F.to_date(F.lit("2026-01-01")), (F.col("id") % 4).cast("int")).alias("pd"),
+    )
+    # two partition levels (int + date), clustered data inside each partition
+    df.repartitionByRange(4, "value").write.partitionBy("p", "pd").parquet(path)
+
+    mf = build_manifest(spark, path).cache()
+    mf.count()
+    # partition columns appear as constant-per-file manifest rows
+    pcols = {r.column for r in mf.select("column").distinct().collect()}
+    assert {"p", "pd", "value", "k", ""} <= pcols
+
+    cases = [
+        [["p", "==", 1]],
+        [["p", "in", [0, 2]]],
+        [["pd", "==", dt.date(2026, 1, 3)]],
+        [["pd", ">=", dt.date(2026, 1, 4)]],
+        [["p", "==", 1], ["value", ">=", 900.0]],  # both layers compose
+        [["p", "!=", 0]],
+    ]
+    total = mf.select("file").distinct().count()
+    full_df = spark.read.parquet(path)
+    for terms in cases:
+        pred = compile_where_terms(terms)
+        out = scan_pruned(spark, path, terms, manifest=mf)
+        # partition columns survive the subset read
+        assert {"k", "value", "p", "pd"} <= set(out.columns), terms
+        got = sorted(r.k for r in out.collect())
+        want = sorted(r.k for r in full_df.filter(pred).collect())
+        assert got == want, terms
+        assert want, terms  # every case matches something
+        # the partition term must actually skip files
+        kept = len(pruned_file_list(mf, terms))
+        assert kept < total, terms
+        # metadata-only counting composes with partition verdicts too
+        assert count_pruned(spark, path, terms, manifest=mf) == len(want), terms
+
+    s = skip_stats(mf, [["p", "==", 1], ["value", ">=", 900.0]])
+    assert s["files_kept"] <= total // 3

@@ -181,3 +181,148 @@ def test_ivfpq_append_matches_single_shot_publish(spark, emb, qset, tmp_path):
     res = ivfpq_search(codes_i, cen_i, cb_i, qset, corpus=emb, nprobe=8, k=K, refine=8)
     ids = {r.neighbor_id for r in res.collect()}
     assert any(i < n // 2 for i in ids) and any(i >= n // 2 for i in ids)
+
+
+def test_residual_exhaustive_equals_flat_pq_on_residuals(spark, emb, qset, tmp_path):
+    """VERDICT r8 item #4: with ONE coarse centroid the residual IVF-PQ path
+    must degenerate to flat PQ over the residual vectors exactly — same
+    codebooks, same codes, same per-pair (here per-query) LUTs, same ADC
+    ranking. Pins the residual encode/search plumbing to the already-anchored
+    flat machinery."""
+    from pyspark.sql import functions as F
+
+    from parqueryd_spark.operators.quantization import (
+        _residual_frame,
+        ivfpq_load,
+        ivfpq_meta,
+        ivfpq_publish,
+        ivfpq_search,
+    )
+
+    cents = (
+        emb.orderBy(F.col("vec_id").asc())
+        .limit(1)
+        .select(F.col("vec_id").cast("int").alias("centroid_id"), "embedding")
+    )
+    d = str(tmp_path / "ivfpq_resid")
+    ivfpq_publish(spark, d, emb, cents, dim=64, m=16, k_codes=16, residual=True)
+    assert ivfpq_meta(spark, d)["residual"] is True
+    codes, cen, cb = ivfpq_load(spark, d)
+    # compare (query, neighbor, 6dp distance) — the query-side residual is
+    # computed in numpy on one path and Spark zip_with on the other, so exact
+    # rank order on sub-ulp near-ties isn't contractual
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.approx_dist)
+        for r in ivfpq_search(
+            codes, cen, cb, qset, nprobe=1, k=K, refine=0, residual=True
+        ).collect()
+    )
+    # flat side: the same residual vectors through the flat PQ machinery
+    resid_corpus = _residual_frame(emb, cents)
+    resid_queries = _residual_frame(qset, cents)
+    flat_codes = pq_encode(resid_corpus, cb, vec_col="__resid", normalize=False)
+    want = sorted(
+        (r.query_id, r.neighbor_id, r.approx_dist)
+        for r in pq_search(
+            flat_codes, resid_queries, cb, vec_col="__resid", k=K, normalize=False
+        ).collect()
+    )
+    assert got == want and got
+
+
+def test_residual_adc_recall_lift_on_clustered_corpus(spark, tmp_path):
+    """The point of residual encoding: on a clustered corpus the quantizer
+    spends its dynamic range on within-bucket spread, so UN-REFINED ADC
+    ranking recall at equal (m, k_codes) must be >= the raw-vector encoding's
+    — and the refined residual path must clear the registry's 0.7 recall
+    bound (VERDICT r8: 'green on both paths')."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from parqueryd_spark.operators.quantization import (
+        ivfpq_load,
+        ivfpq_publish,
+        ivfpq_search,
+    )
+    from parqueryd_spark.operators.similarity import kmeans_centroids
+
+    rng = np.random.default_rng(11)
+    n_clusters, per_cluster, dim = 8, 200, 32
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(per_cluster):
+            v = centers[c] + rng.normal(scale=0.12, size=dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.filter(F.col("vec_id") % per_cluster == 3)
+    exact = _pairs(brute_force_topk(corpus, queries, k=K))
+    cents = kmeans_centroids(corpus, n_clusters)
+
+    def recall(residual: bool, refine: int) -> float:
+        d = str(tmp_path / f"idx_{residual}_{refine}")
+        ivfpq_publish(
+            spark, d, corpus, cents, dim=dim, m=8, k_codes=16, residual=residual
+        )
+        codes, cen, cb = ivfpq_load(spark, d)
+        got = _pairs(
+            ivfpq_search(
+                codes, cen, cb, queries, corpus=corpus, nprobe=3, k=K,
+                refine=refine, residual=residual,
+            )
+        )
+        return len(got & exact) / len(exact)
+
+    r_resid_raw, r_flat_raw = recall(True, 0), recall(False, 0)
+    assert r_resid_raw >= r_flat_raw, (r_resid_raw, r_flat_raw)
+    r_resid_refined = recall(True, 8)
+    assert r_resid_refined >= 0.7, r_resid_refined
+    print(f"ADC-only recall@{K}: residual={r_resid_raw:.3f} raw={r_flat_raw:.3f} "
+          f"refined-residual={r_resid_refined:.3f}")
+
+
+def test_residual_append_matches_single_shot(spark, emb, tmp_path):
+    """Appending under a residual index must encode residuals against the
+    PERSISTED centroids/codebooks (meta flag honored), matching a one-shot
+    publish row-for-row on the shared half."""
+    from pyspark.sql import functions as F
+
+    from parqueryd_spark.operators.quantization import (
+        ivfpq_append,
+        ivfpq_load,
+        ivfpq_publish,
+    )
+
+    cents = (
+        emb.orderBy(F.col("vec_id").asc())
+        .limit(4)
+        .select(F.col("vec_id").cast("int").alias("centroid_id"), "embedding")
+    )
+    n = emb.count()
+    first = emb.filter(F.col("vec_id") < n // 2)
+    rest = emb.filter(F.col("vec_id") >= n // 2)
+    inc = str(tmp_path / "inc_resid")
+    ivfpq_publish(spark, inc, first, cents, dim=64, m=16, k_codes=16, residual=True)
+    counts = ivfpq_append(spark, inc, rest, batch="day1")
+    assert sum(r.n_appended for r in counts.collect()) == rest.count()
+    codes_i, _, cb_i = ivfpq_load(spark, inc)
+    assert codes_i.count() == n
+
+    oneshot = str(tmp_path / "oneshot_resid")
+    ivfpq_publish(spark, oneshot, first, cents, dim=64, m=16, k_codes=16, residual=True)
+    codes_o, _, cb_o = ivfpq_load(spark, oneshot)
+    assert cb_i == cb_o
+    got_first = {
+        (r.vec_id, tuple(r.codes), r.centroid_id)
+        for r in codes_i.filter(F.col("batch") == "base")
+        .select("vec_id", "codes", "centroid_id")
+        .collect()
+    }
+    want_first = {
+        (r.vec_id, tuple(r.codes), r.centroid_id)
+        for r in codes_o.select("vec_id", "codes", "centroid_id").collect()
+    }
+    assert got_first == want_first

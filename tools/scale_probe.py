@@ -229,6 +229,7 @@ def main() -> None:
 
     zonemap_probe(spark)
     interval_probe(spark)
+    interval_hot_bucket_probe(spark)
     skew_probe(spark)
     spark.stop()
 
@@ -322,6 +323,91 @@ def interval_probe(spark) -> None:
         pairs = interval_join(a, b, ("as_", "ae_"), ("bs_", "be_"), 32.0).count()
         t = time.perf_counter() - t0
         print(f"| {n} | {n // 4} | {pairs} | {t:.1f} |", flush=True)
+
+
+def interval_hot_bucket_probe(spark) -> None:
+    """Bursty-corpus regime for interval_join (VERDICT r8 item #7): the
+    operator meets candidates in an EQUI-join on the time bucket, so a burst
+    — here 50% of left intervals crossing ONE bucket — turns that bucket into
+    a classic skewed join key whose single reducer evaluates
+    hot_a x hot_b candidate pairs. The fix is the stock one for skewed equi
+    joins, which is exactly why the operator was shaped as an equi join:
+    AQE skew-split divides the hot partition (replicating the matching right
+    rows), no salting needed. Broadcast is disabled to model the
+    both-sides-too-big regime; at burst sizes where BOTH sides burst, the
+    candidate set itself is quadratic in the burst and no join strategy saves
+    it — cap it upstream (max_buckets_per_interval + a finer bucket_width for
+    the bursty window). Reports wall time with AQE skew-split off vs on and
+    the analytic per-bucket candidate volume."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from parqueryd_spark.operators.relational import interval_join
+
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.skewJoin.enabled": spark.conf.get(
+            "spark.sql.adaptive.skewJoin.enabled"
+        ),
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    w = 32.0
+    try:
+        print("\ninterval-join hot-bucket probe (50% of left intervals cross "
+              "bucket 0, broadcast off):")
+        print("| a rows | b rows | hot-bucket cand rows | max cold bucket | "
+              "skew-split off s | on s |")
+        print("|---|---|---|---|---|---|")
+        for n in (500_000, 2_000_000):
+            horizon = 64.0 * n / 4  # cold intervals spread thin
+            # hot half: start in [0, w/2), length < w/2 -> all inside bucket 0
+            a = spark.range(n).select(
+                F.col("id").alias("aid"),
+                F.when(
+                    F.col("id") % 2 == 0,
+                    F.pmod(F.xxhash64("id"), F.lit(16)).cast("double"),
+                ).otherwise(
+                    32.0 + F.pmod(F.xxhash64("id"), F.lit(int(horizon))).cast("double")
+                ).alias("as_"),
+            ).withColumn(
+                "ae_", F.col("as_") + 1 + F.pmod(F.xxhash64("aid", F.lit(1)), F.lit(12))
+            )
+            nb = 2000
+            b = spark.range(nb).select(
+                F.col("id").alias("bid"),
+                F.when(
+                    F.col("id") % 40 == 0,  # 50 of 2000 b-intervals hit the burst
+                    F.pmod(F.xxhash64("id", F.lit(2)), F.lit(16)).cast("double"),
+                ).otherwise(
+                    32.0
+                    + F.pmod(F.xxhash64("id", F.lit(2)), F.lit(int(horizon))).cast("double")
+                ).alias("bs_"),
+            ).withColumn(
+                "be_", F.col("bs_") + 1 + F.pmod(F.xxhash64("bid", F.lit(3)), F.lit(12))
+            )
+            hot_a, hot_b = n // 2, nb // 40
+            # analytic reducer volumes: candidates per bucket = cnt_a x cnt_b
+            cold_max = (
+                a.filter(F.col("as_") >= 32.0)
+                .groupBy(F.floor(F.col("as_") / w).alias("bkt"))
+                .count()
+                .agg(F.max("count"))
+                .collect()[0][0]
+            )
+            times = {}
+            for mode in ("false", "true"):
+                spark.conf.set("spark.sql.adaptive.skewJoin.enabled", mode)
+                t0 = time.perf_counter()
+                got = interval_join(a, b, ("as_", "ae_"), ("bs_", "be_"), w).count()
+                times[mode] = time.perf_counter() - t0
+            print(f"| {n} | {nb} | {hot_a * hot_b} | ~{cold_max} x {nb // 40} "
+                  f"| {times['false']:.1f} | {times['true']:.1f} |", flush=True)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
 
 
 def skew_probe(spark) -> None:
