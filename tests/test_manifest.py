@@ -613,3 +613,34 @@ def test_hive_partition_values_prune_and_survive_pruned_reads(spark, tmp_path):
 
     s = skip_stats(mf, [["p", "==", 1], ["value", ">=", 900.0]])
     assert s["files_kept"] <= total // 3
+
+
+def test_optimize_dataset_hive_layout_manifest_composes(spark, tmp_path):
+    """optimize_dataset(partition_by=..., cluster_by=..., manifest_dir=...)
+    produces a hive layout whose REBUILT manifest carries both the partition
+    values and the in-partition cluster stats — a term on each prunes through
+    one verdict pass (round-9 hive-aware manifest)."""
+    from parqueryd_spark.sources.manifest import optimize_dataset
+
+    d = str(tmp_path / "ds")
+    mdir = str(tmp_path / "idx")
+    spark.range(4000).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("double").alias("value"),
+        F.pmod(F.col("id"), F.lit(4)).cast("int").alias("p"),
+    ).repartition(8).write.parquet(d)
+
+    optimize_dataset(
+        spark, d, 2, cluster_by=["value"], partition_by=["p"], manifest_dir=mdir
+    )
+    zm = spark.read.parquet(mdir + "/zonemap")
+    total = zm.select("file").distinct().count()
+    assert total >= 8  # 4 partitions x 2 files
+    terms = [["p", "==", 2], ["value", ">=", 3000.0]]
+    kept = pruned_file_list(zm, terms)
+    assert 0 < len(kept) <= total // 4  # partition cut x cluster cut
+    out = scan_pruned(spark, d, terms, manifest=zm)
+    want = sorted(
+        r.k for r in spark.read.parquet(d).filter("p = 2 AND value >= 3000.0").collect()
+    )
+    assert sorted(r.k for r in out.collect()) == want and want

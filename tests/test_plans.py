@@ -84,6 +84,12 @@ def _bounded_build_ok() -> set[str]:
         "ann_ivfpq_index_topk",      # 5 query vectors x nprobe=4 LUT rows +
                                      # 16 centroids + refine*k shortlist
         "ann_ivfpq_recall_bound",    # same builds, 8 query vectors
+        "ann_ivfpq_residual_recall_bound",  # same builds as
+                                     # ann_ivfpq_recall_bound (8 query
+                                     # vectors x nprobe=4 per-pair LUT rows +
+                                     # 16 centroids + refine*k shortlist);
+                                     # residual encoding changes LUT
+                                     # contents, not build-side cardinality
         "ann_margin_match",          # bounded query set
         "ann_ivf_recall_bound",      # same builds as the two IVF rows
         "ann_pq_recall_bound",       # same builds as ann_pq_topk
