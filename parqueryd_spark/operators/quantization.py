@@ -301,7 +301,7 @@ def ivfpq_publish(
     spark,
     index_dir: str,
     corpus: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | str,
     dim: int,
     m: int = 16,
     k_codes: int = 16,
@@ -309,6 +309,8 @@ def ivfpq_publish(
     vec_col: str = "embedding",
     batch: str = "base",
     residual: bool = False,
+    n_centroids: int | None = None,
+    seed: int = 42,
 ) -> None:
     """Publish an IVF-PQ index — the canonical 100 TB ANN layout (coarse
     quantizer for pruning x product quantizer for compression, the
@@ -339,8 +341,26 @@ def ivfpq_publish(
     (query, probed centroid) pair instead of per query. The flag is
     persisted in ``<index_dir>/meta`` and honored by load/append/search.
     """
-    from parqueryd_spark.operators.similarity import ivf_assign
+    from parqueryd_spark.operators.similarity import ivf_assign, kmeans_centroids
 
+    if isinstance(centroids, str):
+        # same coarse-quantizer modes as ivf_publish: "kmeans" (seeded MLlib
+        # cosine fit — the production choice on clustered corpora) or
+        # "first_k" (fit-free, oracle-stable)
+        if n_centroids is None:
+            raise ValueError("centroids mode string requires n_centroids")
+        if centroids == "kmeans":
+            centroids = kmeans_centroids(corpus, n_centroids, vec_col=vec_col, seed=seed)
+        elif centroids == "first_k":
+            centroids = (
+                corpus.orderBy(F.col(id_col).asc())
+                .limit(n_centroids)
+                .select(F.col(id_col).cast("int").alias("centroid_id"), F.col(vec_col))
+            )
+        else:
+            raise ValueError(
+                f"centroids must be a DataFrame, 'kmeans', or 'first_k'; got {centroids!r}"
+            )
     centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")
     if residual:
         resid = _residual_frame(corpus, centroids, id_col, vec_col)

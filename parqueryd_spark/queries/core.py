@@ -461,3 +461,33 @@ def scan_hive_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 4).alias("sum_value"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "scan_metadata_stats",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(min(value) AS DOUBLE) AS min_value,
+           CAST(max(value) AS DOUBLE) AS max_value
+    FROM events
+    WHERE event_type = 'view' AND value < 80.0
+    """,
+)
+def scan_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-assisted COUNT + MIN/MAX in one row (sources/manifest.py
+    count_pruned / minmax_pruned) over the hive-partitioned events copy:
+    the ``event_type = 'view'`` term is fully proven by the directory
+    partition value for every file in that partition, so interior
+    value-clustered files contribute their footer row counts and exact
+    numeric [min, max] WITHOUT being read — only the range's boundary files
+    get the exact scan. The oracle computes the plain aggregates, so the
+    stat/scan split must reassemble exactly."""
+    from parqueryd_spark.sources.manifest import count_pruned, minmax_pruned
+
+    d, mf = _hive_events(spark, sf_dir)
+    terms = [["event_type", "==", "view"], ["value", "<", 80.0]]
+    n = count_pruned(spark, d, terms, manifest=mf)
+    lo, hi = minmax_pruned(spark, d, "value", terms, manifest=mf)
+    return spark.createDataFrame(
+        [(n, lo, hi)], "n_rows bigint, min_value double, max_value double"
+    )

@@ -612,6 +612,26 @@ def _full_pred(op: str, value):
     )
 
 
+def _full_satisfaction(mf: DataFrame, terms: list) -> DataFrame:
+    """Per-file ``(file, full)``: does every non-null row of the file
+    provably satisfy EVERY term? (``_full_pred`` per term, AND-combined;
+    missing stats coalesce to False — uncertain files are boundary, never
+    stat-answered.)"""
+    per_file = mf.groupBy("file").agg(F.max("n_rows").alias("n_rows"))
+    if not terms:
+        return per_file.select("file", F.lit(True).alias("full"))
+    full = per_file.select("file")
+    for i, term in enumerate(terms):
+        col_name, op, value = term
+        sat = (
+            mf.filter(F.col("column") == col_name)
+            .select("file", _full_pred(str(op).strip().lower(), value).alias(f"__s{i}"))
+        )
+        full = full.join(sat, "file", "left")
+    alls = [F.coalesce(F.col(f"__s{i}"), F.lit(False)) for i in range(len(terms))]
+    return full.select("file", reduce(lambda a, b: a & b, alls).alias("full"))
+
+
 def count_pruned(
     spark: SparkSession,
     path: str,
@@ -629,23 +649,9 @@ def count_pruned(
     mf = manifest if manifest is not None else build_manifest(spark, path)
     terms = list(where_terms or [])
     per_file = mf.groupBy("file").agg(F.max("n_rows").alias("n_rows"))
-    maybe = prune_files(mf, terms)
-    if not terms:
-        full = per_file.select("file", F.lit(True).alias("full"))
-    else:
-        full = per_file.select("file")
-        for i, term in enumerate(terms):
-            col_name, op, value = term
-            sat = (
-                mf.filter(F.col("column") == col_name)
-                .select("file", _full_pred(str(op).strip().lower(), value).alias(f"__s{i}"))
-            )
-            full = full.join(sat, "file", "left")
-        alls = [F.coalesce(F.col(f"__s{i}"), F.lit(False)) for i in range(len(terms))]
-        full = full.select("file", reduce(lambda a, b: a & b, alls).alias("full"))
     plan = (
-        per_file.join(maybe, "file")
-        .join(full, "file")
+        per_file.join(prune_files(mf, terms), "file")
+        .join(_full_satisfaction(mf, terms), "file")
         .select("file", "n_rows", "keep", "full")
         .collect()
     )
@@ -665,6 +671,92 @@ def count_pruned(
     if pred is not None:
         scan = scan.filter(pred)
     return int(stat_count + scan.count())
+
+
+def minmax_pruned(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    where_terms: Sequence[Sequence] | None = None,
+    manifest: DataFrame | None = None,
+    dtype: str | None = None,
+) -> tuple:
+    """(MIN(col), MAX(col)) under AND-combined where-terms with
+    METADATA-ONLY answers where the stats prove them — the min/max analog of
+    :func:`count_pruned`: a kept file every term fully satisfies contributes
+    its footer ``[min, max]`` for ``col`` WITHOUT being read; only boundary
+    files (possibly-matching but not provably-all-matching, or lacking exact
+    stats) are scanned with the exact predicate.
+
+    Soundness: this shortcut applies ONLY to numerically-encoded stats
+    (ints/floats — exact by the parquet spec; string min/max may be
+    TRUNCATED toward wider bounds, so string columns always scan), only when
+    the file fully satisfies every term (so every non-null row — including
+    the extremes — is in the result set), and the footer min/max of a fully-
+    matching file ARE its contribution to the aggregate (MIN/MAX ignore
+    NULLs, which the stats exclude by construction). Date/timestamp columns
+    also scan: their numeric encoding (epoch seconds) is planning-grade, not
+    value-grade. Returns ``(None, None)`` when no rows match.
+
+    ``dtype`` (a Spark type string, e.g. ``"double"``) skips the schema
+    lookup — pass it when the answer must come from the manifest ALONE (the
+    count_pruned posture: a fully-provable predicate then needs no data file
+    on disk at all)."""
+    num_types = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+    if dtype is None:
+        dtype = dict(spark.read.parquet(path).dtypes).get(col)
+    metadata_ok = dtype in num_types
+    mf = manifest if manifest is not None else build_manifest(spark, path)
+    terms = list(where_terms or [])
+    colstats = mf.filter(F.col("column") == col).select(
+        "file",
+        F.col("has_min_max").alias("stat_hmm"),
+        F.col("min_num").alias("stat_lo"),
+        F.col("max_num").alias("stat_hi"),
+    )
+    plan = (
+        prune_files(mf, terms)
+        .join(_full_satisfaction(mf, terms), "file")
+        .join(colstats, "file", "left")
+        .collect()
+    )
+    lo = hi = None
+    boundary = []
+    for r in plan:
+        if not r.keep:
+            continue
+        if metadata_ok and r.full and r.stat_hmm and r.stat_lo is not None:
+            lo = r.stat_lo if lo is None else min(lo, r.stat_lo)
+            hi = r.stat_hi if hi is None else max(hi, r.stat_hi)
+        else:
+            boundary.append(r.file)
+    if manifest is not None:
+        boundary = boundary + _uncovered_live_files(spark, path, mf)
+    if boundary:
+        pred = compile_where_terms(terms)
+        reader = spark.read
+        if any(_norm_path(f) != _norm_path(path) for f in boundary):
+            reader = reader.option("basePath", path)
+        scan = reader.parquet(*sorted(boundary))
+        if pred is not None:
+            scan = scan.filter(pred)
+        row = scan.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
+        s_lo, s_hi = row["lo"], row["hi"]
+        if s_lo is not None:
+            if not metadata_ok:
+                # non-numeric columns never take the stats shortcut, so the
+                # scan result IS the answer, in the column's native type
+                return (s_lo, s_hi)
+            s_lo, s_hi = float(s_lo), float(s_hi)
+            lo = s_lo if lo is None else min(lo, s_lo)
+            hi = s_hi if hi is None else max(hi, s_hi)
+        elif not metadata_ok:
+            return (None, None)
+    if lo is None:
+        return (None, None)
+    if dtype in {"tinyint", "smallint", "int", "bigint"}:
+        return (int(lo), int(hi))
+    return (float(lo), float(hi))
 
 
 def bloom_manifest(

@@ -644,3 +644,50 @@ def test_optimize_dataset_hive_layout_manifest_composes(spark, tmp_path):
         r.k for r in spark.read.parquet(d).filter("p = 2 AND value >= 3000.0").collect()
     )
     assert sorted(r.k for r in out.collect()) == want and want
+
+
+def test_minmax_pruned_matches_exact(spark, layout, manifest):
+    """Metadata-assisted MIN/MAX equals the exact filtered aggregate for
+    every op family (numeric stats shortcut + boundary scans), including
+    string columns (always scanned — parquet string stats may truncate) and
+    empty results."""
+    from parqueryd_spark.functions.compile import compile_where_terms
+    from parqueryd_spark.sources.manifest import minmax_pruned
+
+    for terms in TERMS + [[["value", ">", 1e9]]]:
+        pred = compile_where_terms(terms)
+        full = spark.read.parquet(layout)
+        if pred is not None:
+            full = full.filter(pred)
+        for col in ("value", "k", "name"):
+            row = full.agg(F.min(col), F.max(col)).collect()[0]
+            got = minmax_pruned(spark, layout, col, terms, manifest=manifest)
+            assert got == (row[0], row[1]), (col, terms)
+
+
+def test_minmax_pruned_is_metadata_only_when_provable(spark, tmp_path):
+    """A numeric min/max whose predicate every file fully satisfies needs no
+    data read: delete the files after the manifest — stats still answer."""
+    import os
+    import shutil
+
+    from parqueryd_spark.sources.manifest import minmax_pruned
+
+    path = str(tmp_path / "gone2")
+    spark.range(5, 1005).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("value")
+    ).repartition(4).write.parquet(path)
+    mf = build_manifest(spark, path).cache()
+    mf.count()
+    assert minmax_pruned(spark, path, "value", [["value", ">=", 0.0]], manifest=mf) == (
+        5.0,
+        1004.0,
+    )
+    shutil.rmtree(path)
+    os.makedirs(path)
+    # with files gone, a fully-provable predicate still answers from stats
+    # alone when the caller supplies the dtype (count_pruned posture)
+    got = minmax_pruned(
+        spark, path, "value", [["value", ">=", 0.0]], manifest=mf, dtype="double"
+    )
+    assert got == (5.0, 1004.0)

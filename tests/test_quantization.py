@@ -326,3 +326,41 @@ def test_residual_append_matches_single_shot(spark, emb, tmp_path):
         for r in codes_o.select("vec_id", "codes", "centroid_id").collect()
     }
     assert got_first == want_first
+
+
+def test_ivfpq_publish_accepts_centroid_mode_strings(spark, emb, qset, tmp_path):
+    """ivfpq_publish mirrors ivf_publish's coarse-quantizer modes: "first_k"
+    and "kmeans" strings (n_centroids required), composing with residual
+    encoding — the full production stack (fitted centroids + residual codes)
+    in one call."""
+    from pyspark.sql import functions as F
+
+    from parqueryd_spark.operators.quantization import (
+        ivfpq_load,
+        ivfpq_meta,
+        ivfpq_publish,
+        ivfpq_search,
+    )
+
+    d1 = str(tmp_path / "mode_first")
+    ivfpq_publish(spark, d1, emb, "first_k", dim=64, m=16, k_codes=16, n_centroids=8)
+    codes, cen, cb = ivfpq_load(spark, d1)
+    assert cen.count() == 8 and ivfpq_meta(spark, d1)["residual"] is False
+    out = ivfpq_search(codes, cen, cb, qset, corpus=emb, nprobe=3, k=5, refine=4)
+    assert out.groupBy("query_id").count().agg(F.min("count")).collect()[0][0] == 5
+
+    d2 = str(tmp_path / "mode_kmeans_resid")
+    ivfpq_publish(
+        spark, d2, emb, "kmeans", dim=64, m=16, k_codes=16, n_centroids=8, residual=True
+    )
+    codes2, cen2, cb2 = ivfpq_load(spark, d2)
+    assert cen2.count() == 8 and ivfpq_meta(spark, d2)["residual"] is True
+    out2 = ivfpq_search(
+        codes2, cen2, cb2, qset, corpus=emb, nprobe=3, k=5, refine=4, residual=True
+    )
+    assert out2.groupBy("query_id").count().agg(F.min("count")).collect()[0][0] == 5
+
+    with pytest.raises(ValueError, match="n_centroids"):
+        ivfpq_publish(spark, str(tmp_path / "x"), emb, "kmeans", dim=64)
+    with pytest.raises(ValueError, match="first_k"):
+        ivfpq_publish(spark, str(tmp_path / "y"), emb, "median", dim=64, n_centroids=4)
