@@ -100,3 +100,43 @@ def test_mid_swap_staleness_is_safe_not_wrong(spark, tmp_path):
         ).collect()
     )
     assert got == list(range(50, 200))  # b2's rows kept despite zero coverage
+
+
+def test_stream_ingest_maintains_bloom_manifest(spark, tmp_path):
+    """bloom_cols keeps a per-file Bloom manifest fresh alongside the zone
+    map: point lookups on the unclustered key prune files, refreshes reuse
+    the first generation's (n_bits, n_hashes), and results stay exact."""
+    stream_in = str(tmp_path / "in")
+    data_dir = str(tmp_path / "data")
+    mdir = str(tmp_path / "mf")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(stream_in)
+
+    # keys deliberately UNCLUSTERED across batches (interleaved mod-2 lanes)
+    # so every file's [min, max] spans the domain and zone maps can't prune
+    pd.DataFrame(
+        {"k": list(range(0, 200, 2)), "value": [1.0] * 100}
+    ).to_parquet(os.path.join(stream_in, "b1.parquet"))
+    schema = spark.read.parquet(os.path.join(stream_in, "b1.parquet")).schema
+    src = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stream_in)
+    stream_ingest_with_manifest(src, data_dir, mdir, ckpt, bloom_cols=["k"]).awaitTermination()
+
+    blive = os.path.join(mdir, "bloom=k", "live")
+    assert os.path.isdir(blive)
+    gen1 = spark.read.parquet(blive).select("n_bits", "n_hashes").limit(1).collect()[0]
+
+    pd.DataFrame(
+        {"k": list(range(1, 200, 2)), "value": [2.0] * 100}
+    ).to_parquet(os.path.join(stream_in, "b2.parquet"))
+    stream_ingest_with_manifest(src, data_dir, mdir, ckpt, bloom_cols=["k"]).awaitTermination()
+
+    bm = spark.read.parquet(blive)
+    # refresh covered the new batch and reused the sizing parameters
+    assert bm.count() == 2
+    params = {(int(r.n_bits), int(r.n_hashes)) for r in bm.collect()}
+    assert params == {(int(gen1.n_bits), int(gen1.n_hashes))}
+
+    # point lookup through read_pruned: exact result, bloom-pruned file set
+    got = read_pruned(spark, data_dir, mdir, [["k", "==", 7]])
+    assert [(r.k, r.value) for r in got.collect()] == [(7, 2.0)]
+    assert len(got.inputFiles()) < len(spark.read.parquet(data_dir).inputFiles())
