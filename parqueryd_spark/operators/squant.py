@@ -1,0 +1,187 @@
+"""Scalar quantization (SQ8) for embedding columns — the cheapest tier of the
+ANN compression ladder (float32 → 8-bit/dim = 4× smaller), below PQ's 32×
+but with near-lossless ranking and, unlike PQ, ZERO Python anywhere: train is
+one JVM aggregate pass, encode is pure Column arithmetic (map-only, no
+shuffle, whole-stage codegen), and search scores candidates with a
+fold-over-arrays expression. The standard per-dimension uniform quantizer
+used by FAISS's ``ScalarQuantizer(QT_8bit)`` and Milvus/Lucene int8 indexes.
+
+Scheme: per dimension ``i`` over the (L2-normalized) corpus, learn
+``lo_i = min`` and ``step_i = (max_i − lo_i)/255``; encode
+``code_i = round((x_i − lo_i)/step_i)`` clamped to [0, 255]; decode
+``x̂_i = lo_i + code_i·step_i`` (≤ step/2 absolute error per dimension).
+
+Search exploits linearity instead of decoding candidates: for a normalized
+query ``q``,
+
+    dot(x̂, q) = Σ lo_i·q_i  +  Σ code_i·(step_i·q_i)
+              =   const(q)  +  fold(zip(codes, w))          w_i = step_i·q_i
+
+so the per-query constant and weight vector are computed once on the
+broadcast query side, and each candidate costs one ``zip_with``+``aggregate``
+fold over its int codes — JVM-side, no float vector re-read. Exact re-rank of
+the ``refine × k`` shortlist (the same posture as
+:func:`parqueryd_spark.operators.quantization.pq_topk`) restores full
+precision on |queries| × refine × k rows only.
+
+At 100 TB: train touches every vector once with a map-side-combinable
+min/max aggregate (dim×2 scalars out — no explode, no per-dim shuffle);
+encode is embarrassingly parallel; the codes table is the persistable
+compressed index. Reference semantics: the ANN family extends the
+reference's query surface (parqueryd exposes only filter/groupby —
+/root/reference/parquery/df.py); quantized search follows the published
+formulation above, not any reference code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from parqueryd_spark.operators.similarity import as_double, cosine, norm
+from parqueryd_spark.operators.util import spread_partitions
+
+
+def _normalized(vec_col, do_norm: bool):
+    v = as_double(vec_col)
+    if not do_norm:
+        return v
+    n = norm(v)
+    # guard the zero vector: leave it zero rather than NaN-poison the grid
+    return F.transform(v, lambda x: F.when(n > 0, x / n).otherwise(F.lit(0.0)))
+
+
+def sq_train(
+    corpus: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> tuple[list[float], list[float]]:
+    """Learn the per-dimension (lo, step) grid in ONE aggregate scan.
+
+    ``dim×2`` min/max aggregates in a single ``agg`` — map-side combined,
+    no explode/shuffle-by-dimension, output is 2·dim scalars (metadata
+    scale). A constant dimension gets step=1.0 so encode/search stay
+    NaN-free (its codes are 0 and its contribution folds into const).
+    """
+    nv = _normalized(F.col(vec_col), normalize)
+    row = corpus.select(nv.alias("__nv")).agg(
+        *[F.min(F.col("__nv")[i]).alias(f"_lo_{i}") for i in range(dim)],
+        *[F.max(F.col("__nv")[i]).alias(f"_hi_{i}") for i in range(dim)],
+    ).collect()[0]
+    lo = [float(row[f"_lo_{i}"]) for i in range(dim)]
+    hi = [float(row[f"_hi_{i}"]) for i in range(dim)]
+    step = [((h - l) / 255.0) if h > l else 1.0 for l, h in zip(lo, hi)]
+    return lo, step
+
+
+def _lit_arr(xs: list[float]):
+    return F.array(*[F.lit(float(x)) for x in xs])
+
+
+def sq_encode(
+    corpus: DataFrame,
+    lo: list[float],
+    step: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """Encode to ``(id, codes: array<int>)`` with pure Column arithmetic —
+    one codegen'd map pass, no Python, no shuffle. Codes are clamped to
+    [0, 255], so out-of-grid vectors (appended after train) still encode
+    soundly, just saturated."""
+    nv = _normalized(F.col(vec_col), normalize)
+    shifted = F.zip_with(nv, _lit_arr(lo), lambda x, l: x - l)
+    codes = F.zip_with(
+        shifted,
+        _lit_arr(step),
+        lambda x, s: F.least(
+            F.lit(255), F.greatest(F.lit(0), F.round(x / s).cast("int"))
+        ),
+    )
+    return corpus.select(F.col(id_col), codes.alias("codes"))
+
+
+def sq_search(
+    codes: DataFrame,
+    queries: DataFrame,
+    lo: list[float],
+    step: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    normalize: bool = True,
+) -> DataFrame:
+    """Approximate top-k over the codes table: per broadcast query,
+    ``const + Σ code_i·w_i`` (the linear-decode identity above) ranks
+    candidates without touching a float vector. Deterministic neighbor-id
+    tie-break. Returns (query_id, neighbor_id, approx_sim, rank)."""
+    from pyspark.sql import Window as W
+
+    qv = _normalized(F.col(vec_col), normalize)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.aggregate(
+            F.zip_with(_lit_arr(lo), qv, lambda l, x: l * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("q_const"),
+        F.zip_with(_lit_arr(step), qv, lambda s, x: s * x).alias("w"),
+    )
+    c = spread_partitions(codes.select(F.col(id_col).alias("neighbor_id"), "codes"))
+    score = F.col("q_const") + F.aggregate(
+        F.zip_with("codes", "w", lambda ci, wi: ci.cast("double") * wi),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).withColumn(
+        "approx_sim", score
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("approx_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("approx_sim", 6).alias("approx_sim"), "rank")
+    )
+
+
+def sq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    refine: int = 4,
+) -> DataFrame:
+    """Train → encode → approximate shortlist → exact cosine re-rank in one
+    call. With ``refine`` > 0 full-precision reads touch only
+    |queries| × refine × k rows; ``refine=0`` returns the raw quantized
+    ranking (at 8 bits/dim it is already near-exact — the recall tests pin
+    both paths). Same return shape as ``pq_topk``:
+    (query_id, neighbor_id, cosine_sim, rank) under refine,
+    (query_id, neighbor_id, approx_sim, rank) without."""
+    from pyspark.sql import Window as W
+
+    lo, step = sq_train(corpus, dim=dim, vec_col=vec_col)
+    codes = sq_encode(corpus, lo, step, id_col=id_col, vec_col=vec_col)
+    if refine <= 0:
+        return sq_search(codes, queries, lo, step, id_col=id_col, vec_col=vec_col, k=k)
+    shortlist = sq_search(
+        codes, queries, lo, step, id_col=id_col, vec_col=vec_col, k=refine * k
+    ).select("query_id", "neighbor_id")
+    cand = shortlist.join(
+        corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nv")),
+        "neighbor_id",
+    )
+    qside = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
+    )
+    rer = cand.join(qside, "query_id").withColumn("cosine_sim", F.round(cosine("qv", "nv"), 6))
+    w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

@@ -236,3 +236,37 @@ def ann_ivfpq_residual_recall_bound(spark: SparkSession, sf_dir: str) -> DataFra
         F.count_distinct("query_id").alias("n_queries"),
         ((F.coalesce(F.sum("hit"), F.lit(0)) / F.count(F.lit(1))) >= 0.7).alias("recall_ok"),
     )
+
+
+@query(
+    "ann_sq_recall_bound",
+    # n_queries is data-derived: count_distinct over qs = orderBy.limit(8)
+    oracle="""
+    SELECT CAST(LEAST(8, count(*)) AS BIGINT) AS n_queries, TRUE AS recall_ok
+    FROM embeddings
+    """,
+)
+def ann_sq_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar quantization (operators/squant.py — 8 bits/dim, 4x compression,
+    the all-JVM tier of the ANN ladder: one-aggregate train, pure-Column
+    encode, fold-expression scoring, zero Python) gated through the same
+    oracle-assertable recall bound as the PQ rows: recall@10 of the refined
+    SQ path (refine=4, exact re-rank) >= 0.9 vs exact brute force over 8
+    query vectors — a tighter bound than PQ's 0.7 because 8-bit/dim
+    quantization is near-lossless (measured 1.0/1.0 at sf0.001/0.01;
+    tests/test_squant.py also pins the UNrefined path >= 0.85 and the
+    <= step/2 decode error)."""
+    from parqueryd_spark.operators.similarity import brute_force_topk
+    from parqueryd_spark.operators.squant import sq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.orderBy("vec_id").limit(8)
+    exact = brute_force_topk(emb, qs, k=10).select("query_id", "neighbor_id")
+    approx = sq_topk(emb, qs, dim=64, k=10, refine=4).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    joined = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    return joined.agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        ((F.coalesce(F.sum("hit"), F.lit(0)) / F.count(F.lit(1))) >= 0.9).alias("recall_ok"),
+    )

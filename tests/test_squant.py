@@ -1,0 +1,83 @@
+"""Scalar quantization (SQ8): decode error bound, recall vs the exact
+baseline, degenerate-grid safety, and the all-JVM plan contract (no Python
+eval anywhere in train/encode/search — SQ's differentiator vs PQ)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from parqueryd_spark.operators.similarity import brute_force_topk
+from parqueryd_spark.operators.squant import sq_encode, sq_search, sq_topk, sq_train
+from parqueryd_spark.sources.parquet import load_table
+
+SF = "/root/testdata/sf0.001"
+K = 10
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def qset(emb):
+    return emb.orderBy("vec_id").limit(8)
+
+
+def _pairs(df):
+    return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+
+def test_decode_error_within_half_step(emb):
+    """Every encoded dimension reconstructs within step/2 of the normalized
+    source value — the uniform-quantizer guarantee the search identity
+    relies on."""
+    lo, step = sq_train(emb, dim=64)
+    rows = sq_encode(emb, lo, step).join(emb, "vec_id").limit(50).collect()
+    for r in rows:
+        v = r["embedding"]
+        n = math.sqrt(sum(float(x) * float(x) for x in v)) or 1.0
+        for i, c in enumerate(r["codes"]):
+            assert 0 <= c <= 255
+            decoded = lo[i] + c * step[i]
+            assert abs(decoded - float(v[i]) / n) <= step[i] / 2 + 1e-9
+
+
+def test_sq_recall_near_exact(emb, qset):
+    exact = _pairs(brute_force_topk(emb, qset, k=K))
+    refined = _pairs(sq_topk(emb, qset, dim=64, k=K, refine=4))
+    raw = _pairs(sq_topk(emb, qset, dim=64, k=K, refine=0))
+    r_refined = len(exact & refined) / len(exact)
+    r_raw = len(exact & raw) / len(exact)
+    # 8 bits/dim is near-lossless: measured 1.0 refined / ~0.99 raw here
+    assert r_refined >= 0.9, f"refined recall {r_refined}"
+    assert r_raw >= 0.85, f"raw SQ recall {r_raw}"
+
+
+def test_constant_dimension_is_safe(spark):
+    """A constant dimension (step would be 0) must not NaN-poison encode or
+    search — it folds into the per-query constant."""
+    df = spark.createDataFrame(
+        [(i, [1.0, float(i % 7), 2.0]) for i in range(20)],
+        "vec_id bigint, embedding array<double>",
+    )
+    lo, step = sq_train(df, dim=3)
+    got = sq_search(sq_encode(df, lo, step), df.limit(2), lo, step, k=3).collect()
+    assert len(got) == 6
+    assert all(not math.isnan(r["approx_sim"]) for r in got)
+
+
+def test_all_jvm_plan_no_python_eval(emb, qset):
+    lo, step = sq_train(emb, dim=64)
+    plan = sq_search(
+        sq_encode(emb, lo, step), qset, lo, step, k=K
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, "SQ path must stay entirely JVM-side"
+
+
+def test_deterministic_end_to_end(emb, qset):
+    a = sq_topk(emb, qset, dim=64, k=5).collect()
+    b = sq_topk(emb, qset, dim=64, k=5).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
