@@ -185,3 +185,67 @@ def sq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def sq_publish(
+    spark,
+    index_dir: str,
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch: str = "base",
+) -> None:
+    """Persist a self-contained SQ index: the (lo, step) grid at
+    ``<index_dir>/grid`` and the int8-range codes at ``<index_dir>/codes``
+    partitioned by ``batch`` — the same living-dataset posture as
+    ``ivf_publish``/``ivfpq_publish``. Appends quantize against the
+    PERSISTED grid (saturating clamp keeps out-of-grid increments sound),
+    and re-writing a batch overwrites exactly its own partition."""
+    grid_rows = [(i, float(l), float(s)) for i, (l, s) in enumerate(zip(*sq_train(corpus, dim=dim, vec_col=vec_col)))]
+    spark.createDataFrame(grid_rows, "i int, lo double, step double").write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/grid")
+    lo = [r[1] for r in grid_rows]
+    step = [r[2] for r in grid_rows]
+    (
+        sq_encode(corpus, lo, step, id_col=id_col, vec_col=vec_col)
+        .withColumn("batch", F.lit(batch))
+        .write.mode("overwrite")
+        .partitionBy("batch")
+        .parquet(f"{index_dir}/codes")
+    )
+
+
+def sq_load(spark, index_dir: str) -> tuple[DataFrame, list[float], list[float]]:
+    """(codes, lo, step) of a published SQ index — the grid collect is
+    metadata scale (dim rows)."""
+    rows = sorted(spark.read.parquet(f"{index_dir}/grid").collect(), key=lambda r: r["i"])
+    codes = spark.read.parquet(f"{index_dir}/codes")
+    return codes, [float(r["lo"]) for r in rows], [float(r["step"]) for r in rows]
+
+
+def sq_append(
+    spark,
+    index_dir: str,
+    new_vectors: DataFrame,
+    batch: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental SQ maintenance: encode the increment against the index's
+    OWN persisted grid — one map pass over the new rows, never a re-scan of
+    the standing corpus — and land it as the ``batch=<batch>`` partition
+    (dynamic partition overwrite: replays can't double-count). Vectors
+    outside the trained grid saturate to code 0/255 (bounded, sound);
+    if increments drift far from the base distribution, retrain and
+    republish."""
+    _, lo, step = sq_load(spark, index_dir)
+    (
+        sq_encode(new_vectors, lo, step, id_col=id_col, vec_col=vec_col)
+        .withColumn("batch", F.lit(batch))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(f"{index_dir}/codes")
+    )

@@ -81,3 +81,26 @@ def test_deterministic_end_to_end(emb, qset):
     a = sq_topk(emb, qset, dim=64, k=5).collect()
     b = sq_topk(emb, qset, dim=64, k=5).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_publish_append_search_lifecycle(spark, emb, qset, tmp_path):
+    """Publish on half the corpus, append the rest as a second batch:
+    search over the published index == search over a one-shot encode of the
+    full corpus (the grid is frozen at publish, so codes agree row-for-row),
+    and a replayed append can't double-count."""
+    from parqueryd_spark.operators.squant import sq_append, sq_load, sq_publish
+
+    idx = str(tmp_path / "sq_idx")
+    base = emb.filter("vec_id % 2 = 0")
+    inc = emb.filter("vec_id % 2 = 1")
+    sq_publish(spark, idx, base, dim=64)
+    sq_append(spark, idx, inc, batch="inc1")
+    sq_append(spark, idx, inc, batch="inc1")  # replay: same partition, no dupes
+
+    codes, lo, step = sq_load(spark, idx)
+    assert codes.count() == emb.count()
+    served = sq_search(codes, qset, lo, step, k=K).collect()
+
+    # one-shot baseline with the SAME grid (trained on base only)
+    oneshot = sq_search(sq_encode(emb, lo, step), qset, lo, step, k=K).collect()
+    assert sorted(map(tuple, served)) == sorted(map(tuple, oneshot))
