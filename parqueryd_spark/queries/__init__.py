@@ -110,6 +110,11 @@ from parqueryd_spark.queries import tpch_extended  # noqa: E402,F401
 # distinct ≡ groupby_count_variants + sketch_error_bounds' exact side),
 # pivot_agg (group-arrangement ≡ rollup_cube_agg), having_scalar_subquery
 # (agg-filter ≡ q5 + global_agg_no_keys compositions).
+# Round 9 also rotated IN ann_sq_recall_bound (the new scalar-quantization
+# family's driver-gated recall bound, operators/squant.py), displacing
+# range_join_price_bands — arithmetic binning + broadcast equi-join, both
+# mechanisms covered in-window by band_join_error_click /
+# interval_join_user_windows (bucketize→equi-join) and join_broadcast_dims.
 GATE_WINDOW = [
     "q1_pricing_summary",
     "groupby_agg_methods",
@@ -153,7 +158,7 @@ GATE_WINDOW = [
     "scan_bloom_lookup",
     "rollup_cube_agg",
     "pipeline_bloom_decontaminate",
-    "range_join_price_bands",
+    "ann_sq_recall_bound",
     "salted_skew_groupby",
     "asof_join_events",
     "text_token_lang_stats",

@@ -100,3 +100,14 @@ def test_round9_rotation_families_are_inside_the_gate_window():
     for name in displaced:
         assert name in Q.REGISTRY and name not in Q.GATE_WINDOW, name
         assert Q.REGISTRY[name].oracle is not None, name
+
+
+def test_sq_recall_bound_is_inside_the_gate_window():
+    """The scalar-quantization family's recall bound is driver-gated like
+    the other ANN bounds; the displaced range_join_price_bands (arithmetic
+    binning + broadcast equi-join, both mechanisms covered by in-window
+    twins) stays registered and oracle-tested past the window."""
+    assert "ann_sq_recall_bound" in Q.GATE_WINDOW
+    name = "range_join_price_bands"
+    assert name in Q.REGISTRY and name not in Q.GATE_WINDOW
+    assert Q.REGISTRY[name].oracle is not None
