@@ -249,3 +249,181 @@ def sq_append(
         .partitionBy("batch")
         .parquet(f"{index_dir}/codes")
     )
+
+
+def _resolve_centroids(corpus, centroids, n_centroids, id_col, vec_col, seed):
+    from parqueryd_spark.operators.similarity import kmeans_centroids
+
+    if not isinstance(centroids, str):
+        return centroids
+    if n_centroids is None:
+        raise ValueError("centroids mode string requires n_centroids")
+    if centroids == "kmeans":
+        return kmeans_centroids(corpus, n_centroids, vec_col=vec_col, seed=seed)
+    if centroids == "first_k":
+        return (
+            corpus.orderBy(F.col(id_col).asc())
+            .limit(n_centroids)
+            .select(F.col(id_col).cast("int").alias("centroid_id"), F.col(vec_col))
+        )
+    raise ValueError(
+        f"centroids must be a DataFrame, 'kmeans', or 'first_k'; got {centroids!r}"
+    )
+
+
+def ivfsq_publish(
+    spark,
+    index_dir: str,
+    corpus: DataFrame,
+    dim: int,
+    centroids: DataFrame | str = "first_k",
+    n_centroids: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch: str = "base",
+    seed: int = 42,
+) -> None:
+    """Persist an IVF-SQ index — the production ANN config that composes the
+    two pruning axes: IVF bucketing cuts WHICH rows a search reads
+    (~nprobe/n_centroids of the corpus, via dynamic partition pruning on the
+    ``(batch, centroid_id)`` layout, same as the IVF/IVF-PQ indexes) and SQ8
+    cuts HOW MUCH each read row costs (4-byte-per-dim floats → 1-byte codes
+    scored by a JVM fold — no Python on the codes stream, SQ's edge over
+    PQ's ADC tables). Layout: ``centroids``, ``grid`` (global per-dimension
+    lo/step — the FAISS "IVF,SQ8" formulation; bucket-local grids would
+    tighten steps but break the one-broadcast-weight-per-query identity),
+    and ``codes`` partitioned by ``(batch, centroid_id)``."""
+    cents = _resolve_centroids(corpus, centroids, n_centroids, id_col, vec_col, seed)
+    cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    lo, step = sq_train(corpus, dim=dim, vec_col=vec_col)
+    grid_rows = [(i, float(l), float(s)) for i, (l, s) in enumerate(zip(lo, step))]
+    spark.createDataFrame(grid_rows, "i int, lo double, step double").write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/grid")
+    from parqueryd_spark.operators.similarity import ivf_assign
+
+    assigned = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
+    (
+        sq_encode(corpus, lo, step, id_col=id_col, vec_col=vec_col)
+        .join(assigned, id_col)
+        .withColumn("batch", F.lit(batch))
+        .write.mode("overwrite")
+        .partitionBy("batch", "centroid_id")
+        .parquet(f"{index_dir}/codes")
+    )
+
+
+def ivfsq_load(spark, index_dir: str):
+    """(codes, centroids, lo, step) of a published IVF-SQ index."""
+    rows = sorted(spark.read.parquet(f"{index_dir}/grid").collect(), key=lambda r: r["i"])
+    return (
+        spark.read.parquet(f"{index_dir}/codes"),
+        spark.read.parquet(f"{index_dir}/centroids"),
+        [float(r["lo"]) for r in rows],
+        [float(r["step"]) for r in rows],
+    )
+
+
+def ivfsq_search(
+    codes: DataFrame,
+    centroids: DataFrame,
+    lo: list[float],
+    step: list[float],
+    queries: DataFrame,
+    corpus: DataFrame | None = None,
+    nprobe: int = 4,
+    k: int = 5,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against a published IVF-SQ index: rank centroids per query
+    (broadcast, metadata scale), SQ-score ONLY the probed buckets' codes —
+    the probe join's centroid_id equality prunes the partitioned codes scan
+    via DPP — shortlist ``refine*k``, exact cosine re-rank against
+    full-precision ``corpus`` vectors. ``refine=0``/``corpus=None`` returns
+    the raw quantized ranking (query_id, neighbor_id, approx_sim, rank)."""
+    from pyspark.sql import Window as W
+
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
+    cen = centroids.select("centroid_id", as_double(F.col(vec_col)).alias("cv"))
+    w_probe = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
+    nqv = _normalized(F.col("qv"), True)
+    probes = (
+        q.crossJoin(F.broadcast(cen))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select(
+            "query_id",
+            "centroid_id",
+            F.aggregate(
+                F.zip_with(_lit_arr(lo), nqv, lambda l, x: l * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("q_const"),
+            F.zip_with(_lit_arr(step), nqv, lambda s, x: s * x).alias("w"),
+        )
+    )
+    score = F.col("q_const") + F.aggregate(
+        F.zip_with("codes", "w", lambda ci, wi: ci.cast("double") * wi),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        codes.select(F.col(id_col).alias("neighbor_id"), "codes", "centroid_id")
+        .join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("approx_sim", score)
+    )
+    shortlist_k = k if (refine <= 0 or corpus is None) else refine * k
+    w = W.partitionBy("query_id").orderBy(F.col("approx_sim").desc(), F.col("neighbor_id").asc())
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= shortlist_k)
+        .select("query_id", "neighbor_id", F.round("approx_sim", 6).alias("approx_sim"), "rank")
+    )
+    if refine <= 0 or corpus is None:
+        return shortlist
+    cand = shortlist.select("query_id", "neighbor_id").join(
+        corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nv")),
+        "neighbor_id",
+    )
+    rer = cand.join(F.broadcast(q), "query_id").withColumn(
+        "cosine_sim", F.round(cosine("qv", "nv"), 6)
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def ivfsq_append(
+    spark,
+    index_dir: str,
+    new_vectors: DataFrame,
+    batch: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF-SQ maintenance: assign against the index's persisted
+    centroids and encode against its persisted grid — one broadcast-assign +
+    one map-encode pass over the increment; dynamic partition overwrite
+    keeps replays idempotent. Both quantizers are frozen at publish; on
+    distribution drift (bucket skew, saturating codes) rebuild and
+    republish."""
+    from parqueryd_spark.operators.similarity import ivf_assign
+
+    codes, cents, lo, step = ivfsq_load(spark, index_dir)
+    assigned = ivf_assign(new_vectors, cents, id_col=id_col, vec_col=vec_col)
+    (
+        sq_encode(new_vectors, lo, step, id_col=id_col, vec_col=vec_col)
+        .join(assigned, id_col)
+        .withColumn("batch", F.lit(batch))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch", "centroid_id")
+        .parquet(f"{index_dir}/codes")
+    )

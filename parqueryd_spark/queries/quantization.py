@@ -270,3 +270,79 @@ def ann_sq_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("query_id").alias("n_queries"),
         ((F.coalesce(F.sum("hit"), F.lit(0)) / F.count(F.lit(1))) >= 0.9).alias("recall_ok"),
     )
+
+
+_IVFSQ_INDEX_CACHE: dict[tuple, str] = {}
+_IVFSQ_INDEX_LOCK = threading.Lock()
+
+
+def served_ivfsq_index(spark: SparkSession, sf_dir: str, n_centroids: int = 16):
+    """(codes, centroids, lo, step) for the embeddings table, served from a
+    PUBLISHED IVF-SQ index (operators/squant.py:ivfsq_publish — coarse
+    centroids + a global SQ8 grid + 1-byte-per-dim codes partitioned by
+    (batch, centroid_id)), built ONCE per (sf_dir, n_centroids) per process
+    into a session-scoped temp dir. Same amortization posture as the served
+    IVF / IVF-PQ indexes."""
+    import os
+    import tempfile
+
+    from parqueryd_spark.operators.squant import ivfsq_load, ivfsq_publish
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = (os.path.abspath(sf_dir), n_centroids)
+    with _IVFSQ_INDEX_LOCK:
+        path = _IVFSQ_INDEX_CACHE.get(key)
+        if path is None or not os.path.isdir(path):
+            path = tempfile.mkdtemp(prefix="parqueryd_spark_ivfsq_")
+            ivfsq_publish(
+                spark, path, emb, dim=64, centroids="first_k", n_centroids=n_centroids
+            )
+            _IVFSQ_INDEX_CACHE[key] = path
+    return ivfsq_load(spark, path)
+
+
+@query("ann_ivfsq_index_topk", oracle=None, bench=True)
+def ann_ivfsq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-tier IVF-SQ: DPP-pruned scan of 1-byte-per-dim codes in the
+    probed buckets, JVM fold scoring (zero Python on the codes stream —
+    SQ's edge over PQ's per-query ADC tables), exact re-rank of the
+    refine×k shortlist. Rows-only at the driver; the oracle-backed
+    ``ann_ivfsq_recall_bound`` companion is IN the gate window."""
+    from parqueryd_spark.operators.squant import ivfsq_search
+
+    codes, cents, lo, step = served_ivfsq_index(spark, sf_dir, n_centroids=16)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.orderBy("vec_id").limit(8)
+    return ivfsq_search(codes, cents, lo, step, qs, corpus=emb, nprobe=4, k=5, refine=4)
+
+
+@query(
+    "ann_ivfsq_recall_bound",
+    # n_queries is data-derived: count_distinct over qs = orderBy.limit(8)
+    oracle="""
+    SELECT CAST(LEAST(8, count(*)) AS BIGINT) AS n_queries, TRUE AS recall_ok
+    FROM embeddings
+    """,
+)
+def ann_ivfsq_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The served IVF-SQ route gated through the same oracle-assertable
+    recall bound as the IVF-PQ rows: recall@10 at nprobe=4 of 16, refine=8,
+    >= 0.7 vs exact brute force over 8 query vectors. SQ's per-code fidelity
+    is near-lossless (tests/test_squant.py pins flat-SQ recall >= 0.9), so
+    the binding constraint here is the IVF probe set — the same regime the
+    other composed-index bounds measure."""
+    from parqueryd_spark.operators.similarity import brute_force_topk
+    from parqueryd_spark.operators.squant import ivfsq_search
+
+    codes, cents, lo, step = served_ivfsq_index(spark, sf_dir, n_centroids=16)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.orderBy("vec_id").limit(8)
+    exact = brute_force_topk(emb, qs, k=10).select("query_id", "neighbor_id")
+    approx = ivfsq_search(
+        codes, cents, lo, step, qs, corpus=emb, nprobe=4, k=10, refine=8
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    joined = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    return joined.agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        ((F.coalesce(F.sum("hit"), F.lit(0)) / F.count(F.lit(1))) >= 0.7).alias("recall_ok"),
+    )

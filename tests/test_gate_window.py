@@ -46,6 +46,7 @@ def test_estimate_rows_have_driver_checked_companions():
         "ann_ivf_index_topk": ["ann_ivf_exhaustive_topk", "ann_ivf_recall_bound"],
         "ann_pq_topk": ["ann_pq_recall_bound"],
         "ann_ivfpq_index_topk": ["ann_ivfpq_recall_bound"],
+        "ann_ivfsq_index_topk": ["ann_ivfsq_recall_bound"],
         "text_heavy_hitter_tokens": ["heavy_hitter_bound"],
     }
     no_oracle = [n for n, q in Q.REGISTRY.items() if q.oracle is None]

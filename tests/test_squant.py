@@ -104,3 +104,64 @@ def test_publish_append_search_lifecycle(spark, emb, qset, tmp_path):
     # one-shot baseline with the SAME grid (trained on base only)
     oneshot = sq_search(sq_encode(emb, lo, step), qset, lo, step, k=K).collect()
     assert sorted(map(tuple, served)) == sorted(map(tuple, oneshot))
+
+
+def test_ivfsq_exhaustive_probe_equals_flat_sq(spark, emb, qset, tmp_path):
+    """Probing every bucket must reduce IVF-SQ to flat SQ exactly: same
+    global grid, same scoring fold, the bucketing only partitions the
+    candidate stream."""
+    from parqueryd_spark.operators.squant import ivfsq_load, ivfsq_publish, ivfsq_search
+
+    idx = str(tmp_path / "ivfsq")
+    ivfsq_publish(spark, idx, emb, dim=64, centroids="first_k", n_centroids=8)
+    codes, cents, lo, step = ivfsq_load(spark, idx)
+    got = ivfsq_search(codes, cents, lo, step, qset, nprobe=8, k=K, refine=0).collect()
+    flat = sq_search(sq_encode(emb, lo, step), qset, lo, step, k=K).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, got), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, flat), key=lambda t: (t[0], t[3])
+    )
+
+
+def test_ivfsq_recall_and_append_lifecycle(spark, emb, qset, tmp_path):
+    """Refined IVF-SQ recall at nprobe=4 of 8 >= 0.7 vs brute force, and an
+    appended increment is searchable (frozen centroids + grid, replay-safe)."""
+    from parqueryd_spark.operators.squant import (
+        ivfsq_append,
+        ivfsq_load,
+        ivfsq_publish,
+        ivfsq_search,
+    )
+
+    idx = str(tmp_path / "ivfsq")
+    base = emb.filter("vec_id % 2 = 0")
+    inc = emb.filter("vec_id % 2 = 1")
+    ivfsq_publish(spark, idx, base, dim=64, centroids="first_k", n_centroids=8)
+    ivfsq_append(spark, idx, inc, batch="inc1")
+    ivfsq_append(spark, idx, inc, batch="inc1")  # replay
+    codes, cents, lo, step = ivfsq_load(spark, idx)
+    assert codes.count() == emb.count()
+
+    exact = _pairs(brute_force_topk(emb, qset, k=K))
+    got = _pairs(
+        ivfsq_search(codes, cents, lo, step, qset, corpus=emb, nprobe=4, k=K, refine=4)
+    )
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.7, f"IVF-SQ recall {recall}"
+
+
+def test_ivfsq_search_is_partition_pruned(spark, emb, qset, tmp_path):
+    """The codes scan must carry a dynamicpruningexpression on centroid_id —
+    the same DPP contract as the IVF / IVF-PQ indexes."""
+    from parqueryd_spark.operators.squant import ivfsq_load, ivfsq_publish, ivfsq_search
+
+    idx = str(tmp_path / "ivfsq")
+    ivfsq_publish(spark, idx, emb, dim=64, centroids="first_k", n_centroids=8)
+    codes, cents, lo, step = ivfsq_load(spark, idx)
+    df = ivfsq_search(codes, cents, lo, step, qset, nprobe=2, k=K, refine=0)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf, "codes scan lost its partition filters"
+    assert any("dynamicpruningexpression" in l and "centroid_id" in l for l in pf), pf
