@@ -90,6 +90,12 @@ def _bounded_build_ok() -> set[str]:
                                      # 16 centroids + refine*k shortlist);
                                      # residual encoding changes LUT
                                      # contents, not build-side cardinality
+        "ann_sq_recall_bound",       # 8 query vectors (const+weight rows);
+                                     # the corpus side is the codes stream
+        "ann_ivfsq_index_topk",      # 8 query vectors x nprobe=4 probe rows
+                                     # (published-index route; codes scan is
+                                     # DPP-pruned) + refine*k shortlist
+        "ann_ivfsq_recall_bound",    # same builds, 8 query vectors
         "ann_margin_match",          # bounded query set
         "ann_ivf_recall_bound",      # same builds as the two IVF rows
         "ann_pq_recall_bound",       # same builds as ann_pq_topk
