@@ -753,3 +753,53 @@ def unigram_divergence(df, group_col: str, text_col: str = "text"):
         )
         .withColumnRenamed("grp", group_col)
     )
+
+
+def hash_embed(
+    df,
+    id_col: str,
+    text_col: str,
+    dim: int = 16,
+    salt: str = "embed",
+    out_col: str = "embedding",
+):
+    """Feature-hashing dense embedding (Weinberger et al., "Feature Hashing
+    for Large Scale Multitask Learning"): each token lands in ONE of ``dim``
+    buckets with a ±1 sign, both derived from md5(token || salt), and the
+    document's vector is the per-bucket sign sum. The cheap, training-free
+    embedder that makes the documents → embeddings → ANN-index pipeline
+    end-to-end runnable on text alone — and, unlike a model embedder, it is
+    EXACTLY reproducible cross-engine (md5 arithmetic, integer-valued
+    components), so the registry row value-checks against DuckDB rather than
+    rows-only.
+
+    Scale shape: one md5 per token (not per token×dim), one shuffle of
+    (id, bucket) token rows with map-side combine, then a per-doc map→array
+    assembly — all JVM-side Column expressions. Empty/whitespace-only
+    documents keep an all-zero vector (left join back to the id universe).
+    DuckDB twin of the bucket/sign arithmetic:
+    ``CAST(('0x' || substr(md5(tok || salt), 1, 8)) AS BIGINT) % dim`` and
+    ``CAST(('0x' || substr(md5(tok || salt), 9, 1)) AS INT) % 2``.
+    """
+    ids = df.select(F.col(id_col))
+    ex = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok")
+    ).where(F.col("__tok") != "")
+    h = F.md5(F.concat(F.col("__tok"), F.lit(salt)))
+    b = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % dim).cast("int")
+    s = F.when(
+        F.conv(F.substring(h, 9, 1), 16, 10).cast("int") % 2 == 0, F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+    agg = (
+        ex.select(F.col(id_col), b.alias("__b"), s.alias("__s"))
+        .groupBy(id_col, "__b")
+        .agg(F.sum("__s").alias("__v"))
+    )
+    maps = agg.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("__b", "__v"))).alias("__m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.coalesce(F.element_at(F.col("__m"), d), F.lit(0.0)),
+    )
+    return ids.join(maps, id_col, "left").select(F.col(id_col), vec.alias(out_col))

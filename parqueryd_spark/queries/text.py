@@ -505,3 +505,51 @@ def text_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ids_md5"
         ),
     )
+
+
+@query(
+    "text_hash_embeddings",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), h AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(tok || 'embed'), 1, 8)) AS BIGINT) % 16 AS INT) AS b,
+             CASE WHEN CAST(('0x' || substr(md5(tok || 'embed'), 9, 1)) AS INT) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM toks WHERE tok <> ''
+    ), agg AS (
+      SELECT doc_id, b, SUM(s) AS v FROM h GROUP BY doc_id, b
+    ), per_doc AS (
+      SELECT doc_id,
+             CAST(SUM(v * v) AS BIGINT) AS l2_sq,
+             CAST(COUNT(*) FILTER (WHERE v <> 0) AS INT) AS nonzero_dims,
+             CAST(COALESCE(SUM(v) FILTER (WHERE b = 0), 0) AS BIGINT) AS dim0
+      FROM agg GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.l2_sq, 0) AS l2_sq,
+           COALESCE(p.nonzero_dims, 0) AS nonzero_dims,
+           COALESCE(p.dim0, 0) AS dim0
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def text_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing embedder (operators/text.py:hash_embed — one md5
+    bucket+sign per token, per-doc sign sums, dim=16) reduced to exact
+    per-doc scalars (squared L2 norm, nonzero dimension count, dimension 0)
+    so the driver value-checks the WHOLE vector pipeline against DuckDB's
+    identical md5 arithmetic — the training-free embedding that makes
+    documents → embeddings → ANN index runnable end-to-end on text alone.
+    Components are integer-valued sign sums, so the comparison is exact,
+    not float-rounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = T.hash_embed(docs, "doc_id", "text", dim=16)
+    return emb.select(
+        "doc_id",
+        F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x)
+        .cast("bigint")
+        .alias("l2_sq"),
+        F.size(F.filter("embedding", lambda x: x != 0.0)).alias("nonzero_dims"),
+        F.element_at("embedding", 1).cast("bigint").alias("dim0"),
+    )
