@@ -114,7 +114,12 @@ from parqueryd_spark.queries import tpch_extended  # noqa: E402,F401
 # family's driver-gated recall bound, operators/squant.py), displacing
 # range_join_price_bands — arithmetic binning + broadcast equi-join, both
 # mechanisms covered in-window by band_join_error_click /
-# interval_join_user_windows (bucketize→equi-join) and join_broadcast_dims.
+# interval_join_user_windows (bucketize→equi-join) and join_broadcast_dims —
+# and text_hash_embeddings (the embedding-GENERATION family: feature-hashing
+# md5 bucket+sign vectors value-checked end-to-end), displacing
+# text_edit_distance, a single built-in scalar function whose pure-Column
+# text-scalar shape text_token_lang_stats / text_curation_funnel keep
+# in-window.
 GATE_WINDOW = [
     "q1_pricing_summary",
     "groupby_agg_methods",
@@ -162,7 +167,7 @@ GATE_WINDOW = [
     "salted_skew_groupby",
     "asof_join_events",
     "text_token_lang_stats",
-    "text_edit_distance",
+    "text_hash_embeddings",
     "scd2_events_asof",
     "text_curation_funnel",
     "text_bm25_search",

@@ -112,3 +112,15 @@ def test_sq_recall_bound_is_inside_the_gate_window():
     name = "range_join_price_bands"
     assert name in Q.REGISTRY and name not in Q.GATE_WINDOW
     assert Q.REGISTRY[name].oracle is not None
+
+
+def test_hash_embeddings_is_inside_the_gate_window():
+    """The embedding-generation family (feature-hashing hash_embed, exactly
+    value-checked) is driver-gated; the displaced text_edit_distance (one
+    built-in scalar function; the pure-Column text-scalar shape stays
+    in-window via text_token_lang_stats / text_curation_funnel) remains
+    registered and oracle-tested past the window."""
+    assert "text_hash_embeddings" in Q.GATE_WINDOW
+    name = "text_edit_distance"
+    assert name in Q.REGISTRY and name not in Q.GATE_WINDOW
+    assert Q.REGISTRY[name].oracle is not None
