@@ -227,11 +227,49 @@ def main() -> None:
               f"| {r[7]} | {r[8]:.1f} | {r[9]} | {r[10]:.1f} | {r[11]:.1f} "
               f"| {r[12]:.1f} | {r[13]:.1f} |")
 
+    ivfsq_probe(spark, factors, scratch)
     zonemap_probe(spark)
     interval_probe(spark)
     interval_hot_bucket_probe(spark)
     skew_probe(spark)
     spark.stop()
+
+
+def ivfsq_probe(spark, factors=(1, 4, 16, 32), scratch="/tmp/spark_graft_scale_probe") -> None:
+    """IVF-SQ (operators/squant.py): same bucketed DPP pruning as IVF/IVF-PQ,
+    but the pruned scan reads 1-byte-per-dim codes scored by a JVM fold —
+    no Python, no per-query LUT broadcast contents beyond (const, weights).
+    Search should stay as flat as IVF-PQ's; build is assign + map-encode
+    (linear) after the one-pass grid aggregate."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from parqueryd_spark.operators.squant import ivfsq_load, ivfsq_publish, ivfsq_search
+
+    print("\nivfsq probe (published index, nprobe=4, refine=4, "
+          "n_centroids ~ sqrt(n)):")
+    print("| factor | vecs | build s | search s | rows |")
+    print("|---|---|---|---|---|")
+    for f in factors:
+        emb_path = f"{scratch}/emb_x{f}"
+        if not os.path.isdir(emb_path):
+            replicate_embeddings(spark, f).write.mode("overwrite").parquet(emb_path)
+        emb = spark.read.parquet(emb_path)
+        n = emb.count()
+        nc = max(16, int(n**0.5))
+        idx = f"{scratch}/ivfsq_x{f}"
+        t0 = _t.perf_counter()
+        ivfsq_publish(spark, idx, emb, dim=64, centroids="first_k", n_centroids=nc)
+        t_build = _t.perf_counter() - t0
+        codes, cents, lo, step = ivfsq_load(spark, idx)
+        t0 = _t.perf_counter()
+        rows = ivfsq_search(
+            codes, cents, lo, step, emb.filter(F.col("vec_id") < 5),
+            corpus=emb, nprobe=4, k=5, refine=4,
+        ).count()
+        t_search = _t.perf_counter() - t0
+        print(f"| x{f} | {n} | {t_build:.1f} | {t_search:.1f} | {rows} |", flush=True)
 
 
 def zonemap_probe(spark) -> None:
