@@ -56,21 +56,63 @@ def sq_train(
     dim: int,
     vec_col: str = "embedding",
     normalize: bool = True,
+    method: str = "auto",
 ) -> tuple[list[float], list[float]]:
-    """Learn the per-dimension (lo, step) grid in ONE aggregate scan.
+    """Learn the per-dimension (lo, step) grid in ONE scan.
 
-    ``dim×2`` min/max aggregates in a single ``agg`` — map-side combined,
-    no explode/shuffle-by-dimension, output is 2·dim scalars (metadata
-    scale). A constant dimension gets step=1.0 so encode/search stay
-    NaN-free (its codes are 0 and its contribution folds into const).
-    """
+    ``method="agg"``: dim×2 min/max aggregates in a single ``agg`` —
+    map-side combined, no explode/shuffle-by-dimension, output is 2·dim
+    scalars (metadata scale). ``method="arrow"``: one Arrow-batched
+    ``mapInPandas`` pass emitting a per-partition (lo[], hi[]) row, reduced
+    driver-side (n_partitions × dim doubles — still metadata scale).
+    ``"auto"`` picks agg up to dim=128 and arrow beyond: 2·dim aggregate
+    expressions are the fastest plan while the expression tree stays small,
+    but at real embedding widths (768/1536+) Catalyst analysis/codegen over
+    thousands of aggregates dominates the scan — the same giant-expression-
+    tree regime pq_encode documents — and the vectorized numpy min/max wins.
+    Both paths return bit-identical grids (pytest-pinned). A constant
+    dimension gets step=1.0 so encode/search stay NaN-free (its codes are 0
+    and its contribution folds into const)."""
+    if method == "auto":
+        method = "agg" if dim <= 128 else "arrow"
     nv = _normalized(F.col(vec_col), normalize)
-    row = corpus.select(nv.alias("__nv")).agg(
-        *[F.min(F.col("__nv")[i]).alias(f"_lo_{i}") for i in range(dim)],
-        *[F.max(F.col("__nv")[i]).alias(f"_hi_{i}") for i in range(dim)],
-    ).collect()[0]
-    lo = [float(row[f"_lo_{i}"]) for i in range(dim)]
-    hi = [float(row[f"_hi_{i}"]) for i in range(dim)]
+    if method == "agg":
+        row = corpus.select(nv.alias("__nv")).agg(
+            *[F.min(F.col("__nv")[i]).alias(f"_lo_{i}") for i in range(dim)],
+            *[F.max(F.col("__nv")[i]).alias(f"_hi_{i}") for i in range(dim)],
+        ).collect()[0]
+        lo = [float(row[f"_lo_{i}"]) for i in range(dim)]
+        hi = [float(row[f"_hi_{i}"]) for i in range(dim)]
+    elif method == "arrow":
+        d = dim
+
+        def _partial(batches):
+            # self-contained closure (cloudpickled by value — executors need
+            # no repo import); bounded state: one (lo, hi) pair of length dim
+            import numpy as _np
+            import pandas as _pd
+
+            lo = _np.full(d, _np.inf)
+            hi = _np.full(d, -_np.inf)
+            seen = False
+            for pdf in batches:
+                for v in pdf["__nv"]:
+                    x = _np.asarray(v, dtype=_np.float64)
+                    _np.minimum(lo, x, out=lo)
+                    _np.maximum(hi, x, out=hi)
+                    seen = True
+            if seen:
+                yield _pd.DataFrame({"lo": [list(lo)], "hi": [list(hi)]})
+
+        parts = corpus.select(nv.alias("__nv")).mapInPandas(
+            _partial, "lo array<double>, hi array<double>"
+        ).collect()
+        if not parts:
+            raise ValueError("sq_train needs a non-empty corpus")
+        lo = [min(float(p["lo"][i]) for p in parts) for i in range(dim)]
+        hi = [max(float(p["hi"][i]) for p in parts) for i in range(dim)]
+    else:
+        raise ValueError(f"method must be 'auto', 'agg', or 'arrow'; got {method!r}")
     step = [((h - l) / 255.0) if h > l else 1.0 for l, h in zip(lo, hi)]
     return lo, step
 

@@ -165,3 +165,11 @@ def test_ivfsq_search_is_partition_pruned(spark, emb, qset, tmp_path):
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf, "codes scan lost its partition filters"
     assert any("dynamicpruningexpression" in l and "centroid_id" in l for l in pf), pf
+
+
+def test_train_arrow_path_matches_agg_path(emb):
+    """The wide-vector (mapInPandas) grid path must return the exact grid
+    the aggregate path returns — both are exact min/max, different plans."""
+    lo_a, step_a = sq_train(emb, dim=64, method="agg")
+    lo_b, step_b = sq_train(emb, dim=64, method="arrow")
+    assert lo_a == lo_b and step_a == step_b
