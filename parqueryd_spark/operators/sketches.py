@@ -274,3 +274,99 @@ def kmv_set_estimates(prefix_a: str = "a", prefix_b: str = "b", k: int = 1024):
         F.round(inter).cast("long").alias("n_intersect_est"),
         F.round(union_est).cast("long").alias("n_union_est"),
     )
+
+
+def _cm_cell(key_col, depth_j: int, width: int, salt: str):
+    """Row j's cell index for a key: md5-derived, cross-engine reproducible —
+    DuckDB: CAST(('0x' || substr(md5(v || '<salt>:<j>'), 1, 8)) AS BIGINT) % width."""
+    h = F.md5(F.concat(key_col.cast("string"), F.lit(f"{salt}:{depth_j}")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width).cast("int")
+
+
+def count_min_sketch(
+    df: DataFrame,
+    key_col: str,
+    width: int = 256,
+    depth: int = 4,
+    salt: str = "cm",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan, "An improved data stream
+    summary: the count-min sketch and its applications", J. Algorithms 2005)
+    as a TABLE of (depth_j, cell, cnt) — ``depth`` md5-derived hash rows of
+    ``width`` counters. Complements Misra–Gries: MG surfaces the top keys
+    with a deterministic undercount bound; CM answers a frequency query for
+    ANY key, never undercounting, overcounting by ≤ εN = (e/width)·N with
+    probability 1−(1/2)^depth per query.
+
+    Everything is linear algebra over counters, so the sketch is built with
+    pure Column expressions (one explode-free map pass emitting ``depth``
+    cells per row, one groupBy of ≤ depth×width result rows — map-side
+    combined) and two sketches MERGE by summing matching cells
+    (:func:`count_min_merge`) — partials per day/partition compose exactly.
+    md5 cell arithmetic makes the whole sketch byte-reproducible in DuckDB,
+    so the registry row value-checks the guarantee itself, not just row
+    counts. ``weight_col`` generalizes from counts to summed weights."""
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("depth_j"),
+                        _cm_cell(F.col(key_col), j, width, salt).alias("cell"),
+                        w.alias("w"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("s")
+    )
+    return cells.groupBy(F.col("s.depth_j").alias("depth_j"), F.col("s.cell").alias("cell")).agg(
+        F.sum("s.w").alias("cnt")
+    )
+
+
+def count_min_merge(parts: Sequence[DataFrame]) -> DataFrame:
+    """Sum matching cells across sketch parts (built with identical
+    width/depth/salt): CM is linear, so merge ∘ split ≡ sketching the whole
+    input — bit-exact, pytest-pinned. Cost ∝ depth×width state rows."""
+    from functools import reduce
+
+    if not parts:
+        raise ValueError("count_min_merge needs at least one sketch part")
+    allp = reduce(lambda a, b: a.unionByName(b), parts)
+    return allp.groupBy("depth_j", "cell").agg(F.sum("cnt").alias("cnt"))
+
+
+def count_min_query(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    width: int = 256,
+    depth: int = 4,
+    salt: str = "cm",
+) -> DataFrame:
+    """Point-frequency estimates for a batch of keys: each key joins its
+    ``depth`` cells (the sketch is broadcast — ≤ depth×width rows) and takes
+    the MIN counter. Returns (key, est). est ≥ true count always; the εN
+    overcount bound is what the registry row gates. Missing cells count 0
+    (a key hashing only to untouched cells has true frequency 0)."""
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("depth_j"),
+                        _cm_cell(F.col(key_col), j, width, salt).alias("cell"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select(key_col, "p.depth_j", "p.cell")
+    joined = probes.join(F.broadcast(sketch), ["depth_j", "cell"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0.0))).alias("est")
+    )

@@ -331,3 +331,56 @@ def events_kmv_overlap_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             "union_ok"
         ),
     )
+
+
+@query(
+    "events_countmin_freq",
+    oracle="""
+    WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+    ks AS (SELECT DISTINCT user_id FROM events WHERE user_id % 5 = 0),
+    cells AS (
+      SELECT j,
+             CAST(CAST(('0x' || substr(md5(e.user_id::VARCHAR || 'cm:' || j::VARCHAR), 1, 8)) AS BIGINT) % 256 AS INT) AS cell
+      FROM events e CROSS JOIN js
+    ),
+    sketch AS (SELECT j, cell, CAST(count(*) AS BIGINT) AS c FROM cells GROUP BY j, cell),
+    probes AS (
+      SELECT ks.user_id, js.j,
+             CAST(CAST(('0x' || substr(md5(ks.user_id::VARCHAR || 'cm:' || js.j::VARCHAR), 1, 8)) AS BIGINT) % 256 AS INT) AS cell
+      FROM ks CROSS JOIN js
+    ),
+    est AS (
+      SELECT p.user_id, CAST(MIN(COALESCE(s.c, 0)) AS BIGINT) AS cm_est
+      FROM probes p LEFT JOIN sketch s ON s.j = p.j AND s.cell = p.cell
+      GROUP BY p.user_id
+    ),
+    exact AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt FROM events GROUP BY user_id)
+    SELECT est.user_id AS user_id, exact_cnt, cm_est,
+           cm_est >= exact_cnt AS never_under
+    FROM est JOIN exact USING (user_id)
+    """,
+)
+def events_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency estimates (operators/sketches.py:
+    count_min_sketch/query — depth=4 × width=256 md5-derived counter cells,
+    linear and mergeable) probed for every 5th user next to the exact
+    per-user counts. The md5 cell arithmetic is byte-reproducible in DuckDB,
+    so the oracle rebuilds the ENTIRE sketch and the driver value-checks the
+    estimates themselves — plus the never-undercount hard guarantee as a
+    column. The εN overcount bound (ε = e/width, prob 1−2^-depth per key)
+    and merge∘split ≡ direct are pytest-pinned (tests/test_sketches.py)."""
+    from parqueryd_spark.operators.sketches import count_min_query, count_min_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = count_min_sketch(ev, "user_id", width=256, depth=4)
+    keys = ev.select("user_id").distinct().filter(F.col("user_id") % 5 == 0)
+    est = count_min_query(sk, keys, "user_id", width=256, depth=4).select(
+        "user_id", F.col("est").cast("bigint").alias("cm_est")
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return est.join(exact, "user_id").select(
+        "user_id",
+        "exact_cnt",
+        "cm_est",
+        (F.col("cm_est") >= F.col("exact_cnt")).alias("never_under"),
+    )

@@ -101,6 +101,8 @@ def _bounded_build_ok() -> set[str]:
         "ann_pq_recall_bound",       # same builds as ann_pq_topk
         "embedding_prototypes",      # one centroid per label (label-bounded)
         # 1-row / stats-row builds
+        "events_countmin_freq",      # sketch table: <= depth x width = 1024
+                                     # counter cells regardless of SF
         "text_bm25_search",          # one corpus-stats row
         "text_heavy_hitter_tokens",  # one max-undercount row
         "heavy_hitter_bound",        # one max-undercount row + k=20 list

@@ -136,3 +136,41 @@ def test_hll_rollup_merge_rejects_empty_parts():
 
     with pytest.raises(ValueError, match="at least one"):
         hll_rollup_merge([], ["event_type"])
+
+
+def test_count_min_merge_split_equals_direct_and_bounds(spark):
+    """CM is linear: per-half sketches summed == one-shot sketch, bit-exact;
+    queries never undercount; overcount stays within the generous 3·εN
+    envelope (ε = e/width — the per-key w.h.p. bound, deterministic here
+    because the md5 hashing is fixed); an absent key estimates no higher
+    than εN-level collision mass."""
+    import math
+
+    from parqueryd_spark.operators.sketches import (
+        count_min_merge,
+        count_min_query,
+        count_min_sketch,
+    )
+    from pyspark.sql import functions as F
+
+    n = 5000
+    df = spark.range(n).select((F.col("id") % 100).alias("k"))  # 100 keys x 50
+    width, depth = 256, 4
+
+    direct = count_min_sketch(df, "k", width=width, depth=depth)
+    a = count_min_sketch(spark.range(n).filter("id % 2 = 0").select((F.col("id") % 100).alias("k")), "k", width=width, depth=depth)
+    b = count_min_sketch(spark.range(n).filter("id % 2 = 1").select((F.col("id") % 100).alias("k")), "k", width=width, depth=depth)
+    merged = count_min_merge([a, b])
+    key = lambda r: (r["depth_j"], r["cell"], float(r["cnt"]))
+    assert sorted(map(key, merged.collect())) == sorted(map(key, direct.collect()))
+
+    keys = spark.range(100).select(F.col("id").alias("k"))
+    est = {r["k"]: r["est"] for r in count_min_query(direct, keys, "k", width=width, depth=depth).collect()}
+    eps_n = math.e / width * n
+    for k in range(100):
+        assert est[k] >= 50, (k, est[k])            # never undercounts
+        assert est[k] <= 50 + 3 * eps_n, (k, est[k])  # bounded overcount
+
+    absent = spark.createDataFrame([(10**9,)], "k bigint")
+    got = count_min_query(direct, absent, "k", width=width, depth=depth).collect()[0]["est"]
+    assert got <= 3 * eps_n, got
