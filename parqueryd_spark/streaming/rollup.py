@@ -233,3 +233,54 @@ def read_kmv_overlap(
     b = merged.select(F.col(key).alias("t2"), F.col("kmv").alias("b_kmv"))
     i_est, u_est = kmv_set_estimates("a", "b", k)
     return a.join(b, F.col("t1") < F.col("t2")).select("t1", "t2", i_est, u_est)
+
+
+def stream_maintain_countmin(
+    event_stream: DataFrame,
+    cm_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    width: int = 256,
+    depth: int = 4,
+    salt: str = "cm",
+):
+    """Continuously-maintained POINT-FREQUENCY state — the streaming face of
+    operators/sketches.count_min_sketch, closing the any-key frequency query
+    next to the HLL (distinct) and KMV (overlap) twins. Each micro-batch
+    sketches its rows into <= depth x width counter cells in an idempotent
+    ``batch=<id>`` partition; CM is LINEAR (merge = cell sums), so replayed
+    batches overwrite their own partition and totals never double-count,
+    while merge-on-read (:func:`read_countmin_estimates`) stays exact w.r.t.
+    a one-shot sketch of everything seen. State per batch is depth x width
+    cells regardless of row volume."""
+    from parqueryd_spark.operators.sketches import count_min_sketch
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        part = count_min_sketch(batch_df, key_col, width=width, depth=depth, salt=salt)
+        part.write.mode("overwrite").parquet(os.path.join(cm_dir, f"batch={batch_id}"))
+
+    return (
+        event_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_countmin_estimates(
+    spark,
+    cm_dir: str,
+    keys: DataFrame,
+    key_col: str = "user_id",
+    width: int = 256,
+    depth: int = 4,
+    salt: str = "cm",
+) -> DataFrame:
+    """Frequency estimates over ALL published batches: merge-on-read of the
+    counter cells (plain sums — CM linearity makes merged-batches ≡ one-shot
+    bit-exact), then the standard min-over-depth probe for each requested
+    key. Raw events are never touched. Returns (key, est)."""
+    from parqueryd_spark.operators.sketches import count_min_merge, count_min_query
+
+    merged = count_min_merge([spark.read.parquet(cm_dir)])
+    return count_min_query(merged, keys, key_col, width=width, depth=depth, salt=salt)

@@ -206,3 +206,56 @@ def test_stream_kmv_state_matches_batch_and_overlaps(spark, tmp_path):
     # overlap query over published state: |click ∩ view| = 1 exactly (< k)
     ov = read_kmv_overlap(spark, kmv_dir, k=64).collect()
     assert len(ov) == 1 and ov[0].n_intersect_est == 1 and ov[0].n_union_est == 3
+
+
+def test_stream_countmin_merges_exactly_and_replays_safely(spark, tmp_path):
+    """Two micro-batches of CM partials merge-on-read to the ONE-SHOT sketch
+    estimates (CM linearity), and a replayed drain changes nothing."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from parqueryd_spark.operators.sketches import count_min_query, count_min_sketch
+    from parqueryd_spark.streaming.rollup import (
+        read_countmin_estimates,
+        stream_maintain_countmin,
+    )
+
+    stream_in = str(tmp_path / "in")
+    cm_dir = str(tmp_path / "cm")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(stream_in)
+    pd.DataFrame({"user_id": [i % 10 for i in range(500)]}).to_parquet(
+        os.path.join(stream_in, "b1.parquet")
+    )
+    pd.DataFrame({"user_id": [i % 25 for i in range(500)]}).to_parquet(
+        os.path.join(stream_in, "b2.parquet")
+    )
+    schema = spark.read.parquet(os.path.join(stream_in, "b1.parquet")).schema
+    src = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stream_in)
+    stream_maintain_countmin(src, cm_dir, ckpt).awaitTermination()
+
+    keys = spark.range(25).select(F.col("id").alias("user_id"))
+    served = {
+        r["user_id"]: r["est"]
+        for r in read_countmin_estimates(spark, cm_dir, keys).collect()
+    }
+    oneshot_sk = count_min_sketch(spark.read.parquet(stream_in), "user_id")
+    oneshot = {
+        r["user_id"]: r["est"]
+        for r in count_min_query(oneshot_sk, keys, "user_id").collect()
+    }
+    assert served == oneshot
+    exact = {
+        r["user_id"]: r["n"]
+        for r in spark.read.parquet(stream_in).groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(served[k] >= exact.get(k, 0) for k in served)
+
+    stream_maintain_countmin(src, cm_dir, ckpt).awaitTermination()  # replay, no input
+    served2 = {
+        r["user_id"]: r["est"]
+        for r in read_countmin_estimates(spark, cm_dir, keys).collect()
+    }
+    assert served2 == served
