@@ -306,9 +306,12 @@ def count_min_sketch(
     (:func:`count_min_merge`) — partials per day/partition compose exactly.
     md5 cell arithmetic makes the whole sketch byte-reproducible in DuckDB,
     so the registry row value-checks the guarantee itself, not just row
-    counts. ``weight_col`` generalizes from counts to summed weights."""
+    counts. ``weight_col`` generalizes from counts to summed weights.
+    NULL keys are excluded (a NULL never equals a lookup value — the
+    bloom_manifest convention; without the filter they'd accumulate in a
+    dead NULL cell no probe can reach)."""
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
-    cells = df.select(
+    cells = df.where(F.col(key_col).isNotNull()).select(
         F.explode(
             F.array(
                 *[

@@ -174,3 +174,22 @@ def test_count_min_merge_split_equals_direct_and_bounds(spark):
     absent = spark.createDataFrame([(10**9,)], "k bigint")
     got = count_min_query(direct, absent, "k", width=width, depth=depth).collect()[0]["est"]
     assert got <= 3 * eps_n, got
+
+
+def test_count_min_null_keys_are_excluded(spark):
+    """NULL keys must not land in an unreachable NULL cell: the sketch of a
+    NULL-bearing column equals the sketch of its non-null rows, and probing
+    any real key is unaffected."""
+    from parqueryd_spark.operators.sketches import count_min_query, count_min_sketch
+
+    with_nulls = spark.createDataFrame(
+        [(1,), (1,), (None,), (2,), (None,)], "k int"
+    )
+    without = with_nulls.where("k IS NOT NULL")
+    key = lambda r: (r["depth_j"], r["cell"], float(r["cnt"]))
+    a = sorted(map(key, count_min_sketch(with_nulls, "k").collect()))
+    b = sorted(map(key, count_min_sketch(without, "k").collect()))
+    assert a == b
+    keys = spark.createDataFrame([(1,), (2,)], "k int")
+    est = {r["k"]: r["est"] for r in count_min_query(count_min_sketch(with_nulls, "k"), keys, "k").collect()}
+    assert est[1] >= 2 and est[2] >= 1
