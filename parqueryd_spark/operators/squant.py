@@ -76,11 +76,17 @@ def sq_train(
     if method == "auto":
         method = "agg" if dim <= 128 else "arrow"
     nv = _normalized(F.col(vec_col), normalize)
+    # NULL vectors carry no grid information (encode passes them through as
+    # NULL codes, search ranks them last) — drop them here so both train
+    # paths see the same rows and neither NaN-poisons the grid
+    corpus = corpus.where(F.col(vec_col).isNotNull())
     if method == "agg":
         row = corpus.select(nv.alias("__nv")).agg(
             *[F.min(F.col("__nv")[i]).alias(f"_lo_{i}") for i in range(dim)],
             *[F.max(F.col("__nv")[i]).alias(f"_hi_{i}") for i in range(dim)],
         ).collect()[0]
+        if row[f"_lo_0"] is None:
+            raise ValueError("sq_train needs a non-empty corpus")
         lo = [float(row[f"_lo_{i}"]) for i in range(dim)]
         hi = [float(row[f"_hi_{i}"]) for i in range(dim)]
     elif method == "arrow":

@@ -173,3 +173,21 @@ def test_train_arrow_path_matches_agg_path(emb):
     lo_a, step_a = sq_train(emb, dim=64, method="agg")
     lo_b, step_b = sq_train(emb, dim=64, method="arrow")
     assert lo_a == lo_b and step_a == step_b
+
+
+def test_train_rejects_empty_and_ignores_null_vectors(spark):
+    import pytest
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    with pytest.raises(ValueError, match="non-empty"):
+        sq_train(empty, dim=3)
+    with pytest.raises(ValueError, match="non-empty"):
+        sq_train(empty, dim=3, method="arrow")
+
+    mixed = spark.createDataFrame(
+        [(1, [1.0, 2.0, 2.0]), (2, None), (3, [2.0, 1.0, 2.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    clean = mixed.where("embedding IS NOT NULL")
+    assert sq_train(mixed, dim=3) == sq_train(clean, dim=3)
+    assert sq_train(mixed, dim=3, method="arrow") == sq_train(clean, dim=3)
