@@ -777,6 +777,8 @@ def hash_embed(
     (id, bucket) token rows with map-side combine, then a per-doc map→array
     assembly — all JVM-side Column expressions. Empty/whitespace-only
     documents keep an all-zero vector (left join back to the id universe).
+    Ids are treated as a key: duplicate ids merge their documents' tokens
+    into one vector (dedup upstream if that's not intended).
     DuckDB twin of the bucket/sign arithmetic:
     ``CAST(('0x' || substr(md5(tok || salt), 1, 8)) AS BIGINT) % dim`` and
     ``CAST(('0x' || substr(md5(tok || salt), 9, 1)) AS INT) % 2``.
