@@ -553,3 +553,53 @@ def text_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter("embedding", lambda x: x != 0.0)).alias("nonzero_dims"),
         F.element_at("embedding", 1).cast("bigint").alias("dim0"),
     )
+
+
+@query(
+    "text_ngram_lm_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS gram
+      FROM toks WHERE len(t) >= 2
+    ), bg AS (
+      SELECT gram, count(*) AS c FROM grams GROUP BY gram
+    ), ctx AS (
+      SELECT string_split(gram, ' ')[1] AS prev, sum(c) AS cc FROM bg GROUP BY 1
+    ), v AS (
+      SELECT count(DISTINCT string_split(gram, ' ')[2]) + 1 AS vsz FROM bg
+    ), sc AS (
+      SELECT doc_id, gram, count(*) AS w FROM grams WHERE doc_id < 300
+      GROUP BY doc_id, gram
+    ), j AS (
+      SELECT sc.doc_id, sc.w,
+             log2((coalesce(bg.c, 0) + 0.5) / (coalesce(ctx.cc, 0) + 0.5 * v.vsz)) AS lp
+      FROM sc
+      LEFT JOIN bg USING (gram)
+      LEFT JOIN ctx ON string_split(sc.gram, ' ')[1] = ctx.prev
+      CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(sum(w) AS BIGINT) AS n_bigrams,
+           round(-sum(w * lp) / sum(w), 6) AS avg_nll,
+           round(pow(2, round(-sum(w * lp) / sum(w), 6)), 4) AS ppl
+    FROM j GROUP BY doc_id
+    """,
+    bench=True,
+)
+def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (operators/lm.py): an add-0.5 bigram LM
+    trained on the WHOLE documents corpus in one scan (counts are the model),
+    then per-document cross-entropy (avg_nll, 6 dp) and perplexity for the
+    doc_id < 300 slice via two count-table equi-joins — all JVM Column
+    arithmetic, zero Python. The oracle rebuilds the ENTIRE train+score
+    pipeline in SQL from the same integer counts, so the driver value-checks
+    the perplexity ESTIMATES themselves (the curation signal Wenzek et al.
+    2020 filter on), not a bound."""
+    from parqueryd_spark.operators.lm import lm_score, lm_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = lm_train(docs, "text", k=0.5)
+    return lm_score(docs.filter(F.col("doc_id") < 300), "doc_id", lm, "text")
