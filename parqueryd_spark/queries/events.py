@@ -350,3 +350,35 @@ def scd2_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     snap = scd2_as_of(hist, dt.datetime(2024, 1, 20))
     return snap.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@query(
+    "events_exact_quantile",
+    oracle="""
+    SELECT CAST(0.1 AS DOUBLE) AS prob, quantile_disc(value, 0.1) AS value FROM events
+    UNION ALL
+    SELECT CAST(0.25 AS DOUBLE), quantile_disc(value, 0.25) FROM events
+    UNION ALL
+    SELECT CAST(0.5 AS DOUBLE), quantile_disc(value, 0.5) FROM events
+    UNION ALL
+    SELECT CAST(0.9 AS DOUBLE), quantile_disc(value, 0.9) FROM events
+    UNION ALL
+    SELECT CAST(0.99 AS DOUBLE), quantile_disc(value, 0.99) FROM events
+    """,
+    bench=True,
+)
+def events_exact_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT order statistics without a global sort
+    (operators/selection.py): multi-pass histogram narrowing — each pass one
+    filtered range-predicate aggregation (pushdown- and zone-map-composable),
+    candidate population shrinking ~bins-fold per pass, final resolve as
+    max-of-the-r-smallest inside the engine. bins/exact_threshold are set
+    low here so the gate exercises REAL narrowing passes at sf0.01 (10k
+    rows), not just the small-n direct path; the answers are the actual data
+    elements, so the oracle's quantile_disc must agree bit-for-bit."""
+    from parqueryd_spark.operators.selection import exact_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    return exact_quantiles(
+        spark, ev, "value", [0.1, 0.25, 0.5, 0.9, 0.99], bins=16, exact_threshold=500
+    )

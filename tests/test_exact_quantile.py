@@ -1,0 +1,91 @@
+"""Exact distributed selection (operators/selection.py): histogram-narrowing
+rank selection must equal a plain sort-and-index answer for every rank shape
+(duplicates, negatives, tiny n, forced multi-pass narrowing, concentrated
+mass), match DuckDB's quantile_disc rank definition, and exclude NULLs."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from parqueryd_spark.operators.selection import (
+    exact_quantiles,
+    exact_rank_value,
+    quantile_rank,
+)
+
+
+def _df(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "value double")
+
+
+def test_quantile_rank_uses_exact_decimal_arithmetic():
+    # 0.1 * 10 is exactly 1 in decimal; binary-float ceil would say 2
+    assert quantile_rank(0.1, 10) == 1
+    assert quantile_rank(0.25, 4) == 1
+    assert quantile_rank(0.5, 5) == 3
+    assert quantile_rank(0.99, 500) == 495
+    assert quantile_rank(1.0, 7) == 7
+    assert quantile_rank(0.0, 7) == 1  # clamped to the first value
+
+
+def test_every_rank_matches_sorted_index_with_forced_narrowing(spark):
+    random.seed(11)
+    vals = [random.choice([-3.5, 0.0, 1.25, 7.0, 42.0]) for _ in range(200)]
+    vals += [random.uniform(-100, 100) for _ in range(200)]
+    ordered = sorted(vals)
+    df = _df(spark, vals)
+    # exact_threshold=16 forces several genuine narrowing passes
+    for rank in [1, 2, 17, 100, 250, 399, 400]:
+        got = exact_rank_value(df, "value", rank, bins=8, exact_threshold=16)
+        assert got == ordered[rank - 1], rank
+
+
+def test_matches_duckdb_quantile_disc(spark):
+    random.seed(23)
+    vals = [random.uniform(-50, 150) for _ in range(997)]
+    probs = [0.1, 0.25, 0.5, 0.9, 0.99, 1.0]
+    mine = {
+        r["prob"]: r["value"]
+        for r in exact_quantiles(
+            spark, _df(spark, vals), "value", probs, bins=8, exact_threshold=50
+        ).collect()
+    }
+    duck = duckdb.sql(
+        f"SELECT {', '.join(f'quantile_disc(x, {p})' for p in probs)}"
+        f" FROM (SELECT unnest({vals}) AS x)"
+    ).fetchone()
+    for p, d in zip(probs, duck):
+        assert mine[p] == float(d), p
+
+
+def test_nulls_excluded_and_all_null_returns_none(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (1.0,), (2.0,), (None,), (1.0,)], "value double"
+    )
+    assert exact_rank_value(df, "value", 3, bins=4, exact_threshold=2) == 1.0
+    assert exact_rank_value(df, "value", 4, bins=4, exact_threshold=2) == 2.0
+    nulls = spark.createDataFrame([(None,), (None,)], "value double")
+    out = exact_quantiles(spark, nulls, "value", [0.5]).collect()
+    assert out[0]["value"] is None
+
+
+def test_concentrated_mass_breaks_to_resolve_phase(spark):
+    # one double carries almost all the mass: the interval stops shrinking
+    # and the resolve phase must still answer exactly
+    vals = [5.0] * 500 + [1.0, 9.0]
+    df = _df(spark, vals)
+    assert exact_rank_value(df, "value", 1, bins=4, exact_threshold=10) == 1.0
+    assert exact_rank_value(df, "value", 2, bins=4, exact_threshold=10) == 5.0
+    assert exact_rank_value(df, "value", 501, bins=4, exact_threshold=10) == 5.0
+    assert exact_rank_value(df, "value", 502, bins=4, exact_threshold=10) == 9.0
+
+
+def test_rank_out_of_bounds_raises(spark):
+    df = _df(spark, [1.0, 2.0])
+    with pytest.raises(ValueError):
+        exact_rank_value(df, "value", 0)
+    with pytest.raises(ValueError):
+        exact_rank_value(df, "value", 3)
