@@ -131,3 +131,58 @@ def cohort_retention(
             "retention", F.col("n_active") / F.col("cohort_size").cast("double")
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str = "value",
+    threshold: float = 3.5,
+    scale: float = 1.4826,
+    approx: bool = False,
+) -> DataFrame:
+    """Robust per-group anomaly flagging via the median absolute deviation
+    (the Iglewicz-Hoaglin modified z-score: |x - median| / (scale * MAD),
+    flag above ``threshold``; scale 1.4826 makes MAD consistent with sigma
+    under normality, threshold 3.5 is the standard recommendation). Unlike
+    mean/std z-scores, the median/MAD baseline doesn't move when the
+    anomalies themselves land in the window — the property that matters for
+    monitoring ingest pipelines.
+
+    Returns the input rows plus (med, mad, robust_z, is_outlier). Groups
+    with MAD = 0 (over half the group at one value) get NULL robust_z and
+    is_outlier = false — deviation from a degenerate baseline has no robust
+    scale to judge against; screen those groups with exact predicates
+    instead.
+
+    Scale shape: two exact-percentile aggregations (median of values, then
+    median of absolute deviations) and two key-equi-joins back — groups
+    aggregate in parallel, nothing global. Exact single-pass medians are
+    sort-based per group; at extreme per-group cardinality pass
+    ``approx=True`` to switch both medians to percentile_approx (bounded
+    memory, rank error <= 1/accuracy) — same plan shape, estimates instead
+    of exact medians. NULL values pass through unflagged (no deviation to
+    judge).
+    """
+    ks = list(keys)
+    v = F.col(value_col).cast("double")
+
+    def _median(col):
+        return F.percentile_approx(col, 0.5, 10000) if approx else F.percentile(col, 0.5)
+
+    med = df.filter(v.isNotNull()).groupBy(*ks).agg(_median(v).alias("med"))
+    dev = df.join(med, ks, "left").withColumn("_absdev", F.abs(v - F.col("med")))
+    mad = (
+        dev.filter(F.col("_absdev").isNotNull())
+        .groupBy(*ks)
+        .agg(_median(F.col("_absdev")).alias("mad"))
+    )
+    z = F.col("_absdev") / (F.lit(scale) * F.col("mad"))
+    return (
+        dev.join(mad, ks, "left")
+        .withColumn("robust_z", F.when(F.col("mad") > 0, z))
+        .withColumn(
+            "is_outlier", F.coalesce(F.col("robust_z") > F.lit(threshold), F.lit(False))
+        )
+        .drop("_absdev")
+    )

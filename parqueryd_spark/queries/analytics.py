@@ -194,3 +194,53 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(ev, grain="week").withColumn(
         "retention", F.round("retention", 4)
     )
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS absdev
+      FROM events e JOIN med m USING (event_type)
+      WHERE e.value IS NOT NULL
+    ), mad AS (
+      SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           count(d.value) AS n_values,
+           CAST(count(CASE WHEN md.mad > 0
+                            AND d.absdev / (1.4826 * md.mad) > 3.5
+                           THEN 1 END) AS BIGINT) AS n_outliers,
+           round(max(d.med), 6) AS med,
+           round(max(md.mad), 6) AS mad,
+           round(max(CASE WHEN md.mad > 0
+                          THEN d.absdev / (1.4826 * md.mad) END), 6) AS max_robust_z
+    FROM dev d JOIN mad md USING (event_type)
+    GROUP BY d.event_type
+    """,
+    bench=True,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection (operators/analytics.py:mad_outliers): the
+    Iglewicz-Hoaglin modified z-score per event type — median/MAD baselines
+    that outliers can't drag, two exact-percentile aggregations + two
+    key-joins. Reported per type: value count, flagged-outlier count, the
+    median and MAD baselines, and the worst modified z-score. Spark's exact
+    percentile and DuckDB's quantile_cont share the linear-interpolation
+    definition bit-for-bit, so the flag COUNTS are externally value-checked,
+    not just the rounded baselines."""
+    from parqueryd_spark.operators.analytics import mad_outliers
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    flagged = mad_outliers(ev, ["event_type"], "value")
+    return flagged.groupBy("event_type").agg(
+        F.count("value").alias("n_values"),
+        F.count(F.when(F.col("is_outlier"), 1)).alias("n_outliers"),
+        F.round(F.max("med"), 6).alias("med"),
+        F.round(F.max("mad"), 6).alias("mad"),
+        F.round(F.max("robust_z"), 6).alias("max_robust_z"),
+    )

@@ -88,3 +88,54 @@ def test_cohort_retention_offsets(spark):
     assert rows[(1, 2)] == (1, 2, 0.5)
     assert rows[(8, 0)] == (1, 1, 1.0)
     assert set(rows) == {(1, 0), (1, 2), (8, 0)}
+
+
+def _vals(spark, rows):
+    return spark.createDataFrame(rows, "event_type string, value double")
+
+
+def test_mad_outliers_hand_computed(spark):
+    from parqueryd_spark.operators.analytics import mad_outliers
+
+    # group a: values 1..7 plus a wild 100 -> median 4.5, absdevs
+    # [3.5,2.5,1.5,0.5,0.5,1.5,2.5,95.5] -> MAD 2.0; z(100) = 95.5/2.9652
+    rows = [("a", float(v)) for v in range(1, 8)] + [("a", 100.0)]
+    out = {r["value"]: r for r in mad_outliers(_vals(spark, rows), ["event_type"]).collect()}
+    assert out[100.0]["med"] == 4.5 and out[100.0]["mad"] == 2.0
+    assert round(out[100.0]["robust_z"], 6) == round(95.5 / (1.4826 * 2.0), 6)
+    assert out[100.0]["is_outlier"]
+    assert not out[1.0]["is_outlier"] and not out[7.0]["is_outlier"]
+
+
+def test_mad_zero_group_flags_nothing(spark):
+    from parqueryd_spark.operators.analytics import mad_outliers
+
+    rows = [("b", 5.0)] * 6 + [("b", 9.0)]  # MAD = 0: no robust scale
+    out = mad_outliers(_vals(spark, rows), ["event_type"]).collect()
+    assert all(r["robust_z"] is None for r in out)
+    assert all(not r["is_outlier"] for r in out)
+
+
+def test_mad_nulls_pass_through_unflagged(spark):
+    from parqueryd_spark.operators.analytics import mad_outliers
+
+    rows = [("c", 1.0), ("c", 2.0), ("c", 3.0), ("c", None)]
+    out = mad_outliers(_vals(spark, rows), ["event_type"]).collect()
+    assert len(out) == 4
+    nul = [r for r in out if r["value"] is None][0]
+    assert nul["robust_z"] is None and not nul["is_outlier"]
+
+
+def test_mad_approx_path_agrees_on_small_groups(spark):
+    from parqueryd_spark.operators.analytics import mad_outliers
+
+    rows = [("a", float(v)) for v in range(1, 8)] + [("a", 100.0)]
+    exact = sorted(
+        (r["value"], r["is_outlier"])
+        for r in mad_outliers(_vals(spark, rows), ["event_type"]).collect()
+    )
+    approx = sorted(
+        (r["value"], r["is_outlier"])
+        for r in mad_outliers(_vals(spark, rows), ["event_type"], approx=True).collect()
+    )
+    assert exact == approx
