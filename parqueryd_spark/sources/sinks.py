@@ -455,3 +455,64 @@ def rollback_generation(spark: SparkSession, dataset_dir: str, gen: int) -> None
     if gen not in _generations(fs, root):
         raise ValueError(f"generation {gen} is not retained under {dataset_dir}")
     _write_pointer(spark, fs, root, gen)
+
+
+def list_generations(spark: SparkSession, dataset_dir: str) -> list[tuple[int, bool]]:
+    """Retained generations as (gen, is_current), ascending — the audit view
+    of the publish history (metadata-only: one directory listing)."""
+    fs = HadoopFS(spark, dataset_dir)
+    root = fs.qualify(dataset_dir)
+    gens = sorted(_generations(fs, root))
+    entries = _pointer_entries(fs, root)
+    cur = max(entries)[1] if entries else None
+    return [(g, g == cur) for g in gens]
+
+
+def vacuum_generations(spark: SparkSession, dataset_dir: str, keep_last: int = 1) -> list[int]:
+    """On-demand retention: delete all but the newest ``keep_last`` retained
+    generations — ALWAYS protecting the currently-pointed-at one, so a
+    vacuum after a rollback can never delete the generation readers are on
+    (the pointer target wins over recency). Returns the deleted generation
+    numbers. The publish-time prune (``publish_versioned(keep_generations=)``)
+    bounds steady-state growth; this is the explicit reclaim for storage
+    pressure or post-incident cleanup.
+    """
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    fs = HadoopFS(spark, dataset_dir)
+    root = fs.qualify(dataset_dir)
+    gens = sorted(_generations(fs, root))
+    entries = _pointer_entries(fs, root)
+    cur = max(entries)[1] if entries else None
+    keep = set(gens[-keep_last:])
+    if cur is not None:
+        keep.add(cur)
+    deleted = []
+    for g in gens:
+        if g not in keep:
+            fs.delete(f"{root}/gen={g}")
+            deleted.append(g)
+    return deleted
+
+
+def generation_diff(
+    spark: SparkSession,
+    dataset_dir: str,
+    gen_a: int,
+    gen_b: int,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """What changed between two retained generations: (status, keys...) rows
+    with status in added/removed/changed (operators/quality.py:table_diff —
+    scan-reduced digests, one full-outer key join, diff-sized output). The
+    audit that answers "what did that publish actually do" without replaying
+    the pipeline."""
+    from parqueryd_spark.operators.quality import table_diff
+
+    return table_diff(
+        read_generation(spark, dataset_dir, gen_a),
+        read_generation(spark, dataset_dir, gen_b),
+        keys,
+        compare_cols,
+    )

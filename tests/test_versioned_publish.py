@@ -74,3 +74,47 @@ def test_pointer_flip_never_leaves_pointerless_window(spark, tmp_path):
     stale = pathlib.Path(root) / "_ptr.0000000000.0"
     stale.touch()
     assert current_generation(spark, root) == 1
+
+
+def test_vacuum_protects_current_and_keep_last(spark, tmp_path):
+    from parqueryd_spark.sources.sinks import (
+        list_generations,
+        publish_versioned,
+        read_current,
+        rollback_generation,
+        vacuum_generations,
+    )
+
+    root = str(tmp_path / "ds")
+    for i in range(4):
+        df = spark.createDataFrame([(i, f"v{i}")], "id long, val string")
+        publish_versioned(df, root, keep_generations=10)
+    assert [g for g, _ in list_generations(spark, root)] == [0, 1, 2, 3]
+
+    # roll back to gen 1, then vacuum keep_last=1: gen 3 (newest) and gen 1
+    # (pointer target) must survive; 0 and 2 go
+    rollback_generation(spark, root, 1)
+    deleted = vacuum_generations(spark, root, keep_last=1)
+    assert deleted == [0, 2]
+    assert list_generations(spark, root) == [(1, True), (3, False)]
+    assert read_current(spark, root).collect()[0]["val"] == "v1"
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        vacuum_generations(spark, root, keep_last=0)
+
+
+def test_generation_diff_reports_added_removed_changed(spark, tmp_path):
+    from parqueryd_spark.sources.sinks import generation_diff, publish_versioned
+
+    root = str(tmp_path / "ds2")
+    a = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], "id long, val string")
+    publish_versioned(a, root)
+    b = spark.createDataFrame([(2, "y"), (3, "zz"), (4, "w")], "id long, val string")
+    publish_versioned(b, root)
+    diff = {
+        (r["status"], r["id"])
+        for r in generation_diff(spark, root, 0, 1, keys=["id"]).collect()
+    }
+    assert diff == {("removed", 1), ("changed", 3), ("added", 4)}
