@@ -33,6 +33,16 @@ arithmetic + log2, so a SQL oracle reproduces per-document cross-entropy to
 Reference parity note: the reference engine (parqueryd) has no LM scoring —
 this family is north-star pipeline scope (BASELINE.json), same tier as
 dedup/decontamination.
+
+Relationship to operators/text.py:bigram_logprob (deliberate split, not
+duplication): that function is the INLINE same-corpus scorer — inner joins,
+so it can only score documents whose grams exist in the corpus it was
+handed, in one shot. This module is the model LIFECYCLE: train on a
+reference corpus, persist/merge/stream-maintain the counts, and score
+ARBITRARY held-out text (left joins + add-k OOV mass — the unseen-gram path
+bigram_logprob's inner joins cannot take). CCNet trains on Wikipedia and
+scores Common Crawl; that train-here-score-there shape is what this module
+adds.
 """
 
 from __future__ import annotations
@@ -159,3 +169,54 @@ def lm_score(
         )
         .withColumnRenamed("_id", id_col)
     )
+
+
+def lm_publish(
+    spark,
+    lm_dir: str,
+    docs: DataFrame,
+    text_col: str = "text",
+    k: float = 0.5,
+    batch: str = "base",
+) -> None:
+    """Persist the LM as a living dataset — the same publish/load/append
+    posture as the ANN indexes (operators/squant.py:sq_publish): partial
+    bigram counts land under ``<lm_dir>/counts/batch=<batch>`` (idempotent
+    per-batch overwrite) and the smoothing constant under ``<lm_dir>/meta``.
+    The served model is merge-on-read over ALL batches (linearity: ≡
+    one-shot training on the concatenated corpus, bit-exact), so growing the
+    training corpus is ``lm_append`` at O(increment) cost — the standing
+    corpus is never re-scanned."""
+    spark.createDataFrame([(float(k),)], "k double").write.mode("overwrite").parquet(
+        f"{lm_dir}/meta"
+    )
+    (
+        bigram_counts(docs, text_col)
+        .withColumn("batch", F.lit(batch))
+        .write.mode("overwrite")
+        .partitionBy("batch")
+        .parquet(f"{lm_dir}/counts")
+    )
+
+
+def lm_append(
+    spark, lm_dir: str, new_docs: DataFrame, batch: str, text_col: str = "text"
+) -> None:
+    """Incremental training: count ONLY the increment, land it as its own
+    ``batch=<batch>`` partition (replays overwrite themselves)."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        bigram_counts(new_docs, text_col)
+        .withColumn("batch", F.lit(batch))
+        .write.mode("overwrite")
+        .partitionBy("batch")
+        .parquet(f"{lm_dir}/counts")
+    )
+
+
+def lm_load(spark, lm_dir: str) -> BigramLM:
+    """The served LM: merge-on-read of every published count batch (the
+    1-row meta collect is the only driver-side read)."""
+    k = float(spark.read.parquet(f"{lm_dir}/meta").collect()[0]["k"])
+    parts = spark.read.parquet(f"{lm_dir}/counts").drop("batch")
+    return lm_merge([parts], k)

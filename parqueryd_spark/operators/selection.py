@@ -52,10 +52,14 @@ def exact_rank_value(
     rank: int,
     bins: int = 1024,
     exact_threshold: int = 65536,
+    stats: dict | None = None,
 ) -> float | None:
     """The exact rank-th smallest non-null value (1-indexed). None on an
     empty (all-null) column. Each narrowing pass is one filtered aggregation
-    job; the resolve phase is one more. ``rank`` outside [1, n] raises."""
+    job; the resolve phase is one more. ``rank`` outside [1, n] raises.
+    Pass a dict as ``stats`` to receive {"passes": int, "resolve_rows": int}
+    — the observability hook the scale probe uses to show pass depth stays
+    logarithmic as n grows."""
     v = F.col(value_col).cast("double")
     base = df.filter(v.isNotNull()).select(v.alias("_v"))
     first = base.agg(
@@ -71,7 +75,9 @@ def exact_rank_value(
     offset = 0  # rows known to sort strictly before the current interval
     in_interval = n
     hi_inclusive = True
+    passes = 0
     while in_interval > exact_threshold and hi > lo:
+        passes += 1
         width = (hi - lo) / bins
         bin_col = F.least(F.lit(bins - 1), F.floor((vv - F.lit(lo)) / F.lit(width)).cast("int"))
         counts = dict(
@@ -99,6 +105,9 @@ def exact_rank_value(
         lo, hi, hi_inclusive = new_lo, new_hi, new_inclusive
         offset, in_interval = below, in_bin
 
+    if stats is not None:
+        stats["passes"] = passes
+        stats["resolve_rows"] = in_interval
     # resolve: max of the (rank - offset) smallest survivors == the answer
     row = (
         base.filter(_interval_filter(vv, lo, hi, hi_inclusive))

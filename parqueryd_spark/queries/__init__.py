@@ -120,6 +120,19 @@ from parqueryd_spark.queries import tpch_extended  # noqa: E402,F401
 # text_edit_distance, a single built-in scalar function whose pure-Column
 # text-scalar shape text_token_lang_stats / text_curation_funnel keep
 # in-window.
+# Round 10 rotation: three new oracle-backed families enter — events_exact_
+# quantile (exact order statistics by multi-pass histogram narrowing,
+# operators/selection.py), events_anomaly_mad (robust median/MAD outlier
+# flagging, operators/analytics.py), text_ngram_lm_score (bigram-LM
+# perplexity scoring, operators/lm.py — the CCNet curation signal,
+# value-checked end-to-end). Displaced, each with in-window shape twins and
+# all still registered + pytest-oracled: events_windowed_aggs (time-bucket
+# aggregation ≡ events_incremental_rollup; overlapping-window semantics ≡
+# events_gap_fill_rolling's frames), embedding_array_ops (element_at/size/
+# slice/aggregate/array_max all exercised by ann_bruteforce_topk +
+# text_hash_embeddings + embedding_near_dup), window_analytics (rank/lag/
+# rolling frames ≡ events_gap_fill_rolling + events_sessionization +
+# topk_orders' ordered ranking).
 GATE_WINDOW = [
     "q1_pricing_summary",
     "groupby_agg_methods",
@@ -140,13 +153,13 @@ GATE_WINDOW = [
     "dedup_groups",
     "interval_join_user_windows",
     "band_join_error_click",
-    "events_windowed_aggs",
+    "events_exact_quantile",
     "events_gap_fill_rolling",
     "events_sessionization",
     "events_kmv_overlap_bound",
     "events_incremental_rollup",
     "ann_bruteforce_topk",
-    "embedding_array_ops",
+    "events_anomaly_mad",
     "scan_zonemap_pruned",
     "embedding_near_dup",
     "scan_zonemap_count",
@@ -157,7 +170,7 @@ GATE_WINDOW = [
     "join_fact_fact_revenue",
     "join_types_suite",
     "topk_orders",
-    "window_analytics",
+    "text_ngram_lm_score",
     "string_agg_ordered",
     "set_ops_summary",
     "scan_bloom_lookup",

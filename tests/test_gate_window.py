@@ -124,3 +124,18 @@ def test_hash_embeddings_is_inside_the_gate_window():
     name = "text_edit_distance"
     assert name in Q.REGISTRY and name not in Q.GATE_WINDOW
     assert Q.REGISTRY[name].oracle is not None
+
+
+def test_round10_families_are_inside_the_gate_window():
+    """Round 10's new oracle-backed families are driver-gated: exact
+    quantile selection (multi-pass histogram narrowing must reproduce
+    quantile_disc bit-for-bit), MAD anomaly flagging (exact-median baselines
+    + flag counts), and bigram-LM perplexity scoring (the CCNet curation
+    signal, estimates value-checked). The displaced rows — each with
+    in-window shape twins per the GATE_WINDOW comment — stay registered and
+    oracle-tested past the window."""
+    for name in ("events_exact_quantile", "events_anomaly_mad", "text_ngram_lm_score"):
+        assert name in Q.GATE_WINDOW, name
+    for name in ("events_windowed_aggs", "embedding_array_ops", "window_analytics"):
+        assert name in Q.REGISTRY and name not in Q.GATE_WINDOW, name
+        assert Q.REGISTRY[name].oracle is not None, name

@@ -114,3 +114,27 @@ def test_stream_maintain_merges_to_batch_lm_and_scores(spark, tmp_path):
     streamed = sorted(map(tuple, spark.read.parquet(scores_dir).drop("batch").collect()))
     batch = sorted(map(tuple, lm_score(_docs(spark, DOCS), "doc_id", direct).collect()))
     assert streamed == batch
+
+
+def test_publish_append_load_equals_one_shot(spark, tmp_path):
+    from parqueryd_spark.operators.lm import lm_append, lm_load, lm_publish
+
+    lm_dir = str(tmp_path / "lm_pub")
+    lm_publish(spark, lm_dir, _docs(spark, DOCS[:1]))
+    lm_append(spark, lm_dir, _docs(spark, DOCS[1:]), batch="b1")
+    served = lm_load(spark, lm_dir)
+    direct = lm_train(_docs(spark, DOCS))
+    assert sorted(map(tuple, served.bigrams.collect())) == sorted(
+        map(tuple, direct.bigrams.collect())
+    )
+    scored = lm_score(_docs(spark, DOCS), "doc_id", served)
+    direct_scored = lm_score(_docs(spark, DOCS), "doc_id", direct)
+    assert sorted(map(tuple, scored.collect())) == sorted(map(tuple, direct_scored.collect()))
+
+    # replay: re-appending the same batch must not double-count (reload after
+    # the overwrite — the pre-replay `served` plan points at replaced files)
+    lm_append(spark, lm_dir, _docs(spark, DOCS[1:]), batch="b1")
+    again = lm_load(spark, lm_dir)
+    assert sorted(map(tuple, again.bigrams.collect())) == sorted(
+        map(tuple, direct.bigrams.collect())
+    )

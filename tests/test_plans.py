@@ -108,6 +108,9 @@ def _bounded_build_ok() -> set[str]:
         "heavy_hitter_bound",        # one max-undercount row + k=20 list
         "text_unigram_logprob",      # one vocab-total row
         "text_bigram_logprob",       # one vocab-total row
+        "text_ngram_lm_score",       # one vocab-size row (operators/lm.py:
+                                     # lm.vocab is a single aggregated row;
+                                     # the count tables join un-hinted)
         "text_source_divergence",    # one corpus-total row
         "hybrid_search_rerank",      # 20-row shortlist + 1-row query vector
         # parameter- or calendar-bounded lists

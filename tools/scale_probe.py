@@ -228,6 +228,7 @@ def main() -> None:
               f"| {r[12]:.1f} | {r[13]:.1f} |")
 
     ivfsq_probe(spark, factors, scratch)
+    exact_quantile_probe(spark, factors)
     zonemap_probe(spark)
     interval_probe(spark)
     interval_hot_bucket_probe(spark)
@@ -270,6 +271,51 @@ def ivfsq_probe(spark, factors=(1, 4, 16, 32), scratch="/tmp/spark_graft_scale_p
         ).count()
         t_search = _t.perf_counter() - t0
         print(f"| x{f} | {n} | {t_build:.1f} | {t_search:.1f} | {rows} |", flush=True)
+
+
+def exact_quantile_probe(spark, factors=(1, 4, 16, 32)) -> None:
+    """Exact-selection scaling (operators/selection.py): the claim is that
+    pass DEPTH stays logarithmic (each histogram pass shrinks the candidate
+    population ~bins-fold) while each pass is one scan-bound aggregation —
+    so wall grows ~linearly with data, vs the single-reducer
+    sort-limit-collect a naive exact quantile degenerates into. The naive
+    column is orderBy(v).limit(rank).agg(max): Spark plans it as
+    TakeOrderedAndProject, which funnels the rank-sized prefix through ONE
+    task — fine at toy rank, the straggler at 10^9 rank."""
+    from parqueryd_spark.operators.selection import exact_rank_value
+
+    print("\n## exact-quantile probe: narrowing passes + wall vs naive "
+          "sort-prefix (median; exact_threshold=2000, bins=64)", flush=True)
+    print("| rows | rank | passes | resolve rows | narrow s | naive s |", flush=True)
+    print("|---|---|---|---|---|---|", flush=True)
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).select("value")
+    for f in factors:
+        big = ev
+        for i in range(1, f):
+            big = big.unionByName(ev.select((F.col("value") + i * 0.001).alias("value")))
+        big = big.persist()
+        n = big.filter(F.col("value").isNotNull()).count()
+        rank = (n + 1) // 2
+        stats: dict = {}
+        t0 = time.perf_counter()
+        v1 = exact_rank_value(big, "value", rank, bins=64, exact_threshold=2000, stats=stats)
+        t_narrow = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        v2 = (
+            big.filter(F.col("value").isNotNull())
+            .orderBy("value")
+            .limit(rank)
+            .agg(F.max("value"))
+            .collect()[0][0]
+        )
+        t_naive = time.perf_counter() - t0
+        assert v1 == v2, (v1, v2)
+        print(f"| {n} | {rank} | {stats.get('passes')} | "
+              f"{stats.get('resolve_rows')} | {t_narrow:.2f} | {t_naive:.2f} |",
+              flush=True)
+        big.unpersist()
 
 
 def zonemap_probe(spark) -> None:
