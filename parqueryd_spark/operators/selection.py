@@ -153,3 +153,114 @@ def exact_quantiles(
         )
         rows.append((float(p), val))
     return spark.createDataFrame(rows, "prob double, value double")
+
+
+def exact_group_quantiles(
+    spark: SparkSession,
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    p: float,
+    bins: int = 64,
+    exact_threshold: int = 65536,
+    max_groups: int = 4096,
+) -> DataFrame:
+    """Exact per-GROUP ``quantile_disc`` values — (keys..., prob, value) —
+    with ALL groups narrowed simultaneously: every pass is ONE aggregation
+    job shared by every still-active group, not a pass per group.
+
+    Per pass: the driver holds one (lo, hi, offset) interval per active
+    group (metadata scale, bounded by ``max_groups``); a broadcast
+    intervals-DataFrame joins each row to its group's interval, rows outside
+    drop, and one groupBy(keys, bin) count comes back (≤ active_groups x
+    bins rows — the driver-side budget that ``max_groups`` caps; beyond it
+    use the mergeable histogram estimates in operators/rollup.py). Groups
+    whose candidate population reaches ``exact_threshold`` leave the loop;
+    the final RESOLVE is one distributed job for all groups at once: a
+    per-group window over the ≤ threshold survivors picks the
+    (rank - offset)-th smallest — answers never funnel through the driver.
+
+    Group-count sweet spot is the dashboard regime (10s-1000s of groups over
+    billions of rows each). NULL values are excluded per group; groups with
+    no non-null values are absent from the output (matching SQL GROUP BY
+    aggregate semantics).
+    """
+    ks = list(keys)
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull()).select(*ks, v.alias("_v"))
+    stats = base.groupBy(*ks).agg(
+        F.min("_v").alias("lo"), F.max("_v").alias("hi"), F.count("_v").alias("n")
+    )
+    srows = stats.collect()
+    if len(srows) > max_groups:
+        raise ValueError(
+            f"{len(srows)} groups exceeds max_groups={max_groups} — the per-pass "
+            "driver-side count collect is groups x bins; use the mergeable "
+            "histogram quantiles (operators/rollup.py) for high-cardinality keys"
+        )
+    # per-group narrowing state: key tuple -> [lo, hi, offset, in_interval,
+    # hi_inclusive, rank]
+    state = {
+        tuple(r[k] for k in ks): [r["lo"], r["hi"], 0, r["n"], True, quantile_rank(p, r["n"])]
+        for r in srows
+    }
+
+    def _intervals_df(names):
+        rows = [
+            (*g, st[0], st[1], (st[1] - st[0]) / bins, bool(st[4]), st[5] - st[2])
+            for g, st in state.items()
+            if g in names
+        ]
+        schema = stats.select(*ks).schema.add("_lo", "double").add("_hi", "double")
+        schema = schema.add("_w", "double").add("_incl", "boolean").add("_take", "long")
+        return spark.createDataFrame(rows, schema)
+
+    in_window = F.col("_v") >= F.col("_lo")
+    in_window = in_window & (
+        (F.col("_v") < F.col("_hi")) | (F.col("_incl") & (F.col("_v") <= F.col("_hi")))
+    )
+    active = {g for g, st in state.items() if st[3] > exact_threshold and st[1] > st[0]}
+    while active:
+        joined = base.join(F.broadcast(_intervals_df(active)), ks).where(in_window)
+        bin_col = F.least(
+            F.lit(bins - 1), F.floor((F.col("_v") - F.col("_lo")) / F.col("_w")).cast("int")
+        )
+        counts: dict[tuple, dict[int, int]] = {}
+        for r in joined.groupBy(*ks, bin_col.alias("_b")).agg(
+            F.count(F.lit(1)).alias("_c")
+        ).collect():
+            counts.setdefault(tuple(r[k] for k in ks), {})[r["_b"]] = r["_c"]
+        next_active = set()
+        for g in active:
+            lo, hi, offset, in_interval, incl, rank = state[g]
+            width = (hi - lo) / bins
+            cum = offset
+            landing = None
+            for b in range(bins):
+                c = counts.get(g, {}).get(b, 0)
+                if cum + c >= rank:
+                    landing, below, in_bin = b, cum, c
+                    break
+                cum += c
+            assert landing is not None, f"rank fell past the interval for group {g}"
+            new_lo = lo + landing * width
+            new_hi = hi if landing == bins - 1 else lo + (landing + 1) * width
+            new_incl = landing == bins - 1 and incl
+            if (new_lo, new_hi) == (lo, hi) or new_hi <= new_lo or in_bin == in_interval:
+                continue  # float-width floor: resolve this group as-is
+            state[g] = [new_lo, new_hi, below, in_bin, new_incl, rank]
+            if in_bin > exact_threshold and new_hi > new_lo:
+                next_active.add(g)
+        active = next_active
+
+    # resolve every group in one distributed job: (rank - offset)-th smallest
+    # survivor per group via a bounded per-group window
+    from pyspark.sql import Window as W
+
+    survivors = base.join(F.broadcast(_intervals_df(set(state))), ks).where(in_window)
+    rn = F.row_number().over(W.partitionBy(*ks).orderBy("_v"))
+    return (
+        survivors.withColumn("_rn", rn)
+        .where(F.col("_rn") == F.col("_take"))
+        .select(*ks, F.lit(float(p)).alias("prob"), F.col("_v").alias("value"))
+    )

@@ -382,3 +382,29 @@ def events_exact_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_quantiles(
         spark, ev, "value", [0.1, 0.25, 0.5, 0.9, 0.99], bins=16, exact_threshold=500
     )
+
+
+@query(
+    "events_exact_quantile_by_type",
+    oracle="""
+    SELECT event_type,
+           CAST(0.9 AS DOUBLE) AS prob,
+           quantile_disc(value, 0.9) AS value
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_exact_quantile_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED exact order statistics (operators/selection.py:
+    exact_group_quantiles): every event type's exact p90 with all groups
+    narrowed simultaneously — one shared aggregation per level, one
+    distributed window resolve for every group at once, answers never
+    funneling through the driver. Low bins/threshold force real narrowing
+    passes at sf0.01; the oracle's per-group quantile_disc must agree
+    bit-for-bit."""
+    from parqueryd_spark.operators.selection import exact_group_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    return exact_group_quantiles(
+        spark, ev, ["event_type"], "value", 0.9, bins=16, exact_threshold=200
+    )

@@ -89,3 +89,57 @@ def test_rank_out_of_bounds_raises(spark):
         exact_rank_value(df, "value", 0)
     with pytest.raises(ValueError):
         exact_rank_value(df, "value", 3)
+
+
+def test_group_quantiles_match_duckdb_group_by(spark):
+    random.seed(41)
+    rows = []
+    for g, n in (("a", 500), ("b", 97), ("c", 1), ("d", 3)):
+        rows += [(g, random.uniform(-10, 10)) for _ in range(n)]
+    rows += [("e", None), ("a", None)]  # null-only group absent; null excluded
+    from parqueryd_spark.operators.selection import exact_group_quantiles
+
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = {
+        r["grp"]: r["value"]
+        for r in exact_group_quantiles(
+            spark, df, ["grp"], "value", 0.9, bins=8, exact_threshold=16
+        ).collect()
+    }
+    import pandas as pd
+
+    pdf = pd.DataFrame([r for r in rows if r[1] is not None], columns=["grp", "value"])
+    duck = dict(
+        duckdb.sql(
+            "SELECT grp, quantile_disc(value, 0.9) FROM pdf GROUP BY grp"
+        ).fetchall()
+    )
+    assert set(out) == set(duck) == {"a", "b", "c", "d"}
+    for g in duck:
+        assert out[g] == duck[g], g
+
+
+def test_group_quantiles_every_group_matches_sorted_index(spark):
+    from parqueryd_spark.operators.selection import exact_group_quantiles, quantile_rank
+
+    random.seed(5)
+    data = {g: [random.choice([1.0, 2.5, 7.0, -1.0]) for _ in range(120)] for g in "xyz"}
+    rows = [(g, v) for g, vals in data.items() for v in vals]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    for p in (0.25, 0.5, 0.99):
+        out = {
+            r["grp"]: r["value"]
+            for r in exact_group_quantiles(
+                spark, df, ["grp"], "value", p, bins=4, exact_threshold=8
+            ).collect()
+        }
+        for g, vals in data.items():
+            assert out[g] == sorted(vals)[quantile_rank(p, len(vals)) - 1], (g, p)
+
+
+def test_group_quantiles_max_groups_guard(spark):
+    from parqueryd_spark.operators.selection import exact_group_quantiles
+
+    df = spark.createDataFrame([(str(i), 1.0) for i in range(30)], "grp string, value double")
+    with pytest.raises(ValueError):
+        exact_group_quantiles(spark, df, ["grp"], "value", 0.5, max_groups=10)
