@@ -164,6 +164,22 @@ def mad_outliers(
     of exact medians. NULL values pass through unflagged (no deviation to
     judge).
     """
+    return flag_with_baselines(
+        df, mad_baselines(df, keys, value_col, approx), keys, value_col, threshold, scale
+    )
+
+
+def mad_baselines(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str = "value",
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group (keys..., med, mad) robust baselines — the frozen, reusable
+    half of :func:`mad_outliers`: compute on a trusted reference window,
+    persist, and score later data (or a live stream,
+    streaming/quality.py:stream_flag_outliers) against it without the
+    anomalies contaminating their own yardstick."""
     ks = list(keys)
     v = F.col(value_col).cast("double")
 
@@ -171,16 +187,33 @@ def mad_outliers(
         return F.percentile_approx(col, 0.5, 10000) if approx else F.percentile(col, 0.5)
 
     med = df.filter(v.isNotNull()).groupBy(*ks).agg(_median(v).alias("med"))
-    dev = df.join(med, ks, "left").withColumn("_absdev", F.abs(v - F.col("med")))
-    mad = (
+    dev = df.join(med, ks).withColumn("_absdev", F.abs(v - F.col("med")))
+    return (
         dev.filter(F.col("_absdev").isNotNull())
         .groupBy(*ks)
-        .agg(_median(F.col("_absdev")).alias("mad"))
+        .agg(F.max("med").alias("med"), _median(F.col("_absdev")).alias("mad"))
     )
+
+
+def flag_with_baselines(
+    df: DataFrame,
+    baselines: DataFrame,
+    keys: Sequence[str],
+    value_col: str = "value",
+    threshold: float = 3.5,
+    scale: float = 1.4826,
+) -> DataFrame:
+    """Score rows against given (keys..., med, mad) baselines: one left
+    equi-join + pure Column arithmetic (stateless — exactly what a streaming
+    micro-batch can apply against a FROZEN baseline table). Rows whose group
+    has no baseline, NULL values, and MAD-0 groups all get NULL robust_z and
+    is_outlier = false."""
+    ks = list(keys)
+    v = F.col(value_col).cast("double")
+    dev = df.join(baselines, ks, "left").withColumn("_absdev", F.abs(v - F.col("med")))
     z = F.col("_absdev") / (F.lit(scale) * F.col("mad"))
     return (
-        dev.join(mad, ks, "left")
-        .withColumn("robust_z", F.when(F.col("mad") > 0, z))
+        dev.withColumn("robust_z", F.when(F.col("mad") > 0, z))
         .withColumn(
             "is_outlier", F.coalesce(F.col("robust_z") > F.lit(threshold), F.lit(False))
         )

@@ -64,3 +64,38 @@ def read_quality_metrics(spark, metrics_dir: str) -> DataFrame:
     """The accumulated per-batch check history: (check, violations, passed,
     n_batch_rows, batch)."""
     return spark.read.parquet(metrics_dir)
+
+
+def stream_flag_outliers(
+    event_stream: DataFrame,
+    baselines: DataFrame,
+    flagged_dir: str,
+    checkpoint_dir: str,
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    threshold: float = 3.5,
+):
+    """Streaming anomaly flagging against FROZEN robust baselines
+    (operators/analytics.py:mad_baselines computed on a trusted reference
+    window): each micro-batch is scored with the stateless
+    flag_with_baselines join — the frozen-model pattern of streaming/lm.py
+    and streaming/embed.py, and the property that matters for monitoring:
+    a burst of anomalies cannot drag the yardstick it is judged against.
+    Flagged batches land in idempotent ``batch=<id>`` partitions;
+    batch-equivalence to the batch operator is row-for-row."""
+    import os
+
+    from parqueryd_spark.operators.analytics import flag_with_baselines
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        out = flag_with_baselines(
+            batch_df, baselines, list(keys), value_col, threshold
+        )
+        out.write.mode("overwrite").parquet(os.path.join(flagged_dir, f"batch={batch_id}"))
+
+    return (
+        event_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -139,3 +139,37 @@ def test_mad_approx_path_agrees_on_small_groups(spark):
         for r in mad_outliers(_vals(spark, rows), ["event_type"], approx=True).collect()
     )
     assert exact == approx
+
+
+def test_stream_flag_outliers_against_frozen_baselines(spark, tmp_path):
+    import os
+
+    import pandas as pd
+
+    from parqueryd_spark.operators.analytics import flag_with_baselines, mad_baselines
+    from parqueryd_spark.streaming.quality import stream_flag_outliers
+
+    ref_rows = [("a", float(v)) for v in range(1, 8)]
+    base = mad_baselines(_vals(spark, ref_rows), ["event_type"]).persist()
+    # live rows: one wild value, one unknown group (no baseline)
+    live = [("a", 4.0), ("a", 50.0), ("zz", 1.0)]
+    stream_in = str(tmp_path / "in")
+    os.makedirs(stream_in)
+    pd.DataFrame(live, columns=["event_type", "value"]).to_parquet(
+        os.path.join(stream_in, "b1.parquet")
+    )
+    stream = spark.readStream.schema("event_type string, value double").parquet(stream_in)
+    q = stream_flag_outliers(
+        stream, base, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    streamed = sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "out")).drop("batch").collect())
+    )
+    batch = sorted(
+        map(tuple, flag_with_baselines(_vals(spark, live), base, ["event_type"]).collect())
+    )
+    assert streamed == batch
+    flags = {r[1]: r[-1] for r in streamed}  # value -> is_outlier
+    assert flags[50.0] is True and flags[4.0] is False and flags[1.0] is False
+    base.unpersist()
