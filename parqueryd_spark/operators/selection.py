@@ -137,22 +137,92 @@ def exact_quantiles(
 ) -> DataFrame:
     """Exact ``quantile_disc`` values for each prob: (prob, value) rows.
 
-    One shared stats job, then an independent narrowing per prob (ranks land
-    in different intervals after the first subdivision, so passes don't
-    share filters; each is log_bins-deep). The result is the actual data
-    element — exact, bit-for-bit reproducible by any engine's quantile_disc.
+    ALL ranks narrow in SHARED passes: per level the still-active ranks'
+    intervals go out as one broadcast frame, each row lands in every
+    interval that covers it (a ≤ len(probs)-row broadcast product, filtered
+    at the scan), and one aggregation returns per-(rank, bin) counts — so a
+    5-quantile request costs the same ~log_bins scan count as one quantile,
+    not 5x. The resolve step answers every rank in one job: a per-rank
+    window over its ≤ exact_threshold survivors. The result is the actual
+    data element — exact, bit-for-bit reproducible by any engine's
+    quantile_disc.
     """
     v = F.col(value_col).cast("double")
-    n = df.filter(v.isNotNull()).count()
-    rows = []
-    for p in probs:
-        val = (
-            None
-            if n == 0
-            else exact_rank_value(df, value_col, quantile_rank(p, n), bins, exact_threshold)
+    base = df.filter(v.isNotNull()).select(v.alias("_v"))
+    first = base.agg(
+        F.min("_v").alias("lo"), F.max("_v").alias("hi"), F.count("_v").alias("n")
+    ).collect()[0]
+    n = first["n"]
+    if n == 0:
+        return spark.createDataFrame([(float(p), None) for p in probs], "prob double, value double")
+
+    # per-prob narrowing state: pid -> [lo, hi, offset, in_interval, incl, rank]
+    state = {
+        i: [first["lo"], first["hi"], 0, n, True, quantile_rank(p, n)]
+        for i, p in enumerate(probs)
+    }
+    schema = "_pid int, _lo double, _hi double, _w double, _incl boolean, _take long"
+
+    def _intervals_df(pids):
+        rows = [
+            (pid, st[0], st[1], (st[1] - st[0]) / bins, bool(st[4]), st[5] - st[2])
+            for pid, st in state.items()
+            if pid in pids
+        ]
+        return spark.createDataFrame(rows, schema)
+
+    in_window = (F.col("_v") >= F.col("_lo")) & (
+        (F.col("_v") < F.col("_hi")) | (F.col("_incl") & (F.col("_v") <= F.col("_hi")))
+    )
+    active = {pid for pid, st in state.items() if st[3] > exact_threshold and st[1] > st[0]}
+    while active:
+        joined = base.crossJoin(F.broadcast(_intervals_df(active))).where(in_window)
+        bin_col = F.least(
+            F.lit(bins - 1), F.floor((F.col("_v") - F.col("_lo")) / F.col("_w")).cast("int")
         )
-        rows.append((float(p), val))
-    return spark.createDataFrame(rows, "prob double, value double")
+        counts: dict[int, dict[int, int]] = {}
+        for r in joined.groupBy("_pid", bin_col.alias("_b")).agg(
+            F.count(F.lit(1)).alias("_c")
+        ).collect():
+            counts.setdefault(r["_pid"], {})[r["_b"]] = r["_c"]
+        next_active = set()
+        for pid in active:
+            lo, hi, offset, in_interval, incl, rank = state[pid]
+            width = (hi - lo) / bins
+            cum = offset
+            landing = None
+            for b in range(bins):
+                c = counts.get(pid, {}).get(b, 0)
+                if cum + c >= rank:
+                    landing, below, in_bin = b, cum, c
+                    break
+                cum += c
+            assert landing is not None, f"rank fell past the interval for prob {probs[pid]}"
+            new_lo = lo + landing * width
+            new_hi = hi if landing == bins - 1 else lo + (landing + 1) * width
+            new_incl = landing == bins - 1 and incl
+            if (new_lo, new_hi) == (lo, hi) or new_hi <= new_lo or in_bin == in_interval:
+                continue  # float-width floor: resolve this rank as-is
+            state[pid] = [new_lo, new_hi, below, in_bin, new_incl, rank]
+            if in_bin > exact_threshold and new_hi > new_lo:
+                next_active.add(pid)
+        active = next_active
+
+    # resolve every rank in one job: (rank - offset)-th smallest survivor
+    from pyspark.sql import Window as W
+
+    survivors = base.crossJoin(F.broadcast(_intervals_df(set(state)))).where(in_window)
+    rn = F.row_number().over(W.partitionBy("_pid").orderBy("_v"))
+    answers = {
+        r["_pid"]: r["_v"]
+        for r in survivors.withColumn("_rn", rn)
+        .where(F.col("_rn") == F.col("_take"))
+        .select("_pid", "_v")
+        .collect()
+    }
+    return spark.createDataFrame(
+        [(float(p), answers.get(i)) for i, p in enumerate(probs)], "prob double, value double"
+    )
 
 
 def exact_group_quantiles(
