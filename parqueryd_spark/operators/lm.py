@@ -57,54 +57,78 @@ from parqueryd_spark.operators.text import ngrams_all
 
 
 @dataclass
-class BigramLM:
-    """A trained bigram LM: three small-schema DataFrames.
+class NgramLM:
+    """A trained order-``n`` LM (bigram by default): three small-schema
+    DataFrames.
 
-    ``bigrams``  — (gram string "prev tok", c bigint): occurrence counts.
-    ``contexts`` — (prev, cc bigint): per-context totals (Σ over second token).
-    ``vocab``    — exactly one row (vsz bigint): distinct second tokens + 1.
+    ``bigrams``  — (gram string of n space-joined tokens, c bigint):
+                   occurrence counts (field name kept from the order-2
+                   original; the gram length is ``n``).
+    ``contexts`` — (prev = first n-1 tokens, cc bigint): per-context totals.
+    ``vocab``    — exactly one row (vsz bigint): distinct final tokens + 1.
 
     All three derive from one scan of the training text; ``contexts`` and
-    ``vocab`` re-aggregate the (already tiny relative to the corpus) bigram
+    ``vocab`` re-aggregate the (already tiny relative to the corpus) count
     table. Persist ``bigrams`` and re-derive the other two on load, or
-    persist all three — both are O(distinct bigrams), never O(corpus).
+    persist all three — both are O(distinct grams), never O(corpus). Higher
+    n sharpens the curation signal (CCNet's KenLM is order 5) at the price
+    of a bigger count table and more OOV hits — the smoothing path covers
+    both.
     """
 
     bigrams: DataFrame
     contexts: DataFrame
     vocab: DataFrame
     k: float = 0.5
+    n: int = 2
 
 
-def bigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+# the order-2 default's historical name
+BigramLM = NgramLM
+
+
+def ngram_counts(docs: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
     """(gram, c) occurrence counts — the linear, mergeable unit of the LM.
 
     One explode + one map-side-combined groupBy: the shuffle carries
     (gram, partial-count) pairs, proportional to DISTINCT grams per
     partition, not to corpus token volume.
     """
-    grams = docs.select(F.explode(ngrams_all(F.col(text_col), 2)).alias("gram"))
+    grams = docs.select(F.explode(ngrams_all(F.col(text_col), n)).alias("gram"))
     return grams.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("c"))
 
 
-def _derive(bigrams: DataFrame, k: float) -> BigramLM:
+def bigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-2 ``ngram_counts`` (the historical name)."""
+    return ngram_counts(docs, text_col, 2)
+
+
+def _context_of(gram, n: int):
+    """First n-1 tokens of a space-joined n-gram (tokens never contain
+    spaces under the whitespace convention, so the split is unambiguous)."""
+    return F.array_join(F.slice(F.split(gram, " "), 1, n - 1), " ")
+
+
+def _derive(counts: DataFrame, k: float, n: int) -> NgramLM:
     contexts = (
-        bigrams.withColumn("prev", F.split("gram", " ")[0])
+        counts.withColumn("prev", _context_of(F.col("gram"), n))
         .groupBy("prev")
         .agg(F.sum("c").cast("long").alias("cc"))
     )
-    vocab = bigrams.select(F.split("gram", " ")[1].alias("tok")).agg(
+    vocab = counts.select(F.element_at(F.split("gram", " "), n).alias("tok")).agg(
         (F.countDistinct("tok") + F.lit(1)).cast("long").alias("vsz")
     )
-    return BigramLM(bigrams=bigrams, contexts=contexts, vocab=vocab, k=k)
+    return NgramLM(bigrams=counts, contexts=contexts, vocab=vocab, k=k, n=n)
 
 
-def lm_train(docs: DataFrame, text_col: str = "text", k: float = 0.5) -> BigramLM:
-    """Train the add-k bigram LM: one corpus scan, everything else derived."""
-    return _derive(bigram_counts(docs, text_col), k)
+def lm_train(
+    docs: DataFrame, text_col: str = "text", k: float = 0.5, n: int = 2
+) -> NgramLM:
+    """Train the add-k order-n LM: one corpus scan, everything else derived."""
+    return _derive(ngram_counts(docs, text_col, n), k, n)
 
 
-def lm_merge(parts: Sequence[DataFrame], k: float = 0.5) -> BigramLM:
+def lm_merge(parts: Sequence[DataFrame], k: float = 0.5, n: int = 2) -> NgramLM:
     """Merge partial bigram-count tables (from ``bigram_counts`` over corpus
     increments) into one LM. Counts are linear, so merge = sum matching gram
     rows — bit-exact: merge(split(corpus)) ≡ train(corpus). This is the
@@ -116,13 +140,13 @@ def lm_merge(parts: Sequence[DataFrame], k: float = 0.5) -> BigramLM:
     for p in parts[1:]:
         merged = merged.unionByName(p)
     total = merged.groupBy("gram").agg(F.sum("c").cast("long").alias("c"))
-    return _derive(total, k)
+    return _derive(total, k, n)
 
 
 def lm_score(
     docs: DataFrame,
     id_col: str,
-    lm: BigramLM,
+    lm: NgramLM,
     text_col: str = "text",
 ) -> DataFrame:
     """Per-document cross-entropy under the LM: (id, n_bigrams, avg_nll, ppl).
@@ -133,8 +157,9 @@ def lm_score(
     - ``ppl``: 2**avg_nll of the ROUNDED avg_nll, rounded to 4 dp, so both
       engines exponentiate the identical double.
 
-    Documents with fewer than 2 tokens have no bigrams and are absent from
-    the output (nothing to score — emitting 0 would fake a perfect score).
+    Documents with fewer than ``lm.n`` tokens have no grams and are absent
+    from the output (nothing to score — emitting 0 would fake a perfect
+    score).
 
     Plan shape: per-doc gram multiplicities (groupBy doc+gram — collapses
     repeated grams BEFORE the join, so templated corpora join fewer rows),
@@ -142,13 +167,14 @@ def lm_score(
     coalesce to 0 — the held-out path), one final per-doc aggregation.
     """
     grams = docs.select(
-        F.col(id_col).alias("_id"), F.explode(ngrams_all(F.col(text_col), 2)).alias("gram")
+        F.col(id_col).alias("_id"),
+        F.explode(ngrams_all(F.col(text_col), lm.n)).alias("gram"),
     )
     weighted = grams.groupBy("_id", "gram").agg(F.count(F.lit(1)).cast("long").alias("w"))
     k = F.lit(lm.k)
     scored = (
         weighted.join(lm.bigrams, "gram", "left")
-        .withColumn("prev", F.split("gram", " ")[0])
+        .withColumn("prev", _context_of(F.col("gram"), lm.n))
         .join(lm.contexts, "prev", "left")
         .crossJoin(F.broadcast(lm.vocab))
         .withColumn(
@@ -178,6 +204,7 @@ def lm_publish(
     text_col: str = "text",
     k: float = 0.5,
     batch: str = "base",
+    n: int = 2,
 ) -> None:
     """Persist the LM as a living dataset — the same publish/load/append
     posture as the ANN indexes (operators/squant.py:sq_publish): partial
@@ -187,11 +214,11 @@ def lm_publish(
     one-shot training on the concatenated corpus, bit-exact), so growing the
     training corpus is ``lm_append`` at O(increment) cost — the standing
     corpus is never re-scanned."""
-    spark.createDataFrame([(float(k),)], "k double").write.mode("overwrite").parquet(
-        f"{lm_dir}/meta"
-    )
+    spark.createDataFrame([(float(k), int(n))], "k double, n int").write.mode(
+        "overwrite"
+    ).parquet(f"{lm_dir}/meta")
     (
-        bigram_counts(docs, text_col)
+        ngram_counts(docs, text_col, n)
         .withColumn("batch", F.lit(batch))
         .write.mode("overwrite")
         .partitionBy("batch")
@@ -202,11 +229,13 @@ def lm_publish(
 def lm_append(
     spark, lm_dir: str, new_docs: DataFrame, batch: str, text_col: str = "text"
 ) -> None:
-    """Incremental training: count ONLY the increment, land it as its own
-    ``batch=<batch>`` partition (replays overwrite themselves)."""
+    """Incremental training: count ONLY the increment at the index's OWN
+    persisted order (meta-driven, the sq_append contract), landing it as its
+    own ``batch=<batch>`` partition (replays overwrite themselves)."""
+    meta = spark.read.parquet(f"{lm_dir}/meta").collect()[0]
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
-        bigram_counts(new_docs, text_col)
+        ngram_counts(new_docs, text_col, int(meta["n"]))
         .withColumn("batch", F.lit(batch))
         .write.mode("overwrite")
         .partitionBy("batch")
@@ -214,9 +243,9 @@ def lm_append(
     )
 
 
-def lm_load(spark, lm_dir: str) -> BigramLM:
+def lm_load(spark, lm_dir: str) -> NgramLM:
     """The served LM: merge-on-read of every published count batch (the
     1-row meta collect is the only driver-side read)."""
-    k = float(spark.read.parquet(f"{lm_dir}/meta").collect()[0]["k"])
+    meta = spark.read.parquet(f"{lm_dir}/meta").collect()[0]
     parts = spark.read.parquet(f"{lm_dir}/counts").drop("batch")
-    return lm_merge([parts], k)
+    return lm_merge([parts], float(meta["k"]), int(meta["n"]))

@@ -22,7 +22,7 @@ import os
 
 from pyspark.sql import DataFrame
 
-from parqueryd_spark.operators.lm import BigramLM, bigram_counts, lm_merge, lm_score
+from parqueryd_spark.operators.lm import NgramLM, lm_merge, lm_score, ngram_counts
 
 
 def stream_maintain_lm(
@@ -30,13 +30,14 @@ def stream_maintain_lm(
     lm_dir: str,
     checkpoint_dir: str,
     text_col: str = "text",
+    n: int = 2,
 ):
     """Continuously-trained LM state: per micro-batch, one partial
     (gram, c) count table in ``batch=<id>`` (idempotent overwrite). Raw text
     is never re-read at serve time — the partials ARE the model."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        part = bigram_counts(batch_df, text_col)
+        part = ngram_counts(batch_df, text_col, n)
         part.write.mode("overwrite").parquet(os.path.join(lm_dir, f"batch={batch_id}"))
 
     return (
@@ -47,17 +48,17 @@ def stream_maintain_lm(
     )
 
 
-def read_lm(spark, lm_dir: str, k: float = 0.5) -> BigramLM:
+def read_lm(spark, lm_dir: str, k: float = 0.5, n: int = 2) -> NgramLM:
     """The served LM over ALL published batches: merge-on-read of the count
     partials (sum per gram — linear, so this equals one-shot ``lm_train``
     over the full corpus bit-exactly)."""
     parts = spark.read.parquet(lm_dir).drop("batch")
-    return lm_merge([parts], k)
+    return lm_merge([parts], k, n)
 
 
 def stream_score_documents(
     doc_stream: DataFrame,
-    lm: BigramLM,
+    lm: NgramLM,
     scores_dir: str,
     checkpoint_dir: str,
     id_col: str = "doc_id",

@@ -29,7 +29,7 @@ def _hand_nll(grams: list[tuple[str, int]], counts, contexts, vsz, k=0.5):
     total = sum(w for _, w in grams)
     s = 0.0
     for g, w in grams:
-        prev = g.split(" ")[0]
+        prev = " ".join(g.split(" ")[:-1])  # context = all but the final token
         c = counts.get(g, 0)
         cc = contexts.get(prev, 0)
         s += w * math.log2((c + k) / (cc + k * vsz))
@@ -136,5 +136,41 @@ def test_publish_append_load_equals_one_shot(spark, tmp_path):
     lm_append(spark, lm_dir, _docs(spark, DOCS[1:]), batch="b1")
     again = lm_load(spark, lm_dir)
     assert sorted(map(tuple, again.bigrams.collect())) == sorted(
+        map(tuple, direct.bigrams.collect())
+    )
+
+
+def test_trigram_order_matches_hand_arithmetic(spark):
+    from parqueryd_spark.operators.lm import lm_train
+
+    corpus = _docs(spark, [(1, "a b c a b c"), (2, "a b d")])
+    lm = lm_train(corpus, n=3)
+    # trigrams: doc1: 'a b c','b c a','c a b','a b c'; doc2: 'a b d'
+    counts = {"a b c": 2, "b c a": 1, "c a b": 1, "a b d": 1}
+    contexts = {"a b": 3, "b c": 1, "c a": 1}
+    vsz = 5  # distinct final tokens {c,a,b,d} + 1
+    assert sorted((r["gram"], r["c"]) for r in lm.bigrams.collect()) == sorted(counts.items())
+    assert {r["prev"]: r["cc"] for r in lm.contexts.collect()} == contexts
+    assert lm.vocab.collect()[0]["vsz"] == vsz
+    out = {r["doc_id"]: r for r in lm_score(corpus, "doc_id", lm).collect()}
+    d2 = _hand_nll([("a b d", 1)], counts, contexts, vsz)
+    assert out[2]["avg_nll"] == d2
+    assert out[2]["n_bigrams"] == 1
+    # a 2-token doc has no trigrams
+    short = lm_score(_docs(spark, [(7, "a b")]), "doc_id", lm)
+    assert short.count() == 0
+
+
+def test_trigram_publish_append_respects_persisted_order(spark, tmp_path):
+    from parqueryd_spark.operators.lm import lm_append, lm_load, lm_publish, lm_train
+
+    corpus = [(1, "a b c a b c"), (2, "a b d")]
+    lm_dir = str(tmp_path / "lm3")
+    lm_publish(spark, lm_dir, _docs(spark, corpus[:1]), n=3)
+    lm_append(spark, lm_dir, _docs(spark, corpus[1:]), batch="b1")
+    served = lm_load(spark, lm_dir)
+    assert served.n == 3
+    direct = lm_train(_docs(spark, corpus), n=3)
+    assert sorted(map(tuple, served.bigrams.collect())) == sorted(
         map(tuple, direct.bigrams.collect())
     )
