@@ -19,6 +19,17 @@ resolves the answer inside the engine: ``orderBy(v).limit(r).agg(max(v))``
 over the ≤ exact_threshold survivors — the max of the r smallest IS the
 rank-r order statistic; one tiny scalar is collected, never the values.
 
+Float-soundness invariant (caught by the hypothesis suite, which fuzzes
+subnormals against bin boundaries): the next pass's interval is NOT the
+nominal bin boundary ``lo + b*width`` — float rounding can put a value's
+computed bin on one side of that boundary and the value itself on the other,
+silently dropping it. Instead each pass aggregates the landing bin's ACTUAL
+min/max values and the next interval is that inclusive data-value range:
+bin assignment is monotone in v, so bins are disjoint value ranges and the
+inclusive [bin-min, bin-max] filter selects exactly the rows the count saw.
+Nominal arithmetic only chooses granularity; membership is always defined by
+comparisons against real data values.
+
 Rank definition matches SQL ``quantile_disc``: the smallest value whose
 cumulative share reaches p, i.e. rank = ceil(p·n) (1-indexed ascending),
 with p interpreted as an exact decimal (Fraction) so p·n carries no binary
@@ -37,13 +48,37 @@ from __future__ import annotations
 from fractions import Fraction
 from math import ceil
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _interval_filter(v: Column, lo: float, hi: float, hi_inclusive: bool) -> Column:
-    cond = v >= F.lit(lo)
-    return cond & (v <= F.lit(hi)) if hi_inclusive else cond & (v < F.lit(hi))
+def _bin_col(v, lo: float, hi: float, bins: int):
+    """Monotone bin assignment over the inclusive interval [lo, hi]: floor
+    arithmetic capped into [0, bins-1] (v == hi computes bins and caps)."""
+    width = (hi - lo) / bins
+    return F.least(
+        F.lit(bins - 1), F.greatest(F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width)).cast("int"))
+    )
+
+
+def quantile_rank(p, n: int) -> int:
+    """quantile_disc's rank: smallest k with k/n >= p, i.e. ceil(p*n) in
+    EXACT decimal arithmetic (Fraction of the string form, so 0.1*10 is 1,
+    not 1.0000000000000002), clamped to at least 1."""
+    r = ceil(Fraction(str(p)) * n)
+    return max(1, min(r, n))
+
+
+def _walk(counts: dict[int, tuple], bins: int, offset: int, rank: int):
+    """Walk cumulative bin counts to the landing bin. counts maps bin ->
+    (count, min_v, max_v). Returns (below, in_bin, bin_min, bin_max)."""
+    cum = offset
+    for b in range(bins):
+        c, bmin, bmax = counts.get(b, (0, None, None))
+        if cum + c >= rank:
+            return cum, c, bmin, bmax
+        cum += c
+    raise AssertionError("rank fell past the interval — count drift")
 
 
 def exact_rank_value(
@@ -74,35 +109,24 @@ def exact_rank_value(
     vv = F.col("_v")
     offset = 0  # rows known to sort strictly before the current interval
     in_interval = n
-    hi_inclusive = True
     passes = 0
     while in_interval > exact_threshold and hi > lo:
         passes += 1
-        width = (hi - lo) / bins
-        bin_col = F.least(F.lit(bins - 1), F.floor((vv - F.lit(lo)) / F.lit(width)).cast("int"))
-        counts = dict(
-            base.filter(_interval_filter(vv, lo, hi, hi_inclusive))
-            .groupBy(bin_col.alias("b"))
-            .agg(F.count(F.lit(1)).alias("c"))
+        counts = {
+            r["b"]: (r["c"], r["bmin"], r["bmax"])
+            for r in base.filter((vv >= F.lit(lo)) & (vv <= F.lit(hi)))
+            .groupBy(_bin_col(vv, lo, hi, bins).alias("b"))
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.min("_v").alias("bmin"),
+                F.max("_v").alias("bmax"),
+            )
             .collect()
-        )
-        cum = offset
-        landing, below = None, offset
-        for b in range(bins):
-            c = counts.get(b, 0)
-            if cum + c >= rank:
-                landing, below, in_bin = b, cum, c
-                break
-            cum += c
-        assert landing is not None, "rank fell past the interval — count drift"
-        new_lo = lo + landing * width
-        new_hi = hi if landing == bins - 1 else lo + (landing + 1) * width
-        new_inclusive = landing == bins - 1 and hi_inclusive
-        if (new_lo, new_hi) == (lo, hi) or new_hi <= new_lo or in_bin == in_interval:
-            # float-width floor: the interval can't subdivide further
-            # (mass concentrated at one double) — resolve exactly.
-            break
-        lo, hi, hi_inclusive = new_lo, new_hi, new_inclusive
+        }
+        below, in_bin, bmin, bmax = _walk(counts, bins, offset, rank)
+        if (bmin, bmax) == (lo, hi) or in_bin == in_interval:
+            break  # no progress (mass concentrated) — resolve as-is
+        lo, hi = bmin, bmax
         offset, in_interval = below, in_bin
 
     if stats is not None:
@@ -110,7 +134,7 @@ def exact_rank_value(
         stats["resolve_rows"] = in_interval
     # resolve: max of the (rank - offset) smallest survivors == the answer
     row = (
-        base.filter(_interval_filter(vv, lo, hi, hi_inclusive))
+        base.filter((vv >= F.lit(lo)) & (vv <= F.lit(hi)))
         .orderBy("_v")
         .limit(rank - offset)
         .agg(F.max("_v").alias("ans"))
@@ -119,12 +143,11 @@ def exact_rank_value(
     return row["ans"]
 
 
-def quantile_rank(p, n: int) -> int:
-    """quantile_disc's rank: smallest k with k/n >= p, i.e. ceil(p*n) in
-    EXACT decimal arithmetic (Fraction of the string form, so 0.1*10 is 1,
-    not 1.0000000000000002), clamped to at least 1."""
-    r = ceil(Fraction(str(p)) * n)
-    return max(1, min(r, n))
+_IDF_SCHEMA_SUFFIX = [
+    ("_lo", "double"),
+    ("_hi", "double"),
+    ("_take", "long"),
+]
 
 
 def exact_quantiles(
@@ -154,57 +177,49 @@ def exact_quantiles(
     ).collect()[0]
     n = first["n"]
     if n == 0:
-        return spark.createDataFrame([(float(p), None) for p in probs], "prob double, value double")
+        return spark.createDataFrame(
+            [(float(p), None) for p in probs], "prob double, value double"
+        )
 
-    # per-prob narrowing state: pid -> [lo, hi, offset, in_interval, incl, rank]
+    # per-prob narrowing state: pid -> [lo, hi, offset, in_interval, rank]
     state = {
-        i: [first["lo"], first["hi"], 0, n, True, quantile_rank(p, n)]
-        for i, p in enumerate(probs)
+        i: [first["lo"], first["hi"], 0, n, quantile_rank(p, n)] for i, p in enumerate(probs)
     }
-    schema = "_pid int, _lo double, _hi double, _w double, _incl boolean, _take long"
 
     def _intervals_df(pids):
-        rows = [
-            (pid, st[0], st[1], (st[1] - st[0]) / bins, bool(st[4]), st[5] - st[2])
-            for pid, st in state.items()
-            if pid in pids
-        ]
-        return spark.createDataFrame(rows, schema)
+        rows = [(pid, st[0], st[1], st[4] - st[2]) for pid, st in state.items() if pid in pids]
+        return spark.createDataFrame(rows, "_pid int, _lo double, _hi double, _take long")
 
-    in_window = (F.col("_v") >= F.col("_lo")) & (
-        (F.col("_v") < F.col("_hi")) | (F.col("_incl") & (F.col("_v") <= F.col("_hi")))
+    in_window = (F.col("_v") >= F.col("_lo")) & (F.col("_v") <= F.col("_hi"))
+    # per-interval bin over its own [lo, hi] — column-side arithmetic so one
+    # expression serves every interval in the broadcast frame
+    width = (F.col("_hi") - F.col("_lo")) / bins
+    rel_bin = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col("_v") - F.col("_lo")) / width).cast("int")),
     )
     active = {pid for pid, st in state.items() if st[3] > exact_threshold and st[1] > st[0]}
     while active:
         joined = base.crossJoin(F.broadcast(_intervals_df(active))).where(in_window)
-        bin_col = F.least(
-            F.lit(bins - 1), F.floor((F.col("_v") - F.col("_lo")) / F.col("_w")).cast("int")
-        )
-        counts: dict[int, dict[int, int]] = {}
-        for r in joined.groupBy("_pid", bin_col.alias("_b")).agg(
-            F.count(F.lit(1)).alias("_c")
-        ).collect():
-            counts.setdefault(r["_pid"], {})[r["_b"]] = r["_c"]
+        counts: dict[int, dict[int, tuple]] = {}
+        for r in (
+            joined.groupBy("_pid", rel_bin.alias("_b"))
+            .agg(
+                F.count(F.lit(1)).alias("_c"),
+                F.min("_v").alias("_bmin"),
+                F.max("_v").alias("_bmax"),
+            )
+            .collect()
+        ):
+            counts.setdefault(r["_pid"], {})[r["_b"]] = (r["_c"], r["_bmin"], r["_bmax"])
         next_active = set()
         for pid in active:
-            lo, hi, offset, in_interval, incl, rank = state[pid]
-            width = (hi - lo) / bins
-            cum = offset
-            landing = None
-            for b in range(bins):
-                c = counts.get(pid, {}).get(b, 0)
-                if cum + c >= rank:
-                    landing, below, in_bin = b, cum, c
-                    break
-                cum += c
-            assert landing is not None, f"rank fell past the interval for prob {probs[pid]}"
-            new_lo = lo + landing * width
-            new_hi = hi if landing == bins - 1 else lo + (landing + 1) * width
-            new_incl = landing == bins - 1 and incl
-            if (new_lo, new_hi) == (lo, hi) or new_hi <= new_lo or in_bin == in_interval:
-                continue  # float-width floor: resolve this rank as-is
-            state[pid] = [new_lo, new_hi, below, in_bin, new_incl, rank]
-            if in_bin > exact_threshold and new_hi > new_lo:
+            lo, hi, offset, in_interval, rank = state[pid]
+            below, in_bin, bmin, bmax = _walk(counts.get(pid, {}), bins, offset, rank)
+            if (bmin, bmax) == (lo, hi) or in_bin == in_interval:
+                continue  # no progress — resolve this rank as-is
+            state[pid] = [bmin, bmax, below, in_bin, rank]
+            if in_bin > exact_threshold and bmax > bmin:
                 next_active.add(pid)
         active = next_active
 
@@ -258,68 +273,61 @@ def exact_group_quantiles(
     ks = list(keys)
     v = F.col(value_col).cast("double")
     base = df.filter(v.isNotNull()).select(*ks, v.alias("_v"))
-    stats = base.groupBy(*ks).agg(
+    gstats = base.groupBy(*ks).agg(
         F.min("_v").alias("lo"), F.max("_v").alias("hi"), F.count("_v").alias("n")
     )
-    srows = stats.collect()
+    srows = gstats.collect()
     if len(srows) > max_groups:
         raise ValueError(
             f"{len(srows)} groups exceeds max_groups={max_groups} — the per-pass "
             "driver-side count collect is groups x bins; use the mergeable "
             "histogram quantiles (operators/rollup.py) for high-cardinality keys"
         )
-    # per-group narrowing state: key tuple -> [lo, hi, offset, in_interval,
-    # hi_inclusive, rank]
+    # per-group narrowing state: key tuple -> [lo, hi, offset, in_interval, rank]
     state = {
-        tuple(r[k] for k in ks): [r["lo"], r["hi"], 0, r["n"], True, quantile_rank(p, r["n"])]
+        tuple(r[k] for k in ks): [r["lo"], r["hi"], 0, r["n"], quantile_rank(p, r["n"])]
         for r in srows
     }
 
     def _intervals_df(names):
-        rows = [
-            (*g, st[0], st[1], (st[1] - st[0]) / bins, bool(st[4]), st[5] - st[2])
-            for g, st in state.items()
-            if g in names
-        ]
-        schema = stats.select(*ks).schema.add("_lo", "double").add("_hi", "double")
-        schema = schema.add("_w", "double").add("_incl", "boolean").add("_take", "long")
+        rows = [(*g, st[0], st[1], st[4] - st[2]) for g, st in state.items() if g in names]
+        schema = gstats.select(*ks).schema
+        for name, typ in _IDF_SCHEMA_SUFFIX:
+            schema = schema.add(name, typ)
         return spark.createDataFrame(rows, schema)
 
-    in_window = F.col("_v") >= F.col("_lo")
-    in_window = in_window & (
-        (F.col("_v") < F.col("_hi")) | (F.col("_incl") & (F.col("_v") <= F.col("_hi")))
+    in_window = (F.col("_v") >= F.col("_lo")) & (F.col("_v") <= F.col("_hi"))
+    width = (F.col("_hi") - F.col("_lo")) / bins
+    rel_bin = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col("_v") - F.col("_lo")) / width).cast("int")),
     )
     active = {g for g, st in state.items() if st[3] > exact_threshold and st[1] > st[0]}
     while active:
         joined = base.join(F.broadcast(_intervals_df(active)), ks).where(in_window)
-        bin_col = F.least(
-            F.lit(bins - 1), F.floor((F.col("_v") - F.col("_lo")) / F.col("_w")).cast("int")
-        )
-        counts: dict[tuple, dict[int, int]] = {}
-        for r in joined.groupBy(*ks, bin_col.alias("_b")).agg(
-            F.count(F.lit(1)).alias("_c")
-        ).collect():
-            counts.setdefault(tuple(r[k] for k in ks), {})[r["_b"]] = r["_c"]
+        counts: dict[tuple, dict[int, tuple]] = {}
+        for r in (
+            joined.groupBy(*ks, rel_bin.alias("_b"))
+            .agg(
+                F.count(F.lit(1)).alias("_c"),
+                F.min("_v").alias("_bmin"),
+                F.max("_v").alias("_bmax"),
+            )
+            .collect()
+        ):
+            counts.setdefault(tuple(r[k] for k in ks), {})[r["_b"]] = (
+                r["_c"],
+                r["_bmin"],
+                r["_bmax"],
+            )
         next_active = set()
         for g in active:
-            lo, hi, offset, in_interval, incl, rank = state[g]
-            width = (hi - lo) / bins
-            cum = offset
-            landing = None
-            for b in range(bins):
-                c = counts.get(g, {}).get(b, 0)
-                if cum + c >= rank:
-                    landing, below, in_bin = b, cum, c
-                    break
-                cum += c
-            assert landing is not None, f"rank fell past the interval for group {g}"
-            new_lo = lo + landing * width
-            new_hi = hi if landing == bins - 1 else lo + (landing + 1) * width
-            new_incl = landing == bins - 1 and incl
-            if (new_lo, new_hi) == (lo, hi) or new_hi <= new_lo or in_bin == in_interval:
-                continue  # float-width floor: resolve this group as-is
-            state[g] = [new_lo, new_hi, below, in_bin, new_incl, rank]
-            if in_bin > exact_threshold and new_hi > new_lo:
+            lo, hi, offset, in_interval, rank = state[g]
+            below, in_bin, bmin, bmax = _walk(counts.get(g, {}), bins, offset, rank)
+            if (bmin, bmax) == (lo, hi) or in_bin == in_interval:
+                continue  # no progress — resolve this group as-is
+            state[g] = [bmin, bmax, below, in_bin, rank]
+            if in_bin > exact_threshold and bmax > bmin:
                 next_active.add(g)
         active = next_active
 
