@@ -233,11 +233,11 @@ def lm_append(
     persisted order (meta-driven, the sq_append contract), landing it as its
     own ``batch=<batch>`` partition (replays overwrite themselves)."""
     meta = spark.read.parquet(f"{lm_dir}/meta").collect()[0]
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
         ngram_counts(new_docs, text_col, int(meta["n"]))
         .withColumn("batch", F.lit(batch))
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch")
         .parquet(f"{lm_dir}/counts")
     )

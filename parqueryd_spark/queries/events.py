@@ -393,6 +393,7 @@ def events_exact_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events WHERE value IS NOT NULL
     GROUP BY event_type
     """,
+    bench=True,
 )
 def events_exact_quantile_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPED exact order statistics (operators/selection.py:
