@@ -267,8 +267,9 @@ def exact_group_quantiles(
 
     Group-count sweet spot is the dashboard regime (10s-1000s of groups over
     billions of rows each). NULL values are excluded per group; groups with
-    no non-null values are absent from the output (matching SQL GROUP BY
-    aggregate semantics).
+    no non-null values are absent from the output, and NULL-keyed groups are
+    real groups (null-safe interval joins), both matching SQL GROUP BY
+    aggregate semantics.
     """
     ks = list(keys)
     v = F.col(value_col).cast("double")
@@ -302,9 +303,22 @@ def exact_group_quantiles(
         F.lit(bins - 1),
         F.greatest(F.lit(0), F.floor((F.col("_v") - F.col("_lo")) / width).cast("int")),
     )
+
+    def _join_intervals(idf):
+        # SQL GROUP BY treats NULL as a real group; a plain equi-join would
+        # silently drop those rows, so the interval join is null-SAFE
+        cond = None
+        for k in ks:
+            c = base[k].eqNullSafe(idf[k])
+            cond = c if cond is None else cond & c
+        out = base.join(F.broadcast(idf), cond)
+        for k in ks:
+            out = out.drop(idf[k])
+        return out.where(in_window)
+
     active = {g for g, st in state.items() if st[3] > exact_threshold and st[1] > st[0]}
     while active:
-        joined = base.join(F.broadcast(_intervals_df(active)), ks).where(in_window)
+        joined = _join_intervals(_intervals_df(active))
         counts: dict[tuple, dict[int, tuple]] = {}
         for r in (
             joined.groupBy(*ks, rel_bin.alias("_b"))
@@ -335,7 +349,7 @@ def exact_group_quantiles(
     # survivor per group via a bounded per-group window
     from pyspark.sql import Window as W
 
-    survivors = base.join(F.broadcast(_intervals_df(set(state))), ks).where(in_window)
+    survivors = _join_intervals(_intervals_df(set(state)))
     rn = F.row_number().over(W.partitionBy(*ks).orderBy("_v"))
     return (
         survivors.withColumn("_rn", rn)

@@ -143,3 +143,17 @@ def test_group_quantiles_max_groups_guard(spark):
     df = spark.createDataFrame([(str(i), 1.0) for i in range(30)], "grp string, value double")
     with pytest.raises(ValueError):
         exact_group_quantiles(spark, df, ["grp"], "value", 0.5, max_groups=10)
+
+
+def test_group_quantiles_null_key_is_a_real_group(spark):
+    from parqueryd_spark.operators.selection import exact_group_quantiles
+
+    rows = [(None, float(v)) for v in range(1, 8)] + [("a", 1.0), ("a", 9.0)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = {
+        r["grp"]: r["value"]
+        for r in exact_group_quantiles(
+            spark, df, ["grp"], "value", 0.5, bins=4, exact_threshold=2
+        ).collect()
+    }
+    assert out == {None: 4.0, "a": 1.0}
