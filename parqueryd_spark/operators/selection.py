@@ -37,8 +37,10 @@ float error. NULLs are excluded on both sides; NaN values are not supported
 (they poison range predicates — filter them upstream).
 
 Reference parity note: the reference engine (parqueryd) exposes no quantile
-aggregate at all (groupby methods are sum/mean/count/min/max/std/count_na/
-count_distinct/sorted_count_distinct — see SURVEY.md §2 O5); exact and
+aggregate at all — the complete RPC dispatch handles only the O5 groupby
+methods sum/mean/count/min/max/std/count_na/count_distinct/
+sorted_count_distinct (/root/reference/parqueryd/controller.py:483-553,
+SURVEY.md §2 O5); exact and
 approximate quantiles are north-star analytics scope, the exact tier next to
 the mergeable-histogram estimates in operators/rollup.py.
 """
