@@ -79,3 +79,47 @@ def has_pii(text: Column | str) -> Column:
     for c in counts.values():
         total = c if total is None else total + c
     return total > 0
+
+
+def k_anonymity_violations(
+    df, quasi_cols: list[str], k: int = 5
+):
+    """Quasi-identifier combinations occurring fewer than ``k`` times —
+    the groups whose members a release would re-identify (Sweeney's
+    k-anonymity). One map-side-combined groupBy over the quasi columns;
+    the output is violation-sized (distinct rare combos), never row-sized.
+    NULL quasi values form their own combination (SQL GROUP BY semantics:
+    "value withheld" is itself identifying).
+
+    Structured-data complement to the regex surface above: redact_pii
+    scrubs identifiers INSIDE text, k-anonymity bounds what the released
+    ROWS' attribute combinations leak. (Reference parity: no privacy
+    surface exists in the reference RPC dispatch —
+    /root/reference/parqueryd/controller.py:483-553; north-star curation
+    scope.)"""
+    from pyspark.sql import functions as F
+
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < k)
+    )
+
+
+def k_anonymize(df, quasi_cols: list[str], k: int = 5):
+    """Enforce k-anonymity by SUPPRESSION: drop every row whose
+    quasi-identifier combination occurs fewer than ``k`` times. Left
+    anti-join against the violation set — the join side is
+    violation-sized, so AQE broadcasts it when rare combos are rare (the
+    normal case) and the kept rows never shuffle. Suppression is the
+    conservative mechanism (generalization hierarchies are domain-specific
+    — pass pre-generalized columns, e.g. date_trunc'd timestamps or
+    zip-code prefixes, and this enforces the floor). The anti-join is
+    null-SAFE: GROUP BY treats NULL as a value, so a rare NULL combination
+    must suppress too — a plain equi anti-join would let it leak."""
+    viol = k_anonymity_violations(df, quasi_cols, k)
+    cond = None
+    for c in quasi_cols:
+        eq = df[c].eqNullSafe(viol[c])
+        cond = eq if cond is None else cond & eq
+    return df.join(viol, cond, "left_anti")

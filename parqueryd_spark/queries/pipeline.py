@@ -211,3 +211,40 @@ def pipeline_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_clean"),
         F.sum("n_chars").cast("bigint").alias("chars_clean"),
     )
+
+
+@query(
+    "pipeline_k_anonymity",
+    oracle="""
+    WITH sizes AS (
+      SELECT user_id, event_type, count(*) AS group_size
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT CAST(count(CASE WHEN group_size < 3 THEN 1 END) AS BIGINT) AS n_violating_groups,
+           CAST(coalesce(sum(CASE WHEN group_size < 3 THEN group_size END), 0) AS BIGINT)
+             AS n_suppressed_rows,
+           CAST(coalesce(sum(CASE WHEN group_size >= 3 THEN group_size END), 0) AS BIGINT)
+             AS n_kept_rows
+    FROM sizes
+    """,
+)
+def pipeline_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity enforcement report (operators/pii.py): treating
+    (user_id, event_type) as the quasi-identifier, count the combinations a
+    k=3 release would re-identify, the rows suppression drops, and the rows
+    kept — kept is computed through the ACTUAL anti-join operator
+    (k_anonymize), so the oracle cross-checks the enforcement path, not
+    just the violation count."""
+    from parqueryd_spark.operators.pii import k_anonymity_violations, k_anonymize
+
+    ev = load_table(spark, sf_dir, "events")
+    quasi = ["user_id", "event_type"]
+    viol = k_anonymity_violations(ev, quasi, k=3)
+    kept = k_anonymize(ev, quasi, k=3)
+    report = viol.agg(
+        F.count(F.lit(1)).alias("n_violating_groups"),
+        F.coalesce(F.sum("group_size"), F.lit(0)).cast("long").alias("n_suppressed_rows"),
+    )
+    return report.crossJoin(
+        F.broadcast(kept.agg(F.count(F.lit(1)).alias("n_kept_rows")))
+    )

@@ -243,3 +243,27 @@ def test_weighted_sample_grouped_draws_n_per_group(spark):
     assert {g: len(ks) for g, ks in by_grp.items()} == {"x": 5, "y": 5, "z": 5}
     # grouped draw must pre-trim map-side (WindowGroupLimit), like cap_per_group
     assert "WindowGroupLimit" in explain_str(out, "simple")
+
+
+def test_k_anonymity_suppression_and_null_combos(spark):
+    from parqueryd_spark.operators.pii import k_anonymity_violations, k_anonymize
+
+    rows = (
+        [("a", "x")] * 5          # safe combo
+        + [("a", "y")] * 2        # rare: suppressed at k=3
+        + [(None, "x")] * 3       # NULL quasi value is its own (safe) combo
+        + [(None, "y")]           # rare NULL combo: suppressed
+    )
+    df = spark.createDataFrame(rows, "qid string, attr string")
+    viol = {
+        (r["qid"], r["attr"]): r["group_size"]
+        for r in k_anonymity_violations(df, ["qid", "attr"], k=3).collect()
+    }
+    assert viol == {("a", "y"): 2, (None, "y"): 1}
+    kept = k_anonymize(df, ["qid", "attr"], k=3)
+    assert kept.count() == 8
+    combos = {(r["qid"], r["attr"]) for r in kept.collect()}
+    assert combos == {("a", "x"), (None, "x")}
+    # every surviving combo satisfies the floor
+    sizes = kept.groupBy("qid", "attr").count().collect()
+    assert all(r["count"] >= 3 for r in sizes)
