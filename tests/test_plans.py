@@ -150,6 +150,10 @@ def test_no_hint_forced_broadcast_of_sf_growing_tables(spark):
         "q15_top_supplier",          # max(total_revenue) row
         "q22_global_sales_opportunity",  # avg positive balance row
         "having_scalar_subquery",    # global avg row
+        "pipeline_k_anonymity",      # kept-row count: one aggregated row
+                                     # (the enforcement anti-join itself is
+                                     # un-hinted — AQE sizes the violation
+                                     # side)
     }
     BOUNDED_BUILD_OK = _bounded_build_ok()
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
