@@ -633,3 +633,49 @@ def _served_lm(spark: SparkSession, sf_dir: str):
             lm_publish(spark, path, docs, "text", k=0.5)
             _LM_SERVE_CACHE[key] = path
     return lm_load(spark, path)
+
+
+@query(
+    "text_bpe_pair_stats",
+    oracle="""
+    WITH words AS (
+      SELECT w AS word, count(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w
+    ), chars AS (
+      SELECT n, string_split(word, '') AS cs FROM words
+    ), pairs AS (
+      SELECT n, unnest([struct_pack(a := cs[i], b := cs[i+1])
+                        for i in range(1, len(cs))]) AS p
+      FROM chars WHERE len(cs) >= 2
+    )
+    SELECT p.a AS a, p.b AS b, CAST(sum(n) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY p.a, p.b
+    ORDER BY pair_count DESC, a ASC, b ASC
+    LIMIT 8
+    """,
+)
+def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The statistics core of BPE tokenizer training (operators/bpe.py):
+    corpus-frequency-weighted adjacent character pairs over the
+    vocabulary-sized word table — each bpe_train iteration's argmax is the
+    head of exactly this ranking (count desc, then lexicographic pair, the
+    pytest-pinned determinism contract). The trainer's sequential rewrite is
+    pinned against a pure-Python reference in tests/test_bpe.py; this row
+    puts the weighted pair counting itself under the external DuckDB gate."""
+    from parqueryd_spark.operators.bpe import word_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    wt = word_table(docs)
+    nsz = F.size("syms")
+    pair = F.explode(
+        F.arrays_zip(F.slice("syms", 1, nsz - 1), F.slice("syms", 2, nsz - 1))
+    ).alias("p")
+    return (
+        wt.filter(nsz >= 2)
+        .select("n", pair)
+        .groupBy(F.col("p")["0"].alias("a"), F.col("p")["1"].alias("b"))
+        .agg(F.sum("n").cast("long").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(8)
+    )
