@@ -1016,3 +1016,55 @@ def simhash_md5_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def near_dup_groups_increment(
+    old_labels: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Incremental duplicate-group maintenance: fold a batch of NEW near-dup
+    pairs into an existing (doc_id, group_id) labeling at
+    O(increment + touched groups) — the standing corpus's untouched groups
+    are never re-propagated, so daily dedup increments (the
+    streaming/dedup.py + minhash-index-append pipeline emits exactly such
+    pair batches) cost proportional to what changed, not to history.
+
+    Works because a group's labeling IS its connectivity: each touched
+    group is reconstituted as star edges (member -> group label), unioned
+    with the new pairs, and re-resolved with :func:`near_dup_groups` — the
+    star graph has the same components as the original group (and diameter
+    2, so the fixpoint loop converges immediately), and min-labels are
+    stable under this contraction because the group label is the group's
+    minimum id. Equivalence with a from-scratch recompute over
+    (old edges ∪ new pairs) is pytest-pinned, including increments that
+    MERGE previously separate groups and re-applied (replayed) increments.
+
+    Returns the full updated labeling: untouched rows pass through verbatim.
+    """
+    ends = (
+        new_pairs.select(F.col(id_a).alias("node"))
+        .union(new_pairs.select(F.col(id_b).alias("node")))
+        .distinct()
+    )
+    touched = (
+        old_labels.join(ends, old_labels["doc_id"] == ends["node"])
+        .select("group_id")
+        .distinct()
+    )
+    affected = old_labels.join(touched, "group_id")
+    star = affected.filter(F.col("doc_id") != F.col("group_id")).select(
+        F.col("doc_id").alias(id_a), F.col("group_id").alias(id_b)
+    )
+    resolved = near_dup_groups(
+        star.unionByName(new_pairs.select(F.col(id_a), F.col(id_b))),
+        id_a,
+        id_b,
+        max_iter,
+    )
+    untouched = old_labels.join(touched, "group_id", "left_anti")
+    return untouched.select("doc_id", "group_id").unionByName(
+        resolved.select("doc_id", "group_id")
+    )

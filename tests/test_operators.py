@@ -759,3 +759,46 @@ def test_search_literal_matches_bruteforce(spark):
     from parqueryd_spark.plans.audit import plan_report
 
     assert plan_report(search_literal(emb, qvec, k=6))["python_evals"] == 0
+
+
+def test_near_dup_groups_increment_equals_recompute(spark):
+    from parqueryd_spark.operators.dedup import near_dup_groups, near_dup_groups_increment
+
+    def pairs(rows):
+        return spark.createDataFrame(rows, "id_a long, id_b long")
+
+    base = [(1, 2), (2, 3), (10, 11), (20, 21)]  # groups {1,2,3} {10,11} {20,21}
+    old = near_dup_groups(pairs(base)).persist()
+
+    # increment: extend group 1, MERGE groups 10/20 via a bridge, and a
+    # brand-new component {30,31}
+    inc = [(3, 4), (11, 20), (30, 31)]
+    got = sorted(
+        map(tuple, near_dup_groups_increment(old, pairs(inc)).collect())
+    )
+    expect = sorted(map(tuple, near_dup_groups(pairs(base + inc)).collect()))
+    assert got == expect
+    # group {20,21} merged under min-id 10; untouched nothing here except none
+    as_map = dict(got)
+    assert as_map[21] == 10 and as_map[4] == 1 and as_map[31] == 30
+
+    # replay: applying the same increment to the UPDATED labels is a no-op
+    updated = near_dup_groups_increment(old, pairs(inc)).persist()
+    again = sorted(
+        map(tuple, near_dup_groups_increment(updated, pairs(inc)).collect())
+    )
+    assert again == expect
+    old.unpersist()
+    updated.unpersist()
+
+
+def test_near_dup_groups_increment_leaves_untouched_groups_alone(spark):
+    from parqueryd_spark.operators.dedup import near_dup_groups, near_dup_groups_increment
+
+    def pairs(rows):
+        return spark.createDataFrame(rows, "id_a long, id_b long")
+
+    old = near_dup_groups(pairs([(1, 2), (50, 51), (60, 61)]))
+    out = near_dup_groups_increment(old, pairs([(2, 3)]))
+    as_map = {r["doc_id"]: r["group_id"] for r in out.collect()}
+    assert as_map == {1: 1, 2: 1, 3: 1, 50: 50, 51: 50, 60: 60, 61: 60}
