@@ -358,3 +358,64 @@ def exact_group_quantiles(
         .where(F.col("_rn") == F.col("_take"))
         .select(*ks, F.lit(float(p)).alias("prob"), F.col("_v").alias("value"))
     )
+
+
+def exact_quantiles_cont(
+    spark: SparkSession,
+    df: DataFrame,
+    value_col: str,
+    probs: list[float],
+    bins: int = 1024,
+    exact_threshold: int = 65536,
+    decimals: int = 6,
+) -> DataFrame:
+    """Exact INTERPOLATED quantiles (SQL ``quantile_cont`` / Spark
+    ``percentile``): (prob, value) rows, rounded to ``decimals``.
+
+    The continuous definition sits at position p·(n-1) (0-indexed) and
+    linearly interpolates the two bracketing order statistics — so this is
+    two rank selections plus arithmetic, and both ranks ride the SAME
+    shared-pass narrowing as :func:`exact_quantiles` (adjacent ranks'
+    intervals coincide until the final subdivision, so the extra rank is
+    nearly free). The interpolation arithmetic is done driver-side on the
+    two exact scalars and rounded, absorbing the last-ulp freedom SQL
+    engines have in how they form (1-f)·lo + f·hi. Use this where the
+    consumer expects SQL AVG-style medians; ``exact_quantiles`` returns
+    actual data elements (quantile_disc) and needs no rounding at all.
+    """
+    v = F.col(value_col).cast("double")
+    n = df.filter(v.isNotNull()).count()
+    if n == 0:
+        return spark.createDataFrame(
+            [(float(p), None) for p in probs], "prob double, value double"
+        )
+    # bracketing 1-indexed ranks per prob at position p*(n-1)
+    want: dict[float, tuple[int, int, float]] = {}
+    ranks: set[int] = set()
+    for p in probs:
+        pos = p * (n - 1)
+        lo_r = int(pos) + 1
+        hi_r = min(lo_r + 1, n)
+        frac = pos - int(pos)
+        want[p] = (lo_r, hi_r, frac)
+        ranks.update((lo_r, hi_r))
+    ordered = sorted(ranks)
+    # resolve every needed rank through the shared-pass machinery by
+    # expressing each as a disc prob hitting exactly that rank: p=(r-0.5)/n
+    # gives ceil(p*n) = r with a 0.5 margin on both sides, so no float
+    # rounding of the prob can shift the rank (p = r/n exactly would sit ON
+    # the ceil boundary)
+    disc_probs = [(r - 0.5) / n for r in ordered]
+    resolved = {
+        row["prob"]: row["value"]
+        for row in exact_quantiles(
+            spark, df, value_col, disc_probs, bins, exact_threshold
+        ).collect()
+    }
+    got = {r: resolved[float(p)] for r, p in zip(ordered, disc_probs)}
+    rows = []
+    for p in probs:
+        lo_r, hi_r, frac = want[p]
+        val = got[lo_r] + frac * (got[hi_r] - got[lo_r])
+        rows.append((float(p), round(val, decimals)))
+    return spark.createDataFrame(rows, "prob double, value double")

@@ -409,3 +409,30 @@ def events_exact_quantile_by_type(spark: SparkSession, sf_dir: str) -> DataFrame
     return exact_group_quantiles(
         spark, ev, ["event_type"], "value", 0.9, bins=16, exact_threshold=200
     )
+
+
+@query(
+    "events_exact_quantile_cont",
+    oracle="""
+    SELECT CAST(0.5 AS DOUBLE) AS prob,
+           round(quantile_cont(value, 0.5), 6) AS value FROM events
+    UNION ALL
+    SELECT CAST(0.95 AS DOUBLE), round(quantile_cont(value, 0.95), 6) FROM events
+    UNION ALL
+    SELECT CAST(0.999 AS DOUBLE), round(quantile_cont(value, 0.999), 6) FROM events
+    """,
+)
+def events_exact_quantile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INTERPOLATED exact-quantile definition (operators/selection.py:
+    exact_quantiles_cont — SQL quantile_cont / Spark percentile): two
+    bracketing rank selections through the same shared-pass narrowing, with
+    the interpolation arithmetic done on the two exact scalars and rounded
+    to 6 dp. Completes the quantile family's contract: disc rows return
+    actual data elements bit-for-bit; this row matches the AVG-style
+    definition dashboards expect."""
+    from parqueryd_spark.operators.selection import exact_quantiles_cont
+
+    ev = load_table(spark, sf_dir, "events")
+    return exact_quantiles_cont(
+        spark, ev, "value", [0.5, 0.95, 0.999], bins=16, exact_threshold=500
+    )

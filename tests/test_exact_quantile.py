@@ -178,3 +178,32 @@ def test_narrowing_pass_range_filter_reaches_the_parquet_scan(spark, tmp_path):
     assert "PushedFilters" in plan
     assert "GreaterThanOrEqual(value,100.0)" in plan, plan[:2000]
     assert "LessThanOrEqual(value,900.0)" in plan, plan[:2000]
+
+
+def test_cont_quantiles_match_duckdb_quantile_cont(spark):
+    from parqueryd_spark.operators.selection import exact_quantiles_cont
+
+    random.seed(77)
+    for n in (10, 49, 997):
+        vals = [random.uniform(-50, 150) for _ in range(n)]
+        probs = [0.0, 0.1, 0.25, 0.5, 0.9, 0.959, 1.0]
+        mine = {
+            r["prob"]: r["value"]
+            for r in exact_quantiles_cont(
+                spark, _df(spark, vals), "value", probs, bins=8, exact_threshold=20
+            ).collect()
+        }
+        duck = duckdb.sql(
+            f"SELECT {', '.join(f'quantile_cont(x, {p})' for p in probs)}"
+            f" FROM (SELECT unnest({vals}) AS x)"
+        ).fetchone()
+        for p, d in zip(probs, duck):
+            assert mine[p] == round(float(d), 6), (n, p, mine[p], d)
+
+
+def test_cont_quantiles_all_null_and_empty(spark):
+    from parqueryd_spark.operators.selection import exact_quantiles_cont
+
+    nulls = spark.createDataFrame([(None,), (None,)], "value double")
+    out = exact_quantiles_cont(spark, nulls, "value", [0.5]).collect()
+    assert out[0]["value"] is None
