@@ -133,6 +133,21 @@ def cohort_retention(
     )
 
 
+def _nullsafe_key_join(left: DataFrame, right: DataFrame, ks: Sequence[str], how: str = "inner") -> DataFrame:
+    """Key equi-join that keeps NULL-keyed groups (SQL GROUP BY treats NULL as
+    a real group; a plain name-based join would silently drop those rows) —
+    the same eqNullSafe convention as exact_group_quantiles / k_anonymize."""
+    r = right
+    for k in ks:
+        # rename to break self-join attribute lineage (right derives from left)
+        r = r.withColumnRenamed(k, f"_bk_{k}")
+    cond = None
+    for k in ks:
+        c = F.col(k).eqNullSafe(F.col(f"_bk_{k}"))
+        cond = c if cond is None else cond & c
+    return left.join(r, cond, how).drop(*[f"_bk_{k}" for k in ks])
+
+
 def mad_outliers(
     df: DataFrame,
     keys: Sequence[str],
@@ -182,7 +197,8 @@ def mad_baselines(
     half of :func:`mad_outliers`: compute on a trusted reference window,
     persist, and score later data (or a live stream,
     streaming/quality.py:stream_flag_outliers) against it without the
-    anomalies contaminating their own yardstick."""
+    anomalies contaminating their own yardstick. NULL-keyed groups are real
+    groups (null-safe joins), matching SQL GROUP BY semantics."""
     ks = list(keys)
     v = F.col(value_col).cast("double")
 
@@ -190,7 +206,8 @@ def mad_baselines(
         return F.percentile_approx(col, 0.5, 10000) if approx else F.percentile(col, 0.5)
 
     med = df.filter(v.isNotNull()).groupBy(*ks).agg(_median(v).alias("med"))
-    dev = df.join(med, ks).withColumn("_absdev", F.abs(v - F.col("med")))
+    # null-SAFE key join: NULL-keyed groups are real groups and get baselines
+    dev = _nullsafe_key_join(df, med, ks).withColumn("_absdev", F.abs(v - F.col("med")))
     return (
         dev.filter(F.col("_absdev").isNotNull())
         .groupBy(*ks)
@@ -213,7 +230,9 @@ def flag_with_baselines(
     is_outlier = false."""
     ks = list(keys)
     v = F.col(value_col).cast("double")
-    dev = df.join(baselines, ks, "left").withColumn("_absdev", F.abs(v - F.col("med")))
+    dev = _nullsafe_key_join(df, baselines, ks, "left").withColumn(
+        "_absdev", F.abs(v - F.col("med"))
+    )
     z = F.col("_absdev") / (F.lit(scale) * F.col("mad"))
     return (
         dev.withColumn("robust_z", F.when(F.col("mad") > 0, z))

@@ -222,6 +222,10 @@ def lm_publish(
         ngram_counts(docs, text_col, n)
         .withColumn("batch", F.lit(batch))
         .write.mode("overwrite")
+        # dynamic: re-publishing a batch overwrites ONLY that batch partition
+        # — a static overwrite would wipe every previously appended batch and
+        # silently destroy the accumulated model
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch")
         .parquet(f"{lm_dir}/counts")
     )

@@ -126,11 +126,27 @@ def exact_rank_value(
             .collect()
         }
         below, in_bin, bmin, bmax = _walk(counts, bins, offset, rank)
+        if bmin == bmax:
+            # degenerate landing bin: a single distinct value dominates (e.g.
+            # a zero-heavy column). _walk guarantees below < rank <= below +
+            # in_bin, so the rank-th value IS bmin — no sort-based resolve,
+            # which on a huge stalled interval would funnel through one task.
+            if stats is not None:
+                stats["passes"] = passes
+                stats["resolve_rows"] = 0
+            return bmin
         if (bmin, bmax) == (lo, hi) or in_bin == in_interval:
             break  # no progress (mass concentrated) — resolve as-is
         lo, hi = bmin, bmax
         offset, in_interval = below, in_bin
 
+    if lo == hi:
+        # the whole surviving interval is one distinct value — already the
+        # answer (also covers the all-values-equal input without any pass)
+        if stats is not None:
+            stats["passes"] = passes
+            stats["resolve_rows"] = 0
+        return lo
     if stats is not None:
         stats["passes"] = passes
         stats["resolve_rows"] = in_interval
@@ -187,6 +203,10 @@ def exact_quantiles(
     state = {
         i: [first["lo"], first["hi"], 0, n, quantile_rank(p, n)] for i, p in enumerate(probs)
     }
+    # ranks answered without a resolve sort (degenerate one-value intervals)
+    resolved: dict[int, float] = {}
+    if first["lo"] == first["hi"]:
+        resolved = {i: first["lo"] for i in state}
 
     def _intervals_df(pids):
         rows = [(pid, st[0], st[1], st[4] - st[2]) for pid, st in state.items() if pid in pids]
@@ -200,7 +220,11 @@ def exact_quantiles(
         F.lit(bins - 1),
         F.greatest(F.lit(0), F.floor((F.col("_v") - F.col("_lo")) / width).cast("int")),
     )
-    active = {pid for pid, st in state.items() if st[3] > exact_threshold and st[1] > st[0]}
+    active = {
+        pid
+        for pid, st in state.items()
+        if pid not in resolved and st[3] > exact_threshold and st[1] > st[0]
+    }
     while active:
         joined = base.crossJoin(F.broadcast(_intervals_df(active))).where(in_window)
         counts: dict[int, dict[int, tuple]] = {}
@@ -218,6 +242,12 @@ def exact_quantiles(
         for pid in active:
             lo, hi, offset, in_interval, rank = state[pid]
             below, in_bin, bmin, bmax = _walk(counts.get(pid, {}), bins, offset, rank)
+            if bmin == bmax:
+                # degenerate landing bin — the rank-th value IS bmin (below <
+                # rank <= below + in_bin by _walk); skip the sort resolve that
+                # a stalled one-value-dominated interval would degenerate into
+                resolved[pid] = bmin
+                continue
             if (bmin, bmax) == (lo, hi) or in_bin == in_interval:
                 continue  # no progress — resolve this rank as-is
             state[pid] = [bmin, bmax, below, in_bin, rank]
@@ -225,18 +255,22 @@ def exact_quantiles(
                 next_active.add(pid)
         active = next_active
 
-    # resolve every rank in one job: (rank - offset)-th smallest survivor
+    # resolve every still-open rank in one job: (rank - offset)-th smallest
+    # survivor; ranks already answered by a degenerate bin skip the sort
     from pyspark.sql import Window as W
 
-    survivors = base.crossJoin(F.broadcast(_intervals_df(set(state)))).where(in_window)
-    rn = F.row_number().over(W.partitionBy("_pid").orderBy("_v"))
-    answers = {
-        r["_pid"]: r["_v"]
-        for r in survivors.withColumn("_rn", rn)
-        .where(F.col("_rn") == F.col("_take"))
-        .select("_pid", "_v")
-        .collect()
-    }
+    answers = dict(resolved)
+    unresolved = set(state) - set(resolved)
+    if unresolved:
+        survivors = base.crossJoin(F.broadcast(_intervals_df(unresolved))).where(in_window)
+        rn = F.row_number().over(W.partitionBy("_pid").orderBy("_v"))
+        answers.update(
+            (r["_pid"], r["_v"])
+            for r in survivors.withColumn("_rn", rn)
+            .where(F.col("_rn") == F.col("_take"))
+            .select("_pid", "_v")
+            .collect()
+        )
     return spark.createDataFrame(
         [(float(p), answers.get(i)) for i, p in enumerate(probs)], "prob double, value double"
     )
@@ -279,18 +313,22 @@ def exact_group_quantiles(
     gstats = base.groupBy(*ks).agg(
         F.min("_v").alias("lo"), F.max("_v").alias("hi"), F.count("_v").alias("n")
     )
-    srows = gstats.collect()
-    if len(srows) > max_groups:
+    # bound the cardinality BEFORE collecting — on a high-cardinality key the
+    # unguarded collect could OOM the driver before any guard ran
+    if gstats.limit(max_groups + 1).count() > max_groups:
         raise ValueError(
-            f"{len(srows)} groups exceeds max_groups={max_groups} — the per-pass "
+            f"group count exceeds max_groups={max_groups} — the per-pass "
             "driver-side count collect is groups x bins; use the mergeable "
             "histogram quantiles (operators/rollup.py) for high-cardinality keys"
         )
+    srows = gstats.collect()
     # per-group narrowing state: key tuple -> [lo, hi, offset, in_interval, rank]
     state = {
         tuple(r[k] for k in ks): [r["lo"], r["hi"], 0, r["n"], quantile_rank(p, r["n"])]
         for r in srows
     }
+    # groups answered without a resolve sort (degenerate one-value intervals)
+    resolved: dict[tuple, float] = {g: st[0] for g, st in state.items() if st[0] == st[1]}
 
     def _intervals_df(names):
         rows = [(*g, st[0], st[1], st[4] - st[2]) for g, st in state.items() if g in names]
@@ -318,7 +356,11 @@ def exact_group_quantiles(
             out = out.drop(idf[k])
         return out.where(in_window)
 
-    active = {g for g, st in state.items() if st[3] > exact_threshold and st[1] > st[0]}
+    active = {
+        g
+        for g, st in state.items()
+        if g not in resolved and st[3] > exact_threshold and st[1] > st[0]
+    }
     while active:
         joined = _join_intervals(_intervals_df(active))
         counts: dict[tuple, dict[int, tuple]] = {}
@@ -340,6 +382,11 @@ def exact_group_quantiles(
         for g in active:
             lo, hi, offset, in_interval, rank = state[g]
             below, in_bin, bmin, bmax = _walk(counts.get(g, {}), bins, offset, rank)
+            if bmin == bmax:
+                # degenerate landing bin — the group's rank-th value IS bmin
+                # (below < rank <= below + in_bin by _walk); no sort resolve
+                resolved[g] = bmin
+                continue
             if (bmin, bmax) == (lo, hi) or in_bin == in_interval:
                 continue  # no progress — resolve this group as-is
             state[g] = [bmin, bmax, below, in_bin, rank]
@@ -347,17 +394,32 @@ def exact_group_quantiles(
                 next_active.add(g)
         active = next_active
 
-    # resolve every group in one distributed job: (rank - offset)-th smallest
-    # survivor per group via a bounded per-group window
+    # resolve every still-open group in one distributed job: (rank - offset)-th
+    # smallest survivor per group via a bounded per-group window; groups
+    # answered by a degenerate bin join in as literal rows
     from pyspark.sql import Window as W
 
-    survivors = _join_intervals(_intervals_df(set(state)))
-    rn = F.row_number().over(W.partitionBy(*ks).orderBy("_v"))
-    return (
-        survivors.withColumn("_rn", rn)
-        .where(F.col("_rn") == F.col("_take"))
-        .select(*ks, F.lit(float(p)).alias("prob"), F.col("_v").alias("value"))
-    )
+    prob_lit = F.lit(float(p))
+    unresolved = set(state) - set(resolved)
+    out = None
+    if unresolved:
+        survivors = _join_intervals(_intervals_df(unresolved))
+        rn = F.row_number().over(W.partitionBy(*ks).orderBy("_v"))
+        out = (
+            survivors.withColumn("_rn", rn)
+            .where(F.col("_rn") == F.col("_take"))
+            .select(*ks, prob_lit.alias("prob"), F.col("_v").alias("value"))
+        )
+    if resolved:
+        schema = gstats.select(*ks).schema.add("prob", "double").add("value", "double")
+        direct = spark.createDataFrame(
+            [(*g, float(p), v) for g, v in resolved.items()], schema
+        )
+        out = direct if out is None else out.unionByName(direct)
+    if out is None:  # no groups at all (empty input)
+        schema = gstats.select(*ks).schema.add("prob", "double").add("value", "double")
+        out = spark.createDataFrame([], schema)
+    return out
 
 
 def exact_quantiles_cont(

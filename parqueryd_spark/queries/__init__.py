@@ -133,6 +133,25 @@ from parqueryd_spark.queries import tpch_extended  # noqa: E402,F401
 # text_hash_embeddings + embedding_near_dup), window_analytics (rank/lag/
 # rolling frames ≡ events_gap_fill_rolling + events_sessionization +
 # topk_orders' ordered ranking).
+# Round 11 rotation (VERDICT r10 item #1): six round-10 oracle-backed rows
+# enter — pipeline_k_anonymity (QI-group suppression, null-safe anti-join),
+# events_exact_quantile_by_type (grouped exact selection, shared passes),
+# events_exact_quantile_cont (interpolated quantile_cont contract),
+# scan_hive_partition_pruned (hive-layout manifest pruning),
+# scan_metadata_stats (metadata-only min/max/count serving), and
+# events_exact_distinct_pcts (exact distinct + percentile composite, back in
+# after its r9 displacement). Displaced, each with in-window shape twins and
+# all still registered + pytest-oracled: pipeline_decontaminate (broadcast
+# k-gram suppression ≡ pipeline_bloom_decontaminate, the strictly more
+# general Bloom route), ann_pq_recall_bound (PQ recall gating ≡
+# ann_ivfpq_recall_bound, which trains the same codebooks inside the IVF
+# route, next to ann_ivf_recall_bound), scan_zonemap_count (metadata-only
+# counting ≡ scan_metadata_stats + scan_zonemap_pruned), events_kmv_
+# overlap_bound (estimate-vs-exact bound shape ≡ sketch_error_bounds; the
+# KMV mechanics stay registry-oracled), band_join_error_click (bucketize→
+# equi-join range predicate ≡ interval_join_user_windows), and
+# string_agg_ordered (multi-agg groupBy shape ≡ groupby_agg_methods; the
+# array_sort∘collect_list∘array_join mechanism stays registry-oracled).
 GATE_WINDOW = [
     "q1_pricing_summary",
     "groupby_agg_methods",
@@ -144,7 +163,7 @@ GATE_WINDOW = [
     "ann_ivfpq_recall_bound",
     "sketch_error_bounds",
     "ann_ivf_recall_bound",
-    "ann_pq_recall_bound",
+    "events_exact_quantile_by_type",
     "q19_disjunctive_filter",
     "heavy_hitter_bound",
     "dedup_exact",
@@ -152,26 +171,26 @@ GATE_WINDOW = [
     "dedup_minhash_lsh",
     "dedup_groups",
     "interval_join_user_windows",
-    "band_join_error_click",
+    "scan_metadata_stats",
     "events_exact_quantile",
     "events_gap_fill_rolling",
     "events_sessionization",
-    "events_kmv_overlap_bound",
+    "scan_hive_partition_pruned",
     "events_incremental_rollup",
     "ann_bruteforce_topk",
     "events_anomaly_mad",
     "scan_zonemap_pruned",
     "embedding_near_dup",
-    "scan_zonemap_count",
+    "events_exact_quantile_cont",
     "multimodal_features",
     "pipeline_split_pack",
-    "pipeline_decontaminate",
+    "pipeline_k_anonymity",
     "join_broadcast_dims",
     "join_fact_fact_revenue",
     "join_types_suite",
     "topk_orders",
     "text_ngram_lm_score",
-    "string_agg_ordered",
+    "events_exact_distinct_pcts",
     "set_ops_summary",
     "scan_bloom_lookup",
     "rollup_cube_agg",

@@ -14,6 +14,12 @@ Two directions, mirroring the sketch family's batch/stream symmetry:
   streaming scorer is foreachBatch over the identical batch plan — the same
   frozen-model pattern as streaming/embed.py (frozen grid/centroids): the
   model only moves when a maintenance trigger republishes it.
+
+Model parameters travel WITH the state: ``stream_maintain_lm`` persists a
+``_meta`` file (k, n) next to the batch partitions (the leading underscore
+hides it from the merge-on-read parquet listing), and ``read_lm`` reads it
+back — maintaining with n=3 then loading can never silently split grams at
+the wrong position.
 """
 
 from __future__ import annotations
@@ -21,6 +27,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from parqueryd_spark.operators.lm import NgramLM, lm_merge, lm_score, ngram_counts
 
@@ -31,12 +38,19 @@ def stream_maintain_lm(
     checkpoint_dir: str,
     text_col: str = "text",
     n: int = 2,
+    k: float = 0.5,
 ):
     """Continuously-trained LM state: per micro-batch, one partial
     (gram, c) count table in ``batch=<id>`` (idempotent overwrite). Raw text
-    is never re-read at serve time — the partials ARE the model."""
+    is never re-read at serve time — the partials ARE the model. The (k, n)
+    meta rides along in ``<lm_dir>/_meta`` so ``read_lm`` serves the model
+    at the order it was maintained with."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        spark.createDataFrame([(float(k), int(n))], "k double, n int").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(lm_dir, "_meta"))
         part = ngram_counts(batch_df, text_col, n)
         part.write.mode("overwrite").parquet(os.path.join(lm_dir, f"batch={batch_id}"))
 
@@ -48,11 +62,31 @@ def stream_maintain_lm(
     )
 
 
-def read_lm(spark, lm_dir: str, k: float = 0.5, n: int = 2) -> NgramLM:
+def read_lm(spark, lm_dir: str, k: float | None = None, n: int | None = None) -> NgramLM:
     """The served LM over ALL published batches: merge-on-read of the count
     partials (sum per gram — linear, so this equals one-shot ``lm_train``
-    over the full corpus bit-exactly)."""
+    over the full corpus bit-exactly).
+
+    (k, n) default to the persisted ``_meta`` written by
+    :func:`stream_maintain_lm`; explicit arguments override. Either way the
+    stored grams' token count is validated against n — a model maintained at
+    one order can never be silently served at another (grams would split at
+    the wrong position and score garbage without an error)."""
+    meta_path = os.path.join(lm_dir, "_meta")
+    try:
+        meta = spark.read.parquet(meta_path).collect()[0]
+        stored_k, stored_n = float(meta["k"]), int(meta["n"])
+    except Exception:
+        stored_k, stored_n = None, None  # pre-meta layout — fall back to args
+    k = k if k is not None else (stored_k if stored_k is not None else 0.5)
+    n = n if n is not None else (stored_n if stored_n is not None else 2)
     parts = spark.read.parquet(lm_dir).drop("batch")
+    probe = parts.select(F.size(F.split("gram", " ")).alias("toks")).limit(1).collect()
+    if probe and probe[0]["toks"] != n:
+        raise ValueError(
+            f"stored grams have {probe[0]['toks']} tokens but the requested "
+            f"order is n={n} — the model was maintained at a different order"
+        )
     return lm_merge([parts], k, n)
 
 

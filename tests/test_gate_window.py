@@ -1,7 +1,10 @@
 """The driver's correctness gate audits the FIRST 50 registry entries; these
 tests pin that window to the invariants VERDICT r6 item #1 required — 50
-entries, every one oracle-backed — so a registration-order change can never
-silently push an audited query out or pull a rows-only row in again."""
+entries, every one oracle-backed — plus the CURRENT rotation state (rotation
+history lives in the GATE_WINDOW comment in queries/__init__.py). A
+registration-order change can never silently push an audited query out or pull
+a rows-only row in again, and a rotation is only valid if every displaced row
+stays registered and oracle-tested past the window."""
 
 from __future__ import annotations
 
@@ -13,26 +16,6 @@ def test_gate_window_is_50_oracle_backed():
     assert head == Q.GATE_WINDOW
     missing = [n for n in head if Q.REGISTRY[n].oracle is None]
     assert not missing, f"gate-window rows without a DuckDB oracle: {missing}"
-
-
-def test_estimate_bound_rows_are_inside_the_gate_window():
-    """VERDICT r7 item #2: approximation quality is part of the hard driver
-    gate — the oracle-backed bound rows must sit INSIDE the first 50."""
-    for name in (
-        "sketch_error_bounds",
-        "ann_ivf_recall_bound",
-        "ann_pq_recall_bound",
-        "heavy_hitter_bound",
-        "ann_ivfpq_recall_bound",
-    ):
-        assert name in Q.GATE_WINDOW, name
-    # the five TPC-H rows they displaced must stay registered (oracle-tested
-    # past the window), not silently dropped
-    for name in ("q4_priority_exists", "q10_returned_items",
-                 "q14_promo_revenue", "q18_large_orders",
-                 "q6_forecast_revenue"):
-        assert name in Q.REGISTRY and name not in Q.GATE_WINDOW, name
-        assert Q.REGISTRY[name].oracle is not None, name
 
 
 def test_estimate_rows_have_driver_checked_companions():
@@ -56,86 +39,118 @@ def test_estimate_rows_have_driver_checked_companions():
             assert c in Q.REGISTRY and Q.REGISTRY[c].oracle is not None, (est, c)
 
 
-def test_round8_family_rows_are_inside_the_gate_window():
-    """Round 8's new operator families are under the hard gate: zone-map
-    pruned scan (plan-time file skipping must equal a full scan exactly) and
-    SCD2 as-of (version collapse + interval chaining vs an independent
-    lag/lead oracle). The displaced rows — shapes redundantly covered by
-    in-window kin (exhaustive-probe IVF ≡ brute force is subsumed by
-    ann_bruteforce_topk + the recall bounds over the same served index;
-    winnowing by the in-window fingerprint family) — stay registered and
-    oracle-tested past the window."""
-    for name in ("scan_zonemap_pruned", "scd2_events_asof"):
-        assert name in Q.GATE_WINDOW, name
-    for name in ("ann_ivf_exhaustive_topk", "text_winnow_fingerprint"):
-        assert name in Q.REGISTRY and name not in Q.GATE_WINDOW, name
-        assert Q.REGISTRY[name].oracle is not None, name
+# family anchors that must stay INSIDE the window: at least one driver-gated
+# row per operator family (parqueryd parity, TPC-H, dedup/near-dup, joins,
+# events/windows, exact selection, ANN recall bounds, sketch bounds,
+# multimodal, pipeline curation, text, file skipping, history)
+REQUIRED_IN_WINDOW = (
+    # parqueryd parity (O1-O7)
+    "q1_pricing_summary",
+    "groupby_agg_methods",
+    "groupby_count_variants",
+    "where_ops_raw_rows",
+    "global_agg_no_keys",
+    "shard_schema_drift",
+    # TPC-H anchors
+    "q5_local_volume",
+    "q19_disjunctive_filter",
+    # estimate/recall bounds (VERDICT r7 item #2: approximation quality is
+    # part of the hard driver gate)
+    "sketch_error_bounds",
+    "ann_ivf_recall_bound",
+    "ann_ivfpq_recall_bound",
+    "ann_sq_recall_bound",
+    "heavy_hitter_bound",
+    # dedup family
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_groups",
+    "embedding_near_dup",
+    # joins
+    "interval_join_user_windows",
+    "join_broadcast_dims",
+    "join_fact_fact_revenue",
+    "join_types_suite",
+    "asof_join_events",
+    "salted_skew_groupby",
+    # events / windows / exact selection (r10-r11 rotations)
+    "events_exact_quantile",
+    "events_exact_quantile_by_type",
+    "events_exact_quantile_cont",
+    "events_exact_distinct_pcts",
+    "events_gap_fill_rolling",
+    "events_sessionization",
+    "events_incremental_rollup",
+    "events_anomaly_mad",
+    # ANN serving
+    "ann_bruteforce_topk",
+    # file skipping / metadata serving (r8-r11 rotations)
+    "scan_zonemap_pruned",
+    "scan_hive_partition_pruned",
+    "scan_metadata_stats",
+    "scan_bloom_lookup",
+    # multimodal / pipeline curation (r11: k-anonymity)
+    "multimodal_features",
+    "pipeline_split_pack",
+    "pipeline_bloom_decontaminate",
+    "pipeline_k_anonymity",
+    # relational breadth
+    "topk_orders",
+    "set_ops_summary",
+    "rollup_cube_agg",
+    # text / LM
+    "text_ngram_lm_score",
+    "text_token_lang_stats",
+    "text_hash_embeddings",
+    "text_curation_funnel",
+    "text_bm25_search",
+    # history
+    "scd2_events_asof",
+)
+
+# displaced rows (every rotation so far): must stay registered AND
+# oracle-backed past the window — displacement never drops coverage
+REQUIRED_REGISTERED_PAST_WINDOW = (
+    # r7 rotation (TPC-H rows with in-window shape twins)
+    "q4_priority_exists",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q6_forecast_revenue",
+    # r8 rotation
+    "ann_ivf_exhaustive_topk",
+    "text_winnow_fingerprint",
+    # r9 rotation
+    "q3_shipping_priority",
+    "dedup_simhash",
+    "dedup_spans",
+    "multimodal_metadata",
+    "pivot_agg",
+    "having_scalar_subquery",
+    "range_join_price_bands",
+    "text_edit_distance",
+    # r10 rotation
+    "events_windowed_aggs",
+    "embedding_array_ops",
+    "window_analytics",
+    # r11 rotation (VERDICT r10 item #1; twins in the GATE_WINDOW comment)
+    "pipeline_decontaminate",
+    "ann_pq_recall_bound",
+    "scan_zonemap_count",
+    "events_kmv_overlap_bound",
+    "band_join_error_click",
+    "string_agg_ordered",
+)
 
 
-def test_round9_rotation_families_are_inside_the_gate_window():
-    """VERDICT r8 items #1/#5: the six oracle-backed round-8 family rows the
-    external gate had never executed, plus the shard-schema-drift row, are
-    inside the first 50; the seven displaced rows (each with an in-window
-    shape twin — see the GATE_WINDOW comment) stay registered and
-    oracle-tested past the window."""
-    rotated_in = (
-        "interval_join_user_windows",
-        "band_join_error_click",
-        "scan_bloom_lookup",
-        "scan_zonemap_count",
-        "events_kmv_overlap_bound",
-        "pipeline_bloom_decontaminate",
-        "shard_schema_drift",
-    )
-    for name in rotated_in:
-        assert name in Q.GATE_WINDOW, name
-    displaced = (
-        "q3_shipping_priority",
-        "dedup_simhash",
-        "dedup_spans",
-        "multimodal_metadata",
-        "events_exact_distinct_pcts",
-        "pivot_agg",
-        "having_scalar_subquery",
-    )
-    for name in displaced:
-        assert name in Q.REGISTRY and name not in Q.GATE_WINDOW, name
-        assert Q.REGISTRY[name].oracle is not None, name
+def test_required_family_anchors_are_inside_the_gate_window():
+    missing = [n for n in REQUIRED_IN_WINDOW if n not in Q.GATE_WINDOW]
+    assert not missing, f"family anchors fell out of the gate window: {missing}"
 
 
-def test_sq_recall_bound_is_inside_the_gate_window():
-    """The scalar-quantization family's recall bound is driver-gated like
-    the other ANN bounds; the displaced range_join_price_bands (arithmetic
-    binning + broadcast equi-join, both mechanisms covered by in-window
-    twins) stays registered and oracle-tested past the window."""
-    assert "ann_sq_recall_bound" in Q.GATE_WINDOW
-    name = "range_join_price_bands"
-    assert name in Q.REGISTRY and name not in Q.GATE_WINDOW
-    assert Q.REGISTRY[name].oracle is not None
-
-
-def test_hash_embeddings_is_inside_the_gate_window():
-    """The embedding-generation family (feature-hashing hash_embed, exactly
-    value-checked) is driver-gated; the displaced text_edit_distance (one
-    built-in scalar function; the pure-Column text-scalar shape stays
-    in-window via text_token_lang_stats / text_curation_funnel) remains
-    registered and oracle-tested past the window."""
-    assert "text_hash_embeddings" in Q.GATE_WINDOW
-    name = "text_edit_distance"
-    assert name in Q.REGISTRY and name not in Q.GATE_WINDOW
-    assert Q.REGISTRY[name].oracle is not None
-
-
-def test_round10_families_are_inside_the_gate_window():
-    """Round 10's new oracle-backed families are driver-gated: exact
-    quantile selection (multi-pass histogram narrowing must reproduce
-    quantile_disc bit-for-bit), MAD anomaly flagging (exact-median baselines
-    + flag counts), and bigram-LM perplexity scoring (the CCNet curation
-    signal, estimates value-checked). The displaced rows — each with
-    in-window shape twins per the GATE_WINDOW comment — stay registered and
-    oracle-tested past the window."""
-    for name in ("events_exact_quantile", "events_anomaly_mad", "text_ngram_lm_score"):
-        assert name in Q.GATE_WINDOW, name
-    for name in ("events_windowed_aggs", "embedding_array_ops", "window_analytics"):
-        assert name in Q.REGISTRY and name not in Q.GATE_WINDOW, name
+def test_displaced_rows_stay_registered_and_oracle_backed():
+    for name in REQUIRED_REGISTERED_PAST_WINDOW:
+        assert name in Q.REGISTRY, name
+        assert name not in Q.GATE_WINDOW, name
         assert Q.REGISTRY[name].oracle is not None, name

@@ -70,3 +70,123 @@ def test_invalid_agg_raises_even_with_missing_shards(spark):
         aggregate_files(spark, ["/no/such.parquet"], ["k"], [], aggregate=True)
     with pytest.raises(QueryCompileError):
         aggregate_files(spark, ["/no/such.parquet"], ["k"], [["v", "median", "m"]])
+
+
+# ---- round-11 ADVICE regressions -------------------------------------------
+
+
+def test_degenerate_bin_skips_sort_resolve(spark):
+    """A zero-heavy column (one value dominating past exact_threshold) must
+    resolve WITHOUT the sort-based fallback: stats['resolve_rows'] == 0 and
+    the answer is exact (ADVICE r10: the stalled interval otherwise funnels
+    through a single orderBy/limit task)."""
+    from parqueryd_spark.operators.selection import exact_rank_value
+
+    rows = [(0.0,)] * 500 + [(float(i),) for i in range(1, 51)]
+    df = spark.createDataFrame(rows, "value double")
+    stats = {}
+    # rank 250 lands mid-zero-mass; threshold far below 500 forces narrowing
+    got = exact_rank_value(df, "value", 250, bins=8, exact_threshold=16, stats=stats)
+    assert got == 0.0
+    assert stats["resolve_rows"] == 0
+    # all-equal column: answered with zero passes and zero resolve rows
+    const = spark.createDataFrame([(7.0,)] * 100, "value double")
+    stats2 = {}
+    assert exact_rank_value(const, "value", 50, exact_threshold=10, stats=stats2) == 7.0
+    assert stats2["resolve_rows"] == 0
+
+
+def test_degenerate_bin_shared_pass_quantiles(spark):
+    """exact_quantiles / exact_group_quantiles answer dominated ranks via the
+    degenerate-bin shortcut and still match the sorted oracle."""
+    from parqueryd_spark.operators.selection import (
+        exact_group_quantiles,
+        exact_quantiles,
+        quantile_rank,
+    )
+
+    vals = [0.0] * 400 + [float(i) for i in range(1, 41)]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    s = sorted(vals)
+    got = {
+        r["prob"]: r["value"]
+        for r in exact_quantiles(
+            spark, df, "value", [0.1, 0.5, 0.95], bins=8, exact_threshold=16
+        ).collect()
+    }
+    for p in (0.1, 0.5, 0.95):
+        assert got[p] == s[quantile_rank(p, len(vals)) - 1]
+
+    grows = [("a", v) for v in vals] + [("b", float(i)) for i in range(100)]
+    gdf = spark.createDataFrame(grows, "grp string, value double")
+    gout = {
+        r["grp"]: r["value"]
+        for r in exact_group_quantiles(
+            spark, gdf, ["grp"], "value", 0.5, bins=8, exact_threshold=16
+        ).collect()
+    }
+    a_vals = sorted(v for g, v in grows if g == "a")
+    b_vals = sorted(v for g, v in grows if g == "b")
+    assert gout["a"] == a_vals[quantile_rank(0.5, len(a_vals)) - 1]
+    assert gout["b"] == b_vals[quantile_rank(0.5, len(b_vals)) - 1]
+
+
+def test_group_quantiles_cardinality_guard_precedes_collect(spark):
+    """max_groups is enforced by a bounded count BEFORE any driver collect
+    (ADVICE r10: the unbounded collect could OOM first)."""
+    from parqueryd_spark.operators.selection import exact_group_quantiles
+
+    df = spark.range(100).select(
+        F.col("id").alias("grp"), F.col("id").cast("double").alias("value")
+    )
+    with pytest.raises(ValueError, match="max_groups=10"):
+        exact_group_quantiles(spark, df, ["grp"], "value", 0.5, max_groups=10)
+
+
+def test_mad_baselines_null_keyed_groups(spark):
+    """NULL-keyed groups get baselines and flags (null-safe joins), matching
+    SQL GROUP BY semantics (ADVICE r10)."""
+    from parqueryd_spark.operators.analytics import mad_outliers
+
+    rows = [(None, float(v)) for v in [10, 11, 9, 10, 12, 10, 11, 100]] + [
+        ("a", float(v)) for v in [5, 6, 5, 4, 5, 50]
+    ]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    out = mad_outliers(df, ["event_type"], "value").collect()
+    null_rows = [r for r in out if r["event_type"] is None]
+    assert null_rows and all(r["med"] is not None for r in null_rows)
+    assert any(r["is_outlier"] for r in null_rows if r["value"] == 100.0)
+
+
+def test_lm_publish_preserves_other_batches(tmp_path, spark):
+    """Re-running lm_publish must not wipe appended batch partitions
+    (dynamic partition overwrite — ADVICE r10)."""
+    from parqueryd_spark.operators.lm import lm_append, lm_load, lm_publish
+
+    lm_dir = str(tmp_path / "lm")
+    base = spark.createDataFrame([("x y z",)], "text string")
+    inc = spark.createDataFrame([("x y q",)], "text string")
+    lm_publish(spark, lm_dir, base, batch="base")
+    lm_append(spark, lm_dir, inc, batch="inc1")
+    lm_publish(spark, lm_dir, base, batch="base")  # idempotent replay
+    lm = lm_load(spark, lm_dir)
+    grams = {r["gram"]: r["c"] for r in lm.bigrams.collect()}
+    assert grams == {"x y": 2, "y z": 1, "y q": 1}
+
+
+def test_stream_maintain_lm_persists_meta(tmp_path, spark):
+    """stream_maintain_lm writes (k, n) meta; read_lm serves at the
+    maintained order and rejects a conflicting explicit order (ADVICE r10)."""
+    from parqueryd_spark.streaming.lm import read_lm, stream_maintain_lm
+
+    src = str(tmp_path / "src")
+    lm_dir = str(tmp_path / "lm")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame([("a b c d",)], "text string").write.parquet(src)
+    stream = spark.readStream.schema("text string").parquet(src)
+    stream_maintain_lm(stream, lm_dir, ckpt, n=3).awaitTermination()
+    lm = read_lm(spark, lm_dir)  # no explicit n — must come from meta
+    assert lm.n == 3
+    assert {r["gram"] for r in lm.bigrams.collect()} == {"a b c", "b c d"}
+    with pytest.raises(ValueError, match="different order"):
+        read_lm(spark, lm_dir, n=2)
