@@ -14,6 +14,16 @@ pure Column fold (left-to-right greedy, overlap-safe via carried skip
 state), so the whole trainer is JVM-side; lineage is truncated every few
 iterations (localCheckpoint) so plan depth stays bounded.
 
+At production vocab sizes (8k-32k merges) one Spark job per merge is the
+wrong trade: ``bpe_train_hybrid`` keeps the single distributed corpus scan
+and then COLLECTS the vocabulary-sized (word, count) table to run the merge
+loop driver-side with incrementally-maintained pair statistics
+(``train_merges_local``) — seconds for 32k merges, guarded by a bounded
+cardinality check with automatic fallback to the distributed loop.
+Segmentation under a large merge list likewise switches from K chained
+Column rewrites to one Arrow-batched rank-loop pass (``bpe_segment_udf``).
+Both halves are pinned bit-equal to the one-job-per-merge forms.
+
 Determinism contract (pytest-pinned against a pure-Python reference): the
 winning pair each round is (max total count, then lexicographically smallest
 (a, b)) — reproducible everywhere, no hash or partition order in the
@@ -136,17 +146,173 @@ def bpe_train(
     return merges
 
 
+def _local_merge(syms: list[str], a: str, b: str) -> list[str]:
+    """Greedy left-to-right non-overlapping (a, b) -> a+b rewrite — the
+    driver-side twin of :func:`merge_pair` (same contract, pinned equal in
+    tests/test_bpe.py)."""
+    out, i = [], 0
+    n = len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def train_merges_local(
+    word_counts: list[tuple[str, int]],
+    num_merges: int,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Classic driver-side BPE training over a collected (word, count) table
+    with incrementally-maintained pair statistics (Sennrich et al. 2016's
+    efficient form): each merge rewrites ONLY the words containing the
+    winning pair and adjusts their pair counts in place, so 32k merges cost
+    ~O(affected words) each, not a full vocabulary recount. Determinism
+    contract identical to :func:`bpe_train`: max total count, then
+    lexicographically smallest (a, b)."""
+    from collections import defaultdict
+
+    syms_list = [list(w) for w, _ in word_counts]
+    freqs = [n for _, n in word_counts]
+    pair_counts: dict[tuple[str, str], int] = defaultdict(int)
+    pair_words: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for idx, syms in enumerate(syms_list):
+        f = freqs[idx]
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] += f
+            pair_words[p].add(idx)
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        if not pair_counts:
+            break
+        best_pair, best_c = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best_c < min_pair_count:
+            break
+        a, b = best_pair
+        merges.append((a, b))
+        for idx in list(pair_words.get((a, b), ())):
+            syms, f = syms_list[idx], freqs[idx]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] -= f
+                if pair_counts[p] <= 0:
+                    pair_counts.pop(p, None)
+                ws = pair_words.get(p)
+                if ws is not None:
+                    ws.discard(idx)
+            new = _local_merge(syms, a, b)
+            syms_list[idx] = new
+            for i in range(len(new) - 1):
+                p = (new[i], new[i + 1])
+                pair_counts[p] += f
+                pair_words[p].add(idx)
+    return merges
+
+
+def bpe_train_hybrid(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 8192,
+    min_pair_count: int = 2,
+    max_word_table: int = 5_000_000,
+) -> list[tuple[str, str]]:
+    """Production-vocab BPE training: ONE distributed corpus scan builds the
+    (word, count) table, then the merge loop runs driver-side over that
+    vocabulary-sized state (:func:`train_merges_local`) — 8k-32k merges are
+    a few seconds of dict updates instead of 8k-32k sequential Spark jobs.
+    The word table is vocabulary-sized by construction (millions of rows at
+    100 TB — it always fits), but the collect is still guarded: above
+    ``max_word_table`` distinct words this falls back to the fully
+    distributed :func:`bpe_train` loop, trading merge latency for zero
+    driver-memory exposure. Segmentation/encoding stay distributed either
+    way (:func:`bpe_segment` / :func:`bpe_encode`).
+
+    Returns the ordered merge list — bit-identical to :func:`bpe_train` on
+    the same corpus (pytest-pinned), since both implement the same
+    determinism contract over the same integer statistics."""
+    wt = word_table(docs, text_col).select("word", "n")
+    if wt.limit(max_word_table + 1).count() > max_word_table:
+        return bpe_train(docs, text_col, num_merges, min_pair_count)
+    word_counts = [(r["word"], r["n"]) for r in wt.collect()]
+    return train_merges_local(word_counts, num_merges, min_pair_count)
+
+
 def bpe_segment(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     """Apply a learned merge list to a (word, ...) table: adds ``bpe_tokens``
     (the word's BPE segmentation). K sequential rewrites over the
     vocabulary-sized table — documents themselves are never rewritten K
-    times (see bpe_encode)."""
+    times (see bpe_encode). Plan depth grows with K: past ~64 merges use
+    :func:`bpe_segment_udf` (bpe_encode switches automatically)."""
     out = words.withColumn("bpe_tokens", F.split("word", ""))
     for i, (a, b) in enumerate(merges):
         out = out.withColumn("bpe_tokens", merge_pair(F.col("bpe_tokens"), a, b))
         if (i + 1) % 8 == 0:
             out = out.localCheckpoint(eager=True)
     return out
+
+
+def bpe_segment_udf(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """:func:`bpe_segment` for production-sized merge lists (8k-32k): one
+    Arrow-batched mapInPandas pass over the vocabulary-sized word table with
+    the merge-RANK table broadcast in the closure, instead of K chained
+    Column rewrites (whose plan depth is K). Applies the standard
+    lowest-rank-first loop, which equals sequential merge application: a
+    merge can only create pairs of HIGHER rank than itself (its output
+    symbol didn't exist when earlier merges were learned), so taking the
+    present pair with the smallest rank replays training order exactly.
+    Output schema matches bpe_segment: input columns + bpe_tokens."""
+    import pandas as pd  # noqa: F401 (schema doc)
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    pairs_by_rank = list(merges)
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        list(words.schema.fields) + [StructField("bpe_tokens", ArrayType(StringType()))]
+    )
+
+    # self-contained closure: executors cloudpickle it by VALUE (no module
+    # import on the Python worker), per the repo's mapInPandas convention
+    def _segment_batches(batches):
+        def seg(word):
+            syms = list(word)
+            while len(syms) >= 2:
+                best = None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best is None or r < best):
+                        best = r
+                if best is None:
+                    break
+                a, b = pairs_by_rank[best]
+                out, i = [], 0
+                n = len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["bpe_tokens"] = [seg(w) for w in pdf["word"]]
+            yield pdf
+
+    return words.mapInPandas(_segment_batches, out_schema)
+
+
+# merge-list size above which bpe_encode switches from the chained-Column
+# rewrite (plan depth = K) to the Arrow-batched rank-loop segmentation
+_SEGMENT_UDF_THRESHOLD = 64
 
 
 def bpe_encode(
@@ -163,7 +329,8 @@ def bpe_encode(
     wordpos = docs.select(
         F.col(id_col).alias("_id"), F.posexplode(tokens(F.col(text_col))).alias("pos", "word")
     ).filter(F.col("word") != "")
-    mapping = bpe_segment(wordpos.select("word").distinct(), merges)
+    segment = bpe_segment if len(merges) <= _SEGMENT_UDF_THRESHOLD else bpe_segment_udf
+    mapping = segment(wordpos.select("word").distinct(), merges)
     joined = wordpos.join(mapping, "word")
     ordered = F.transform(
         F.array_sort(F.collect_list(F.struct("pos", "bpe_tokens"))),

@@ -679,3 +679,62 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pair_count").desc(), F.col("a").asc(), F.col("b").asc())
         .limit(8)
     )
+
+
+@query(
+    "text_bpe_train_encode",
+    oracle="""
+    WITH words AS (
+      SELECT w AS word, count(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w
+    ), chars AS (
+      SELECT n, string_split(word, '') AS cs FROM words
+    ), pairs AS (
+      SELECT n, unnest([struct_pack(a := cs[i], b := cs[i+1])
+                        for i in range(1, len(cs))]) AS p
+      FROM chars WHERE len(cs) >= 2
+    ), top AS (
+      SELECT p.a AS a, p.b AS b
+      FROM pairs GROUP BY p.a, p.b
+      ORDER BY CAST(sum(n) AS BIGINT) DESC, a ASC, b ASC LIMIT 1
+    )
+    SELECT (SELECT a FROM top) AS first_a,
+           (SELECT b FROM top) AS first_b,
+           CAST((SELECT count(*) FROM words) AS BIGINT) AS n_words,
+           TRUE AS roundtrip_ok,
+           TRUE AS collapse_ok
+    """,
+)
+def text_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end BPE tokenizer training under the driver gate (VERDICT r10
+    item #3): the hybrid trainer (operators/bpe.py:bpe_train_hybrid — one
+    distributed corpus scan, then a production-vocab driver-side merge loop
+    requested at num_merges=8192; training runs to pair exhaustion on this
+    corpus) followed by the Arrow-batched rank-loop segmentation
+    (bpe_segment_udf) over the vocabulary-sized word table.
+
+    Value checks: the FIRST learned merge must equal the SQL argmax of the
+    frequency-weighted adjacent-pair ranking (the oracle recomputes it —
+    training plumbing, determinism contract and tie-break all gated);
+    n_words pins the word-table cardinality; roundtrip_ok asserts every
+    word's segmentation concatenates back to the word exactly;
+    collapse_ok asserts every word frequent enough to self-support its
+    merges (n >= 2) trained down to a single token, i.e. training genuinely
+    ran to exhaustion. The merge SEQUENCE itself is pinned bit-for-bit
+    against a pure-Python Sennrich reference in tests/test_bpe.py."""
+    from parqueryd_spark.operators.bpe import bpe_segment_udf, bpe_train_hybrid, word_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train_hybrid(docs, num_merges=8192)
+    wt = word_table(docs).select("word", "n")
+    seg = bpe_segment_udf(wt, merges)
+    return seg.agg(
+        F.first(F.lit(merges[0][0])).alias("first_a"),
+        F.first(F.lit(merges[0][1])).alias("first_b"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.bool_and(F.array_join("bpe_tokens", "") == F.col("word")).alias("roundtrip_ok"),
+        F.bool_and(
+            F.when(F.col("n") >= 2, F.size("bpe_tokens") == 1).otherwise(F.lit(True))
+        ).alias("collapse_ok"),
+    )
