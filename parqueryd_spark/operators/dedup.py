@@ -99,6 +99,117 @@ def span_dedup(
     return _keep_first_unit_dedup(df, id_col, spans, " ", rebuild)
 
 
+def substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 16,
+    mode: str = "rebuild",
+) -> DataFrame:
+    """Exact substring dedup at ARBITRARY token boundaries — the distributed
+    suffix-array analog (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"): every repeated substring of >= ``min_tokens``
+    tokens, at ANY offset, keeps its first corpus-wide occurrence and loses
+    every other one. Closes span_dedup's window-alignment gap: a repeat
+    straddling fixed span boundaries slips past span digests, but every
+    repeated substring of length >= N is exactly the union of its length-N
+    sliding windows, each of which repeats — so flagging duplicated
+    N-windows covers repeats at every offset.
+
+    Semantics (deterministic, set-based): slide an N-token window at stride
+    1 over every document; for each window content seen >= 2 times
+    corpus-wide the earliest occurrence (min (doc, pos)) is the KEEPER. A
+    token is dropped iff some non-keeper duplicated window covers it and no
+    keeper window covers it — the keeper-protection clause keeps exactly one
+    copy of a self-overlapping run (``a a a a`` at N=2 keeps ``a a``), and
+    documents bearing only non-first copies lose them entirely.
+
+    Returns, for ``mode="rebuild"``, affected documents only:
+    (doc, n_tokens, n_dropped, dedup_text). ``mode="droplist"`` returns
+    (doc, drop_idx sorted int array, n_dropped) without ever shuffling token
+    text — the bandwidth-constrained form, composable with the droplist
+    rebuild of :func:`span_dedup` (_keep_first_unit_dedup).
+
+    Scale design: every step is linear in corpus tokens. Windows cross the
+    shuffle as 128-bit md5 digests (never raw text); keep-first is
+    groupBy(digest).agg(min(struct)) — map-side partials, so boilerplate
+    repeated 10^9 times reduces locally; coverage is an explode of DUP
+    windows only (dup-volume x N, not corpus x N) followed by (doc, idx)
+    distinct + anti-join; the rebuild regroups kept tokens per doc. No
+    window function touches an unbounded partition, no driver collect.
+    """
+    n = int(min_tokens)
+    if n < 2:
+        raise ValueError("min_tokens must be >= 2")
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("doc"), toks.alias("_toks"))
+    ntok = F.size("_toks")
+    # windows only when the doc has >= n tokens (sequence(0, negative) would
+    # DESCEND and fabricate phantom windows — same guard as span_dedup)
+    starts = F.when(ntok >= n, F.sequence(F.lit(0), ntok - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    wins = base.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                starts, lambda i: F.md5(F.concat_ws(" ", F.slice("_toks", i + 1, n)))
+            )
+        ).alias("pos", "digest"),
+    )
+    dup_grams = (
+        wins.groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("_c"), F.min(F.struct("doc", "pos")).alias("keep"))
+        .where(F.col("_c") >= 2)
+        .select("digest", "keep")
+    )
+    marked = wins.join(dup_grams, "digest").select(
+        "doc",
+        "pos",
+        ((F.col("doc") == F.col("keep.doc")) & (F.col("pos") == F.col("keep.pos"))).alias(
+            "is_keep"
+        ),
+    )
+    cover = F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("idx")
+    dup_cov = marked.where(~F.col("is_keep")).select("doc", cover).distinct()
+    keep_cov = marked.where(F.col("is_keep")).select("doc", cover).distinct()
+    dropped = dup_cov.join(keep_cov, ["doc", "idx"], "left_anti")
+    if mode == "droplist":
+        return dropped.groupBy("doc").agg(
+            F.array_sort(F.collect_list(F.col("idx").cast("int"))).alias("drop_idx"),
+            F.count(F.lit(1)).cast("long").alias("n_dropped"),
+        )
+    if mode != "rebuild":
+        raise ValueError(f"unknown mode {mode!r} (rebuild | droplist)")
+    affected = dropped.select("doc").distinct()
+    tokpos = base.join(affected, "doc").select(
+        "doc", F.posexplode("_toks").alias("idx", "tok")
+    )
+    kept = tokpos.join(dropped, ["doc", "idx"], "left_anti")
+    rebuilt = kept.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("long").alias("_n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "tok"))), lambda s: s["tok"]
+            ),
+        ).alias("_text"),
+    )
+    # left join so a FULLY-dropped document (no keeper window in it at all)
+    # still appears, with an empty rebuild
+    return (
+        base.join(affected, "doc")
+        .select("doc", F.size("_toks").cast("long").alias("n_tokens"))
+        .join(rebuilt, "doc", "left")
+        .select(
+            "doc",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0))).alias("n_dropped"),
+            F.coalesce("_text", F.lit("")).alias("dedup_text"),
+        )
+    )
+
+
 def paragraph_dedup(
     df: DataFrame, id_col: str, text_col: str, sep: str = "\n", rebuild: str = "carry"
 ) -> DataFrame:
