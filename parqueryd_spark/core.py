@@ -128,14 +128,54 @@ def aggregate_files(
     return _one(df)
 
 
+# agg methods whose output type is knowable without reading any shard; the
+# rest (sum/min/max/...) inherit the input column's type, which an all-missing
+# query cannot know — those default to string (the widest lossless render)
+_AGG_OUT_TYPES = {
+    "count": "bigint",
+    "count_na": "bigint",
+    "count_distinct": "bigint",
+    "sorted_count_distinct": "bigint",
+    "mean": "double",
+    "std": "double",
+}
+
+
+def _empty_result_schema(groupby_cols, agg_list, aggregate: bool):
+    """The DECLARED output schema of an all-missing groupby (VERDICT r10
+    item #7): column names exactly as a non-empty result would carry them, so
+    callers composing on expected columns fail at the true source (missing
+    shards) rather than with a downstream AnalysisException on a 0-column
+    frame. Types: counts/means are knowable (bigint/double); key columns and
+    type-inheriting aggs have no shard to read a type from and default to
+    string — documented superset behavior, same spirit as returning an empty
+    frame where the reference returns None."""
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    types = {"bigint": LongType(), "double": DoubleType(), "string": StringType()}
+    if not aggregate:
+        seen = []
+        for c in list(groupby_cols) + [t[0] for t in normalize_agg_list(agg_list)]:
+            if c not in seen:
+                seen.append(c)
+        return StructType([StructField(c, StringType()) for c in seen])
+    fields = [StructField(c, StringType()) for c in groupby_cols]
+    fields += [
+        StructField(outp, types[_AGG_OUT_TYPES.get(method, "string")])
+        for _inp, method, outp in normalize_agg_list(agg_list)
+    ]
+    return StructType(fields)
+
+
 class ParquetEngine:
     """Client-facing facade with the reference RPC's surface.
 
     ``ParquetEngine(spark, data_dir).groupby([...], ...)`` is the drop-in for
     ``parqueryd.rpc.RPC(...).groupby(...)``: bare filenames resolve against
     ``data_dir`` (worker.py:388), missing shards are ignored, and an all-missing
-    query returns an empty (0-row, 0-column) DataFrame rather than the
-    reference's ``None`` (documented superset; rpc.py:151-153).
+    query returns an empty DataFrame carrying the DECLARED groupby+agg output
+    schema rather than the reference's ``None`` (documented superset;
+    rpc.py:151-153; see :func:`_empty_result_schema` for the type contract).
     """
 
     def __init__(self, spark: SparkSession, data_dir: str | None = None):
@@ -183,7 +223,9 @@ class ParquetEngine:
             manifest=manifest,
         )
         if result is None:
-            result = self.spark.createDataFrame([], schema="struct<>")
+            result = self.spark.createDataFrame(
+                [], schema=_empty_result_schema(groupby_cols, agg_list, aggregate)
+            )
         if wait:
             self._stamp(t0)
             return result

@@ -48,3 +48,9 @@ def duck():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     yield con
     con.close()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "examples: executes examples/*.py end-to-end against sf0.001"
+    )

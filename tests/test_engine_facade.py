@@ -153,3 +153,26 @@ def test_last_call_duration_stamps_per_call(spark):
     t = eng.apply_pandas(["nation.parquet"], ident, "n_nationkey long", wait=False)
     assert eng.last_call_duration is not None and eng.last_call_duration > 0
     t.result()
+
+
+def test_all_missing_groupby_returns_declared_schema(spark):
+    """VERDICT r10 item #7: the all-missing groupby returns the DECLARED
+    groupby+agg output schema (names exact, counts typed bigint, means
+    double, type-inheriting aggs string), not a 0-column frame that blows up
+    downstream with an unrelated AnalysisException."""
+    eng = ParquetEngine(spark, data_dir="/no/such/dir")
+    out = eng.groupby(
+        ["nope.parquet"],
+        ["l_returnflag"],
+        [["l_quantity", "sum", "sum_qty"], ["l_quantity", "mean", "avg_qty"], ["l_orderkey", "count", "n"]],
+    )
+    assert out.count() == 0
+    assert out.columns == ["l_returnflag", "sum_qty", "avg_qty", "n"]
+    dt = dict(out.dtypes)
+    assert dt["n"] == "bigint" and dt["avg_qty"] == "double"
+    # callers can compose on the declared columns without an AnalysisException
+    from pyspark.sql import functions as F
+    assert out.select("sum_qty").where(F.col("n") > 0).count() == 0
+    # raw-rows shape: projection = groupby + agg input cols
+    raw = eng.groupby(["nope.parquet"], ["l_returnflag"], [["l_quantity"]], aggregate=False)
+    assert raw.columns == ["l_returnflag", "l_quantity"] and raw.count() == 0
