@@ -210,6 +210,31 @@ def substring_dedup(
     )
 
 
+def apply_token_droplist(
+    df: DataFrame, droplist: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Rebuild documents from a persisted :func:`substring_dedup`
+    ``mode="droplist"`` table — the deferred half of the droplist contract:
+    compute drop indices once (cheap, text never shuffled), persist them,
+    and apply to the standing corpus wherever/whenever bandwidth allows.
+    Returns every input document as (doc, n_tokens, n_dropped, dedup_text);
+    documents absent from the droplist pass through rebuilt unchanged.
+    One broadcast-or-AQE doc-keyed join + a per-doc index filter — no
+    token-grain shuffle at apply time."""
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("doc"), toks.alias("_toks"))
+    joined = base.join(droplist.select("doc", "drop_idx"), "doc", "left").withColumn(
+        "_drop", F.coalesce("drop_idx", F.array().cast("array<int>"))
+    )
+    kept = F.filter("_toks", lambda t, i: ~F.array_contains(F.col("_drop"), i))
+    return joined.select(
+        "doc",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.size("_drop").cast("long").alias("n_dropped"),
+        F.concat_ws(" ", kept).alias("dedup_text"),
+    )
+
+
 def paragraph_dedup(
     df: DataFrame, id_col: str, text_col: str, sep: str = "\n", rebuild: str = "carry"
 ) -> DataFrame:

@@ -262,7 +262,7 @@ _SUBSTRING_SQL = f"""
 """
 
 
-@query("dedup_substrings", oracle=_SUBSTRING_SQL)
+@query("dedup_substrings", oracle=_SUBSTRING_SQL, bench=True)
 def dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring dedup at ARBITRARY token boundaries (VERDICT r10 item
     #4 — the distributed suffix-array analog, operators/dedup.py:

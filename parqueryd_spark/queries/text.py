@@ -683,6 +683,7 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_bpe_train_encode",
+    bench=True,
     oracle="""
     WITH words AS (
       SELECT w AS word, count(*) AS n

@@ -893,3 +893,30 @@ def test_substring_dedup_randomized_against_oracle(spark):
             for r in substring_dedup(df, "doc_id", "text", min_tokens=n).collect()
         }
         assert got == expect, n
+
+
+def test_apply_token_droplist_matches_rebuild(spark):
+    """droplist + deferred apply ≡ direct rebuild on affected docs, and
+    unaffected docs pass through unchanged."""
+    from parqueryd_spark.operators.dedup import apply_token_droplist, substring_dedup
+
+    passage = " ".join(f"p{i}" for i in range(9))
+    docs = [
+        (1, "u1 u2 " + passage),
+        (2, passage + " v1 v2"),
+        (3, "w1 w2 w3 w4 w5"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    direct = {
+        r["doc"]: (r["n_tokens"], r["n_dropped"], r["dedup_text"])
+        for r in substring_dedup(df, "doc_id", "text", min_tokens=4).collect()
+    }
+    drops = substring_dedup(df, "doc_id", "text", min_tokens=4, mode="droplist")
+    applied = {
+        r["doc"]: (r["n_tokens"], r["n_dropped"], r["dedup_text"])
+        for r in apply_token_droplist(df, drops, "doc_id", "text").collect()
+    }
+    assert len(applied) == 3
+    for d, v in direct.items():
+        assert applied[d] == v, d
+    assert applied[3] == (5, 0, "w1 w2 w3 w4 w5")
