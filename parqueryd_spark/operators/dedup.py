@@ -149,11 +149,15 @@ def substring_dedup(
     starts = F.when(ntok >= n, F.sequence(F.lit(0), ntok - n)).otherwise(
         F.array().cast("array<int>")
     )
+    # unhex(md5): the same 128 collision-safe bits as 16 BYTES of binary
+    # instead of a 32-char hex string — this digest is what the dominant
+    # shuffle carries (one window per token), so the wire volume halves
     wins = base.select(
         "doc",
         F.posexplode(
             F.transform(
-                starts, lambda i: F.md5(F.concat_ws(" ", F.slice("_toks", i + 1, n)))
+                starts,
+                lambda i: F.unhex(F.md5(F.concat_ws(" ", F.slice("_toks", i + 1, n)))),
             )
         ).alias("pos", "digest"),
     )
