@@ -34,4 +34,9 @@ def test_example_runs(path, spark, monkeypatch, tmp_path):
     # pytest's argv would leak into argv-reading examples (text_to_vectors
     # takes sf_dir as argv[1])
     monkeypatch.setattr(sys, "argv", [path])
+    # most examples end with spark.stop() — correct standalone, fatal to the
+    # suite's session-scoped SparkSession when run in-process; no-op it
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
     runpy.run_path(path, run_name="__main__")
