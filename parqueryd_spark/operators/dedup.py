@@ -141,26 +141,8 @@ def substring_dedup(
     n = int(min_tokens)
     if n < 2:
         raise ValueError("min_tokens must be >= 2")
-    toks = tokens(F.col(text_col))
-    base = df.select(F.col(id_col).alias("doc"), toks.alias("_toks"))
-    ntok = F.size("_toks")
-    # windows only when the doc has >= n tokens (sequence(0, negative) would
-    # DESCEND and fabricate phantom windows — same guard as span_dedup)
-    starts = F.when(ntok >= n, F.sequence(F.lit(0), ntok - n)).otherwise(
-        F.array().cast("array<int>")
-    )
-    # unhex(md5): the same 128 collision-safe bits as 16 BYTES of binary
-    # instead of a 32-char hex string — this digest is what the dominant
-    # shuffle carries (one window per token), so the wire volume halves
-    wins = base.select(
-        "doc",
-        F.posexplode(
-            F.transform(
-                starts,
-                lambda i: F.unhex(F.md5(F.concat_ws(" ", F.slice("_toks", i + 1, n)))),
-            )
-        ).alias("pos", "digest"),
-    )
+    base = _substr_base(df, id_col, text_col)
+    wins = _substr_windows(base, n)
     dup_grams = (
         wins.groupBy("digest")
         .agg(F.count(F.lit(1)).alias("_c"), F.min(F.struct("doc", "pos")).alias("keep"))
@@ -178,6 +160,38 @@ def substring_dedup(
     dup_cov = marked.where(~F.col("is_keep")).select("doc", cover).distinct()
     keep_cov = marked.where(F.col("is_keep")).select("doc", cover).distinct()
     dropped = dup_cov.join(keep_cov, ["doc", "idx"], "left_anti")
+    return _substr_finish(base, dropped, mode)
+
+
+def _substr_base(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_toks"))
+
+
+def _substr_windows(base: DataFrame, n: int) -> DataFrame:
+    """(doc, pos, digest) for every stride-1 n-token window. Windows only
+    exist when the doc has >= n tokens (sequence(0, negative) would DESCEND
+    and fabricate phantom windows — same guard as span_dedup). unhex(md5):
+    the same 128 collision-safe bits as 16 BYTES of binary instead of a
+    32-char hex string — this digest is what the dominant shuffle carries
+    (one window per token), so the wire volume halves."""
+    ntok = F.size("_toks")
+    starts = F.when(ntok >= n, F.sequence(F.lit(0), ntok - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return base.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda i: F.unhex(F.md5(F.concat_ws(" ", F.slice("_toks", i + 1, n)))),
+            )
+        ).alias("pos", "digest"),
+    )
+
+
+def _substr_finish(base: DataFrame, dropped: DataFrame, mode: str) -> DataFrame:
+    """Shared tail of the substring-dedup paths: turn (doc, idx) dropped
+    tokens into either a droplist or rebuilt affected documents."""
     if mode == "droplist":
         return dropped.groupBy("doc").agg(
             F.array_sort(F.collect_list(F.col("idx").cast("int"))).alias("drop_idx"),
@@ -212,6 +226,80 @@ def substring_dedup(
             F.coalesce("_text", F.lit("")).alias("dedup_text"),
         )
     )
+
+
+def substring_index(
+    df: DataFrame, id_col: str, text_col: str, min_tokens: int = 16
+) -> DataFrame:
+    """The persistable substring-dedup INDEX of a standing corpus: its
+    DISTINCT window digests, one 16-byte binary row each — the artifact a
+    100 TB pipeline stores (parquet via ``atomic_publish``, appending each
+    increment's digests as its own batch) so daily increments dedup against
+    the corpus WITHOUT re-reading or re-hashing historical text. Same
+    posture as :func:`minhash_index`; the expensive tokenize->window->md5
+    pass runs exactly once per document ever."""
+    return _substr_windows(_substr_base(df, id_col, text_col), int(min_tokens)).select(
+        "digest"
+    ).distinct()
+
+
+def substring_dedup_increment(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 16,
+    mode: str = "rebuild",
+) -> DataFrame:
+    """Incremental :func:`substring_dedup`: dedup ONLY the increment —
+    against the standing corpus (via its :func:`substring_index`) and
+    against itself — at O(increment) cost; historical text is never
+    re-read. Output shape matches substring_dedup, restricted to increment
+    documents.
+
+    Equivalence contract (pytest-pinned): provided increment doc ids sort
+    AFTER every standing id (the natural ingest order), the result equals a
+    one-shot ``substring_dedup`` over the concatenated corpus restricted to
+    the increment docs — a window matching ANY standing digest is a
+    duplicate (the global keeper lives in the standing corpus), and fresh
+    digests resolve keepers among the increment alone. Standing documents'
+    outputs never change retroactively (their first occurrences stay
+    keepers), so incremental maintenance is sound — the same argument as
+    the minhash index. ``mode="droplist"`` composes with
+    :func:`apply_token_droplist`.
+    """
+    n = int(min_tokens)
+    if n < 2:
+        raise ValueError("min_tokens must be >= 2")
+    base = _substr_base(new_docs, id_col, text_col)
+    wins = _substr_windows(base, n)
+    standing = index.select("digest").distinct()
+    # windows whose content exists in the standing corpus: every occurrence
+    # here is a duplicate (total count >= 2, keeper in the past)
+    hits = wins.join(standing, "digest")
+    fresh = wins.join(standing, "digest", "left_anti")
+    fresh_groups = (
+        fresh.groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("_c"), F.min(F.struct("doc", "pos")).alias("keep"))
+        .where(F.col("_c") >= 2)
+        .select("digest", "keep")
+    )
+    fresh_marked = fresh.join(fresh_groups, "digest").select(
+        "doc",
+        "pos",
+        ((F.col("doc") == F.col("keep.doc")) & (F.col("pos") == F.col("keep.pos"))).alias(
+            "is_keep"
+        ),
+    )
+    cover = F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("idx")
+    dup_cov = (
+        hits.select("doc", cover)
+        .unionByName(fresh_marked.where(~F.col("is_keep")).select("doc", cover))
+        .distinct()
+    )
+    keep_cov = fresh_marked.where(F.col("is_keep")).select("doc", cover).distinct()
+    dropped = dup_cov.join(keep_cov, ["doc", "idx"], "left_anti")
+    return _substr_finish(base, dropped, mode)
 
 
 def apply_token_droplist(

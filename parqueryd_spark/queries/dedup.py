@@ -278,3 +278,29 @@ def dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return substring_dedup(docs, "doc_id", "text", min_tokens=_SUBSTR_N)
+
+
+# one-shot semantics over the WHOLE table, output restricted to the increment
+# (doc_id >= 400): exactly what the incremental path must reproduce. The
+# final SELECT groups by doc_id, so a HAVING filter restricts the output docs.
+_SUBSTR_INC_SQL = _SUBSTRING_SQL + "\n    HAVING toks.doc_id >= 400"
+
+
+@query("dedup_substrings_incremental", oracle=_SUBSTR_INC_SQL)
+def dedup_substrings_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental substring dedup under the driver gate: the standing
+    corpus (doc_id < 400) is summarized ONCE into its distinct-window-digest
+    index (operators/dedup.py:substring_index — historical text never
+    re-read), and the increment (doc_id >= 400) dedups against that index
+    plus itself (substring_dedup_increment) at O(increment) cost. The oracle
+    runs the ONE-SHOT semantics over the whole table restricted to increment
+    docs — hash equality IS the incremental-correctness claim (increment ids
+    sort after standing ids, the natural ingest order; equivalence also
+    pytest-pinned on randomized corpora)."""
+    from parqueryd_spark.operators.dedup import substring_dedup_increment, substring_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = substring_index(docs.filter(F.col("doc_id") < 400), "doc_id", "text", _SUBSTR_N)
+    return substring_dedup_increment(
+        docs.filter(F.col("doc_id") >= 400), idx, "doc_id", "text", _SUBSTR_N
+    )

@@ -136,3 +136,67 @@ def compact_index(spark, index_dir: str, target_partitions: int = 8) -> int:
     )
     atomic_publish(df, index_dir, partition_by=["batch"])
     return read_index(spark, index_dir).count()
+
+
+def stream_substring_dedup(
+    doc_stream: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 16,
+):
+    """Streaming SUB-document dedup — the streaming face of
+    :func:`parqueryd_spark.operators.dedup.substring_dedup_increment`: per
+    micro-batch, every document is rebuilt with the tokens covered by
+    already-seen (standing-index or in-batch duplicated) >= ``min_tokens``-
+    token windows removed, the rebuilt batch lands in ``out_dir/batch=<id>``
+    and the batch's NEW window digests append to the index at ``index_dir``
+    — both idempotent ``batch=<id>`` overwrites (replays rewrite themselves),
+    and historical text is never re-read (the digest index IS the state,
+    same argument as the minhash face above).
+
+    Batch-by-batch output equals the one-shot ``substring_dedup`` over the
+    concatenated corpus restricted to each batch's docs, provided ingest
+    order matches id order (pytest-pinned)."""
+    from parqueryd_spark.operators.dedup import (
+        apply_token_droplist,
+        substring_dedup_increment,
+        substring_index,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        docs = batch_df.select(id_col, text_col)
+        fs = HadoopFS(spark, index_dir)
+        if fs.is_dir(index_dir) and any(
+            d.startswith("batch=") for d in fs.listdir(index_dir)
+        ):
+            # exclude this batch's own (possibly half-written, crash-replay)
+            # partition from the standing read — same rationale as above
+            standing = (
+                spark.read.parquet(index_dir)
+                .where(F.col("batch") != F.lit(batch_id))
+                .select("digest")
+            )
+        else:
+            standing = spark.createDataFrame([], "digest binary")
+        drops = substring_dedup_increment(
+            docs, standing, id_col, text_col, min_tokens, mode="droplist"
+        )
+        rebuilt = apply_token_droplist(docs, drops, id_col, text_col)
+        rebuilt.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={batch_id}"))
+        new_digests = substring_index(docs, id_col, text_col, min_tokens).join(
+            standing, "digest", "left_anti"
+        )
+        new_digests.write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"batch={batch_id}")
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -920,3 +920,73 @@ def test_apply_token_droplist_matches_rebuild(spark):
     for d, v in direct.items():
         assert applied[d] == v, d
     assert applied[3] == (5, 0, "w1 w2 w3 w4 w5")
+
+
+def test_substring_increment_equals_one_shot(spark):
+    """substring_dedup_increment(increment, index(base)) ≡ one-shot
+    substring_dedup(base ∪ increment) restricted to increment docs, when
+    increment ids sort after base ids — on crafted and randomized corpora."""
+    import random
+
+    from parqueryd_spark.operators.dedup import (
+        substring_dedup,
+        substring_dedup_increment,
+        substring_index,
+    )
+
+    rng = random.Random(1107)
+    vocab = [f"t{i}" for i in range(10)]
+    passage = " ".join(f"p{i}" for i in range(9))
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30)))) for i in range(30)]
+    docs[3] = (3, "a1 a2 " + passage)          # base bearer of the passage
+    docs[25] = (25, passage + " z9")           # increment repeats it (shifted)
+    docs[27] = (27, docs[26][1])               # increment exact-dups another increment doc
+    for n in (3, 4):
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        base = df.filter("doc_id < 20")
+        inc = df.filter("doc_id >= 20")
+        one_shot = {
+            r["doc"]: (r["n_tokens"], r["n_dropped"], r["dedup_text"])
+            for r in substring_dedup(df, "doc_id", "text", min_tokens=n).collect()
+            if r["doc"] >= 20
+        }
+        idx = substring_index(base, "doc_id", "text", min_tokens=n)
+        got = {
+            r["doc"]: (r["n_tokens"], r["n_dropped"], r["dedup_text"])
+            for r in substring_dedup_increment(
+                inc, idx, "doc_id", "text", min_tokens=n
+            ).collect()
+        }
+        assert got == one_shot, n
+    # the passage implanted across the base/increment split was actually hit
+    assert any(d >= 20 for d in got), "fixture produced no increment-side drops"
+
+
+def test_substring_index_append_composes(spark):
+    """index(base) ∪ index(day1) serves day2 exactly like index(base∪day1) —
+    digests are a set, append is union-distinct."""
+    from parqueryd_spark.operators.dedup import (
+        substring_dedup_increment,
+        substring_index,
+    )
+
+    p = " ".join(f"q{i}" for i in range(6))
+    base = spark.createDataFrame([(1, "b1 b2 " + p)], "doc_id long, text string")
+    day1 = spark.createDataFrame([(10, "c1 " + p + " c2")], "doc_id long, text string")
+    day2 = spark.createDataFrame([(20, p + " d1 d2 d3")], "doc_id long, text string")
+    n = 3
+    idx_union = substring_index(base.union(day1), "doc_id", "text", min_tokens=n)
+    idx_merged = (
+        substring_index(base, "doc_id", "text", min_tokens=n)
+        .union(substring_index(day1, "doc_id", "text", min_tokens=n))
+        .distinct()
+    )
+    a = {
+        r["doc"]: (r["n_dropped"], r["dedup_text"])
+        for r in substring_dedup_increment(day2, idx_union, "doc_id", "text", min_tokens=n).collect()
+    }
+    b = {
+        r["doc"]: (r["n_dropped"], r["dedup_text"])
+        for r in substring_dedup_increment(day2, idx_merged, "doc_id", "text", min_tokens=n).collect()
+    }
+    assert a == b and 20 in a and a[20][0] == 6

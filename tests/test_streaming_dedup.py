@@ -49,3 +49,57 @@ def test_stream_drop_duplicates_within_watermark(spark, tmp_path):
     q.awaitTermination()
     out = spark.table("t_dedup_stream").toPandas()
     assert sorted(out["event_id"]) == [1, 2, 3]  # one row per id across batches
+
+
+def test_stream_substring_dedup_matches_one_shot(spark, tmp_path):
+    """Streamed sub-document dedup, batch by batch, reproduces the one-shot
+    substring_dedup over the concatenated corpus (per-batch restriction);
+    replays are idempotent."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from parqueryd_spark.operators.dedup import substring_dedup
+    from parqueryd_spark.streaming.dedup import stream_substring_dedup
+
+    passage = " ".join(f"s{i}" for i in range(7))
+    b1 = [(1, "a1 a2 " + passage + " a3"), (2, "b1 b2 b3 b4 b5 b6")]
+    b2 = [(10, passage + " c1 c2"), (11, "d1 d2 " + passage)]
+
+    stream_in = str(tmp_path / "in")
+    index_dir = str(tmp_path / "idx")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(stream_in)
+    pd.DataFrame(b1, columns=["doc_id", "text"]).to_parquet(os.path.join(stream_in, "b1.parquet"))
+    time.sleep(1.1)
+    pd.DataFrame(b2, columns=["doc_id", "text"]).to_parquet(os.path.join(stream_in, "b2.parquet"))
+
+    schema = spark.read.parquet(os.path.join(stream_in, "b1.parquet")).schema
+    docs = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stream_in)
+    stream_substring_dedup(docs, index_dir, out_dir, ckpt, min_tokens=4).awaitTermination()
+
+    streamed = {
+        r["doc"]: (r["n_tokens"], r["n_dropped"], r["dedup_text"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    all_docs = spark.createDataFrame(b1 + b2, "doc_id long, text string")
+    one_shot = {
+        r["doc"]: (r["n_tokens"], r["n_dropped"], r["dedup_text"])
+        for r in substring_dedup(all_docs, "doc_id", "text", min_tokens=4).collect()
+    }
+    # every affected doc matches the one-shot answer; unaffected docs pass
+    # through with zero drops
+    for d, v in one_shot.items():
+        assert streamed[d] == v, d
+    assert streamed[2][1] == 0 and streamed[1][1] == 0  # batch-1 first bearers
+    assert streamed[10][1] == 7 and streamed[11][1] == 7  # cross/in-batch repeats
+
+    # replay with the same checkpoint: nothing changes
+    stream_substring_dedup(docs, index_dir, out_dir, ckpt, min_tokens=4).awaitTermination()
+    again = {
+        r["doc"]: (r["n_tokens"], r["n_dropped"], r["dedup_text"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert again == streamed
