@@ -308,34 +308,68 @@ def exact_group_quantiles(
     aggregate semantics.
     """
     ks = list(keys)
+    base, gstats, srows = _group_stats(df, ks, value_col, max_groups)
+    # one rank per group: quantile_disc's ceil(p*n)
+    state = {
+        (tuple(r[k] for k in ks), quantile_rank(p, r["n"])): [r["lo"], r["hi"], 0, r["n"]]
+        for r in srows
+    }
+    vals = _group_rank_values(spark, base, ks, gstats, state, bins, exact_threshold)
+    return vals.select(*ks, F.lit(float(p)).alias("prob"), "value")
+
+
+def _group_stats(df: DataFrame, ks: list[str], value_col: str, max_groups: int):
+    """Shared head of the grouped selection paths: non-null base, per-group
+    (lo, hi, n) stats, with the cardinality bounded BEFORE the driver collect
+    (an unguarded collect on a high-cardinality key could OOM first)."""
     v = F.col(value_col).cast("double")
     base = df.filter(v.isNotNull()).select(*ks, v.alias("_v"))
     gstats = base.groupBy(*ks).agg(
         F.min("_v").alias("lo"), F.max("_v").alias("hi"), F.count("_v").alias("n")
     )
-    # bound the cardinality BEFORE collecting — on a high-cardinality key the
-    # unguarded collect could OOM the driver before any guard ran
     if gstats.limit(max_groups + 1).count() > max_groups:
         raise ValueError(
             f"group count exceeds max_groups={max_groups} — the per-pass "
             "driver-side count collect is groups x bins; use the mergeable "
             "histogram quantiles (operators/rollup.py) for high-cardinality keys"
         )
-    srows = gstats.collect()
-    # per-group narrowing state: key tuple -> [lo, hi, offset, in_interval, rank]
-    state = {
-        tuple(r[k] for k in ks): [r["lo"], r["hi"], 0, r["n"], quantile_rank(p, r["n"])]
-        for r in srows
-    }
-    # groups answered without a resolve sort (degenerate one-value intervals)
-    resolved: dict[tuple, float] = {g: st[0] for g, st in state.items() if st[0] == st[1]}
+    return base, gstats, gstats.collect()
+
+
+def _group_rank_values(
+    spark: SparkSession,
+    base: DataFrame,
+    ks: list[str],
+    gstats: DataFrame,
+    state: dict,
+    bins: int,
+    exact_threshold: int,
+) -> DataFrame:
+    """The shared grouped narrowing engine, generalized to MULTIPLE ranks per
+    group (the cont path needs two bracketing order statistics): ``state``
+    maps (group-tuple, rank) -> [lo, hi, offset, in_interval]; returns a
+    DataFrame (keys..., rank, value). Every pass is ONE aggregation shared by
+    every still-active (group, rank); adjacent ranks' intervals coincide
+    until the final subdivisions, so the second rank rides nearly free. The
+    resolve is one distributed windowed job over all open units; degenerate
+    one-value intervals answer directly (no sort)."""
+
+    def _key_schema():
+        schema = gstats.select(*ks).schema
+        for name, typ in [("_rank", "long")] + _IDF_SCHEMA_SUFFIX:
+            schema = schema.add(name, typ)
+        return schema
+
+    # units answered without a resolve sort (degenerate one-value intervals)
+    resolved: dict[tuple, float] = {gr: st[0] for gr, st in state.items() if st[0] == st[1]}
 
     def _intervals_df(names):
-        rows = [(*g, st[0], st[1], st[4] - st[2]) for g, st in state.items() if g in names]
-        schema = gstats.select(*ks).schema
-        for name, typ in _IDF_SCHEMA_SUFFIX:
-            schema = schema.add(name, typ)
-        return spark.createDataFrame(rows, schema)
+        rows = [
+            (*g, r, st[0], st[1], r - st[2])
+            for (g, r), st in state.items()
+            if (g, r) in names
+        ]
+        return spark.createDataFrame(rows, _key_schema())
 
     in_window = (F.col("_v") >= F.col("_lo")) & (F.col("_v") <= F.col("_hi"))
     width = (F.col("_hi") - F.col("_lo")) / bins
@@ -357,15 +391,15 @@ def exact_group_quantiles(
         return out.where(in_window)
 
     active = {
-        g
-        for g, st in state.items()
-        if g not in resolved and st[3] > exact_threshold and st[1] > st[0]
+        gr
+        for gr, st in state.items()
+        if gr not in resolved and st[3] > exact_threshold and st[1] > st[0]
     }
     while active:
         joined = _join_intervals(_intervals_df(active))
         counts: dict[tuple, dict[int, tuple]] = {}
         for r in (
-            joined.groupBy(*ks, rel_bin.alias("_b"))
+            joined.groupBy(*ks, "_rank", rel_bin.alias("_b"))
             .agg(
                 F.count(F.lit(1)).alias("_c"),
                 F.min("_v").alias("_bmin"),
@@ -373,53 +407,114 @@ def exact_group_quantiles(
             )
             .collect()
         ):
-            counts.setdefault(tuple(r[k] for k in ks), {})[r["_b"]] = (
+            counts.setdefault((tuple(r[k] for k in ks), r["_rank"]), {})[r["_b"]] = (
                 r["_c"],
                 r["_bmin"],
                 r["_bmax"],
             )
         next_active = set()
-        for g in active:
-            lo, hi, offset, in_interval, rank = state[g]
-            below, in_bin, bmin, bmax = _walk(counts.get(g, {}), bins, offset, rank)
+        for gr in active:
+            rank = gr[1]
+            lo, hi, offset, in_interval = state[gr]
+            below, in_bin, bmin, bmax = _walk(counts.get(gr, {}), bins, offset, rank)
             if bmin == bmax:
-                # degenerate landing bin — the group's rank-th value IS bmin
+                # degenerate landing bin — the unit's rank-th value IS bmin
                 # (below < rank <= below + in_bin by _walk); no sort resolve
-                resolved[g] = bmin
+                resolved[gr] = bmin
                 continue
             if (bmin, bmax) == (lo, hi) or in_bin == in_interval:
-                continue  # no progress — resolve this group as-is
-            state[g] = [bmin, bmax, below, in_bin, rank]
+                continue  # no progress — resolve this unit as-is
+            state[gr] = [bmin, bmax, below, in_bin]
             if in_bin > exact_threshold and bmax > bmin:
-                next_active.add(g)
+                next_active.add(gr)
         active = next_active
 
-    # resolve every still-open group in one distributed job: (rank - offset)-th
-    # smallest survivor per group via a bounded per-group window; groups
-    # answered by a degenerate bin join in as literal rows
+    # resolve every still-open unit in one distributed job: (rank - offset)-th
+    # smallest survivor per (group, rank) via a bounded window; units answered
+    # by a degenerate bin join in as literal rows
     from pyspark.sql import Window as W
 
-    prob_lit = F.lit(float(p))
+    def _out_schema():
+        return gstats.select(*ks).schema.add("rank", "long").add("value", "double")
+
     unresolved = set(state) - set(resolved)
     out = None
     if unresolved:
         survivors = _join_intervals(_intervals_df(unresolved))
-        rn = F.row_number().over(W.partitionBy(*ks).orderBy("_v"))
+        rn = F.row_number().over(W.partitionBy(*ks, "_rank").orderBy("_v"))
         out = (
             survivors.withColumn("_rn", rn)
             .where(F.col("_rn") == F.col("_take"))
-            .select(*ks, prob_lit.alias("prob"), F.col("_v").alias("value"))
+            .select(*ks, F.col("_rank").alias("rank"), F.col("_v").alias("value"))
         )
     if resolved:
-        schema = gstats.select(*ks).schema.add("prob", "double").add("value", "double")
         direct = spark.createDataFrame(
-            [(*g, float(p), v) for g, v in resolved.items()], schema
+            [(*g, r, v) for (g, r), v in resolved.items()], _out_schema()
         )
         out = direct if out is None else out.unionByName(direct)
     if out is None:  # no groups at all (empty input)
-        schema = gstats.select(*ks).schema.add("prob", "double").add("value", "double")
-        out = spark.createDataFrame([], schema)
+        out = spark.createDataFrame([], _out_schema())
     return out
+
+
+def exact_group_quantiles_cont(
+    spark: SparkSession,
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    p: float,
+    bins: int = 64,
+    exact_threshold: int = 65536,
+    max_groups: int = 4096,
+    decimals: int = 6,
+) -> DataFrame:
+    """Exact per-GROUP INTERPOLATED quantiles (SQL ``quantile_cont`` / Spark
+    ``percentile`` grouped) — (keys..., prob, value rounded to ``decimals``)
+    — completing the selection matrix next to :func:`exact_group_quantiles`
+    (grouped disc) and :func:`exact_quantiles_cont` (global cont).
+
+    Per group the continuous definition sits at position p·(n-1) and
+    interpolates the two bracketing order statistics; BOTH ranks of EVERY
+    group narrow in the same shared passes (:func:`_group_rank_values` —
+    bracketing ranks' intervals coincide until the last subdivisions, so the
+    second rank is nearly free), and the interpolation is distributed: the
+    per-group (lo_rank, hi_rank, frac) triple broadcasts as metadata and one
+    final aggregation forms (1-f)·lo + f·hi. NULL-keyed groups are real
+    groups; groups with no non-null values are absent — SQL GROUP BY
+    semantics, same as the disc path."""
+    ks = list(keys)
+    base, gstats, srows = _group_stats(df, ks, value_col, max_groups)
+    state: dict = {}
+    meta_rows = []
+    for r in srows:
+        g = tuple(r[k] for k in ks)
+        n = r["n"]
+        pos = p * (n - 1)
+        lo_r = int(pos) + 1
+        hi_r = min(lo_r + 1, n)
+        frac = pos - int(pos)
+        state[(g, lo_r)] = [r["lo"], r["hi"], 0, n]
+        state[(g, hi_r)] = [r["lo"], r["hi"], 0, n]
+        meta_rows.append((*g, lo_r, hi_r, float(frac)))
+    vals = _group_rank_values(spark, base, ks, gstats, state, bins, exact_threshold)
+    meta_schema = (
+        gstats.select(*ks).schema.add("_lo_r", "long").add("_hi_r", "long").add("_frac", "double")
+    )
+    meta = spark.createDataFrame(meta_rows, meta_schema)
+    cond = None
+    for k in ks:
+        c = vals[k].eqNullSafe(meta[k])
+        cond = c if cond is None else cond & c
+    joined = vals.join(F.broadcast(meta), cond) if ks else vals.crossJoin(F.broadcast(meta))
+    for k in ks:
+        joined = joined.drop(meta[k])
+    lo_v = F.max(F.when(F.col("rank") == F.col("_lo_r"), F.col("value")))
+    hi_v = F.max(F.when(F.col("rank") == F.col("_hi_r"), F.col("value")))
+    return (
+        joined.groupBy(*ks)
+        .agg(F.round(lo_v + F.max("_frac") * (hi_v - lo_v), decimals).alias("value"))
+        .select(*ks, F.lit(float(p)).alias("prob"), "value")
+    )
 
 
 def exact_quantiles_cont(

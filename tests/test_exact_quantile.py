@@ -207,3 +207,63 @@ def test_cont_quantiles_all_null_and_empty(spark):
     nulls = spark.createDataFrame([(None,), (None,)], "value double")
     out = exact_quantiles_cont(spark, nulls, "value", [0.5]).collect()
     assert out[0]["value"] is None
+
+
+def test_exact_group_quantiles_cont_matches_sorted_oracle(spark):
+    """Grouped interpolated quantiles equal the sorted-interpolation oracle
+    per group (including a degenerate one-value group and a NULL key)."""
+    import random
+
+    from parqueryd_spark.operators.selection import exact_group_quantiles_cont
+
+    rng = random.Random(1111)
+    rows = (
+        [("a", float(rng.randint(0, 1000))) for _ in range(257)]
+        + [("b", float(rng.randint(0, 50))) for _ in range(64)]
+        + [("c", 7.0)] * 40
+        + [(None, float(i)) for i in range(11)]
+    )
+    df = spark.createDataFrame(rows, "grp string, value double")
+
+    def oracle(vals, p):
+        s = sorted(vals)
+        pos = p * (len(s) - 1)
+        lo = s[int(pos)]
+        hi = s[min(int(pos) + 1, len(s) - 1)]
+        return round(lo + (pos - int(pos)) * (hi - lo), 6)
+
+    for p in (0.5, 0.9, 0.25):
+        got = {
+            r["grp"]: r["value"]
+            for r in exact_group_quantiles_cont(
+                spark, df, ["grp"], "value", p, bins=8, exact_threshold=16
+            ).collect()
+        }
+        for g in ("a", "b", "c", None):
+            vals = [v for k, v in rows if k == g]
+            assert got[g] == oracle(vals, p), (g, p)
+        assert len(got) == 4
+
+
+def test_exact_group_quantiles_cont_matches_spark_percentile(spark):
+    """Bit-agreement with Spark's own grouped percentile (≡ DuckDB
+    quantile_cont) on the events table at sf0.001."""
+    from pyspark.sql import functions as F
+
+    from parqueryd_spark.operators.selection import exact_group_quantiles_cont
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = {
+        r["event_type"]: r["value"]
+        for r in exact_group_quantiles_cont(
+            spark, ev, ["event_type"], "value", 0.9, bins=16, exact_threshold=64
+        ).collect()
+    }
+    ref = {
+        r["event_type"]: round(r["p"], 6)
+        for r in ev.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(F.percentile("value", 0.9).alias("p"))
+        .collect()
+    }
+    assert got == ref
