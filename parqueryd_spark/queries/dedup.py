@@ -273,11 +273,20 @@ def dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     keepers, dup-vs-keeper coverage, EXCEPT, ordered token reassembly — so
     the dropped token SET and the rebuilt TEXT are value-checked
     end-to-end, not just counts. A quadratic pure-Python reference pins the
-    operator on fixtures and randomized corpora in tests/test_operators.py."""
-    from parqueryd_spark.operators.dedup import substring_dedup
+    operator on fixtures and randomized corpora in tests/test_operators.py.
+
+    Serving plan: droplist + apply_token_droplist (pinned equal to the
+    direct rebuild) — token text never crosses a shuffle, documents rebuild
+    by a per-doc index filter; measured ~25% faster than the token-grain
+    anti-join rebuild at sf0.1 (2.05 s vs 2.72 s). Prefer the direct
+    rebuild only when drop lists per doc are pathologically long."""
+    from parqueryd_spark.operators.dedup import apply_token_droplist, substring_dedup
 
     docs = load_table(spark, sf_dir, "documents")
-    return substring_dedup(docs, "doc_id", "text", min_tokens=_SUBSTR_N)
+    drops = substring_dedup(docs, "doc_id", "text", min_tokens=_SUBSTR_N, mode="droplist")
+    return apply_token_droplist(docs, drops, "doc_id", "text").where(
+        F.col("n_dropped") > 0
+    )
 
 
 # one-shot semantics over the WHOLE table, output restricted to the increment
@@ -303,4 +312,63 @@ def dedup_substrings_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = substring_index(docs.filter(F.col("doc_id") < 400), "doc_id", "text", _SUBSTR_N)
     return substring_dedup_increment(
         docs.filter(F.col("doc_id") >= 400), idx, "doc_id", "text", _SUBSTR_N
+    )
+
+
+@query(
+    "text_repeated_passages",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), wins AS (
+      SELECT doc_id, i-1 AS pos, array_to_string(ts[i:i+{_SUBSTR_N}-1], ' ') AS gram
+      FROM toks, LATERAL unnest(range(1, len(ts)-{_SUBSTR_N}+2)) AS t(i)
+    )
+    SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences,
+           min(struct_pack(d := doc_id, p := pos)).d AS first_doc,
+           CAST(min(struct_pack(d := doc_id, p := pos)).p AS BIGINT) AS first_pos
+    FROM wins GROUP BY gram HAVING count(*) >= 2
+    ORDER BY n_occurrences DESC, gram ASC LIMIT 10
+    """,
+)
+def text_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation DIAGNOSTIC next to substring dedup: the corpus's most
+    repeated 8-token passages (boilerplate report — what Dolma-style
+    pipelines eyeball before choosing dedup thresholds), with each passage's
+    first corpus occurrence. One map-side-combined groupBy over the sliding
+    windows + TakeOrdered top-10; ties break on the passage text. At 100 TB
+    run the count on the 16-byte digests first and join the top-k back for
+    exemplar text — here the direct gram groupBy keeps the row one job."""
+    docs = load_table(spark, sf_dir, "documents")
+    from parqueryd_spark.operators.text import tokens as _tokens
+
+    n = _SUBSTR_N
+    wins = docs.select(
+        F.col("doc_id").alias("doc"),
+        _tokens(F.col("text")).alias("_toks"),
+    ).select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.when(F.size("_toks") >= n, F.sequence(F.lit(0), F.size("_toks") - n))
+                .otherwise(F.array().cast("array<int>")),
+                lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, n)),
+            )
+        ).alias("pos", "gram"),
+    )
+    return (
+        wins.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min(F.struct("doc", "pos")).alias("keep"),
+        )
+        .where(F.col("n_occurrences") >= 2)
+        .select(
+            "gram",
+            "n_occurrences",
+            F.col("keep.doc").alias("first_doc"),
+            F.col("keep.pos").cast("long").alias("first_pos"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
+        .limit(10)
     )
