@@ -288,7 +288,10 @@ def exact_group_quantiles(
 ) -> DataFrame:
     """Exact per-GROUP ``quantile_disc`` values — (keys..., prob, value) —
     with ALL groups narrowed simultaneously: every pass is ONE aggregation
-    job shared by every still-active group, not a pass per group.
+    job shared by every still-active group, not a pass per group. ``p`` may
+    be a single prob or a LIST (the dashboard p50/p90/p99 shape): all
+    (group, rank) units share the same passes, so extra probs cost almost
+    nothing beyond their final subdivisions.
 
     Per pass: the driver holds one (lo, hi, offset) interval per active
     group (metadata scale, bounded by ``max_groups``); a broadcast
@@ -308,14 +311,31 @@ def exact_group_quantiles(
     aggregate semantics.
     """
     ks = list(keys)
+    probs = [p] if isinstance(p, (int, float)) else list(p)
     base, gstats, srows = _group_stats(df, ks, value_col, max_groups)
-    # one rank per group: quantile_disc's ceil(p*n)
-    state = {
-        (tuple(r[k] for k in ks), quantile_rank(p, r["n"])): [r["lo"], r["hi"], 0, r["n"]]
-        for r in srows
-    }
+    # quantile_disc's rank ceil(p*n) per (group, prob); distinct probs can
+    # land on the SAME rank for small groups — the engine computes each
+    # (group, rank) once and the prob->rank metadata join fans the value out
+    state: dict = {}
+    meta_rows = []
+    for r in srows:
+        g = tuple(r[k] for k in ks)
+        for prob in probs:
+            rank = quantile_rank(prob, r["n"])
+            state[(g, rank)] = [r["lo"], r["hi"], 0, r["n"]]
+            meta_rows.append((*g, float(prob), rank))
     vals = _group_rank_values(spark, base, ks, gstats, state, bins, exact_threshold)
-    return vals.select(*ks, F.lit(float(p)).alias("prob"), "value")
+    if len(probs) == 1:
+        return vals.select(*ks, F.lit(float(probs[0])).alias("prob"), "value")
+    meta_schema = gstats.select(*ks).schema.add("prob", "double").add("rank", "long")
+    meta = spark.createDataFrame(meta_rows, meta_schema)
+    cond = vals["rank"] == meta["rank"]
+    for k in ks:
+        cond = cond & vals[k].eqNullSafe(meta[k])
+    joined = vals.join(F.broadcast(meta), cond)
+    for k in ks:
+        joined = joined.drop(meta[k])
+    return joined.select(*ks, "prob", "value")
 
 
 def _group_stats(df: DataFrame, ks: list[str], value_col: str, max_groups: int):

@@ -387,27 +387,33 @@ def events_exact_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_exact_quantile_by_type",
     oracle="""
-    SELECT event_type,
-           CAST(0.9 AS DOUBLE) AS prob,
-           quantile_disc(value, 0.9) AS value
-    FROM events WHERE value IS NOT NULL
-    GROUP BY event_type
+    SELECT event_type, CAST(0.5 AS DOUBLE) AS prob,
+           quantile_disc(value, 0.5) AS value
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+    UNION ALL
+    SELECT event_type, CAST(0.9 AS DOUBLE),
+           quantile_disc(value, 0.9)
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+    UNION ALL
+    SELECT event_type, CAST(0.99 AS DOUBLE),
+           quantile_disc(value, 0.99)
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
     """,
     bench=True,
 )
 def events_exact_quantile_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPED exact order statistics (operators/selection.py:
-    exact_group_quantiles): every event type's exact p90 with all groups
-    narrowed simultaneously — one shared aggregation per level, one
-    distributed window resolve for every group at once, answers never
-    funneling through the driver. Low bins/threshold force real narrowing
-    passes at sf0.01; the oracle's per-group quantile_disc must agree
-    bit-for-bit."""
+    exact_group_quantiles): every event type's exact p50/p90/p99 — the
+    dashboard shape — with ALL (group, prob) units narrowed simultaneously:
+    one shared aggregation per level, one distributed window resolve for
+    everything at once, answers never funneling through the driver. Low
+    bins/threshold force real narrowing passes at sf0.01; the oracle's
+    per-group quantile_disc must agree bit-for-bit at every prob."""
     from parqueryd_spark.operators.selection import exact_group_quantiles
 
     ev = load_table(spark, sf_dir, "events")
     return exact_group_quantiles(
-        spark, ev, ["event_type"], "value", 0.9, bins=16, exact_threshold=200
+        spark, ev, ["event_type"], "value", [0.5, 0.9, 0.99], bins=16, exact_threshold=200
     )
 
 

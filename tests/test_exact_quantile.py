@@ -267,3 +267,34 @@ def test_exact_group_quantiles_cont_matches_spark_percentile(spark):
         .collect()
     }
     assert got == ref
+
+
+def test_exact_group_quantiles_multi_prob(spark):
+    """The list-of-probs form answers every (group, prob) in shared passes
+    and matches the single-prob calls; coinciding ranks fan out correctly."""
+    import random
+
+    from parqueryd_spark.operators.selection import exact_group_quantiles
+
+    rng = random.Random(2211)
+    rows = [("a", float(rng.randint(0, 500))) for _ in range(300)] + [
+        ("b", float(i)) for i in range(3)  # tiny group: p50/p90 ranks collide
+    ]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    probs = [0.5, 0.9, 0.99]
+    multi = {
+        (r["grp"], r["prob"]): r["value"]
+        for r in exact_group_quantiles(
+            spark, df, ["grp"], "value", probs, bins=8, exact_threshold=16
+        ).collect()
+    }
+    assert len(multi) == 6
+    for p in probs:
+        single = {
+            r["grp"]: r["value"]
+            for r in exact_group_quantiles(
+                spark, df, ["grp"], "value", p, bins=8, exact_threshold=16
+            ).collect()
+        }
+        for g, v in single.items():
+            assert multi[(g, p)] == v, (g, p)
