@@ -78,11 +78,15 @@ def main() -> None:
         assert incremental == one_shot, "incremental != one-shot on the increment"
         print(f"incremental ≡ one-shot on {len(incremental)} affected increment docs")
 
-        # day 2 readiness: append the increment's new digests (union-distinct)
+        # day 2 readiness: APPEND the increment's new digests — the published
+        # index now covers corpus + increment (union-distinct by construction)
         new_digests = substring_index(increment, "doc_id", "text", min_tokens=N).join(
             idx, "digest", "left_anti"
         )
-        print(f"appending {new_digests.count()} new digests for tomorrow")
+        new_digests.write.mode("append").parquet(index_path)
+        grown = spark.read.parquet(index_path).count()
+        assert grown >= n_digests
+        print(f"appended new digests for tomorrow: index {n_digests} -> {grown} rows")
 
     spark.stop()
 

@@ -236,10 +236,13 @@ def bpe_train_hybrid(
     the same corpus (pytest-pinned), since both implement the same
     determinism contract over the same integer statistics."""
     wt = word_table(docs, text_col).select("word", "n")
-    if wt.limit(max_word_table + 1).count() > max_word_table:
+    # ONE bounded collect serves both the guard and the data — the limit caps
+    # what can reach the driver, and an over-limit result falls back without
+    # a second corpus scan (the docstring's one-scan contract)
+    rows = wt.limit(max_word_table + 1).collect()
+    if len(rows) > max_word_table:
         return bpe_train(docs, text_col, num_merges, min_pair_count)
-    word_counts = [(r["word"], r["n"]) for r in wt.collect()]
-    return train_merges_local(word_counts, num_merges, min_pair_count)
+    return train_merges_local([(r["word"], r["n"]) for r in rows], num_merges, min_pair_count)
 
 
 def bpe_segment(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:

@@ -143,20 +143,8 @@ def substring_dedup(
         raise ValueError("min_tokens must be >= 2")
     base = _substr_base(df, id_col, text_col)
     wins = _substr_windows(base, n)
-    dup_grams = (
-        wins.groupBy("digest")
-        .agg(F.count(F.lit(1)).alias("_c"), F.min(F.struct("doc", "pos")).alias("keep"))
-        .where(F.col("_c") >= 2)
-        .select("digest", "keep")
-    )
-    marked = wins.join(dup_grams, "digest").select(
-        "doc",
-        "pos",
-        ((F.col("doc") == F.col("keep.doc")) & (F.col("pos") == F.col("keep.pos"))).alias(
-            "is_keep"
-        ),
-    )
-    cover = F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("idx")
+    marked = _mark_keepers(wins)
+    cover = _cover(n)
     dup_cov = marked.where(~F.col("is_keep")).select("doc", cover).distinct()
     keep_cov = marked.where(F.col("is_keep")).select("doc", cover).distinct()
     dropped = dup_cov.join(keep_cov, ["doc", "idx"], "left_anti")
@@ -187,6 +175,31 @@ def _substr_windows(base: DataFrame, n: int) -> DataFrame:
             )
         ).alias("pos", "digest"),
     )
+
+
+def _mark_keepers(wins: "DataFrame") -> "DataFrame":
+    """(doc, pos, is_keep) for every occurrence of a DUPLICATED digest
+    (count >= 2): the earliest (min (doc, pos)) occurrence is the keeper.
+    Shared by the one-shot and incremental substring paths — the pinned
+    incremental≡one-shot equivalence depends on these staying in lockstep."""
+    groups = (
+        wins.groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("_c"), F.min(F.struct("doc", "pos")).alias("keep"))
+        .where(F.col("_c") >= 2)
+        .select("digest", "keep")
+    )
+    return wins.join(groups, "digest").select(
+        "doc",
+        "pos",
+        ((F.col("doc") == F.col("keep.doc")) & (F.col("pos") == F.col("keep.pos"))).alias(
+            "is_keep"
+        ),
+    )
+
+
+def _cover(n: int):
+    """The token indices a window starting at pos covers, as an explode."""
+    return F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("idx")
 
 
 def _substr_finish(base: DataFrame, dropped: DataFrame, mode: str) -> DataFrame:
@@ -278,20 +291,8 @@ def substring_dedup_increment(
     # here is a duplicate (total count >= 2, keeper in the past)
     hits = wins.join(standing, "digest")
     fresh = wins.join(standing, "digest", "left_anti")
-    fresh_groups = (
-        fresh.groupBy("digest")
-        .agg(F.count(F.lit(1)).alias("_c"), F.min(F.struct("doc", "pos")).alias("keep"))
-        .where(F.col("_c") >= 2)
-        .select("digest", "keep")
-    )
-    fresh_marked = fresh.join(fresh_groups, "digest").select(
-        "doc",
-        "pos",
-        ((F.col("doc") == F.col("keep.doc")) & (F.col("pos") == F.col("keep.pos"))).alias(
-            "is_keep"
-        ),
-    )
-    cover = F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("idx")
+    fresh_marked = _mark_keepers(fresh)
+    cover = _cover(n)
     dup_cov = (
         hits.select("doc", cover)
         .unionByName(fresh_marked.where(~F.col("is_keep")).select("doc", cover))

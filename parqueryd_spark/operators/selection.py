@@ -340,20 +340,22 @@ def exact_group_quantiles(
 
 def _group_stats(df: DataFrame, ks: list[str], value_col: str, max_groups: int):
     """Shared head of the grouped selection paths: non-null base, per-group
-    (lo, hi, n) stats, with the cardinality bounded BEFORE the driver collect
-    (an unguarded collect on a high-cardinality key could OOM first)."""
+    (lo, hi, n) stats. ONE bounded collect gives both the stats rows and the
+    driver-OOM protection: limit(max_groups + 1) caps what can ever reach
+    the driver, and an over-limit result raises before any use."""
     v = F.col(value_col).cast("double")
     base = df.filter(v.isNotNull()).select(*ks, v.alias("_v"))
     gstats = base.groupBy(*ks).agg(
         F.min("_v").alias("lo"), F.max("_v").alias("hi"), F.count("_v").alias("n")
     )
-    if gstats.limit(max_groups + 1).count() > max_groups:
+    srows = gstats.limit(max_groups + 1).collect()
+    if len(srows) > max_groups:
         raise ValueError(
             f"group count exceeds max_groups={max_groups} — the per-pass "
             "driver-side count collect is groups x bins; use the mergeable "
             "histogram quantiles (operators/rollup.py) for high-cardinality keys"
         )
-    return base, gstats, gstats.collect()
+    return base, gstats, srows
 
 
 def _group_rank_values(

@@ -23,13 +23,6 @@ from parqueryd_spark.operators.similarity import (
 from parqueryd_spark.queries import query
 from parqueryd_spark.sources.parquet import load_table
 
-_COS_SQL = (
-    "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
-    " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
-    "    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
-)
-
-
 def cos_sql(x: str, y: str) -> str:
     """DuckDB cosine between two embedding expressions — bit-identical to
     operators/similarity.cosine (sequential double fold both sides)."""
@@ -38,6 +31,10 @@ def cos_sql(x: str, y: str) -> str:
         f" / (sqrt(list_dot_product(CAST({x} AS DOUBLE[]), CAST({x} AS DOUBLE[])))"
         f" * sqrt(list_dot_product(CAST({y} AS DOUBLE[]), CAST({y} AS DOUBLE[]))))"
     )
+
+
+# the brute-force oracles' a/b-aliased instance — ONE formula, no drift
+_COS_SQL = cos_sql("a.embedding", "b.embedding")
 
 
 def ivf_first_k_topk_sql(query_filter: str, n_centroids: int, nprobe: int, k: int) -> str:

@@ -730,9 +730,13 @@ def text_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = bpe_train_hybrid(docs, num_merges=8192)
     wt = word_table(docs).select("word", "n")
     seg = bpe_segment_udf(wt, merges)
+    # a corpus where no pair reaches min_pair_count learns zero merges; the
+    # oracle's scalar subqueries are NULL there, so emit NULLs, not a crash
+    first_a = F.lit(merges[0][0]) if merges else F.lit(None).cast("string")
+    first_b = F.lit(merges[0][1]) if merges else F.lit(None).cast("string")
     return seg.agg(
-        F.first(F.lit(merges[0][0])).alias("first_a"),
-        F.first(F.lit(merges[0][1])).alias("first_b"),
+        F.first(first_a).alias("first_a"),
+        F.first(first_b).alias("first_b"),
         F.count(F.lit(1)).cast("long").alias("n_words"),
         F.bool_and(F.array_join("bpe_tokens", "") == F.col("word")).alias("roundtrip_ok"),
         F.bool_and(

@@ -46,11 +46,18 @@ def stream_maintain_lm(
     meta rides along in ``<lm_dir>/_meta`` so ``read_lm`` serves the model
     at the order it was maintained with."""
 
+    meta_written = False
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        spark.createDataFrame([(float(k), int(n))], "k double, n int").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(lm_dir, "_meta"))
+        nonlocal meta_written
+        if not meta_written:
+            # (k, n) are constant for the stream's lifetime — one write, not
+            # one per micro-batch (idempotent overwrite either way)
+            spark = batch_df.sparkSession
+            spark.createDataFrame([(float(k), int(n))], "k double, n int").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(lm_dir, "_meta"))
+            meta_written = True
         part = ngram_counts(batch_df, text_col, n)
         part.write.mode("overwrite").parquet(os.path.join(lm_dir, f"batch={batch_id}"))
 
