@@ -484,7 +484,7 @@ def exact_group_quantiles_cont(
     df: DataFrame,
     keys: list[str],
     value_col: str,
-    p: float,
+    p,
     bins: int = 64,
     exact_threshold: int = 65536,
     max_groups: int = 4096,
@@ -493,34 +493,47 @@ def exact_group_quantiles_cont(
     """Exact per-GROUP INTERPOLATED quantiles (SQL ``quantile_cont`` / Spark
     ``percentile`` grouped) — (keys..., prob, value rounded to ``decimals``)
     — completing the selection matrix next to :func:`exact_group_quantiles`
-    (grouped disc) and :func:`exact_quantiles_cont` (global cont).
+    (grouped disc) and :func:`exact_quantiles_cont` (global cont). ``p`` may
+    be a single prob or a LIST (the dashboard p25/p50/p95 shape): all
+    (group, prob) bracketing ranks narrow in the SAME shared passes, so
+    extra probs ride nearly free, exactly like the disc path.
 
-    Per group the continuous definition sits at position p·(n-1) and
-    interpolates the two bracketing order statistics; BOTH ranks of EVERY
-    group narrow in the same shared passes (:func:`_group_rank_values` —
-    bracketing ranks' intervals coincide until the last subdivisions, so the
-    second rank is nearly free), and the interpolation is distributed: the
-    per-group (lo_rank, hi_rank, frac) triple broadcasts as metadata and one
-    final aggregation forms (1-f)·lo + f·hi. NULL-keyed groups are real
-    groups; groups with no non-null values are absent — SQL GROUP BY
-    semantics, same as the disc path."""
+    Per group each prob's continuous definition sits at position p·(n-1) and
+    interpolates the two bracketing order statistics; EVERY bracketing rank
+    of EVERY group narrows together (:func:`_group_rank_values` — adjacent
+    ranks' intervals coincide until the last subdivisions, and distinct
+    probs often share a bracketing rank, deduplicated by the state dict),
+    and the interpolation is distributed: the per-(group, prob)
+    (lo_rank, hi_rank, frac) triple broadcasts as metadata and one final
+    aggregation per (group, prob) forms (1-f)·lo + f·hi. NULL-keyed groups
+    are real groups; groups with no non-null values are absent — SQL
+    GROUP BY semantics, same as the disc path."""
     ks = list(keys)
+    probs = [p] if isinstance(p, (int, float)) else list(p)
     base, gstats, srows = _group_stats(df, ks, value_col, max_groups)
     state: dict = {}
     meta_rows = []
     for r in srows:
         g = tuple(r[k] for k in ks)
         n = r["n"]
-        pos = p * (n - 1)
-        lo_r = int(pos) + 1
-        hi_r = min(lo_r + 1, n)
-        frac = pos - int(pos)
-        state[(g, lo_r)] = [r["lo"], r["hi"], 0, n]
-        state[(g, hi_r)] = [r["lo"], r["hi"], 0, n]
-        meta_rows.append((*g, lo_r, hi_r, float(frac)))
+        for prob in probs:
+            # float (not Fraction) position arithmetic on purpose: DuckDB's
+            # quantile_cont computes p*(n-1) in IEEE double, so matching it
+            # bit-for-bit requires the same product (oracle-pinned since r11)
+            pos = prob * (n - 1)
+            lo_r = int(pos) + 1
+            hi_r = min(lo_r + 1, n)
+            frac = pos - int(pos)
+            state[(g, lo_r)] = [r["lo"], r["hi"], 0, n]
+            state[(g, hi_r)] = [r["lo"], r["hi"], 0, n]
+            meta_rows.append((*g, float(prob), lo_r, hi_r, float(frac)))
     vals = _group_rank_values(spark, base, ks, gstats, state, bins, exact_threshold)
     meta_schema = (
-        gstats.select(*ks).schema.add("_lo_r", "long").add("_hi_r", "long").add("_frac", "double")
+        gstats.select(*ks)
+        .schema.add("prob", "double")
+        .add("_lo_r", "long")
+        .add("_hi_r", "long")
+        .add("_frac", "double")
     )
     meta = spark.createDataFrame(meta_rows, meta_schema)
     cond = None
@@ -533,9 +546,9 @@ def exact_group_quantiles_cont(
     lo_v = F.max(F.when(F.col("rank") == F.col("_lo_r"), F.col("value")))
     hi_v = F.max(F.when(F.col("rank") == F.col("_hi_r"), F.col("value")))
     return (
-        joined.groupBy(*ks)
+        joined.groupBy(*ks, "prob")
         .agg(F.round(lo_v + F.max("_frac") * (hi_v - lo_v), decimals).alias("value"))
-        .select(*ks, F.lit(float(p)).alias("prob"), "value")
+        .select(*ks, "prob", "value")
     )
 
 

@@ -154,6 +154,27 @@ from parqueryd_spark.queries import tpch_extended  # noqa: E402,F401
 # equi-join range predicate ≡ interval_join_user_windows), and
 # string_agg_ordered (multi-agg groupBy shape ≡ groupby_agg_methods; the
 # array_sort∘collect_list∘array_join mechanism stays registry-oracled).
+# Round 12 rotation (VERDICT r11 item #1): the five round-11 oracle-backed
+# family rows enter — dedup_substrings (exact substring dedup at arbitrary
+# token boundaries, full value-check of dropped-token sets AND rebuilt text),
+# dedup_substrings_incremental (one-shot ≡ incremental index equality),
+# text_bpe_train_encode (BPE train/encode roundtrip + first-merge SQL
+# argmax), events_exact_quantile_cont_by_type (now MULTI-prob grouped cont —
+# p25/p50/p95 in shared passes, closing the selection matrix's last cell,
+# VERDICT r11 item #8), text_repeated_passages (repeated-passage diagnostic).
+# Displaced, each with in-window shape twins and all still registered +
+# pytest-oracled past the window: dedup_exact (digest-groupBy min-struct
+# keeper ≡ dedup_substrings, the strictly finer-grain exact-dedup route;
+# hash-group shape also in dedup_groups), events_exact_quantile_cont (global
+# interpolated ≡ events_exact_quantile_cont_by_type, strictly more general:
+# grouped + multi-prob; global narrowing ≡ events_exact_quantile),
+# events_exact_distinct_pcts (exact distinct ≡ groupby_count_variants +
+# sketch_error_bounds' exact side; percentile ≡ events_exact_quantile — the
+# r9 displacement argument, re-applied after its r11 in-window verification),
+# text_token_lang_stats (pure-Column text scalar stats ≡ text_curation_funnel,
+# the r9 text_edit_distance precedent), scan_bloom_lookup (manifest
+# file-skipping ≡ scan_zonemap_pruned + scan_hive_partition_pruned; bloom
+# membership mechanics ≡ pipeline_bloom_decontaminate).
 GATE_WINDOW = [
     "q1_pricing_summary",
     "groupby_agg_methods",
@@ -168,7 +189,7 @@ GATE_WINDOW = [
     "events_exact_quantile_by_type",
     "q19_disjunctive_filter",
     "heavy_hitter_bound",
-    "dedup_exact",
+    "dedup_substrings",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_groups",
@@ -183,7 +204,7 @@ GATE_WINDOW = [
     "events_anomaly_mad",
     "scan_zonemap_pruned",
     "embedding_near_dup",
-    "events_exact_quantile_cont",
+    "events_exact_quantile_cont_by_type",
     "multimodal_features",
     "pipeline_split_pack",
     "pipeline_k_anonymity",
@@ -192,15 +213,15 @@ GATE_WINDOW = [
     "join_types_suite",
     "topk_orders",
     "text_ngram_lm_score",
-    "events_exact_distinct_pcts",
+    "dedup_substrings_incremental",
     "set_ops_summary",
-    "scan_bloom_lookup",
+    "text_repeated_passages",
     "rollup_cube_agg",
     "pipeline_bloom_decontaminate",
     "ann_sq_recall_bound",
     "salted_skew_groupby",
     "asof_join_events",
-    "text_token_lang_stats",
+    "text_bpe_train_encode",
     "text_hash_embeddings",
     "scd2_events_asof",
     "text_curation_funnel",

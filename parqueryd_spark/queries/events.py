@@ -447,23 +447,33 @@ def events_exact_quantile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_exact_quantile_cont_by_type",
     oracle="""
-    SELECT event_type, CAST(0.9 AS DOUBLE) AS prob,
-           round(quantile_cont(value, 0.9), 6) AS value
+    SELECT event_type, CAST(0.25 AS DOUBLE) AS prob,
+           round(quantile_cont(value, 0.25), 6) AS value
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+    UNION ALL
+    SELECT event_type, CAST(0.5 AS DOUBLE),
+           round(quantile_cont(value, 0.5), 6)
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+    UNION ALL
+    SELECT event_type, CAST(0.95 AS DOUBLE),
+           round(quantile_cont(value, 0.95), 6)
     FROM events WHERE value IS NOT NULL GROUP BY event_type
     """,
 )
 def events_exact_quantile_cont_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUPED interpolated exact quantiles (operators/selection.py:
-    exact_group_quantiles_cont) — the last quadrant of the selection matrix
-    (global/grouped x disc/cont): every event type's exact p90 under the
-    quantile_cont definition, both bracketing ranks of every group narrowed
-    in the SAME shared passes and the interpolation distributed (per-group
-    frac broadcast as metadata, one final aggregation). Low bins/threshold
-    force real narrowing at sf0.01; the oracle's per-group quantile_cont
-    must agree to 6 dp."""
+    """GROUPED interpolated exact quantiles, MULTI-prob (operators/
+    selection.py:exact_group_quantiles_cont) — the last cell of the selection
+    matrix (global/grouped x disc/cont x single/multi-prob): every event
+    type's exact p25/p50/p95 under the quantile_cont definition, ALL
+    bracketing ranks of ALL (group, prob) units narrowed in the SAME shared
+    passes (distinct probs frequently share a bracketing rank, deduplicated
+    in the narrowing state) and the interpolation distributed (per-(group,
+    prob) frac broadcast as metadata, one final aggregation). Low
+    bins/threshold force real narrowing at sf0.01; the oracle's per-group
+    quantile_cont must agree to 6 dp at every prob."""
     from parqueryd_spark.operators.selection import exact_group_quantiles_cont
 
     ev = load_table(spark, sf_dir, "events")
     return exact_group_quantiles_cont(
-        spark, ev, ["event_type"], "value", 0.9, bins=16, exact_threshold=200
+        spark, ev, ["event_type"], "value", [0.25, 0.5, 0.95], bins=16, exact_threshold=200
     )

@@ -26,10 +26,26 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from parqueryd_spark.operators.lm import NgramLM, lm_merge, lm_score, ngram_counts
+
+
+def _read_meta(spark, lm_dir: str) -> tuple[float, int] | None:
+    """The persisted (k, n) for an LM store, or None for the documented
+    pre-meta layout (missing ``_meta`` path). Only the missing-path
+    AnalysisException maps to None — corrupt meta, permission failures, and
+    every other error propagate instead of silently degrading to defaults."""
+    try:
+        meta = spark.read.parquet(os.path.join(lm_dir, "_meta")).collect()[0]
+    except AnalysisException as e:
+        cls = getattr(e, "getErrorClass", lambda: "")() or ""
+        if "PATH_NOT_FOUND" in cls or "Path does not exist" in str(e):
+            return None
+        raise  # corrupt meta / unreadable store — never silently default
+    return float(meta["k"]), int(meta["n"])
 
 
 def stream_maintain_lm(
@@ -44,20 +60,35 @@ def stream_maintain_lm(
     (gram, c) count table in ``batch=<id>`` (idempotent overwrite). Raw text
     is never re-read at serve time — the partials ARE the model. The (k, n)
     meta rides along in ``<lm_dir>/_meta`` so ``read_lm`` serves the model
-    at the order it was maintained with."""
+    at the order it was maintained with. Restarting maintenance over an
+    EXISTING store validates against its recorded (k, n) instead of
+    overwriting — different parameters would leave older batch partitions at
+    the old order while the meta claims the new one, exactly the silent
+    mixed-order store the meta exists to prevent."""
 
-    meta_written = False
+    meta_checked = False
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        nonlocal meta_written
-        if not meta_written:
-            # (k, n) are constant for the stream's lifetime — one write, not
-            # one per micro-batch (idempotent overwrite either way)
+        nonlocal meta_checked
+        if not meta_checked:
+            # (k, n) are constant for the STORE's lifetime, not just this
+            # stream's: honor any existing meta (raise on mismatch), write
+            # ours only on first creation
             spark = batch_df.sparkSession
-            spark.createDataFrame([(float(k), int(n))], "k double, n int").write.mode(
-                "overwrite"
-            ).parquet(os.path.join(lm_dir, "_meta"))
-            meta_written = True
+            stored = _read_meta(spark, lm_dir)
+            if stored is not None and stored != (float(k), int(n)):
+                raise ValueError(
+                    f"LM store at {lm_dir} was maintained with (k, n)={stored} "
+                    f"but this stream requests ({float(k)}, {int(n)}) — "
+                    "restarting maintenance cannot change model parameters "
+                    "(older batch partitions would keep the old order); use a "
+                    "fresh lm_dir to retrain"
+                )
+            if stored is None:
+                spark.createDataFrame([(float(k), int(n))], "k double, n int").write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(lm_dir, "_meta"))
+            meta_checked = True
         part = ngram_counts(batch_df, text_col, n)
         part.write.mode("overwrite").parquet(os.path.join(lm_dir, f"batch={batch_id}"))
 
@@ -75,24 +106,24 @@ def read_lm(spark, lm_dir: str, k: float | None = None, n: int | None = None) ->
     over the full corpus bit-exactly).
 
     (k, n) default to the persisted ``_meta`` written by
-    :func:`stream_maintain_lm`; explicit arguments override. Either way the
-    stored grams' token count is validated against n — a model maintained at
-    one order can never be silently served at another (grams would split at
-    the wrong position and score garbage without an error)."""
-    meta_path = os.path.join(lm_dir, "_meta")
-    try:
-        meta = spark.read.parquet(meta_path).collect()[0]
-        stored_k, stored_n = float(meta["k"]), int(meta["n"])
-    except Exception:
-        stored_k, stored_n = None, None  # pre-meta layout — fall back to args
-    k = k if k is not None else (stored_k if stored_k is not None else 0.5)
-    n = n if n is not None else (stored_n if stored_n is not None else 2)
+    :func:`stream_maintain_lm` (only a genuinely missing ``_meta`` — the
+    documented pre-meta layout — falls back to the 0.5/2 defaults; corrupt
+    meta or IO errors propagate); explicit arguments override. Either way
+    EVERY stored gram's token count is validated against n (min == max == n
+    in one aggregation, not a sampled row) — a model maintained at one order,
+    or a store that ever mixed orders, can never be silently served (grams
+    would split at the wrong position and score garbage without an error)."""
+    stored = _read_meta(spark, lm_dir)
+    k = k if k is not None else (stored[0] if stored is not None else 0.5)
+    n = n if n is not None else (stored[1] if stored is not None else 2)
     parts = spark.read.parquet(lm_dir).drop("batch")
-    probe = parts.select(F.size(F.split("gram", " ")).alias("toks")).limit(1).collect()
-    if probe and probe[0]["toks"] != n:
+    toks = F.size(F.split("gram", " "))
+    probe = parts.agg(F.min(toks).alias("lo"), F.max(toks).alias("hi")).collect()[0]
+    if probe["lo"] is not None and not (probe["lo"] == probe["hi"] == n):
         raise ValueError(
-            f"stored grams have {probe[0]['toks']} tokens but the requested "
-            f"order is n={n} — the model was maintained at a different order"
+            f"stored grams have {probe['lo']}..{probe['hi']} tokens but the "
+            f"requested order is n={n} — the model was maintained at a "
+            "different (or mixed) order"
         )
     return lm_merge([parts], k, n)
 

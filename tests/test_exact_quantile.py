@@ -298,3 +298,38 @@ def test_exact_group_quantiles_multi_prob(spark):
         }
         for g, v in single.items():
             assert multi[(g, p)] == v, (g, p)
+
+
+def test_exact_group_quantiles_cont_multi_prob(spark):
+    """The list-of-probs CONT form (r12, the selection matrix's last cell)
+    answers every (group, prob) in shared passes and matches the single-prob
+    calls bit-for-bit, including a tiny group whose bracketing ranks collide
+    across probs and a NULL group key."""
+    import random
+
+    from parqueryd_spark.operators.selection import exact_group_quantiles_cont
+
+    rng = random.Random(3312)
+    rows = (
+        [("a", float(rng.randint(0, 500))) for _ in range(300)]
+        + [("b", float(i)) for i in range(3)]  # tiny group: ranks collide
+        + [(None, float(rng.randint(0, 9))) for _ in range(17)]
+    )
+    df = spark.createDataFrame(rows, "grp string, value double")
+    probs = [0.25, 0.5, 0.95]
+    multi = {
+        (r["grp"], r["prob"]): r["value"]
+        for r in exact_group_quantiles_cont(
+            spark, df, ["grp"], "value", probs, bins=8, exact_threshold=16
+        ).collect()
+    }
+    assert len(multi) == 9
+    for p in probs:
+        single = {
+            r["grp"]: r["value"]
+            for r in exact_group_quantiles_cont(
+                spark, df, ["grp"], "value", p, bins=8, exact_threshold=16
+            ).collect()
+        }
+        for g, v in single.items():
+            assert multi[(g, p)] == v, (g, p)

@@ -65,8 +65,10 @@ REQUIRED_IN_WINDOW = (
     "ann_ivfpq_recall_bound",
     "ann_sq_recall_bound",
     "heavy_hitter_bound",
-    # dedup family
-    "dedup_exact",
+    # dedup family (r12: substring-grain exact dedup is the strictly more
+    # general exact route; dedup_exact stays registered past the window)
+    "dedup_substrings",
+    "dedup_substrings_incremental",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_groups",
@@ -81,8 +83,7 @@ REQUIRED_IN_WINDOW = (
     # events / windows / exact selection (r10-r11 rotations)
     "events_exact_quantile",
     "events_exact_quantile_by_type",
-    "events_exact_quantile_cont",
-    "events_exact_distinct_pcts",
+    "events_exact_quantile_cont_by_type",
     "events_gap_fill_rolling",
     "events_sessionization",
     "events_incremental_rollup",
@@ -93,7 +94,6 @@ REQUIRED_IN_WINDOW = (
     "scan_zonemap_pruned",
     "scan_hive_partition_pruned",
     "scan_metadata_stats",
-    "scan_bloom_lookup",
     # multimodal / pipeline curation (r11: k-anonymity)
     "multimodal_features",
     "pipeline_split_pack",
@@ -103,9 +103,11 @@ REQUIRED_IN_WINDOW = (
     "topk_orders",
     "set_ops_summary",
     "rollup_cube_agg",
-    # text / LM
+    # text / LM (r12: BPE train/encode + repeated-passages enter; the
+    # pure-Column scalar-stats shape stays via text_curation_funnel)
     "text_ngram_lm_score",
-    "text_token_lang_stats",
+    "text_bpe_train_encode",
+    "text_repeated_passages",
     "text_hash_embeddings",
     "text_curation_funnel",
     "text_bm25_search",
@@ -145,6 +147,12 @@ REQUIRED_REGISTERED_PAST_WINDOW = (
     "events_kmv_overlap_bound",
     "band_join_error_click",
     "string_agg_ordered",
+    # r12 rotation (VERDICT r11 item #1; twins in the GATE_WINDOW comment)
+    "dedup_exact",
+    "events_exact_quantile_cont",
+    "events_exact_distinct_pcts",
+    "text_token_lang_stats",
+    "scan_bloom_lookup",
 )
 
 

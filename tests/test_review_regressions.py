@@ -188,5 +188,77 @@ def test_stream_maintain_lm_persists_meta(tmp_path, spark):
     lm = read_lm(spark, lm_dir)  # no explicit n — must come from meta
     assert lm.n == 3
     assert {r["gram"] for r in lm.bigrams.collect()} == {"a b c", "b c d"}
-    with pytest.raises(ValueError, match="different order"):
+    with pytest.raises(ValueError, match="different .or mixed. order"):
         read_lm(spark, lm_dir, n=2)
+
+
+def test_stream_maintain_lm_restart_validates_existing_meta(tmp_path, spark):
+    """Restarting maintenance over an existing store with DIFFERENT (k, n)
+    raises instead of clobbering the recorded meta (ADVICE r11: older batch
+    partitions keep the old order, so overwriting meta would create exactly
+    the silent mixed-order store it exists to prevent); restarting with the
+    SAME parameters proceeds and merges."""
+    from parqueryd_spark.streaming.lm import read_lm, stream_maintain_lm
+
+    src = str(tmp_path / "src")
+    lm_dir = str(tmp_path / "lm")
+    ckpt = str(tmp_path / "ckpt")
+
+    def restart(n):
+        return stream_maintain_lm(
+            spark.readStream.schema("text string").parquet(src), lm_dir, ckpt, n=n
+        ).awaitTermination()
+
+    spark.createDataFrame([("a b c d",)], "text string").write.parquet(src)
+    restart(3)
+    # new data arrives, then a restart with a CONFLICTING order: the
+    # foreachBatch guard raises (surfaces through the streaming query)
+    # before anything lands, and the store's meta stays at n=3
+    spark.createDataFrame([("b c d e",)], "text string").write.mode("append").parquet(src)
+    with pytest.raises(Exception, match="cannot change model parameters"):
+        restart(2)
+    assert read_lm(spark, lm_dir).n == 3
+    # same order: the restart proceeds and the uncommitted batch merges in
+    restart(3)
+    grams = {r["gram"] for r in read_lm(spark, lm_dir).bigrams.collect()}
+    assert grams == {"a b c", "b c d", "c d e"}
+
+
+def test_read_lm_corrupt_meta_propagates(tmp_path, spark):
+    """A present-but-unreadable _meta propagates its error (ADVICE r11: the
+    old bare except silently fell back to k=0.5/n=2, which the gram-width
+    probe cannot catch for n=2 stores); only a genuinely MISSING _meta is
+    the documented pre-meta fallback."""
+    import os
+
+    from parqueryd_spark.streaming.lm import read_lm
+
+    lm_dir = str(tmp_path / "lm")
+    spark.createDataFrame([("a b", 1)], "gram string, c long").write.parquet(
+        os.path.join(lm_dir, "batch=0")
+    )
+    # pre-meta layout: missing _meta -> defaults apply, no error
+    assert read_lm(spark, lm_dir).n == 2
+    # corrupt meta: an empty directory (no parquet footer to infer from)
+    os.makedirs(os.path.join(lm_dir, "_meta"))
+    with pytest.raises(Exception, match="(?i)schema|parquet|corrupt"):
+        read_lm(spark, lm_dir)
+
+
+def test_read_lm_mixed_order_store_detected(tmp_path, spark):
+    """The min==max gram-width probe catches a store whose partitions mix
+    orders (ADVICE r11: the old limit(1) sample could land on a matching row
+    and silently serve garbage)."""
+    import os
+
+    from parqueryd_spark.streaming.lm import read_lm
+
+    lm_dir = str(tmp_path / "lm")
+    spark.createDataFrame([("a b", 1)], "gram string, c long").write.parquet(
+        os.path.join(lm_dir, "batch=0")
+    )
+    spark.createDataFrame([("x y z", 1)], "gram string, c long").write.parquet(
+        os.path.join(lm_dir, "batch=1")
+    )
+    with pytest.raises(ValueError, match="mixed"):
+        read_lm(spark, lm_dir, k=0.5, n=2)
