@@ -313,13 +313,27 @@ def apply_token_droplist(
     Returns every input document as (doc, n_tokens, n_dropped, dedup_text);
     documents absent from the droplist pass through rebuilt unchanged.
     One broadcast-or-AQE doc-keyed join + a per-doc index filter — no
-    token-grain shuffle at apply time."""
+    token-grain shuffle at apply time.
+
+    The filter is O(tokens + drops) per document (ADVICE r11 — the previous
+    per-token array_contains was O(tokens x drops), quadratic on a heavily
+    deduplicated long document): array_except(positions, drop_idx) hashes
+    the drop set once and preserves position order, so the kept indices map
+    straight back onto the token array."""
     toks = tokens(F.col(text_col))
     base = df.select(F.col(id_col).alias("doc"), toks.alias("_toks"))
     joined = base.join(droplist.select("doc", "drop_idx"), "doc", "left").withColumn(
         "_drop", F.coalesce("drop_idx", F.array().cast("array<int>"))
     )
-    kept = F.filter("_toks", lambda t, i: ~F.array_contains(F.col("_drop"), i))
+    ntok = F.size("_toks")
+    # sequence(0, -1) would DESCEND on an empty token array — guard it
+    positions = F.when(ntok > 0, F.sequence(F.lit(0), ntok - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    kept = F.transform(
+        F.array_except(positions, F.col("_drop").cast("array<int>")),
+        lambda i: F.element_at("_toks", i + 1),
+    )
     return joined.select(
         "doc",
         F.size("_toks").cast("long").alias("n_tokens"),

@@ -860,7 +860,11 @@ def test_substring_dedup_matches_quadratic_oracle(spark):
     assert 1 not in got
     assert got[2][1] == 11 and got[4][1] == 11
     # self-overlapping run: exactly one n-token copy survives in the keeper
-    assert got[6] == (9, 9 - n, " ".join(["r"] * n)) or 6 not in expect or got[6] == expect[6]
+    # (ADVICE r11: assert the exact tuple — the old or-chain was vacuous
+    # given the got == expect check above), and the run's LATER duplicate
+    # document loses every token
+    assert got[6] == (9, 9 - n, " ".join(["r"] * n))
+    assert got[7] == (9, 9, "")
     # droplist mode names the same token indices it rebuilt without
     drops = {
         r["doc"]: (list(r["drop_idx"]), r["n_dropped"])
@@ -920,6 +924,50 @@ def test_apply_token_droplist_matches_rebuild(spark):
     for d, v in direct.items():
         assert applied[d] == v, d
     assert applied[3] == (5, 0, "w1 w2 w3 w4 w5")
+
+
+def test_apply_token_droplist_heavy_drop_property(spark):
+    """Property check on a HEAVY-drop fixture (ADVICE r11 / VERDICT item #6:
+    the apply-side filter is now O(tokens + drops), not O(tokens x drops)):
+    long documents that are mostly repeated passage — so the droplist covers
+    most of each doc — rebuild exactly to the direct-mode text, and a
+    synthetic droplist applied to a long document keeps precisely the
+    complement positions in order."""
+    import random
+
+    from parqueryd_spark.operators.dedup import apply_token_droplist, substring_dedup
+
+    rng = random.Random(1205)
+    passage = " ".join(f"p{i}" for i in range(40))
+    docs = [
+        # ~90% duplicated content: passage repeated 5x with tiny unique seams
+        (d, f"s{d}a " + (passage + f" s{d}b ") * 5 + passage)
+        for d in range(6)
+    ] + [(99, "z1 z2 z3")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    direct = {
+        r["doc"]: (r["n_tokens"], r["n_dropped"], r["dedup_text"])
+        for r in substring_dedup(df, "doc_id", "text", min_tokens=5).collect()
+    }
+    drops = substring_dedup(df, "doc_id", "text", min_tokens=5, mode="droplist")
+    applied = {
+        r["doc"]: (r["n_tokens"], r["n_dropped"], r["dedup_text"])
+        for r in apply_token_droplist(df, drops, "doc_id", "text").collect()
+    }
+    for d, v in direct.items():
+        assert applied[d] == v, d
+        assert v[1] > v[0] * 0.5, d  # the fixture really is heavy-drop
+    assert applied[99] == (3, 0, "z1 z2 z3")
+
+    # synthetic droplist: random drop set over a 500-token doc — the rebuilt
+    # text is exactly the ordered complement
+    toks = [f"w{i}" for i in range(500)]
+    drop_set = sorted(rng.sample(range(500), 380))
+    one = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    dl = spark.createDataFrame([(1, drop_set)], "doc long, drop_idx array<int>")
+    got = apply_token_droplist(one, dl, "doc_id", "text").collect()[0]
+    expect_text = " ".join(t for i, t in enumerate(toks) if i not in set(drop_set))
+    assert (got["n_tokens"], got["n_dropped"], got["dedup_text"]) == (500, 380, expect_text)
 
 
 def test_substring_increment_equals_one_shot(spark):
