@@ -87,10 +87,11 @@ from parqueryd_spark.queries import tpch_extended  # noqa: E402,F401
 # window explicitly to 50 oracle-backed queries spanning every operator family
 # (parqueryd parity, TPC-H core, dedup, events, ANN, multimodal, pipeline,
 # relational, text) so the gate signal never depends on module import order.
-# Rows-only-by-design estimate queries (events_sketch_aggs, ann_pq_topk,
-# ann_ivfpq_index_topk, text_heavy_hitter_tokens — since round 11 the
-# deterministic first-k IVF/IVF-SQ routes are value-checked outright and no
-# longer rows-only) sit past the window; their accuracy
+# Rows-only-by-design estimate queries (events_sketch_aggs,
+# text_heavy_hitter_tokens — since round 11 the deterministic first-k
+# IVF/IVF-SQ routes are value-checked outright, and since round 12 both PQ
+# serving routes are too, via deterministic spread codebooks + full SQL
+# replays) sit past the window; their accuracy
 # IS driver-checked: the oracle-backed error-bound companions from
 # queries/estimates.py (sketch_error_bounds, ann_ivf_recall_bound,
 # ann_pq_recall_bound, heavy_hitter_bound, and round 8's

@@ -129,14 +129,16 @@ def ann_ivf_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_pq_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ann_pq_topk's approximation quality gated through the oracle.
 
-    Recall@10 of the refined PQ path (16x compression, ADC shortlist with
-    refine=8, exact re-rank) against exact brute force over the same 8 query
-    vectors, reduced to recall >= 0.7. refine=8 rather than the pytest run's
-    refine=4 because this row must hold at every test SF (measured recall:
-    0.93/0.98/0.86 at sf0.001/0.01/0.1 vs 0.80/0.85/0.65 at refine=4 — the
-    fixed 16-centroid codebook coarsens as the corpus grows, the standard PQ
-    tradeoff). The oracle asserts the claim, so PQ quality regressions fail
-    at the driver.
+    Recall@10 of the refined PQ path (ADC shortlist with refine=8, exact
+    re-rank) against exact brute force over the same 8 query vectors,
+    reduced to recall >= 0.7. refine=8 rather than the pytest run's refine=4
+    because this row must hold at every test SF. Since round 12 this row
+    measures the SAME deterministic spread-codebook route (16x32) the
+    value-checked ann_pq_topk serves (measured recall: 0.88/0.86/0.78 at
+    sf0.001/0.01/0.1 — codebooks coarsen as the corpus grows, the standard
+    PQ tradeoff); the seeded-kmeans production trainer keeps its own recall
+    pins in tests/test_operators.py. The oracle asserts the claim, so PQ
+    quality regressions fail at the driver.
     """
     from parqueryd_spark.operators.quantization import pq_topk
     from parqueryd_spark.operators.similarity import brute_force_topk
@@ -144,7 +146,7 @@ def ann_pq_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.orderBy("vec_id").limit(8)
     exact = brute_force_topk(emb, qs, k=10).select("query_id", "neighbor_id")
-    approx = pq_topk(emb, qs, dim=64, k=10, refine=8).select(
+    approx = pq_topk(emb, qs, dim=64, k=10, refine=8, k_codes=32, codebook="spread").select(
         "query_id", "neighbor_id", F.lit(1).alias("hit")
     )
     joined = exact.join(approx, ["query_id", "neighbor_id"], "left")

@@ -21,16 +21,13 @@ def test_gate_window_is_50_oracle_backed():
 def test_estimate_rows_have_driver_checked_companions():
     # every REMAINING rows-only (oracle=None) row has an oracle-backed
     # error-bound companion somewhere in the registry. Round 11 value-checked
-    # the deterministic first-k IVF routes outright (ann_ivf_topk,
-    # ann_ivf_index_topk, ann_ivfsq_index_topk now hash-match full SQL
-    # replays of their serving paths — VERDICT r10 item #5); the four left
-    # are genuinely engine-specific: HLL/KLL estimates, Misra-Gries counters,
-    # and the two PQ routes whose codebooks come from seeded k-means no SQL
-    # engine can replay.
+    # the deterministic first-k IVF routes outright; round 12 extended the
+    # replay technique to BOTH PQ serving routes via deterministic spread
+    # codebooks (VERDICT r11 item #2) — the two left are genuinely
+    # engine-specific: HLL/KLL estimates and Misra-Gries counters, whose
+    # results depend on partition order no SQL engine can replay.
     companions = {
         "events_sketch_aggs": ["events_exact_distinct_pcts", "sketch_error_bounds"],
-        "ann_pq_topk": ["ann_pq_recall_bound"],
-        "ann_ivfpq_index_topk": ["ann_ivfpq_recall_bound"],
         "text_heavy_hitter_tokens": ["heavy_hitter_bound"],
     }
     no_oracle = [n for n, q in Q.REGISTRY.items() if q.oracle is None]
@@ -38,8 +35,11 @@ def test_estimate_rows_have_driver_checked_companions():
     for est, comps in companions.items():
         for c in comps:
             assert c in Q.REGISTRY and Q.REGISTRY[c].oracle is not None, (est, c)
-    # the three newly value-checked ANN routes must KEEP their oracles
-    for name in ("ann_ivf_topk", "ann_ivf_index_topk", "ann_ivfsq_index_topk"):
+    # every value-checked ANN route must KEEP its oracle
+    for name in (
+        "ann_ivf_topk", "ann_ivf_index_topk", "ann_ivfsq_index_topk",
+        "ann_pq_topk", "ann_ivfpq_index_topk",
+    ):
         assert Q.REGISTRY[name].oracle is not None, name
 
 
