@@ -34,8 +34,10 @@ if REPO_DIR not in sys.path:
 
 TRIALS = 5
 
-# Driver-parseable final line: exactly these keys, in this order.
-FINAL_LINE_KEYS = ("metric", "value", "unit", "queries", "sf", "value_median")
+# Driver-parseable final line: exactly these keys, in this order. shuffle_kb
+# (r12, VERDICT r11 item #3) is per-query shuffle read+write KiB from one
+# steady-state run — the 100 TB axis wall time can't see on local[32].
+FINAL_LINE_KEYS = ("metric", "value", "unit", "queries", "sf", "value_median", "shuffle_kb")
 # Stay far inside any plausible stdout tail capture (r7's lost line was >4 KiB).
 FINAL_LINE_MAX_BYTES = 3000
 
@@ -45,13 +47,16 @@ def build_outputs(
     medians: dict[str, float],
     trials: dict[str, list[float]],
     sf: float,
+    shuffle: dict[str, tuple[int, int]] | None = None,
 ) -> tuple[dict, dict]:
     """Split results into (diagnostics payload, compact final payload).
 
     Pure so tests/test_bench_contract.py can pin the contract without Spark:
     the final payload has exactly FINAL_LINE_KEYS and serializes well under
-    FINAL_LINE_MAX_BYTES at the current query count.
-    """
+    FINAL_LINE_MAX_BYTES at the current query count. ``shuffle`` maps query
+    -> (read_bytes, write_bytes) for one steady-state run; the final line
+    carries the compact total KiB, the sidecar keeps the split."""
+    shuffle = shuffle or {}
     spreads = {n: round(max(ts) - min(ts), 4) for n, ts in trials.items()}
     diagnostics = {
         "bench_diagnostics": True,  # marker: NOT the driver line
@@ -59,6 +64,8 @@ def build_outputs(
         "queries_median": medians,
         "queries_spread": spreads,
         "queries_trials": trials,
+        "shuffle_read_bytes": {n: rw[0] for n, rw in shuffle.items()},
+        "shuffle_write_bytes": {n: rw[1] for n, rw in shuffle.items()},
     }
     final = {
         "metric": "headline_queries_total_wall",
@@ -67,6 +74,7 @@ def build_outputs(
         "queries": timings,
         "sf": sf,
         "value_median": round(sum(medians.values()), 4),
+        "shuffle_kb": {n: int((rw[0] + rw[1]) // 1024) for n, rw in shuffle.items()},
     }
     assert tuple(final) == FINAL_LINE_KEYS
     return diagnostics, final
@@ -79,7 +87,12 @@ def main() -> None:
     from parqueryd_spark import queries as Q
     from parqueryd_spark.session import get_spark
 
-    spark = get_spark("parqueryd_spark-bench")
+    # retain enough stage history that per-query shuffle deltas never span an
+    # eviction (default 1000 stages undercounts — a full bench run crosses it
+    # and deltas go negative when old stages age out mid-measurement)
+    spark = get_spark(
+        "parqueryd_spark-bench", extra_conf={"spark.ui.retainedStages": "100000"}
+    )
 
     def run_once(fn) -> float:
         t0 = time.perf_counter()
@@ -87,18 +100,26 @@ def main() -> None:
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0
 
+    from parqueryd_spark.plans.telemetry import ShuffleDelta
+
     bench = Q.bench_queries()
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     trials: dict[str, list[float]] = {}
+    shuffle: dict[str, tuple[int, int]] = {}
     for name, fn in bench.items():
         fn(spark, sf_dir).count()  # warm-up: JVM, codegen, file listing, caches
-        ts = [round(run_once(fn), 4) for _ in range(TRIALS)]  # execution order
+        # shuffle bytes around the FIRST timed trial (steady-state; volumes
+        # are deterministic per plan so one measurement suffices)
+        with ShuffleDelta(spark) as d:
+            first = round(run_once(fn), 4)
+        shuffle[name] = (d.read, d.write)
+        ts = [first] + [round(run_once(fn), 4) for _ in range(TRIALS - 1)]
         trials[name] = ts
         timings[name] = min(ts)
         medians[name] = round(statistics.median(ts), 4)
 
-    diagnostics, final = build_outputs(timings, medians, trials, float(sf))
+    diagnostics, final = build_outputs(timings, medians, trials, float(sf), shuffle)
     with open(os.path.join(REPO_DIR, "BENCH_TRIALS.json"), "w") as f:
         json.dump(diagnostics, f, indent=1)
     print(json.dumps(diagnostics))

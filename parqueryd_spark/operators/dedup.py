@@ -202,6 +202,40 @@ def _cover(n: int):
     return F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("idx")
 
 
+def substring_decontaminate(
+    docs: DataFrame,
+    contamination_index: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 16,
+    mode: str = "rebuild",
+) -> DataFrame:
+    """Substring-grain DECONTAMINATION (VERDICT r11 item #7): scrub every
+    ``min_tokens``-token window of the corpus whose content appears in a
+    CONTAMINATION index — the :func:`substring_index` of a benchmark/eval
+    set — at arbitrary token boundaries. The benchmark-leakage scrub for
+    training corpora (composing the substring-dedup machinery with the
+    decontamination family): unlike :func:`substring_dedup` there is NO
+    keeper — every contaminated occurrence is dropped, in every document.
+
+    Scale posture matches the dedup twin: the corpus side shuffles only
+    (doc, pos, 16-byte digest); the index side is the benchmark's distinct
+    digests (tiny — eval sets are MBs against a 100 TB corpus — so the
+    digest join broadcasts); text is only re-read for affected documents'
+    rebuild (or never, with ``mode="droplist"`` +
+    :func:`apply_token_droplist`). Output shape matches substring_dedup:
+    affected docs as (doc, n_tokens, n_dropped, dedup_text), or the
+    droplist (doc, drop_idx, n_dropped)."""
+    n = int(min_tokens)
+    if n < 2:
+        raise ValueError("min_tokens must be >= 2")
+    base = _substr_base(docs, id_col, text_col)
+    wins = _substr_windows(base, n)
+    taint = contamination_index.select("digest").distinct()
+    dropped = wins.join(taint, "digest").select("doc", _cover(n)).distinct()
+    return _substr_finish(base, dropped, mode)
+
+
 def _substr_finish(base: DataFrame, dropped: DataFrame, mode: str) -> DataFrame:
     """Shared tail of the substring-dedup paths: turn (doc, idx) dropped
     tokens into either a droplist or rebuilt affected documents."""
@@ -372,10 +406,15 @@ def _keep_first_unit_dedup(
       side is cut to (doc, pos, digest) before the digest shuffle, only the
       LOSING positions (the duplicates — a small fraction of a mostly-unique
       corpus) come back as per-doc drop lists, and documents are rebuilt by
-      index-filtering the unit array on the original doc-grain rows. The only
-      corpus-sized shuffle is the doc-keyed drop-list join (broadcast when
-      small, AQE decides) — the plan for bandwidth-constrained clusters or
-      wide span sizes where text bytes dominate the exchange.
+      index-filtering the unit array on the original doc-grain rows. The
+      drop-list join is HINTED broadcast (r12 — measured: leaving it to AQE
+      plans a SortMergeJoin whose base-side shuffle WRITE ships all the text
+      even when AQE later converts to broadcast, silently voiding the plan's
+      whole point; tests/test_shuffle_telemetry.py pins the contract in
+      bytes). The broadcast payload is int position lists for DUPLICATED
+      docs only; for a pathologically all-duplicated corpus prefer ``carry``
+      or the deferred droplist serving (substring_dedup mode="droplist" +
+      apply_token_droplist), which never rebuilds inline.
 
     Keep-first in both is ``groupBy(digest).agg(min(struct(doc, pos)))`` —
     map-side partials, so a span repeated 10^9 times reduces locally instead
@@ -401,7 +440,7 @@ def _keep_first_unit_dedup(
             # row) under the carry plan; keep that contract
             .where(F.col("_units").isNotNull())
         )
-        joined = base.join(drops, "doc", "left").withColumn(
+        joined = base.join(F.broadcast(drops), "doc", "left").withColumn(
             "drop_arr", F.coalesce("drop_pos", F.array().cast("array<int>"))
         )
         kept = F.filter("_units", lambda u, i: ~F.array_contains(F.col("drop_arr"), i))
@@ -740,6 +779,42 @@ def minhash_index(
     shingle hashes)."""
     base = _hashed_shingle_arrays(df, id_col, text_col, k, persist=False)
     return base.withColumn("sig", minhash_signature_from_hashes(F.col("sh"), num_hashes))
+
+
+def minhash_pairs_from_index(
+    index: DataFrame,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs SERVED from a published :func:`minhash_index` — the
+    steady-state posture (VERDICT r11 item #4, matching the ANN rows): text
+    is never read, tokenized, shingled, or hashed again. Band keys explode
+    from the STORED 128-long signatures (cheap column math), buckets
+    self-join, and verification is exact Jaccard over the STORED shingle
+    arrays — identical output to :func:`minhash_lsh_pairs` on the indexed
+    corpus (same banding, same verification), at index-scan cost instead of
+    corpus-scan cost. At 100 TB this is the difference between re-shingling
+    petabytes per run and scanning the ~1-2% index.
+    Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of bands ({bands})"
+        )
+    rows = num_hashes // bands
+    banded = _explode_bands(index, bands, rows)
+    candidates = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+    return _verify_jaccard(candidates, index.select("doc", "sh"), threshold)
 
 
 def incremental_minhash_pairs(

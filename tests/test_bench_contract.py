@@ -20,14 +20,16 @@ def _fake_results(names):
     trials = {n: [0.1234, 0.2345, 0.3456, 0.4567, 0.5678] for n in names}
     timings = {n: min(ts) for n, ts in trials.items()}
     medians = {n: sorted(ts)[2] for n, ts in trials.items()}
-    return timings, medians, trials
+    # realistic upper-end shuffle volumes (hundreds of MB -> 6-7 digit KiB)
+    shuffle = {n: (123_456_789, 987_654_321) for n in names}
+    return timings, medians, trials, shuffle
 
 
 def test_final_line_is_compact_and_parseable():
     names = list(Q.bench_queries())
     assert len(names) >= 15
-    timings, medians, trials = _fake_results(names)
-    diagnostics, final = bench.build_outputs(timings, medians, trials, 0.1)
+    timings, medians, trials, shuffle = _fake_results(names)
+    diagnostics, final = bench.build_outputs(timings, medians, trials, 0.1, shuffle)
 
     line = json.dumps(final)
     assert tuple(final) == bench.FINAL_LINE_KEYS
@@ -41,13 +43,18 @@ def test_final_line_is_compact_and_parseable():
     assert parsed["sf"] == 0.1
     assert parsed["value"] == round(sum(timings.values()), 4)
     assert set(parsed["queries"]) == set(names)
+    # r12: per-query shuffle KiB rides the driver line (VERDICT r11 item #3)
+    assert set(parsed["shuffle_kb"]) == set(names)
+    assert parsed["shuffle_kb"][names[0]] == (123_456_789 + 987_654_321) // 1024
 
 
 def test_diagnostics_are_separate_from_driver_line():
     names = list(Q.bench_queries())
-    timings, medians, trials = _fake_results(names)
-    diagnostics, final = bench.build_outputs(timings, medians, trials, 0.1)
+    timings, medians, trials, shuffle = _fake_results(names)
+    diagnostics, final = bench.build_outputs(timings, medians, trials, 0.1, shuffle)
     assert diagnostics["bench_diagnostics"] is True
     assert "queries_trials" in diagnostics and "queries_spread" in diagnostics
+    assert set(diagnostics["shuffle_read_bytes"]) == set(names)
+    assert set(diagnostics["shuffle_write_bytes"]) == set(names)
     # none of the bulky diagnostic keys may leak into the final line
     assert not set(final) & {"queries_trials", "queries_median", "queries_spread"}

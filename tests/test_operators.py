@@ -1038,3 +1038,30 @@ def test_substring_index_append_composes(spark):
         for r in substring_dedup_increment(day2, idx_merged, "doc_id", "text", min_tokens=n).collect()
     }
     assert a == b and 20 in a and a[20][0] == 6
+
+
+def test_minhash_pairs_from_index_equals_one_shot(spark):
+    """The published-index serve path (VERDICT r11 item #4) returns exactly
+    the one-shot minhash_lsh_pairs result: same banding, same exact-Jaccard
+    verification, no text reprocessing."""
+    from parqueryd_spark.operators.dedup import (
+        minhash_index,
+        minhash_lsh_pairs,
+        minhash_pairs_from_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    one_shot = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", k=3, num_hashes=128, bands=32, threshold=0.8
+        ).collect()
+    }
+    idx = minhash_index(docs, "doc_id", "text", k=3, num_hashes=128)
+    served = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in minhash_pairs_from_index(
+            idx, num_hashes=128, bands=32, threshold=0.8
+        ).collect()
+    }
+    assert served == one_shot and len(served) > 0

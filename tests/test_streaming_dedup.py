@@ -103,3 +103,64 @@ def test_stream_substring_dedup_matches_one_shot(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert again == streamed
+
+
+def test_stream_substring_decontaminate_matches_batch(spark, tmp_path):
+    """Streaming decontamination against a published benchmark substring
+    index (VERDICT r11 item #7) ≡ the batch operator per micro-batch: every
+    contaminated window is scrubbed at arbitrary offsets, unaffected docs
+    are absent, and a checkpointed replay changes nothing."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from parqueryd_spark.operators.dedup import (
+        substring_decontaminate,
+        substring_index,
+    )
+    from parqueryd_spark.streaming.dedup import stream_substring_decontaminate
+
+    leak = " ".join(f"q{i}" for i in range(6))  # the "benchmark" passage
+    bench = spark.createDataFrame(
+        [(1000, "eval intro " + leak + " eval outro")], "doc_id long, text string"
+    )
+    idx_dir = str(tmp_path / "taint")
+    substring_index(bench, "doc_id", "text", min_tokens=4).write.parquet(idx_dir)
+
+    b1 = [(1, "a1 a2 " + leak + " a3"), (2, "clean b1 b2 b3 b4 b5")]
+    b2 = [(10, leak + " c1 " + leak), (11, "also clean d1 d2 d3")]
+    stream_in = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(stream_in)
+    pd.DataFrame(b1, columns=["doc_id", "text"]).to_parquet(os.path.join(stream_in, "b1.parquet"))
+    time.sleep(1.1)
+    pd.DataFrame(b2, columns=["doc_id", "text"]).to_parquet(os.path.join(stream_in, "b2.parquet"))
+
+    schema = spark.read.parquet(os.path.join(stream_in, "b1.parquet")).schema
+    docs = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stream_in)
+    stream_substring_decontaminate(docs, idx_dir, out_dir, ckpt, min_tokens=4).awaitTermination()
+
+    streamed = {
+        r["doc"]: (r["n_tokens"], r["n_dropped"], r["dedup_text"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    taint = spark.read.parquet(idx_dir)
+    for batch in (b1, b2):
+        bdf = spark.createDataFrame(batch, "doc_id long, text string")
+        for r in substring_decontaminate(bdf, taint, "doc_id", "text", 4).collect():
+            assert streamed[r["doc"]] == (r["n_tokens"], r["n_dropped"], r["dedup_text"])
+    # the leak is scrubbed wherever it sits, clean docs never appear
+    assert streamed[1] == (9, 6, "a1 a2 a3")
+    assert streamed[10] == (13, 12, "c1")  # both occurrences; the bridging
+    # token sits in no contaminated window and survives
+    assert 2 not in streamed and 11 not in streamed
+
+    # checkpointed replay: idempotent
+    stream_substring_decontaminate(docs, idx_dir, out_dir, ckpt, min_tokens=4).awaitTermination()
+    again = {
+        r["doc"]: (r["n_tokens"], r["n_dropped"], r["dedup_text"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert again == streamed
