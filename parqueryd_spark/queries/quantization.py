@@ -130,8 +130,9 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the refine×k shortlist is exactly re-ranked. The 100 TB memory tier
     below IVF bucket pruning. Since round 12 the row is VALUE-CHECKED
     outright (VERDICT r11 item #2): deterministic spread codebooks
-    (pq_codebooks_spread) + the pure-Column encode/LUT make every float in
-    the route a left fold DuckDB replays bit-for-bit, so the full serving
+    (pq_codebooks_spread) + the pure-Column encode + driver-det LUT make
+    every float in the route a left fold DuckDB replays bit-for-bit (Python
+    IEEE doubles accumulate in the same order), so the full serving
     path hash-matches the SQL replay — the kmeans trainer stays the
     production default, gated by ann_pq_recall_bound (queries/estimates.py,
     in-window) which now measures THIS deterministic route."""
@@ -290,7 +291,7 @@ def served_ivfpq_index(
     ``residual=True`` publishes the residual-encoded variant (codes quantize
     ``x̂ − ĉ``; searches must pass the matching flag); ``codebook="spread"``
     publishes the deterministic SQL-replayable codebooks (searches should
-    pass ``lut_mode="cols"``)."""
+    pass ``lut_mode="det"``)."""
     import os
     import tempfile
 
@@ -337,7 +338,7 @@ def ann_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 5)
     return ivfpq_search(
-        codes, cents, cb, qs, corpus=emb, nprobe=4, k=5, refine=4, lut_mode="cols"
+        codes, cents, cb, qs, corpus=emb, nprobe=4, k=5, refine=4, lut_mode="det"
     )
 
 
@@ -370,7 +371,7 @@ def ann_ivfpq_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.orderBy("vec_id").limit(8)
     exact = brute_force_topk(emb, qs, k=10).select("query_id", "neighbor_id")
     approx = ivfpq_search(
-        codes, cents, cb, qs, corpus=emb, nprobe=4, k=10, refine=8, lut_mode="cols"
+        codes, cents, cb, qs, corpus=emb, nprobe=4, k=10, refine=8, lut_mode="det"
     ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
     joined = exact.join(approx, ["query_id", "neighbor_id"], "left")
     return joined.agg(
