@@ -547,17 +547,29 @@ def ivfpq_publish(
                 f"centroids must be a DataFrame, 'kmeans', or 'first_k'; got {centroids!r}"
             )
     centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")
-    if residual and codebook != "kmeans":
-        raise ValueError("codebook='spread' supports raw encoding only (residual=False)")
     if residual:
+        # the residual frame is pure JVM fold arithmetic (_residual_frame),
+        # so codebook="spread" composes: spread codebooks over the residual
+        # slices + the pure-Column encode make the RESIDUAL route
+        # SQL-replayable end-to-end, exactly like the raw route (r12)
         resid = _residual_frame(corpus, centroids, id_col, vec_col)
-        cb = pq_train(
-            resid, dim=dim, m=m, k=k_codes, vec_col="__resid", id_col=id_col,
-            normalize=False,
-        )
-        encoded = pq_encode(
-            resid, cb, id_col=id_col, vec_col="__resid", normalize=False
-        ).join(resid.select(id_col, "centroid_id"), id_col)
+        if codebook == "spread":
+            cb = pq_codebooks_spread(
+                resid, dim=dim, m=m, k=k_codes, vec_col="__resid", id_col=id_col,
+                normalize=False,
+            )
+            enc = pq_encode_cols(
+                resid, cb, id_col=id_col, vec_col="__resid", normalize=False
+            )
+        elif codebook == "kmeans":
+            cb = pq_train(
+                resid, dim=dim, m=m, k=k_codes, vec_col="__resid", id_col=id_col,
+                normalize=False,
+            )
+            enc = pq_encode(resid, cb, id_col=id_col, vec_col="__resid", normalize=False)
+        else:
+            raise ValueError(f"codebook must be 'kmeans' or 'spread'; got {codebook!r}")
+        encoded = enc.join(resid.select(id_col, "centroid_id"), id_col)
     else:
         # raw-vector encoding may use the deterministic SQL-replayable
         # codebook route (codebook="spread"); residual codebooks stay on the
@@ -648,6 +660,54 @@ def _pair_luts(pairs: DataFrame, codebooks: list) -> DataFrame:
     return pairs.withColumn("lut", _lut2("qv", "cv")).drop("qv", "cv")
 
 
+def _pair_luts_det(pairs: DataFrame, codebooks: list, max_pairs: int = 65536) -> DataFrame:
+    """:func:`_pair_luts`' DETERMINISTIC twin for the residual replay route:
+    the per-(query, probed centroid) ADC tables computed driver-side in pure
+    Python over the bounded probe-pair frame (|queries| x nprobe rows,
+    limit-guarded). Same bit-exactness argument as :func:`pq_lut_det` —
+    IEEE doubles in the JVM fold order — so a DuckDB oracle reproduces every
+    distance; same measured motivation: py4j literal trees are the slow
+    part, not the arithmetic."""
+    import math
+
+    m, dsub = len(codebooks), len(codebooks[0][0])
+    rows = pairs.limit(max_pairs + 1).collect()
+    if len(rows) > max_pairs:
+        raise ValueError(
+            f"probe-pair count exceeds max_pairs={max_pairs} — the pair-LUT "
+            "collect is bounded by contract; chunk the query set"
+        )
+
+    def _hat(v):
+        s = 0.0
+        for x in v:
+            s += x * x
+        nrm = math.sqrt(s)
+        return [x / nrm for x in v] if nrm > 0 else [x * 0.0 for x in v]
+
+    out = []
+    for r in rows:
+        q = _hat([float(x) for x in r["qv"]])
+        c = _hat([float(x) for x in r["cv"]])
+        x = [a - b for a, b in zip(q, c)]
+        lut = []
+        for j in range(m):
+            sub = x[j * dsub : (j + 1) * dsub]
+            row = []
+            for cb in codebooks[j]:
+                d2 = 0.0
+                for a, b in zip(sub, cb):
+                    d2 += (a - b) * (a - b)
+                row.append(d2)
+            lut.append(row)
+        out.append((r["query_id"], r["centroid_id"], lut))
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    id_fields = pairs.select("query_id", "centroid_id").schema.fields
+    schema = StructType(list(id_fields) + [StructField("lut", ArrayType(ArrayType(DoubleType())))])
+    return pairs.sparkSession.createDataFrame(out, schema)
+
+
 def ivfpq_search(
     codes: DataFrame,
     centroids: DataFrame,
@@ -693,7 +753,9 @@ def ivfpq_search(
         .select("query_id", "centroid_id", "qv", "cv")
     )
     if residual:
-        probe_luts = _pair_luts(probes, codebooks)  # nqueries x nprobe rows
+        # nqueries x nprobe LUT rows either way; "det" is the replay route
+        lut2_fn = _pair_luts_det if lut_mode == "det" else _pair_luts
+        probe_luts = lut2_fn(probes, codebooks)
     else:
         # lut_mode="det": the oracle-replayable driver-computed LUT (indexes
         # published with codebook="spread" — VERDICT r11 item #2)

@@ -273,6 +273,99 @@ def _ivfpq_topk_sql(
     )
 
 
+def _ivfpq_residual_topk_sql(
+    n_centroids: int, nprobe: int, m: int, k_codes: int, sample_n: int,
+    k: int, refine: int, dim: int,
+) -> str:
+    """The COMPLETE RESIDUAL IVF-PQ serving route in SQL (Jegou et al. §III:
+    codes quantize x̂ − ĉ(x)): first-k centroids, argmax assignment,
+    residual vectors as normalized-vector differences (pure fold
+    arithmetic), spread codebooks over the RESIDUAL slices, argmin codes,
+    per-(query, probed-centroid) ADC tables over q̂ − ĉ, fold-sum shortlist
+    restricted to the probed buckets, exact rounded-cosine re-rank. With
+    r12's spread codebooks + det LUTs the residual formulation becomes just
+    as replayable as the raw one — closing the last non-value-checked ANN
+    serving face."""
+    from parqueryd_spark.queries.similarity import cos_sql
+
+    dsub = dim // m
+    d1, dim1 = dsub + 1, dim + 1
+    ld = f"[e.rv[c.j*{dsub}+t] - c.cv[t] for t in range(1, {d1})]"
+    lq = f"[pl.pv[c.j*{dsub}+t] - c.cv[t] for t in range(1, {d1})]"
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT {n_centroids}
+    ), nv AS (
+      SELECT vec_id,
+             CASE WHEN sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) > 0
+                  THEN list_transform(CAST(embedding AS DOUBLE[]),
+                         x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))))
+                  ELSE list_transform(CAST(embedding AS DOUBLE[]), x -> 0.0) END AS v
+      FROM embeddings
+    ), assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_sql('e.embedding', 'c.cv')} DESC, c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ), resid AS (
+      SELECT a.vec_id, a.cid,
+             [nx.v[t] - nc.v[t] for t in range(1, {dim1})] AS rv
+      FROM assign a
+      JOIN nv nx ON nx.vec_id = a.vec_id
+      JOIN nv nc ON nc.vec_id = a.cid
+    ), samp AS (
+      SELECT row_number() OVER (ORDER BY r.vec_id) - 1 AS rn, r.rv
+      FROM (SELECT vec_id, rv FROM resid ORDER BY vec_id LIMIT {sample_n}) r
+    ), cnt AS (
+      SELECT count(*) AS n FROM samp
+    ), subs AS (
+      SELECT jj.j, samp.rn, [samp.rv[jj.j*{dsub} + t] for t in range(1, {d1})] AS sv
+      FROM samp, LATERAL unnest(range(0, {m})) AS jj(j)
+    ), sorted AS (
+      SELECT j, sv, row_number() OVER (PARTITION BY j ORDER BY sv ASC, rn ASC) - 1 AS r
+      FROM subs
+    ), cb AS (
+      SELECT s.j, ii.i, s.sv AS cv
+      FROM sorted s, LATERAL unnest(range(0, {k_codes})) AS ii(i), cnt
+      WHERE s.r = (ii.i * cnt.n) // {k_codes}
+    ), codes AS (
+      SELECT vec_id, cid, j, i AS code FROM (
+        SELECT e.vec_id, e.cid, c.j, c.i,
+               row_number() OVER (PARTITION BY e.vec_id, c.j
+                                  ORDER BY list_dot_product({ld}, {ld}) ASC, c.i ASC) AS rn
+        FROM resid e CROSS JOIN cb c
+      ) WHERE rn = 1
+    ), qs AS (
+      SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5
+    ), probes AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {cos_sql('q.embedding', 'c.cv')} DESC, c.cid ASC) AS rn
+        FROM (SELECT e.vec_id AS query_id, e.embedding
+              FROM embeddings e JOIN qs ON qs.query_id = e.vec_id) q
+        CROSS JOIN cents c
+      ) WHERE rn <= {nprobe}
+    ), pl AS (
+      SELECT p.query_id, p.cid,
+             [nq.v[t] - nc.v[t] for t in range(1, {dim1})] AS pv
+      FROM probes p
+      JOIN nv nq ON nq.vec_id = p.query_id
+      JOIN nv nc ON nc.vec_id = p.cid
+    ), lutv AS (
+      SELECT pl.query_id, pl.cid, c.j, c.i,
+             list_dot_product({lq}, {lq}) AS d2
+      FROM pl CROSS JOIN cb c
+    )""" + _pq_adc_rerank_sql(
+        "codes x JOIN lutv l ON l.j = x.j AND l.i = x.code AND l.cid = x.cid "
+        "AND x.vec_id != l.query_id",
+        k,
+        refine,
+    )
+
+
 def served_ivfpq_index(
     spark: SparkSession,
     sf_dir: str,
@@ -339,6 +432,33 @@ def ann_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.filter(F.col("vec_id") < 5)
     return ivfpq_search(
         codes, cents, cb, qs, corpus=emb, nprobe=4, k=5, refine=4, lut_mode="det"
+    )
+
+
+@query(
+    "ann_ivfpq_residual_topk",
+    oracle=_ivfpq_residual_topk_sql(16, 4, 16, 32, 2048, 5, 4, 64),
+)
+def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESIDUAL IVF-PQ serving route (Jegou et al. §III — codes quantize
+    x̂ − ĉ(x), per-(query, centroid) ADC tables), VALUE-CHECKED outright:
+    the residual frame is pure JVM fold arithmetic, so spread codebooks over
+    the residual slices + the pure-Column encode + driver-det pair LUTs make
+    the whole composed route hash-match a full DuckDB replay (assignment,
+    residuals, codebooks, codes, probes, pair tables, fold shortlist,
+    re-rank). Closes the last non-value-checked ANN serving face; the
+    seeded-kmeans residual production path keeps its own recall gate
+    (ann_ivfpq_residual_recall_bound, unchanged)."""
+    from parqueryd_spark.operators.quantization import ivfpq_search
+
+    codes, cents, cb = served_ivfpq_index(
+        spark, sf_dir, n_centroids=16, residual=True, codebook="spread", k_codes=32
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    return ivfpq_search(
+        codes, cents, cb, qs, corpus=emb, nprobe=4, k=5, refine=4,
+        residual=True, lut_mode="det",
     )
 
 

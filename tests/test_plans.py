@@ -90,6 +90,10 @@ def _bounded_build_ok() -> set[str]:
                                      # 16 centroids + refine*k shortlist);
                                      # residual encoding changes LUT
                                      # contents, not build-side cardinality
+        "ann_ivfpq_residual_topk",   # 5 query vectors x nprobe=4 per-pair
+                                     # LUT rows + 16 centroids + refine*k
+                                     # shortlist (value-checked replay route;
+                                     # same bounds as the recall row)
         "ann_sq_recall_bound",       # 8 query vectors (const+weight rows);
                                      # the corpus side is the codes stream
         "ann_ivfsq_index_topk",      # 8 query vectors x nprobe=4 probe rows

@@ -435,3 +435,51 @@ def test_pq_spread_route_recall_and_determinism(spark, emb, qset):
     assert runs[0] == runs[1]
     approx = {(q, n) for q, n, _, _ in runs[0]}
     assert len(exact & approx) / len(exact) >= 0.7
+
+
+def test_residual_spread_route_replay_determinism_and_recall(spark, emb, qset, tmp_path):
+    """The residual spread-codebook route (the value-checked
+    ann_ivfpq_residual_topk configuration): run-to-run deterministic,
+    recall@10 >= 0.8 at refine=8 (residual quantization concentrates the
+    quantizer's range — measured 0.90-0.91 across sf0.001-0.1, above the
+    raw route), and the det pair-LUT path agrees with itself under
+    repartitioning."""
+    from parqueryd_spark.operators.quantization import (
+        ivfpq_load,
+        ivfpq_publish,
+        ivfpq_search,
+    )
+    from parqueryd_spark.operators.similarity import brute_force_topk
+
+    import pyspark.sql.functions as F
+
+    cents = (
+        emb.orderBy(F.col("vec_id").asc())
+        .limit(16)
+        .select(F.col("vec_id").cast("int").alias("centroid_id"), "embedding")
+    )
+    path = str(tmp_path / "resid_spread")
+    ivfpq_publish(
+        spark, path, emb, cents, dim=64, m=16, k_codes=32,
+        residual=True, codebook="spread",
+    )
+    codes, c2, cb = ivfpq_load(spark, path)
+    runs = []
+    for reps in (None, 7):
+        q = qset if reps is None else qset.repartition(reps)
+        runs.append(
+            sorted(
+                (r["query_id"], r["neighbor_id"], r["cosine_sim"], r["rank"])
+                for r in ivfpq_search(
+                    codes, c2, cb, q, corpus=emb, nprobe=4, k=10, refine=8,
+                    residual=True, lut_mode="det",
+                ).collect()
+            )
+        )
+    assert runs[0] == runs[1]
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, qset, k=10).collect()
+    }
+    approx = {(q, n) for q, n, _, _ in runs[0]}
+    assert len(exact & approx) / len(exact) >= 0.8
