@@ -65,6 +65,7 @@ def span_dedup(
     text_col: str,
     span_tokens: int = 16,
     rebuild: str = "carry",
+    drop_join: str = "broadcast",
 ) -> DataFrame:
     """Sub-document exact dedup at fixed token-span granularity — the scalable
     analog of suffix-array substring dedup (Lee et al., "Deduplicating
@@ -96,7 +97,7 @@ def span_dedup(
         F.sequence(F.lit(0), n_spans - 1),
         lambda i: F.concat_ws(" ", F.slice(toks, i * span_tokens + 1, span_tokens)),
     )
-    return _keep_first_unit_dedup(df, id_col, spans, " ", rebuild)
+    return _keep_first_unit_dedup(df, id_col, spans, " ", rebuild, drop_join)
 
 
 def substring_dedup(
@@ -229,6 +230,7 @@ def substring_decontaminate(
     n = int(min_tokens)
     if n < 2:
         raise ValueError("min_tokens must be >= 2")
+    _check_index_n(contamination_index, n, "substring_decontaminate")
     base = _substr_base(docs, id_col, text_col)
     wins = _substr_windows(base, n)
     taint = contamination_index.select("digest").distinct()
@@ -284,10 +286,40 @@ def substring_index(
     increment's digests as its own batch) so daily increments dedup against
     the corpus WITHOUT re-reading or re-hashing historical text. Same
     posture as :func:`minhash_index`; the expensive tokenize->window->md5
-    pass runs exactly once per document ever."""
-    return _substr_windows(_substr_base(df, id_col, text_col), int(min_tokens)).select(
-        "digest"
-    ).distinct()
+    pass runs exactly once per document ever.
+
+    The window length rides along as a constant ``n`` column (RLE-encoded
+    to ~nothing in parquet): digests of 8-token windows can never match
+    digests of 16-token windows, so an index consumed at the wrong grain
+    would SILENTLY match nothing — contaminated/duplicated text passing as
+    clean. Every consumer validates ``n`` against its own ``min_tokens``
+    and raises on mismatch (review r12); indexes published before the
+    column existed skip the check (documented pre-meta layout)."""
+    n = int(min_tokens)
+    return (
+        _substr_windows(_substr_base(df, id_col, text_col), n)
+        .select("digest")
+        .distinct()
+        .withColumn("n", F.lit(n).cast("int"))
+    )
+
+
+def _check_index_n(index: DataFrame, min_tokens: int, what: str) -> None:
+    """Raise if a substring index's recorded window length disagrees with
+    the grain it is being consumed at (silently matching nothing is the
+    failure mode this prevents). Pre-``n`` indexes (no column / all-null
+    from schema-merged old batches) skip the check."""
+    if "n" not in index.columns:
+        return
+    probe = index.select("n").where(F.col("n").isNotNull()).limit(1).collect()
+    if probe and int(probe[0]["n"]) != int(min_tokens):
+        raise ValueError(
+            f"{what}: index was built with min_tokens={int(probe[0]['n'])} but is "
+            f"being consumed at min_tokens={int(min_tokens)} — digests of "
+            "different window lengths never match, so this would silently "
+            "report zero duplicates/contamination; rebuild the index or pass "
+            "the matching min_tokens"
+        )
 
 
 def substring_dedup_increment(
@@ -318,6 +350,7 @@ def substring_dedup_increment(
     n = int(min_tokens)
     if n < 2:
         raise ValueError("min_tokens must be >= 2")
+    _check_index_n(index, n, "substring_dedup_increment")
     base = _substr_base(new_docs, id_col, text_col)
     wins = _substr_windows(base, n)
     standing = index.select("digest").distinct()
@@ -377,7 +410,12 @@ def apply_token_droplist(
 
 
 def paragraph_dedup(
-    df: DataFrame, id_col: str, text_col: str, sep: str = "\n", rebuild: str = "carry"
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    rebuild: str = "carry",
+    drop_join: str = "broadcast",
 ) -> DataFrame:
     """Sub-document exact dedup at NATURAL unit granularity (paragraphs /
     lines) — the C4/Dolma form: each distinct ``sep``-delimited unit keeps
@@ -386,11 +424,18 @@ def paragraph_dedup(
     has real structural delimiters; fall back to fixed token spans when text
     is an undelimited stream. Same skew-safe plan (see span_dedup), same
     output shape (doc, n_spans, n_kept, dedup_text)."""
-    return _keep_first_unit_dedup(df, id_col, F.split(F.col(text_col), sep), sep, rebuild)
+    return _keep_first_unit_dedup(
+        df, id_col, F.split(F.col(text_col), sep), sep, rebuild, drop_join
+    )
 
 
 def _keep_first_unit_dedup(
-    df: DataFrame, id_col: str, units: F.Column, join_sep: str, rebuild: str = "carry"
+    df: DataFrame,
+    id_col: str,
+    units: F.Column,
+    join_sep: str,
+    rebuild: str = "carry",
+    drop_join: str = "broadcast",
 ) -> DataFrame:
     """Shared keep-first machinery over a per-doc array of text units.
 
@@ -412,9 +457,13 @@ def _keep_first_unit_dedup(
       even when AQE later converts to broadcast, silently voiding the plan's
       whole point; tests/test_shuffle_telemetry.py pins the contract in
       bytes). The broadcast payload is int position lists for DUPLICATED
-      docs only; for a pathologically all-duplicated corpus prefer ``carry``
-      or the deferred droplist serving (substring_dedup mode="droplist" +
-      apply_token_droplist), which never rebuilds inline.
+      docs only; for a pathologically all-duplicated corpus — where the
+      drop lists themselves could exceed broadcast/driver limits and the
+      hinted join would ABORT rather than degrade — pass
+      ``drop_join="shuffle"`` (the pre-hint plan: AQE decides, text pays one
+      shuffle write) or prefer ``carry`` / the deferred droplist serving
+      (substring_dedup mode="droplist" + apply_token_droplist), which never
+      rebuilds inline.
 
     Keep-first in both is ``groupBy(digest).agg(min(struct(doc, pos)))`` —
     map-side partials, so a span repeated 10^9 times reduces locally instead
@@ -440,7 +489,10 @@ def _keep_first_unit_dedup(
             # row) under the carry plan; keep that contract
             .where(F.col("_units").isNotNull())
         )
-        joined = base.join(F.broadcast(drops), "doc", "left").withColumn(
+        if drop_join not in ("broadcast", "shuffle"):
+            raise ValueError(f"drop_join must be 'broadcast' or 'shuffle'; got {drop_join!r}")
+        drops_side = F.broadcast(drops) if drop_join == "broadcast" else drops
+        joined = base.join(drops_side, "doc", "left").withColumn(
             "drop_arr", F.coalesce("drop_pos", F.array().cast("array<int>"))
         )
         kept = F.filter("_units", lambda u, i: ~F.array_contains(F.col("drop_arr"), i))
@@ -781,6 +833,24 @@ def minhash_index(
     return base.withColumn("sig", minhash_signature_from_hashes(F.col("sh"), num_hashes))
 
 
+def _check_sig_len(index: DataFrame, num_hashes: int, what: str) -> None:
+    """Raise if a stored minhash index's signature length disagrees with the
+    serving parameters (review r12): served longer than stored, the trailing
+    bands slice past the array end and hash the SAME empty prefix for every
+    document — each degenerate band emits the full n^2/2 candidate set
+    (correct output after verification, catastrophic cost at scale); served
+    shorter, banding silently uses a prefix and recall quietly changes."""
+    probe = index.select(F.size("sig").alias("w")).limit(1).collect()
+    if probe and int(probe[0]["w"]) != int(num_hashes):
+        raise ValueError(
+            f"{what}: stored signatures have {int(probe[0]['w'])} hashes but "
+            f"num_hashes={int(num_hashes)} was requested — banding would "
+            "silently degenerate (empty-slice bands emit all-pairs "
+            "candidates; prefix bands change recall); serve with the "
+            "publish-time num_hashes or re-index"
+        )
+
+
 def minhash_pairs_from_index(
     index: DataFrame,
     num_hashes: int = 128,
@@ -801,6 +871,7 @@ def minhash_pairs_from_index(
         raise ValueError(
             f"num_hashes ({num_hashes}) must be a positive multiple of bands ({bands})"
         )
+    _check_sig_len(index, num_hashes, "minhash_pairs_from_index")
     rows = num_hashes // bands
     banded = _explode_bands(index, bands, rows)
     candidates = (
@@ -848,6 +919,8 @@ def incremental_minhash_pairs(
         raise ValueError(
             f"num_hashes ({num_hashes}) must be a positive multiple of bands ({bands})"
         )
+    _check_sig_len(new_index, num_hashes, "incremental_minhash_pairs(new_index)")
+    _check_sig_len(corpus_index, num_hashes, "incremental_minhash_pairs(corpus_index)")
     rows = num_hashes // bands
     nb = _explode_bands(new_index, bands, rows)
     cb = _explode_bands(corpus_index, bands, rows)

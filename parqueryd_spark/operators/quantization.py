@@ -571,9 +571,10 @@ def ivfpq_publish(
             raise ValueError(f"codebook must be 'kmeans' or 'spread'; got {codebook!r}")
         encoded = enc.join(resid.select(id_col, "centroid_id"), id_col)
     else:
-        # raw-vector encoding may use the deterministic SQL-replayable
-        # codebook route (codebook="spread"); residual codebooks stay on the
-        # seeded trainer (the residual frame itself is numpy-normalized)
+        # raw-vector encoding with either trainer: seeded kmeans (numpy,
+        # production) or the deterministic SQL-replayable spread route; the
+        # residual branch above supports the same two modes (the residual
+        # frame is pure JVM fold arithmetic, so spread composes there too)
         if codebook == "spread":
             cb = pq_codebooks_spread(corpus, dim=dim, m=m, k=k_codes, vec_col=vec_col, id_col=id_col)
             encoder = pq_encode_cols
@@ -590,9 +591,9 @@ def ivfpq_publish(
     spark.createDataFrame(cb_rows, "j int, code int, sub array<double>").write.mode(
         "overwrite"
     ).parquet(f"{index_dir}/codebooks")
-    spark.createDataFrame([(bool(residual),)], "residual boolean").write.mode(
-        "overwrite"
-    ).parquet(f"{index_dir}/meta")
+    spark.createDataFrame(
+        [(bool(residual), str(codebook))], "residual boolean, codebook string"
+    ).write.mode("overwrite").parquet(f"{index_dir}/meta")
     (
         encoded.withColumn("batch", F.lit(batch))
         .write.mode("overwrite")
@@ -602,14 +603,15 @@ def ivfpq_publish(
 
 
 def ivfpq_meta(spark, index_dir: str) -> dict:
-    """Index metadata ({'residual': bool}); indexes published before the
-    residual flag existed have no meta dataset and default to the raw-vector
-    encoding."""
+    """Index metadata ({'residual': bool, 'codebook': str}); indexes
+    published before a flag existed default to raw-vector encoding with the
+    seeded-kmeans trainer."""
     try:
         row = spark.read.parquet(f"{index_dir}/meta").collect()[0]
-        return {"residual": bool(row["residual"])}
+        cbmode = row["codebook"] if "codebook" in row.__fields__ else "kmeans"
+        return {"residual": bool(row["residual"]), "codebook": str(cbmode or "kmeans")}
     except Exception:
-        return {"residual": False}
+        return {"residual": False, "codebook": "kmeans"}
 
 
 def ivfpq_load(spark, index_dir: str):
@@ -827,17 +829,23 @@ def ivfpq_append(
 
     _, _, cb = ivfpq_load(spark, index_dir)
     centroids = spark.read.parquet(f"{index_dir}/centroids")
-    if ivfpq_meta(spark, index_dir)["residual"]:
+    meta = ivfpq_meta(spark, index_dir)
+    # a spread index's bit-exact replay contract extends to APPENDS: the
+    # numpy encoder's pairwise-summation norms differ from the JVM fold at
+    # ulp level, which can flip a near-tie argmin and silently break the
+    # index's hash-match property — encode with the matching path (review r12)
+    encoder = pq_encode_cols if meta["codebook"] == "spread" else pq_encode
+    if meta["residual"]:
         resid = _residual_frame(new_vectors, centroids, id_col, vec_col)
         assigned = (
-            pq_encode(resid, cb, id_col=id_col, vec_col="__resid", normalize=False)
+            encoder(resid, cb, id_col=id_col, vec_col="__resid", normalize=False)
             .join(resid.select(id_col, "centroid_id"), id_col)
             .withColumn("batch", F.lit(batch))
         )
     else:
         assignment = ivf_assign(new_vectors, centroids, id_col, vec_col)
         assigned = (
-            pq_encode(new_vectors, cb, id_col=id_col, vec_col=vec_col)
+            encoder(new_vectors, cb, id_col=id_col, vec_col=vec_col)
             .join(assignment, id_col)
             .withColumn("batch", F.lit(batch))
         )

@@ -23,9 +23,22 @@ from __future__ import annotations
 
 def shuffle_bytes(spark) -> tuple[int, int]:
     """Cumulative (shuffle_read_bytes, shuffle_write_bytes) across all stages
-    currently retained by the driver's status store."""
+    currently retained by the driver's status store. The async listener bus
+    is drained first (the store is fed by AppStatusListener; right after an
+    action returns, the job's tail task/stage-end events can still be
+    queued — Spark's own tests waitUntilEmpty before asserting on this
+    store), so a delta taken around a completed action is exact."""
     sc = spark.sparkContext
     jvm = sc._gateway.jvm
+    try:
+        sc._jsc.sc().listenerBus().waitUntilEmpty(10_000)
+    except Exception:
+        # older signature without timeout / relocated API: best effort —
+        # the numbers degrade to eventually-consistent, never wrong-sign
+        try:
+            sc._jsc.sc().listenerBus().waitUntilEmpty()
+        except Exception:
+            pass
     store = sc._jsc.sc().statusStore()
     seq = store.stageList(
         jvm.java.util.ArrayList(),          # statuses: all

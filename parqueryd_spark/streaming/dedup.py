@@ -175,11 +175,11 @@ def stream_substring_dedup(
         ):
             # exclude this batch's own (possibly half-written, crash-replay)
             # partition from the standing read — same rationale as above
-            standing = (
-                spark.read.parquet(index_dir)
-                .where(F.col("batch") != F.lit(batch_id))
-                .select("digest")
-            )
+            raw = spark.read.parquet(index_dir).where(F.col("batch") != F.lit(batch_id))
+            # keep the recorded window length so a restart at the wrong
+            # min_tokens raises instead of silently matching nothing
+            cols = ["digest"] + (["n"] if "n" in raw.columns else [])
+            standing = raw.select(*cols)
         else:
             standing = spark.createDataFrame([], "digest binary")
         drops = substring_dedup_increment(
@@ -227,7 +227,7 @@ def stream_substring_decontaminate(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        taint = spark.read.parquet(contamination_index_dir).select("digest")
+        taint = spark.read.parquet(contamination_index_dir)
         out = substring_decontaminate(
             batch_df.select(id_col, text_col), taint, id_col, text_col, min_tokens
         )

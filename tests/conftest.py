@@ -30,7 +30,13 @@ TABLES = [
 def spark():
     from parqueryd_spark.session import get_spark
 
-    spark = get_spark("parqueryd_spark-tests")
+    # retainedStages high for the same reason as bench.py: the full suite
+    # crosses the 1000-stage default, and test_shuffle_telemetry's byte
+    # deltas must never span a status-store eviction (which silently
+    # understates or negates them depending on test order)
+    spark = get_spark(
+        "parqueryd_spark-tests", extra_conf={"spark.ui.retainedStages": "1000000"}
+    )
     yield spark
     spark.stop()
 

@@ -1065,3 +1065,74 @@ def test_minhash_pairs_from_index_equals_one_shot(spark):
         ).collect()
     }
     assert served == one_shot and len(served) > 0
+
+
+def test_substring_index_grain_mismatch_raises(spark):
+    """Consuming a substring index at the wrong min_tokens raises instead of
+    silently matching nothing (review r12: digests of different window
+    lengths never collide, so a grain mismatch used to report a contaminated
+    corpus as clean)."""
+    from parqueryd_spark.operators.dedup import (
+        substring_decontaminate,
+        substring_dedup_increment,
+        substring_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(20)))], "doc_id long, text string"
+    )
+    idx8 = substring_index(docs, "doc_id", "text", min_tokens=8)
+    with pytest.raises(ValueError, match="min_tokens=8.*min_tokens=4"):
+        substring_decontaminate(docs, idx8, "doc_id", "text", min_tokens=4).collect()
+    with pytest.raises(ValueError, match="min_tokens=8.*min_tokens=16"):
+        substring_dedup_increment(docs, idx8, "doc_id", "text", min_tokens=16).collect()
+    # matching grain passes; a pre-n index (digest only) skips the check
+    substring_decontaminate(docs, idx8, "doc_id", "text", min_tokens=8).collect()
+    legacy = idx8.select("digest")
+    substring_decontaminate(docs, legacy, "doc_id", "text", min_tokens=4).collect()
+
+
+def test_span_dedup_drop_join_modes_agree(spark):
+    """drop_join='shuffle' (the AQE-degradable escape hatch for corpora whose
+    drop lists exceed broadcast limits — review r12) returns exactly the
+    broadcast-hinted plan's answer."""
+    from parqueryd_spark.operators.dedup import span_dedup
+
+    passage = " ".join(f"p{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(d, f"u{d} " + passage + f" v{d}") for d in range(12)],
+        "doc_id long, text string",
+    )
+    def run(mode):
+        return sorted(
+            (r["doc"], r["n_spans"], r["n_kept"], r["dedup_text"])
+            for r in span_dedup(
+                docs, "doc_id", "text", span_tokens=4, rebuild="droplist", drop_join=mode
+            ).collect()
+        )
+    assert run("broadcast") == run("shuffle")
+    with pytest.raises(ValueError, match="drop_join"):
+        span_dedup(docs, "doc_id", "text", rebuild="droplist", drop_join="nope")
+
+
+def test_minhash_index_signature_width_mismatch_raises(spark):
+    """Serving a minhash index at the wrong num_hashes raises (review r12:
+    over-asking slices past the signature and every trailing band becomes a
+    single all-documents bucket — an O(n^2) candidate explosion; under-asking
+    silently bands a prefix and changes recall)."""
+    from parqueryd_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_index,
+        minhash_pairs_from_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g")], "doc_id long, text string"
+    )
+    idx64 = minhash_index(docs, "doc_id", "text", k=3, num_hashes=64)
+    with pytest.raises(ValueError, match="64 hashes.*num_hashes=128"):
+        minhash_pairs_from_index(idx64, num_hashes=128, bands=32)
+    with pytest.raises(ValueError, match="64 hashes.*num_hashes=32"):
+        incremental_minhash_pairs(idx64, idx64, num_hashes=32, bands=8)
+    # matching width serves fine
+    minhash_pairs_from_index(idx64, num_hashes=64, bands=16).collect()

@@ -483,3 +483,41 @@ def test_residual_spread_route_replay_determinism_and_recall(spark, emb, qset, t
     }
     approx = {(q, n) for q, n, _, _ in runs[0]}
     assert len(exact & approx) / len(exact) >= 0.8
+
+
+def test_ivfpq_append_preserves_spread_replay_encoding(spark, emb, tmp_path):
+    """Appends to a codebook='spread' index keep the bit-exact replay
+    contract (review r12): the publish-time mode is persisted in meta and
+    ivfpq_append encodes increments with the pure-Column path, so appended
+    codes equal pq_encode_cols under the index's own codebooks (the numpy
+    encoder's pairwise-summation norms can flip near-tie argmins)."""
+    import pyspark.sql.functions as F
+
+    from parqueryd_spark.operators.quantization import (
+        ivfpq_append,
+        ivfpq_load,
+        ivfpq_meta,
+        ivfpq_publish,
+        pq_encode_cols,
+    )
+
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    inc = emb.filter(F.col("vec_id") % 2 == 1)
+    cents = (
+        base.orderBy(F.col("vec_id").asc())
+        .limit(8)
+        .select(F.col("vec_id").cast("int").alias("centroid_id"), "embedding")
+    )
+    path = str(tmp_path / "spread_idx")
+    ivfpq_publish(spark, path, base, cents, dim=64, m=16, k_codes=32, codebook="spread")
+    assert ivfpq_meta(spark, path) == {"residual": False, "codebook": "spread"}
+    ivfpq_append(spark, path, inc, batch="inc1")
+    codes, _, cb = ivfpq_load(spark, path)
+    appended = {
+        r["vec_id"]: list(r["codes"])
+        for r in codes.filter(F.col("batch") == "inc1").collect()
+    }
+    expect = {
+        r["vec_id"]: list(r["codes"]) for r in pq_encode_cols(inc, cb).collect()
+    }
+    assert appended == expect and len(appended) > 0
