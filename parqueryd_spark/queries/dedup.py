@@ -147,6 +147,36 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs_from_index(index, num_hashes=128, bands=32, threshold=0.8)
 
 
+# one-shot semantics restricted to pairs touching the increment (doc_id >=
+# 400): exactly what the incremental index path must reproduce
+_MINHASH_INC_SQL = _EXACT_JACCARD_SQL + "\n    AND (id_a >= 400 OR id_b >= 400)"
+
+
+@query("dedup_minhash_incremental", oracle=_MINHASH_INC_SQL)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup under the oracle (r12, mirroring
+    dedup_substrings_incremental): the standing corpus (doc_id < 400) is
+    summarized once into its minhash index (operators/dedup.py:
+    minhash_index — historical text never re-read), and the increment
+    (doc_id >= 400) is checked against that index plus itself
+    (incremental_minhash_pairs) at O(increment x collision-rate) cost,
+    never corpus x corpus. The oracle is the EXACT all-pairs Jaccard
+    restricted to pairs touching the increment — hash equality IS the
+    incremental-correctness claim at this corpus's similarity profile (all
+    true pairs sit at s >= 0.9 where 32x4 banding recall is ~1; the same
+    argument as the one-shot row, see module docstring)."""
+    from parqueryd_spark.operators.dedup import incremental_minhash_pairs, minhash_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    standing = minhash_index(
+        docs.filter(F.col("doc_id") < 400), "doc_id", "text", k=3, num_hashes=128
+    )
+    inc = minhash_index(
+        docs.filter(F.col("doc_id") >= 400), "doc_id", "text", k=3, num_hashes=128
+    )
+    return incremental_minhash_pairs(inc, standing, num_hashes=128, bands=32, threshold=0.8)
+
+
 @query(
     "dedup_groups",
     oracle="""
