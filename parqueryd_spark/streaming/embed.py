@@ -72,3 +72,50 @@ def stream_embed_into_ivfsq(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_ann_serve(
+    query_stream: DataFrame,
+    index_dir: str,
+    corpus_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    nprobe: int = 4,
+    k: int = 5,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Streaming ANN QUERY serving against the frozen published IVF-SQ index
+    — the other direction from :func:`stream_embed_into_ivfsq` (which
+    maintains the index from a document stream): each micro-batch of query
+    VECTORS is answered with the standard serving plan — probe ranking
+    against the frozen centroids, DPP-pruned scan of the probed buckets'
+    1-byte codes, JVM fold scoring, exact rounded-cosine re-rank of the
+    refine*k shortlist against ``corpus_path`` (reads |batch| x refine x k
+    full-precision rows, never the corpus) — and the per-query top-k lands
+    in an idempotent ``batch=<id>`` partition of ``out_dir``.
+
+    Stateless per batch (the frozen-model pattern of streaming/lm.py's
+    scorer): batch N of the stream equals a batch ``ivfsq_search`` over
+    batch N's queries (pytest-pinned), replays overwrite themselves, and
+    index maintenance needs no coordination — searches see whatever batch
+    partitions exist, exactly like the batch serve path."""
+    from parqueryd_spark.operators.squant import ivfsq_load, ivfsq_search
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        codes, cents, lo, step = ivfsq_load(spark, index_dir)
+        corpus = spark.read.parquet(corpus_path)
+        out = ivfsq_search(
+            codes, cents, lo, step, batch_df, corpus=corpus,
+            nprobe=nprobe, k=k, refine=refine, id_col=id_col, vec_col=vec_col,
+        )
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={batch_id}"))
+
+    return (
+        query_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -62,3 +62,55 @@ def test_stream_embed_builds_then_appends_and_serves(spark, tmp_path):
     stream_embed_into_ivfsq(src, idx, ckpt, dim=16, n_centroids=2).awaitTermination()
     codes, *_ = ivfsq_load(spark, idx)
     assert codes.count() == 8
+
+
+def test_stream_ann_serve_matches_batch_search(spark, tmp_path):
+    """Streaming query serving against the frozen published IVF-SQ index
+    (r12): each micro-batch's results equal the batch ivfsq_search over the
+    same queries, and a checkpointed replay changes nothing."""
+    import os
+    import time
+
+    import pyspark.sql.functions as F
+
+    from parqueryd_spark.operators.squant import ivfsq_load, ivfsq_publish, ivfsq_search
+    from parqueryd_spark.streaming.embed import stream_ann_serve
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus_path = "/root/testdata/sf0.001/embeddings.parquet"
+    index_dir = str(tmp_path / "idx")
+    ivfsq_publish(spark, index_dir, emb, dim=64, centroids="first_k", n_centroids=16)
+
+    q1 = emb.filter(F.col("vec_id") < 4)
+    q2 = emb.filter((F.col("vec_id") >= 4) & (F.col("vec_id") < 8))
+    stream_in = str(tmp_path / "queries")
+    out_dir = str(tmp_path / "results")
+    ckpt = str(tmp_path / "ckpt")
+    q1.write.parquet(stream_in)
+    time.sleep(1.1)
+    q2.write.mode("append").parquet(stream_in)
+
+    qs = spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1).parquet(stream_in)
+    stream_ann_serve(qs, index_dir, corpus_path, out_dir, ckpt, nprobe=4, k=5).awaitTermination()
+
+    streamed = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine_sim"], r["rank"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    codes, cents, lo, step = ivfsq_load(spark, index_dir)
+    batch = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine_sim"], r["rank"])
+        for r in ivfsq_search(
+            codes, cents, lo, step, emb.filter(F.col("vec_id") < 8),
+            corpus=emb, nprobe=4, k=5,
+        ).collect()
+    )
+    assert streamed == batch and len(streamed) == 8 * 5
+
+    # replay with the same checkpoint: idempotent
+    stream_ann_serve(qs, index_dir, corpus_path, out_dir, ckpt, nprobe=4, k=5).awaitTermination()
+    again = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine_sim"], r["rank"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert again == streamed
