@@ -1,0 +1,130 @@
+"""Model-based document classification trained IN the engine: multinomial
+Naive Bayes over hashed token features — the fasttext-style curation signal
+(language ID, source/domain routing, quality-class filtering) as two
+DataFrame plans, with no model file, no Python row loop, and no
+engine-specific state: every number in both training and scoring is a
+deterministic SQL expression over public md5 hashes, so an external engine
+replays the trained model AND the per-document scores (the same auditability
+contract as operators/sketches.py's md5_52 KMV and count-min).
+
+Why NB and not logistic regression / a shipped model: training is pure
+COUNTING — one groupBy over (class, bucket) token pairs — so it parallelizes
+as a map-side-combined aggregation at any scale, retrains incrementally
+(counts add across increments), and has a closed form an oracle can verify.
+At 100 TB the model is a broadcast table of n_buckets x n_classes log-probs
+(a few MB); scoring is explode -> broadcast join -> per-doc partial sum: one
+shuffle of (doc, class, partial) rows, no state store, no iteration.
+
+Reference scope note: the reference engine (SURVEY.md §0) has no
+classification surface at all; this belongs to the north-star LLM-pipeline
+extensions (curation: CCNet-style lang/quality routing before dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(token: Column, n_buckets: int, salt: str) -> Column:
+    """Feature-hash a token into [0, n_buckets): first 8 md5 hex digits of
+    ``token || ':' || salt`` mod n_buckets — the count-min cell convention,
+    reproducible in DuckDB as
+    CAST(('0x' || substr(md5(token || ':<salt>'), 1, 8)) AS BIGINT) % n."""
+    h = F.md5(F.concat(token, F.lit(f":{salt}")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_buckets).cast("int")
+
+
+def nb_train(
+    docs: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+    salt: str = "nb",
+) -> DataFrame:
+    """Train multinomial NB: returns the DENSE model table
+    (label, bucket, logp, logprior) — n_classes x n_buckets rows, every
+    bucket present (absent (class, bucket) counts smooth to alpha), so
+    scoring is a plain equi-join with no missing-combination logic.
+
+    logp     = ln((count(class, bucket) + alpha) / (tokens(class) + alpha*n))
+    logprior = ln(docs(class) / docs(total))
+
+    Counts are integers aggregated map-side; the only floats are final ln()
+    of exact ratios, so the model is bit-reproducible anywhere. Training
+    cost: one scan + one (class, bucket)-grain shuffle bounded by
+    n_classes x n_buckets after partial aggregation — independent of corpus
+    size. Incremental retrain = add count tables before the ln()."""
+    tok = docs.where(F.col(label_col).isNotNull()).select(
+        F.col(label_col).alias("label"),
+        F.explode(F.split(text_col, " ")).alias("token"),
+    )
+    tok = tok.select("label", _bucket(F.col("token"), n_buckets, salt).alias("bucket"))
+    counts = tok.groupBy("label", "bucket").agg(F.count("*").alias("c"))
+    totals = tok.groupBy("label").agg(F.count("*").alias("t"))
+    n_docs = docs.where(F.col(label_col).isNotNull()).groupBy(
+        F.col(label_col).alias("label")
+    ).agg(F.count("*").alias("nd"))
+    total_docs = docs.where(F.col(label_col).isNotNull()).agg(
+        F.count("*").alias("ndt")
+    )
+    # dense grid: every (label, bucket) combination
+    buckets = docs.sparkSession.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    grid = totals.crossJoin(F.broadcast(buckets))
+    model = (
+        grid.join(counts, ["label", "bucket"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+        .select(
+            "label",
+            "bucket",
+            F.log(
+                (F.col("c") + F.lit(float(alpha)))
+                / (F.col("t") + F.lit(float(alpha) * n_buckets))
+            ).alias("logp"),
+        )
+    )
+    priors = n_docs.join(F.broadcast(total_docs)).select(
+        "label", F.log(F.col("nd") / F.col("ndt")).alias("logprior")
+    )
+    return model.join(F.broadcast(priors), "label")
+
+
+def nb_score(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    salt: str = "nb",
+) -> DataFrame:
+    """Score every document against every class and pick the argmax:
+    returns (id_col, label, score) — one row per document, score =
+    logprior + Σ_tokens logp(bucket | class), ties broken by label asc so
+    the cut is deterministic cross-engine.
+
+    Plan shape: explode tokens -> bucket (pure Column) -> broadcast-join the
+    dense model (n_buckets x n_classes rows) -> ONE partial-aggregated
+    shuffle at (doc, class) grain -> per-doc max_by. Raw text crosses no
+    shuffle; the shuffled rows carry only (id, label, partial-sum). Scores
+    are rounded to 4 decimals INSIDE the argmax comparison as well as the
+    output, keeping cross-engine float-sum noise (~1e-12) far below the
+    decision threshold."""
+    tok = docs.select(
+        F.col(id_col), F.explode(F.split(text_col, " ")).alias("token")
+    ).select(id_col, _bucket(F.col("token"), n_buckets, salt).alias("bucket"))
+    scored = (
+        tok.join(F.broadcast(model), "bucket")
+        .groupBy(id_col, "label")
+        .agg(F.round(F.sum("logp") + F.first("logprior"), 4).alias("score"))
+    )
+    # argmax without a window over the full doc set: max score per doc, then
+    # a join back with a min(label) tiebreak — both sides are the same
+    # (doc, class)-grain aggregate, map-side combined
+    top = scored.groupBy(id_col).agg(F.max("score").alias("score"))
+    return (
+        scored.join(top, [id_col, "score"])
+        .groupBy(id_col, "score")
+        .agg(F.min("label").alias("label"))
+        .select(id_col, "label", "score")
+    )

@@ -48,7 +48,23 @@ def heavy_hitters(
     and errors add across partitions. For a guaranteed catch of keys above
     fraction φ of ALL rows, use capacity ≥ 1/φ.
     """
-    cap = int(capacity)
+    summaries = _mg_summaries(df, key_col, int(capacity))
+    bound = summaries.where(F.col("key").isNull()).agg(F.sum("err").alias("max_undercount"))
+    merged = (
+        summaries.where(F.col("key").isNotNull()).groupBy("key").agg(F.sum("cnt").alias("est_count"))
+    )
+    return (
+        merged.join(F.broadcast(bound))
+        .select(F.col("key").alias(key_col), "est_count", "max_undercount")
+        .orderBy(F.col("est_count").desc(), F.col(key_col).asc())
+        .limit(k)
+    )
+
+
+def _mg_summaries(df: DataFrame, key_col: str, cap: int) -> DataFrame:
+    """Per-partition Misra–Gries summaries of ``key_col`` as rows
+    (key, cnt, err): ≤ ``cap`` counter rows per partition plus ONE NULL-key
+    marker row carrying that partition's accumulated eviction error."""
     if cap < 1:
         raise ValueError("capacity must be >= 1")
     # NULL keys are excluded (NULL marks the per-partition error rows below,
@@ -86,21 +102,75 @@ def heavy_hitters(
         )
 
     key_type = df.schema[key_col].dataType.simpleString()
-    summaries = df.select(F.col(key_col).alias("key")).mapInPandas(
+    # merge semantics downstream: counts add across partitions; a key absent
+    # from a partition's summary was undercounted there by at most that
+    # partition's eviction error, so Σ err over all partitions bounds any
+    # key's total undercount.
+    return df.select(F.col(key_col).alias("key")).mapInPandas(
         summarize, schema=f"key {key_type}, cnt long, err long"
     )
-    # merge: counts add across partitions; a key absent from a partition's
-    # summary was undercounted there by at most that partition's eviction
-    # error, so Σ err over all partitions bounds any key's total undercount.
-    bound = summaries.where(F.col("key").isNull()).agg(F.sum("err").alias("max_undercount"))
-    merged = (
-        summaries.where(F.col("key").isNotNull()).groupBy("key").agg(F.sum("cnt").alias("est_count"))
-    )
-    return (
-        merged.join(F.broadcast(bound))
-        .select(F.col("key").alias(key_col), "est_count", "max_undercount")
-        .orderBy(F.col("est_count").desc(), F.col(key_col).asc())
+
+
+def heavy_hitters_exact_topk(
+    df: DataFrame,
+    key_col: str,
+    k: int = 10,
+    capacity: int = 256,
+) -> DataFrame:
+    """EXACT top-k most frequent values of ``key_col`` — the two-pass
+    confirm pattern that makes the Misra–Gries sketch externally checkable.
+
+    Pass 1 (Misra–Gries, bounded memory) surfaces a candidate set of at most
+    ``capacity × n_partitions`` keys plus the total eviction error E. Any key
+    ABSENT from every partition's summary has true count ≤ E, so pass 2 —
+    exact counts restricted to the candidates via a broadcast semi-join, with
+    map-side partial aggregation — ranks the only keys that can matter. The
+    result is provably the exact top-k whenever the k-th confirmed count
+    exceeds E; that proof is enforced IN the plan with ``raise_error`` (the
+    job fails rather than silently returning an unprovable cut — remedy:
+    raise ``capacity``). Returns (key_col, n_occurrences) ordered by count
+    desc, key asc — deterministic and replayable by any exact SQL engine.
+
+    At 100 TB this replaces a full shuffle of every key occurrence with one
+    bounded-state sketch pass plus one aggregate whose shuffle carries
+    ≤ candidates × n_partitions partial rows: the frequent-token / hot-URL /
+    heavy-user query at a cost independent of key cardinality.
+    """
+    summaries = _mg_summaries(df, key_col, int(capacity)).persist()
+    bound = summaries.where(F.col("key").isNull()).agg(F.sum("err").alias("_max_under"))
+    cands = summaries.where(F.col("key").isNotNull()).select("key").distinct()
+    exact = (
+        df.join(F.broadcast(cands.withColumnRenamed("key", key_col)), key_col)
+        .groupBy(key_col)
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col(key_col).asc())
         .limit(k)
+    )
+    from pyspark.sql import Window as W
+
+    kth = F.min("n_occurrences").over(W.partitionBy(F.lit(1)))
+    guarded = (
+        exact.join(F.broadcast(bound))
+        .withColumn("_kth", kth)
+        # CASE WHEN guarantees the error branch is evaluated ONLY when the
+        # proof fails (a bare OR may evaluate both sides). Kept as a filter
+        # (not a projected column) so Catalyst cannot prune the proof away.
+        .where(
+            F.when(F.col("_kth") > F.col("_max_under"), F.lit(True)).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("heavy_hitters_exact_topk: k-th count "),
+                        F.col("_kth").cast("string"),
+                        F.lit(" does not exceed total MG eviction error "),
+                        F.col("_max_under").cast("string"),
+                        F.lit(" — top-k not provably exact; increase capacity"),
+                    )
+                ).cast("boolean")
+            )
+        )
+    )
+    return guarded.select(key_col, "n_occurrences").orderBy(
+        F.col("n_occurrences").desc(), F.col(key_col).asc()
     )
 
 
@@ -160,6 +230,7 @@ def kmv_sketch(
     keys: Sequence[str],
     value_col: str,
     k: int = 1024,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """K-minimum-values (theta) sketch per key group: the k smallest
     normalized hashes of ``value_col``'s distinct values, as a sorted
@@ -187,13 +258,32 @@ def kmv_sketch(
     out_schema = StructType(
         [*key_fields, StructField("kmv", ArrayType(DoubleType()), False)]
     )
-    # uniform (0,1): signed 64-bit hash shifted into the unit interval.
+    # uniform (0,1): a 64-bit (or 52-bit) hash scaled into the unit interval.
     # double's 53-bit mantissa is plenty for a rank statistic.
     # NULL values are excluded (SQL count-distinct semantics; xxhash64 would
     # otherwise fold every NULL onto the seed hash as one phantom value)
-    hashed = df.where(F.col(value_col).isNotNull()).select(
-        *keys, ((F.xxhash64(value_col) / F.lit(2.0**64)) + F.lit(0.5)).alias("__u")
-    )
+    #
+    # hash_fn="xxhash64" (default): fastest, JVM-native, engine-specific.
+    # hash_fn="md5_52": first 13 md5 hex digits of the value's string form as
+    # a 52-bit integer, scaled by 2^-52 — exactly representable in a double
+    # and byte-reproducible in any engine with md5 (the _cm_cell / count-min
+    # convention), e.g. DuckDB:
+    #   CAST(('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 13)) AS BIGINT)
+    #     / 4503599627370496.0
+    # Because the sketch is a pure SET function of the hashed values (k
+    # smallest distinct — no partition- or order-dependence), md5_52 makes
+    # every downstream estimate (kmv_distinct, kmv_set_estimates) a value an
+    # external SQL engine replays bit-for-bit: sketch rows graduate from
+    # bound-checked to VALUE-checked.
+    if hash_fn == "xxhash64":
+        u = (F.xxhash64(value_col) / F.lit(2.0**64)) + F.lit(0.5)
+    elif hash_fn == "md5_52":
+        u = F.conv(
+            F.substring(F.md5(F.col(value_col).cast("string")), 1, 13), 16, 10
+        ).cast("double") / F.lit(2.0**52)
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (xxhash64 | md5_52)")
+    hashed = df.where(F.col(value_col).isNotNull()).select(*keys, u.alias("__u"))
     kk = int(k)
     key_names = list(keys)
 

@@ -176,6 +176,26 @@ from parqueryd_spark.queries import tpch_extended  # noqa: E402,F401
 # the r9 text_edit_distance precedent), scan_bloom_lookup (manifest
 # file-skipping ≡ scan_zonemap_pruned + scan_hive_partition_pruned; bloom
 # membership mechanics ≡ pipeline_bloom_decontaminate).
+# Round 12b rotation (late round 12 — the newly VALUE-CHECKED sketch rows and
+# the remaining round-12 lifecycle rows enter): text_heavy_hitter_tokens
+# (no longer rows-only: two-pass Misra-Gries → exact confirm with in-plan
+# completeness proof, displacing its own bound companion heavy_hitter_bound —
+# a strict upgrade, the window now audits exact VALUES for this operator
+# instead of a boolean bound; the raw-sketch bound stays registry-oracled),
+# events_kmv_distinct + events_kmv_overlap (md5_52 KMV theta sketches —
+# distinct counts AND set operations replayed bit-for-bit by DuckDB,
+# displacing ann_ivf_recall_bound and ann_sq_recall_bound, whose serving
+# routes ann_ivf_index_topk / ann_ivfsq_index_topk have been value-checked
+# registry rows since r11; ann_ivfpq_recall_bound stays as the in-window
+# recall anchor for the hardest compression tier, and sketch_error_bounds
+# stays gating the one remaining rows-only row), dedup_minhash_incremental
+# (same signature/banding machinery as dedup_minhash_lsh PLUS the published-
+# index increment lifecycle — strictly more coverage; the lsh row stays a
+# bench row and registry-oracled), and pipeline_substring_decontaminate
+# (decontamination at substring grain against the substring index,
+# displacing pipeline_bloom_decontaminate whose broadcast-membership shape
+# it composes at finer grain; the Bloom mechanics stay registry-oracled via
+# pipeline_bloom_decontaminate + scan_bloom_lookup).
 GATE_WINDOW = [
     "q1_pricing_summary",
     "groupby_agg_methods",
@@ -186,13 +206,13 @@ GATE_WINDOW = [
     "q5_local_volume",
     "ann_ivfpq_recall_bound",
     "sketch_error_bounds",
-    "ann_ivf_recall_bound",
+    "events_kmv_distinct",
     "events_exact_quantile_by_type",
     "q19_disjunctive_filter",
-    "heavy_hitter_bound",
+    "text_heavy_hitter_tokens",
     "dedup_substrings",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
+    "dedup_minhash_incremental",
     "dedup_groups",
     "interval_join_user_windows",
     "scan_metadata_stats",
@@ -218,8 +238,8 @@ GATE_WINDOW = [
     "set_ops_summary",
     "text_repeated_passages",
     "rollup_cube_agg",
-    "pipeline_bloom_decontaminate",
-    "ann_sq_recall_bound",
+    "pipeline_substring_decontaminate",
+    "events_kmv_overlap",
     "salted_skew_groupby",
     "asof_join_events",
     "text_bpe_train_encode",

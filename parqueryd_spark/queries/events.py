@@ -226,6 +226,190 @@ def events_sketch_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_kmv_distinct",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT)
+               / 4503599627370496.0 AS u
+      FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, u,
+             row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS nd
+      FROM h
+    ),
+    agg AS (
+      SELECT event_type, max(nd) AS nd,
+             min(CASE WHEN rn = 128 THEN u END) AS theta
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(round(CASE WHEN nd < 128 THEN CAST(nd AS DOUBLE)
+                           ELSE 127.0 / theta END) AS BIGINT) AS n_distinct
+    FROM agg
+    """,
+)
+def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (theta) distinct-user sketch per event_type, VALUE-checked — not
+    bound-checked: with ``hash_fn="md5_52"`` (operators/sketches.py
+    kmv_sketch) the sketch is a pure SET function of public md5 hashes — k
+    smallest 52-bit-prefix hashes of the distinct user ids, estimate
+    (k-1)/theta — so DuckDB replays the ESTIMATE itself bit-for-bit (the
+    count-min convention extended to distinct counting). Partitioning,
+    merge order, and executor count cannot change the answer, which is what
+    lets an approximate operator pass a hash-equality gate. k=128 < the 150
+    distinct users per type at sf0.01, so the gate exercises the estimation
+    branch, not the undersized exact branch. At 100 TB this is the
+    distinct-count state you persist per segment and merge at read time
+    (kmv_merge) — and unlike HLL (events_sketch_aggs, engine-internal and
+    rows-only by design) it stays externally auditable."""
+    from parqueryd_spark.operators.sketches import kmv_distinct, kmv_sketch
+
+    k = 128
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, ["event_type"], "user_id", k=k, hash_fn="md5_52")
+    return kmv_distinct(sk, k=k)
+
+
+@query(
+    "events_kmv_incremental",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT)
+               / 4503599627370496.0 AS u
+      FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, u,
+             row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS nd
+      FROM h
+    ),
+    agg AS (
+      SELECT event_type, max(nd) AS nd,
+             min(CASE WHEN rn = 128 THEN u END) AS theta
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(round(CASE WHEN nd < 128 THEN CAST(nd AS DOUBLE)
+                           ELSE 127.0 / theta END) AS BIGINT) AS n_distinct
+    FROM agg
+    """,
+)
+def events_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV MERGE path under the hash-equality oracle: the corpus is
+    split into three disjoint increments (event_id mod 3 — a stand-in for
+    daily partitions), each increment is sketched INDEPENDENTLY
+    (kmv_sketch, md5_52), and the per-increment states are unioned with
+    kmv_merge. The oracle is the SAME full-corpus replay as
+    events_kmv_distinct: because a KMV sketch is the k smallest hashes of
+    the distinct-value SET, merge-of-parts is bit-identical to sketching
+    everything at once — the property that makes per-segment sketch state
+    the 100 TB serving pattern (sketch each segment once at ingest, answer
+    any range by merging kilobytes of state, never re-reading raw ids).
+    This row pins that equivalence under the driver's value gate rather
+    than a pytest alone."""
+    from parqueryd_spark.operators.sketches import kmv_distinct, kmv_merge, kmv_sketch
+
+    k = 128
+    ev = load_table(spark, sf_dir, "events")
+    parts = [
+        kmv_sketch(
+            ev.where(F.pmod(F.col("event_id"), F.lit(3)) == i),
+            ["event_type"],
+            "user_id",
+            k=k,
+            hash_fn="md5_52",
+        )
+        for i in range(3)
+    ]
+    return kmv_distinct(kmv_merge(parts, ["event_type"], k=k), k=k)
+
+
+@query(
+    "events_kmv_overlap",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT)
+               / 4503599627370496.0 AS u
+      FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, u,
+             row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS nd
+      FROM h
+    ),
+    sk AS (SELECT event_type, u, rn, nd FROM r WHERE rn <= 128),
+    th AS (
+      SELECT event_type,
+             CASE WHEN max(nd) >= 128 THEN min(CASE WHEN rn = 128 THEN u END)
+                  ELSE 1.0 END AS theta
+      FROM sk GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS t1, b.event_type AS t2,
+             least(a.theta, b.theta) AS theta
+      FROM th a JOIN th b ON a.event_type < b.event_type
+    ),
+    inter AS (
+      SELECT p.t1, p.t2, count(*) AS n_in
+      FROM pairs p
+      JOIN sk x ON x.event_type = p.t1 AND x.u < p.theta
+      JOIN sk y ON y.event_type = p.t2 AND y.u = x.u AND y.u < p.theta
+      GROUP BY p.t1, p.t2
+    ),
+    ur AS (
+      SELECT t1, t2, u, row_number() OVER (PARTITION BY t1, t2 ORDER BY u) AS rn
+      FROM (
+        SELECT DISTINCT p.t1, p.t2, s.u
+        FROM pairs p JOIN sk s ON s.event_type = p.t1 OR s.event_type = p.t2
+      )
+    ),
+    uest AS (
+      SELECT t1, t2, max(rn) AS nu, min(CASE WHEN rn = 128 THEN u END) AS uk
+      FROM ur GROUP BY t1, t2
+    )
+    SELECT p.t1, p.t2,
+           CAST(round(coalesce(i.n_in, 0) / p.theta) AS BIGINT) AS n_intersect_est,
+           CAST(round(CASE WHEN e.nu < 128 THEN CAST(e.nu AS DOUBLE)
+                           ELSE 127.0 / e.uk END) AS BIGINT) AS n_union_est
+    FROM pairs p
+    LEFT JOIN inter i ON i.t1 = p.t1 AND i.t2 = p.t2
+    JOIN uest e ON e.t1 = p.t1 AND e.t2 = p.t2
+    """,
+)
+def events_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set operations VALUE-checked (the events_kmv_overlap_bound row's
+    estimates, replayed exactly rather than bounded): per event-type pair,
+    audience intersection and union estimates from md5_52 sketches
+    (kmv_set_estimates — cut both retained samples at theta = min theta,
+    |A∩B| ~ |common|/theta, union re-sketched from the merged sample). Every
+    number is a deterministic function of the distinct user-id SET under a
+    public hash, so DuckDB reproduces the sketch, the cut, and both
+    estimates bit-for-bit. This is the 100 TB audience-overlap query served
+    from 1 KiB/segment persisted sketch state instead of a distinct-shuffle
+    self-join of the raw ids; the companion bound row keeps the accuracy
+    contract (estimates within 25%/15% of exact) under the same gate."""
+    from parqueryd_spark.operators.sketches import kmv_set_estimates, kmv_sketch
+
+    k = 128
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, ["event_type"], "user_id", k=k, hash_fn="md5_52")
+    a = sk.select(F.col("event_type").alias("t1"), F.col("kmv").alias("a_kmv"))
+    b = sk.select(F.col("event_type").alias("t2"), F.col("kmv").alias("b_kmv"))
+    i_est, u_est = kmv_set_estimates("a", "b", k)
+    return a.join(b, F.col("t1") < F.col("t2")).select("t1", "t2", i_est, u_est)
+
+
+@query(
     "events_exact_distinct_pcts",
     oracle="""
     SELECT event_type,

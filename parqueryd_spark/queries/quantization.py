@@ -145,23 +145,40 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-@query("text_heavy_hitter_tokens", oracle=None)
+@query(
+    "text_heavy_hitter_tokens",
+    bench=True,
+    oracle="""
+    SELECT token, n_occurrences
+    FROM (
+      SELECT token, count(*) AS n_occurrences
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token
+      ORDER BY n_occurrences DESC, token ASC
+      LIMIT 20
+    )
+    """,
+)
 def text_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Misra-Gries heavy hitters (operators/sketches.py) over the corpus's
-    token stream: top-20 most frequent tokens from bounded per-partition
-    counters + one tiny merge shuffle, instead of shuffling every token
-    occurrence. est_count <= true <= est_count + max_undercount is part of
-    the result. Rows-only row (sketch estimates are engine-specific); the
-    est <= true <= est+undercount invariant is DRIVER-gated via the
-    oracle-backed heavy_hitter_bound (queries/estimates.py), asserted in
-    tests/test_sketches.py, and the exact token-frequency pipeline is oracled
-    in-window via text_ngram_stats' bigram branch."""
+    """EXACT top-20 corpus tokens via the two-pass Misra-Gries confirm
+    pattern (operators/sketches.py heavy_hitters_exact_topk, VALUE-CHECKED
+    since round 12 — previously rows-only): bounded per-partition MG
+    counters surface the candidate set plus a total eviction error E, then
+    one broadcast-semi-join exact count over the candidates ranks them, and
+    the plan itself PROVES the cut (raise_error unless the 20th count > E,
+    so any key the sketch could have missed is mathematically outranked).
+    At 100 TB this answers hot-token/URL/user queries without ever shuffling
+    the full key stream: the sketch pass is one bounded-memory scan and the
+    confirm shuffle carries only candidates x partitions partial rows. The
+    raw one-pass sketch (est/undercount bounds) stays gated in-window via
+    the oracle-backed heavy_hitter_bound (queries/estimates.py) and
+    tests/test_sketches.py."""
     from parqueryd_spark.operators import text as T
-    from parqueryd_spark.operators.sketches import heavy_hitters
+    from parqueryd_spark.operators.sketches import heavy_hitters_exact_topk
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(T.tokens("text")).alias("token"))
-    return heavy_hitters(toks, "token", k=20, capacity=1024)
+    return heavy_hitters_exact_topk(toks, "token", k=20, capacity=1024)
 
 
 _MIX_TARGETS = {"de": 0.25, "en": 0.25, "es": 0.25, "fr": 0.25}

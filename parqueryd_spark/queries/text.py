@@ -743,3 +743,86 @@ def text_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("n") >= 2, F.size("bpe_tokens") == 1).otherwise(F.lit(True))
         ).alias("collapse_ok"),
     )
+
+
+@query(
+    "text_nb_langid",
+    oracle="""
+    WITH tb AS (
+      SELECT lang,
+             CAST(('0x' || substr(md5(token || ':nb'), 1, 8)) AS BIGINT) % 1024 AS bucket
+      FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE doc_id % 2 = 0 AND lang IS NOT NULL
+      )
+    ),
+    counts AS (SELECT lang, bucket, count(*) AS c FROM tb GROUP BY 1, 2),
+    totals AS (SELECT lang, count(*) AS t FROM tb GROUP BY 1),
+    grid AS (
+      SELECT totals.lang, totals.t, r.range AS bucket
+      FROM totals CROSS JOIN range(1024) r
+    ),
+    model AS (
+      SELECT g.lang, g.bucket,
+             ln((coalesce(c.c, 0) + 1.0) / (g.t + 1024.0)) AS logp
+      FROM grid g LEFT JOIN counts c ON c.lang = g.lang AND c.bucket = g.bucket
+    ),
+    priors AS (
+      SELECT lang,
+             ln(count(*) / CAST((SELECT count(*) FROM documents
+                                 WHERE doc_id % 2 = 0 AND lang IS NOT NULL) AS DOUBLE)
+               ) AS logprior
+      FROM documents WHERE doc_id % 2 = 0 AND lang IS NOT NULL GROUP BY 1
+    ),
+    score_in AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(token || ':nb'), 1, 8)) AS BIGINT) % 1024 AS bucket
+      FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE doc_id % 2 = 1
+      )
+    ),
+    scores AS (
+      SELECT s.doc_id, m.lang AS label,
+             round(sum(m.logp) + any_value(p.logprior), 4) AS score
+      FROM score_in s
+      JOIN model m ON m.bucket = s.bucket
+      JOIN priors p ON p.lang = m.lang
+      GROUP BY s.doc_id, m.lang
+    ),
+    top AS (SELECT doc_id, max(score) AS score FROM scores GROUP BY doc_id),
+    pred AS (
+      SELECT s.doc_id, min(s.label) AS predicted
+      FROM scores s JOIN top t ON t.doc_id = s.doc_id AND t.score = s.score
+      GROUP BY s.doc_id
+    )
+    SELECT d.lang, p.predicted, count(*) AS n
+    FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def text_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based language ID trained IN the engine (operators/classify.py):
+    multinomial Naive Bayes over 1024 md5-hashed token buckets, trained on
+    the even-doc_id half of the corpus and scored on the odd half, reported
+    as the (true lang, predicted, n) confusion matrix. The ENTIRE model —
+    training counts, smoothing, priors, per-document scores, argmax with
+    label tiebreak — is replayed by DuckDB from the same parquet, so the
+    driver's hash gate verifies a trained classifier end-to-end, not just a
+    heuristic. Scores round to 4 decimals before the argmax (cross-engine
+    ln()/float-sum noise is ~1e-12, eight orders below the threshold).
+    Contrast with text_token_lang_stats' marker-list heuristic: this is the
+    fasttext-shaped route — retrains by adding count tables, broadcasts a
+    few-MB dense model, and scores with one (doc, class)-grain shuffle that
+    never carries text. At 100 TB both train and score are single-scan."""
+    from parqueryd_spark.operators.classify import nb_score, nb_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = nb_train(docs.where(F.col("doc_id") % 2 == 0), "lang", n_buckets=1024)
+    pred = nb_score(docs.where(F.col("doc_id") % 2 == 1), model, n_buckets=1024)
+    return (
+        pred.withColumnRenamed("label", "predicted")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+    )

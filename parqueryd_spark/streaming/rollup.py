@@ -267,6 +267,61 @@ def stream_maintain_countmin(
     )
 
 
+def stream_maintain_heavy_hitters(
+    event_stream: DataFrame,
+    hh_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    capacity: int = 256,
+):
+    """Continuously-maintained FREQUENT-ITEMS state — the streaming face of
+    operators/sketches.heavy_hitters, completing the sketch-maintenance
+    matrix (HLL: distinct, KMV: set ops, CM: point frequency, MG: top-k by
+    frequency). Each micro-batch writes its per-partition Misra-Gries
+    summaries — ≤ capacity counter rows per partition plus one NULL-key row
+    carrying that partition's eviction error — into an idempotent
+    ``batch=<id>`` partition. MG summaries merge by plain counter ADDITION
+    with errors adding, so merge-on-read over any set of batches is itself a
+    valid MG summary of everything they saw: est ≤ true ≤ est + Σ err holds
+    globally, replays overwrite their own partition, and state per batch is
+    bounded by capacity × partitions rows regardless of volume."""
+    from parqueryd_spark.operators.sketches import _mg_summaries
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        part = _mg_summaries(batch_df.select(key_col), key_col, int(capacity))
+        part.write.mode("overwrite").parquet(os.path.join(hh_dir, f"batch={batch_id}"))
+
+    return (
+        event_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_heavy_hitters(
+    spark, hh_dir: str, key_col: str = "user_id", k: int = 10
+) -> DataFrame:
+    """Approximate top-k over ALL published batches: merge-on-read of the
+    bounded summaries (counter sums per key + the summed eviction bound),
+    never touching raw events. Returns (key_col, est_count, max_undercount)
+    ordered by est_count desc, key asc — the same contract as the batch
+    operator, so the undercount invariant stays checkable at serve time."""
+    from pyspark.sql import functions as F
+
+    parts = spark.read.parquet(hh_dir).drop("batch")
+    bound = parts.where(F.col("key").isNull()).agg(F.sum("err").alias("max_undercount"))
+    merged = (
+        parts.where(F.col("key").isNotNull()).groupBy("key").agg(F.sum("cnt").alias("est_count"))
+    )
+    return (
+        merged.join(F.broadcast(bound))
+        .select(F.col("key").alias(key_col), "est_count", "max_undercount")
+        .orderBy(F.col("est_count").desc(), F.col(key_col).asc())
+        .limit(k)
+    )
+
+
 def read_countmin_estimates(
     spark,
     cm_dir: str,

@@ -23,12 +23,13 @@ def test_estimate_rows_have_driver_checked_companions():
     # error-bound companion somewhere in the registry. Round 11 value-checked
     # the deterministic first-k IVF routes outright; round 12 extended the
     # replay technique to BOTH PQ serving routes via deterministic spread
-    # codebooks (VERDICT r11 item #2) — the two left are genuinely
-    # engine-specific: HLL/KLL estimates and Misra-Gries counters, whose
-    # results depend on partition order no SQL engine can replay.
+    # codebooks (VERDICT r11 item #2), then to the heavy-hitter row (two-pass
+    # Misra-Gries -> exact confirm with in-plan completeness proof) and the
+    # KMV distinct/overlap estimates (md5_52 set-function sketches DuckDB
+    # replays bit-for-bit). The ONE left is genuinely engine-specific:
+    # Spark-internal HLL++/KLL binary sketch state no SQL engine can replay.
     companions = {
         "events_sketch_aggs": ["events_exact_distinct_pcts", "sketch_error_bounds"],
-        "text_heavy_hitter_tokens": ["heavy_hitter_bound"],
     }
     no_oracle = [n for n, q in Q.REGISTRY.items() if q.oracle is None]
     assert set(no_oracle) == set(companions), no_oracle
@@ -59,18 +60,25 @@ REQUIRED_IN_WINDOW = (
     "q5_local_volume",
     "q19_disjunctive_filter",
     # estimate/recall bounds (VERDICT r7 item #2: approximation quality is
-    # part of the hard driver gate)
+    # part of the hard driver gate) — r12b upgraded three bound rows to
+    # VALUE-checked estimate rows: heavy_hitter_bound -> the exact-confirmed
+    # text_heavy_hitter_tokens, ann_ivf/ann_sq recall bounds -> the md5_52
+    # KMV rows (their serving routes are value-checked registry rows);
+    # ann_ivfpq_recall_bound stays as the recall anchor for the hardest
+    # compression tier
     "sketch_error_bounds",
-    "ann_ivf_recall_bound",
     "ann_ivfpq_recall_bound",
-    "ann_sq_recall_bound",
-    "heavy_hitter_bound",
+    "events_kmv_distinct",
+    "events_kmv_overlap",
+    "text_heavy_hitter_tokens",
     # dedup family (r12: substring-grain exact dedup is the strictly more
-    # general exact route; dedup_exact stays registered past the window)
+    # general exact route; dedup_exact stays registered past the window;
+    # r12b: the minhash slot is the incremental lifecycle row — same
+    # signature/banding machinery plus the published-index increment)
     "dedup_substrings",
     "dedup_substrings_incremental",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
+    "dedup_minhash_incremental",
     "dedup_groups",
     "embedding_near_dup",
     # joins
@@ -94,10 +102,11 @@ REQUIRED_IN_WINDOW = (
     "scan_zonemap_pruned",
     "scan_hive_partition_pruned",
     "scan_metadata_stats",
-    # multimodal / pipeline curation (r11: k-anonymity)
+    # multimodal / pipeline curation (r11: k-anonymity; r12b: decontamination
+    # at substring grain against the substring index)
     "multimodal_features",
     "pipeline_split_pack",
-    "pipeline_bloom_decontaminate",
+    "pipeline_substring_decontaminate",
     "pipeline_k_anonymity",
     # relational breadth
     "topk_orders",
@@ -153,6 +162,12 @@ REQUIRED_REGISTERED_PAST_WINDOW = (
     "events_exact_distinct_pcts",
     "text_token_lang_stats",
     "scan_bloom_lookup",
+    # r12b rotation (late round 12; twins in the GATE_WINDOW comment)
+    "heavy_hitter_bound",
+    "ann_ivf_recall_bound",
+    "ann_sq_recall_bound",
+    "dedup_minhash_lsh",
+    "pipeline_bloom_decontaminate",
 )
 
 

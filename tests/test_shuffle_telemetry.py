@@ -94,3 +94,64 @@ def test_span_dedup_droplist_vs_carry_shuffle_contract(spark):
     # thresholds keep a clear gap between the two regimes
     assert carry_big > carry_small * 1.6, (carry_small, carry_big)
     assert drop_big < drop_small * 1.3, (drop_small, drop_big)
+
+
+def test_nb_score_shuffle_does_not_carry_text(spark):
+    """nb_score's shuffle grain is (doc, class, partial-sum): multiplying
+    every document's TEXT ~8x (longer high-entropy tokens, same token count)
+    must leave the scoring shuffle volume nearly unchanged — the hashed
+    buckets are fixed-width ints and partial sums reduce map-side."""
+    from parqueryd_spark.operators.classify import nb_score, nb_train
+
+    short = _corpus(spark, token_chars=6).withColumn(
+        "lang", (F.col("doc_id") % 2).cast("string")
+    )
+    long_ = _corpus(spark, token_chars=48).withColumn(
+        "lang", (F.col("doc_id") % 2).cast("string")
+    )
+
+    def run(docs):
+        model = nb_train(docs, "lang", n_buckets=256)
+        with ShuffleDelta(spark) as d:
+            nb_score(docs, model, n_buckets=256).write.mode("overwrite").format(
+                "noop"
+            ).save()
+        return d.total
+
+    b_short, b_long = run(short), run(long_)
+    assert b_long <= b_short * 1.5 + 64 * 1024, (b_short, b_long)
+
+
+def test_exact_topk_confirm_shuffle_is_duplication_invariant(spark):
+    """heavy_hitters_exact_topk's confirm aggregate reduces map-side to
+    candidate-grain partials: replicating every row 8x (same key set) must
+    leave the shuffle volume nearly flat, unlike a naive full groupBy whose
+    input grew 8x (here both shuffles stay candidate-grain — the test pins
+    that the plan keeps partial aggregation, the property that makes the
+    confirm pass safe at 100 TB)."""
+    from parqueryd_spark.operators.sketches import heavy_hitters_exact_topk
+
+    base = (
+        spark.createDataFrame([(f"k{i % 50}",) for i in range(4000)], "k string")
+        .repartition(8)
+        .persist()
+    )
+    big = (
+        spark.createDataFrame([(f"k{i % 50}",) for i in range(32000)], "k string")
+        .repartition(8)
+        .persist()
+    )
+    base.count(), big.count()  # materialize: keep the input repartition
+    # shuffle OUT of the measured window — only the operator's own shuffles
+    # (MG summaries + candidate-grain confirm) may count
+
+    def run(df):
+        with ShuffleDelta(spark) as d:
+            heavy_hitters_exact_topk(df, "k", k=10, capacity=128).write.mode(
+                "overwrite"
+            ).format("noop").save()
+        return d.total
+
+    b1, b8 = run(base), run(big)
+    base.unpersist(), big.unpersist()
+    assert b8 <= b1 * 1.5 + 64 * 1024, (b1, b8)

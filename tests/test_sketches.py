@@ -1,7 +1,9 @@
 """Misra-Gries heavy hitters: the undercount bound must hold against exact
 counts, the sketch must recover the exact top-k on a zipfian stream, and the
 capacity knob must control the bound. (Registry row text_heavy_hitter_tokens
-is rows-only; this is its correctness story.)"""
+was rows-only until late round 12; it now runs heavy_hitters_exact_topk and
+hash-matches the exact SQL answer, while these tests keep the raw one-pass
+sketch's bound contract honest.)"""
 
 from __future__ import annotations
 
@@ -55,6 +57,68 @@ def test_guarantee_above_phi_fraction(spark):
     df = spark.createDataFrame(rows, "k long").repartition(8)
     hh = heavy_hitters(df, "k", k=5, capacity=64).collect()
     assert 999 in {r.k for r in hh}
+
+
+def test_exact_topk_matches_full_count_and_proves(spark):
+    """heavy_hitters_exact_topk returns the EXACT top-k (counts and order)
+    whenever the proof holds — pinned against the brute-force groupBy."""
+    from parqueryd_spark.operators.sketches import heavy_hitters_exact_topk
+
+    df = _zipf(spark)
+    got = heavy_hitters_exact_topk(df, "k", k=10, capacity=64).collect()
+    want = (
+        df.groupBy("k")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "k")
+        .limit(10)
+        .collect()
+    )
+    assert [(r.k, r.n_occurrences) for r in got] == [(r.k, r.n_occurrences) for r in want]
+
+
+def test_exact_topk_raises_when_unprovable(spark):
+    """A capacity far below the key cardinality accumulates eviction error
+    past the k-th count: the plan must FAIL (raise_error), never silently
+    return an unprovable cut."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from parqueryd_spark.operators.sketches import heavy_hitters_exact_topk
+
+    # near-uniform: every key appears 3x, capacity 2 -> huge total error
+    rows = [(i % 500,) for i in range(1500)]
+    df = spark.createDataFrame(rows, "k long").repartition(8)
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)) as ei:
+        heavy_hitters_exact_topk(df, "k", k=5, capacity=2).collect()
+    assert "not provably exact" in str(ei.value)
+
+
+def test_kmv_md5_mode_partition_invariant_and_externally_replayable(spark):
+    """hash_fn="md5_52" makes the sketch a pure set function of public md5
+    hashes: identical under any partitioning, and replayable outside Spark
+    (here: pure Python hashlib) bit-for-bit — the property that lets the
+    events_kmv_distinct / events_kmv_overlap registry rows pass a
+    hash-equality oracle despite being 'approximate' operators."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from parqueryd_spark.operators.sketches import kmv_sketch
+
+    rows = [(i % 3, f"v{(i * 7) % 57}") for i in range(500)]
+    df = spark.createDataFrame(rows, "g int, v string")
+    a = {r.g: r.kmv for r in kmv_sketch(df.repartition(1), ["g"], "v", k=16, hash_fn="md5_52").collect()}
+    b = {r.g: r.kmv for r in kmv_sketch(df.repartition(13), ["g"], "v", k=16, hash_fn="md5_52").collect()}
+    assert a == b
+    vals: dict[int, set] = {}
+    for g, v in rows:
+        vals.setdefault(g, set()).add(v)
+    for g, vs in vals.items():
+        want = sorted(int(hashlib.md5(v.encode()).hexdigest()[:13], 16) / 2.0**52 for v in vs)[:16]
+        assert a[g] == want, g  # exact float equality, not approx
+    with _pytest.raises(ValueError, match="hash_fn"):
+        kmv_sketch(df, ["g"], "v", k=16, hash_fn="sha9000")
 
 
 # --- domain mixture (operators/sampling.py) ---------------------------------

@@ -259,3 +259,59 @@ def test_stream_countmin_merges_exactly_and_replays_safely(spark, tmp_path):
         for r in read_countmin_estimates(spark, cm_dir, keys).collect()
     }
     assert served2 == served
+
+
+def test_stream_heavy_hitters_state_bounds_and_exact_at_capacity(spark, tmp_path):
+    """Streaming MG maintenance: per-batch bounded summaries merge-on-read to
+    a valid MG summary of everything seen — exact counts when capacity never
+    evicts, and est <= true <= est + max_undercount when it does. A replayed
+    drain changes nothing (idempotent batch partitions)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from parqueryd_spark.streaming.rollup import (
+        read_heavy_hitters,
+        stream_maintain_heavy_hitters,
+    )
+
+    stream_in = str(tmp_path / "in")
+    os.makedirs(stream_in)
+    # zipf-ish: user u appears 40-u times per batch slice, two batches
+    rows = [u for u in range(1, 40) for _ in range(40 - u)]
+    pd.DataFrame({"user_id": rows[: len(rows) // 2]}).to_parquet(
+        os.path.join(stream_in, "b1.parquet")
+    )
+    pd.DataFrame({"user_id": rows[len(rows) // 2 :]}).to_parquet(
+        os.path.join(stream_in, "b2.parquet")
+    )
+    schema = spark.read.parquet(os.path.join(stream_in, "b1.parquet")).schema
+
+    exact = {
+        r["user_id"]: r["n"]
+        for r in spark.read.parquet(stream_in)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+    # capacity >= cardinality: no evictions anywhere -> exact top-k, zero bound
+    hh_dir, ckpt = str(tmp_path / "hh_big"), str(tmp_path / "ck_big")
+    src = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stream_in)
+    stream_maintain_heavy_hitters(src, hh_dir, ckpt, capacity=256).awaitTermination()
+    top = read_heavy_hitters(spark, hh_dir, k=5).collect()
+    assert [(r.user_id, r.est_count) for r in top] == [
+        (u, exact[u]) for u in sorted(exact, key=lambda u: (-exact[u], u))[:5]
+    ]
+    assert all(r.max_undercount == 0 for r in top)
+
+    # replayed drain (no new files): state unchanged
+    stream_maintain_heavy_hitters(src, hh_dir, ckpt, capacity=256).awaitTermination()
+    top2 = read_heavy_hitters(spark, hh_dir, k=5).collect()
+    assert [(r.user_id, r.est_count) for r in top2] == [(r.user_id, r.est_count) for r in top]
+
+    # tight capacity: evictions accumulate, the MG invariant must still hold
+    hh2, ck2 = str(tmp_path / "hh_small"), str(tmp_path / "ck_small")
+    src2 = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stream_in)
+    stream_maintain_heavy_hitters(src2, hh2, ck2, capacity=8).awaitTermination()
+    for r in read_heavy_hitters(spark, hh2, k=10).collect():
+        assert r.est_count <= exact[r.user_id] <= r.est_count + r.max_undercount, r
