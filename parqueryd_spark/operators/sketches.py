@@ -125,11 +125,17 @@ def heavy_hitters_exact_topk(
     ABSENT from every partition's summary has true count ≤ E, so pass 2 —
     exact counts restricted to the candidates via a broadcast semi-join, with
     map-side partial aggregation — ranks the only keys that can matter. The
-    result is provably the exact top-k whenever the k-th confirmed count
-    exceeds E; that proof is enforced IN the plan with ``raise_error`` (the
-    job fails rather than silently returning an unprovable cut — remedy:
-    raise ``capacity``). Returns (key_col, n_occurrences) ordered by count
-    desc, key asc — deterministic and replayable by any exact SQL engine.
+    result is provably the exact top-k iff NO eviction happened anywhere
+    (E == 0: candidates complete, counts exact) or k candidates came back
+    with the k-th confirmed count strictly above E. Both directions are
+    enforced, not assumed: fewer-than-k candidates with E > 0 raises
+    ``ValueError`` eagerly at plan-build time (an evicted key could belong
+    in the tail — and an empty result would give an in-plan check no row to
+    fire on), and the k-th-count condition is enforced IN the plan with
+    ``raise_error`` (the job fails rather than silently returning an
+    unprovable cut — remedy: raise ``capacity``). Returns
+    (key_col, n_occurrences) ordered by count desc, key asc — deterministic
+    and replayable by any exact SQL engine.
 
     At 100 TB this replaces a full shuffle of every key occurrence with one
     bounded-state sketch pass plus one aggregate whose shuffle carries
@@ -139,6 +145,28 @@ def heavy_hitters_exact_topk(
     summaries = _mg_summaries(df, key_col, int(capacity)).persist()
     bound = summaries.where(F.col("key").isNull()).agg(F.sum("err").alias("_max_under"))
     cands = summaries.where(F.col("key").isNotNull()).select("key").distinct()
+    # Short-candidate gate, checked EAGERLY at plan-build time: the per-row
+    # proof below only covers the case where k candidates came back. If
+    # FEWER than k candidates survived the sketch pass while eviction error
+    # accumulated (E > 0), an evicted key (count ≤ E) could legitimately
+    # belong in the top-k TAIL — including the degenerate batch whose counts
+    # all equal the cut, which evicts EVERY counter and would otherwise
+    # return an empty "top-k" with no row for the in-plan proof to evaluate
+    # (and an in-plan gate on the empty side of a join can be skipped by
+    # AQE's empty-relation propagation, so laziness is not safe here). E == 0
+    # passes: no eviction anywhere means the candidate set is complete and
+    # counts exact, so fewer than k rows is the honest full answer. The
+    # aggregate runs on the persisted summaries, which the main plan then
+    # reuses from cache — no extra corpus scan.
+    n_cands, total_err = summaries.agg(
+        F.count_distinct("key"), F.coalesce(F.sum("err"), F.lit(0))
+    ).first()
+    if n_cands < int(k) and total_err > 0:
+        raise ValueError(
+            f"heavy_hitters_exact_topk: only {n_cands} candidates survived for "
+            f"k={int(k)} with eviction error {total_err} — top-k not provably "
+            "exact; increase capacity"
+        )
     exact = (
         df.join(F.broadcast(cands.withColumnRenamed("key", key_col)), key_col)
         .groupBy(key_col)
@@ -155,8 +183,14 @@ def heavy_hitters_exact_topk(
         # CASE WHEN guarantees the error branch is evaluated ONLY when the
         # proof fails (a bare OR may evaluate both sides). Kept as a filter
         # (not a projected column) so Catalyst cannot prune the proof away.
+        # E == 0 is always exact (no eviction anywhere: counts exact and the
+        # candidate set complete); otherwise the k-th returned count must
+        # strictly exceed E so no evicted key can reach the cut.
         .where(
-            F.when(F.col("_kth") > F.col("_max_under"), F.lit(True)).otherwise(
+            F.when(
+                (F.col("_max_under") == 0) | (F.col("_kth") > F.col("_max_under")),
+                F.lit(True),
+            ).otherwise(
                 F.raise_error(
                     F.concat(
                         F.lit("heavy_hitters_exact_topk: k-th count "),

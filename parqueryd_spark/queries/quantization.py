@@ -165,8 +165,10 @@ def text_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     since round 12 — previously rows-only): bounded per-partition MG
     counters surface the candidate set plus a total eviction error E, then
     one broadcast-semi-join exact count over the candidates ranks them, and
-    the plan itself PROVES the cut (raise_error unless the 20th count > E,
-    so any key the sketch could have missed is mathematically outranked).
+    the route PROVES the cut two ways (a plan-build gate refuses a
+    candidate set shorter than 20 with E > 0; raise_error in the plan
+    refuses unless the 20th count > E, so any key the sketch could have
+    missed is mathematically outranked).
     At 100 TB this answers hot-token/URL/user queries without ever shuffling
     the full key stream: the sketch pass is one bounded-memory scan and the
     confirm shuffle carries only candidates x partitions partial rows. The

@@ -86,12 +86,36 @@ def test_exact_topk_raises_when_unprovable(spark):
 
     from parqueryd_spark.operators.sketches import heavy_hitters_exact_topk
 
-    # near-uniform: every key appears 3x, capacity 2 -> huge total error
+    # near-uniform: every key appears 3x, capacity 2 -> huge total error.
+    # Depending on how survivors land this trips either the eager
+    # short-candidate gate (ValueError at plan build) or the in-plan
+    # k-th-count proof (runtime raise_error) — both refuse the cut.
     rows = [(i % 500,) for i in range(1500)]
     df = spark.createDataFrame(rows, "k long").repartition(8)
-    with pytest.raises((SparkRuntimeException, Py4JJavaError)) as ei:
+    with pytest.raises((ValueError, SparkRuntimeException, Py4JJavaError)) as ei:
         heavy_hitters_exact_topk(df, "k", k=5, capacity=2).collect()
     assert "not provably exact" in str(ei.value)
+
+
+def test_exact_topk_short_candidate_set_refuses(spark):
+    """Regression (hypothesis-found): capacity 2 over {k0:3, k1:1, k2:4}
+    evicts k1, leaving only TWO candidates for k=5 with eviction error 1 —
+    the old per-row proof passed (min returned count 3 > 1) and silently
+    dropped k1 from the tail. The short-candidate gate must refuse."""
+    import pytest
+
+    from parqueryd_spark.operators.sketches import heavy_hitters_exact_topk
+
+    rows = [("k0",)] * 3 + [("k1",)] * 1 + [("k2",)] * 4
+    df = spark.createDataFrame(rows, "k string").coalesce(1)
+    with pytest.raises(ValueError, match="not provably exact"):
+        heavy_hitters_exact_topk(df, "k", k=5, capacity=2)
+    # same data, enough capacity: full exact answer, no eviction, no raise
+    got = [
+        (r.k, r.n_occurrences)
+        for r in heavy_hitters_exact_topk(df, "k", k=5, capacity=8).collect()
+    ]
+    assert got == [("k2", 4), ("k0", 3), ("k1", 1)]
 
 
 def test_kmv_md5_mode_partition_invariant_and_externally_replayable(spark):
