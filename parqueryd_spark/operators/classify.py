@@ -55,25 +55,64 @@ def nb_train(
     of exact ratios, so the model is bit-reproducible anywhere. Training
     cost: one scan + one (class, bucket)-grain shuffle bounded by
     n_classes x n_buckets after partial aggregation — independent of corpus
-    size. Incremental retrain = add count tables before the ln()."""
-    tok = docs.where(F.col(label_col).isNotNull()).select(
+    size. Incremental retrain = union count partials before the ln()
+    (:func:`nb_count_partials` / :func:`nb_model_from_partials` — this
+    function is exactly their one-increment composition)."""
+    return nb_model_from_partials(
+        nb_count_partials(docs, label_col, text_col, n_buckets, salt),
+        n_buckets,
+        alpha,
+    )
+
+
+def nb_count_partials(
+    docs: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    salt: str = "nb",
+) -> DataFrame:
+    """The model's SUFFICIENT STATISTICS for an increment, as one sparse
+    count table (label, bucket, c): token counts per (class, hashed bucket)
+    at bucket >= 0, plus ONE marker row per class at bucket = -1 carrying
+    the increment's document count (the prior's numerator — the count-marker
+    convention of the MG summaries' NULL row). Counts are integers, so
+    partials from any partitioning of the corpus ADD to exactly the full
+    corpus's statistics: incremental retraining is a union + sum, never a
+    re-scan of history (:func:`nb_model_from_partials`)."""
+    labeled = docs.where(F.col(label_col).isNotNull())
+    tok = labeled.select(
         F.col(label_col).alias("label"),
         F.explode(F.split(text_col, " ")).alias("token"),
+    ).select("label", _bucket(F.col("token"), n_buckets, salt).alias("bucket"))
+    token_counts = tok.groupBy("label", "bucket").agg(F.count("*").alias("c"))
+    doc_counts = labeled.groupBy(F.col(label_col).alias("label")).agg(
+        F.count("*").alias("c")
+    ).select("label", F.lit(-1).cast("int").alias("bucket"), "c")
+    return token_counts.unionByName(doc_counts)
+
+
+def nb_model_from_partials(
+    partials: DataFrame,
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Finalize any union of :func:`nb_count_partials` outputs into the
+    dense scoring model — bit-identical to :func:`nb_train` over the
+    concatenated corpus, because the only floats are final ln() of exact
+    integer ratios and integer sums are associative. Cost ∝ the state size
+    (classes x buckets), never the corpus."""
+    merged = partials.groupBy("label", "bucket").agg(F.sum("c").alias("c"))
+    token_counts = merged.where(F.col("bucket") >= 0)
+    totals = token_counts.groupBy("label").agg(F.sum("c").alias("t"))
+    n_docs = merged.where(F.col("bucket") == -1).select("label", F.col("c").alias("nd"))
+    total_docs = n_docs.agg(F.sum("nd").alias("ndt"))
+    buckets = partials.sparkSession.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket")
     )
-    tok = tok.select("label", _bucket(F.col("token"), n_buckets, salt).alias("bucket"))
-    counts = tok.groupBy("label", "bucket").agg(F.count("*").alias("c"))
-    totals = tok.groupBy("label").agg(F.count("*").alias("t"))
-    n_docs = docs.where(F.col(label_col).isNotNull()).groupBy(
-        F.col(label_col).alias("label")
-    ).agg(F.count("*").alias("nd"))
-    total_docs = docs.where(F.col(label_col).isNotNull()).agg(
-        F.count("*").alias("ndt")
-    )
-    # dense grid: every (label, bucket) combination
-    buckets = docs.sparkSession.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
     grid = totals.crossJoin(F.broadcast(buckets))
     model = (
-        grid.join(counts, ["label", "bucket"], "left")
+        grid.join(token_counts, ["label", "bucket"], "left")
         .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
         .select(
             "label",

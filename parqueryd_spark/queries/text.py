@@ -826,3 +826,95 @@ def text_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "predicted")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "text_nb_incremental",
+    oracle="""
+    WITH tb AS (
+      SELECT lang,
+             CAST(('0x' || substr(md5(token || ':nb'), 1, 8)) AS BIGINT) % 1024 AS bucket
+      FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE doc_id % 2 = 0 AND lang IS NOT NULL
+      )
+    ),
+    counts AS (SELECT lang, bucket, count(*) AS c FROM tb GROUP BY 1, 2),
+    totals AS (SELECT lang, count(*) AS t FROM tb GROUP BY 1),
+    grid AS (
+      SELECT totals.lang, totals.t, r.range AS bucket
+      FROM totals CROSS JOIN range(1024) r
+    ),
+    model AS (
+      SELECT g.lang, g.bucket,
+             ln((coalesce(c.c, 0) + 1.0) / (g.t + 1024.0)) AS logp
+      FROM grid g LEFT JOIN counts c ON c.lang = g.lang AND c.bucket = g.bucket
+    ),
+    priors AS (
+      SELECT lang,
+             ln(count(*) / CAST((SELECT count(*) FROM documents
+                                 WHERE doc_id % 2 = 0 AND lang IS NOT NULL) AS DOUBLE)
+               ) AS logprior
+      FROM documents WHERE doc_id % 2 = 0 AND lang IS NOT NULL GROUP BY 1
+    ),
+    score_in AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(token || ':nb'), 1, 8)) AS BIGINT) % 1024 AS bucket
+      FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE doc_id % 2 = 1
+      )
+    ),
+    scores AS (
+      SELECT s.doc_id, m.lang AS label,
+             round(sum(m.logp) + any_value(p.logprior), 4) AS score
+      FROM score_in s
+      JOIN model m ON m.bucket = s.bucket
+      JOIN priors p ON p.lang = m.lang
+      GROUP BY s.doc_id, m.lang
+    ),
+    top AS (SELECT doc_id, max(score) AS score FROM scores GROUP BY doc_id),
+    pred AS (
+      SELECT s.doc_id, min(s.label) AS predicted
+      FROM scores s JOIN top t ON t.doc_id = s.doc_id AND t.score = s.score
+      GROUP BY s.doc_id
+    )
+    SELECT d.lang, p.predicted, count(*) AS n
+    FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def text_nb_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NB classifier's INCREMENTAL-training face under the driver's
+    value gate (the events_kmv_incremental pattern): the training half is
+    split into two disjoint increments (doc_id mod 4 picks 0 vs 2 within the
+    even half), each increment reduced INDEPENDENTLY to its sufficient
+    statistics (operators/classify.nb_count_partials — integer (class,
+    bucket) token counts plus a doc-count marker row), and the model is
+    finalized from the UNION of the partials (nb_model_from_partials).
+    Because the statistics are integers and the only floats are final ln()
+    of exact ratios, merge-of-parts is bit-identical to one-shot training —
+    so this row shares text_nb_langid's full-corpus DuckDB oracle verbatim,
+    and a hash match PROVES the incremental path, not just resembles it.
+    At 100 TB this is how the classifier retrains: each day's increment is
+    one counting scan; the model of all history is a sum of kilobyte count
+    tables (streaming/classify.stream_maintain_nb maintains exactly these
+    partials per micro-batch)."""
+    from parqueryd_spark.operators.classify import (
+        nb_count_partials,
+        nb_model_from_partials,
+        nb_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    inc_a = nb_count_partials(train.where(F.col("doc_id") % 4 == 0), "lang", n_buckets=1024)
+    inc_b = nb_count_partials(train.where(F.col("doc_id") % 4 == 2), "lang", n_buckets=1024)
+    model = nb_model_from_partials(inc_a.unionByName(inc_b), n_buckets=1024)
+    pred = nb_score(docs.where(F.col("doc_id") % 2 == 1), model, n_buckets=1024)
+    return (
+        pred.withColumnRenamed("label", "predicted")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
