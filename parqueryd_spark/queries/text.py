@@ -814,7 +814,11 @@ def text_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     Contrast with text_token_lang_stats' marker-list heuristic: this is the
     fasttext-shaped route — retrains by adding count tables, broadcasts a
     few-MB dense model, and scores with one (doc, class)-grain shuffle that
-    never carries text. At 100 TB both train and score are single-scan."""
+    never carries text. At 100 TB both train and score are single-scan.
+    (Absolute accuracy on THIS corpus is near the majority baseline by
+    construction — the synthetic text shares one vocabulary across langs
+    with sparse markers, the same Bayes ceiling the marker heuristic hits —
+    the gate checks the replay, not a benchmark score.)"""
     from parqueryd_spark.operators.classify import nb_score, nb_train
 
     docs = load_table(spark, sf_dir, "documents")
