@@ -208,6 +208,144 @@ def heavy_hitters_exact_topk(
     )
 
 
+def _mg_summaries_grouped(
+    df: DataFrame, group_col: str, key_col: str, cap: int
+) -> DataFrame:
+    """Per-partition Misra–Gries summaries per GROUP: rows
+    (group, key, cnt, err) — ≤ ``cap`` counter rows per (partition, group)
+    plus one NULL-key marker row per (partition, group) carrying that
+    group's accumulated eviction error in that partition. Memory per
+    partition is groups-present × cap counters: bounded when the group
+    column is low-cardinality (languages, sources, event types — the
+    intended grain; for high-cardinality groups use a plain groupBy, whose
+    shuffle is then no larger than this sketch's candidate set anyway)."""
+    if cap < 1:
+        raise ValueError("capacity must be >= 1")
+    df = df.where(F.col(key_col).isNotNull() & F.col(group_col).isNotNull())
+
+    def summarize(batches):
+        import pandas as pd
+
+        counters: dict = {}  # group -> {key: cnt}
+        errs: dict = {}  # group -> err
+        for pdf in batches:
+            vc = pdf.groupby([pdf.columns[0], pdf.columns[1]], sort=False).size()
+            for (g, key), cnt in vc.items():
+                c = counters.setdefault(g, {})
+                c[key] = c.get(key, 0) + int(cnt)
+            for g, c in counters.items():
+                if len(c) > cap:
+                    cut = sorted(c.values(), reverse=True)[cap]
+                    counters[g] = {k_: v - cut for k_, v in c.items() if v > cut}
+                    errs[g] = errs.get(g, 0) + cut
+        rows = []
+        for g, c in counters.items():
+            rows.extend({"group": g, "key": k_, "cnt": v, "err": 0} for k_, v in c.items())
+        for g in set(counters) | set(errs):
+            rows.append({"group": g, "key": None, "cnt": 0, "err": errs.get(g, 0)})
+        yield pd.DataFrame(rows, columns=["group", "key", "cnt", "err"])
+
+    g_type = df.schema[group_col].dataType.simpleString()
+    k_type = df.schema[key_col].dataType.simpleString()
+    return df.select(
+        F.col(group_col).alias("group"), F.col(key_col).alias("key")
+    ).mapInPandas(summarize, schema=f"group {g_type}, key {k_type}, cnt long, err long")
+
+
+def heavy_hitters_exact_topk_grouped(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 10,
+    capacity: int = 256,
+    max_groups: int = 10_000,
+) -> DataFrame:
+    """EXACT top-k most frequent ``key_col`` values PER ``group_col`` — the
+    grouped face of :func:`heavy_hitters_exact_topk` (top tokens per
+    language, hot URLs per domain, heavy users per tenant), with the same
+    two-level refusal proof applied group-wise.
+
+    Pass 1 sketches every group's keys in bounded per-partition state; for
+    each group g this yields a candidate set and a total eviction error E_g
+    with the MG guarantee that any key absent from g's candidates has true
+    count ≤ E_g. Pass 2 exact-counts the candidates (broadcast semi-join on
+    (group, key), map-side partial aggregation) and ranks within each group.
+    Exactness per group requires E_g == 0, or k candidates whose k-th exact
+    count strictly exceeds E_g; the short-candidate direction is checked
+    eagerly at plan build (per group, from the persisted summaries — raises
+    ``ValueError`` naming the offending groups), the k-th-count direction
+    in-plan via ``raise_error``. ``max_groups`` bounds the driver-side gate
+    state (the operators/selection.py limit-guard convention). Returns
+    (group_col, key_col, n_occurrences) ordered by group, count desc, key —
+    deterministic and replayable by any exact SQL engine."""
+    from pyspark.sql import Window as W
+
+    summaries = _mg_summaries_grouped(df, group_col, key_col, int(capacity)).persist()
+    gate = (
+        summaries.groupBy("group")
+        .agg(
+            F.count_distinct("key").alias("n_cands"),
+            F.coalesce(F.sum("err"), F.lit(0)).alias("err"),
+        )
+        .where((F.col("n_cands") < int(k)) & (F.col("err") > 0))
+        .limit(int(max_groups))
+        .collect()
+    )
+    if gate:
+        worst = ", ".join(f"{r['group']}({r['n_cands']} cands, err {r['err']})" for r in gate[:5])
+        raise ValueError(
+            f"heavy_hitters_exact_topk_grouped: {len(gate)} group(s) kept fewer "
+            f"than k={int(k)} candidates with nonzero eviction error ({worst}"
+            f"{', …' if len(gate) > 5 else ''}) — top-k not provably exact; "
+            "increase capacity"
+        )
+    bound = summaries.where(F.col("key").isNull()).groupBy("group").agg(
+        F.sum("err").alias("_max_under")
+    )
+    cands = summaries.where(F.col("key").isNotNull()).select("group", "key").distinct()
+    exact = (
+        df.join(
+            F.broadcast(
+                cands.withColumnRenamed("group", group_col).withColumnRenamed("key", key_col)
+            ),
+            [group_col, key_col],
+        )
+        .groupBy(group_col, key_col)
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    w_rank = W.partitionBy(group_col).orderBy(
+        F.col("n_occurrences").desc(), F.col(key_col).asc()
+    )
+    topk = exact.withColumn("_rn", F.row_number().over(w_rank)).where(F.col("_rn") <= int(k))
+    kth = F.min("n_occurrences").over(W.partitionBy(group_col))
+    guarded = (
+        topk.join(bound.withColumnRenamed("group", group_col), group_col, "left")
+        .withColumn("_max_under", F.coalesce(F.col("_max_under"), F.lit(0)))
+        .withColumn("_kth", kth)
+        .where(
+            F.when(
+                (F.col("_max_under") == 0) | (F.col("_kth") > F.col("_max_under")),
+                F.lit(True),
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("heavy_hitters_exact_topk_grouped: group "),
+                        F.col(group_col).cast("string"),
+                        F.lit(" k-th count "),
+                        F.col("_kth").cast("string"),
+                        F.lit(" does not exceed its eviction error "),
+                        F.col("_max_under").cast("string"),
+                        F.lit(" — top-k not provably exact; increase capacity"),
+                    )
+                ).cast("boolean")
+            )
+        )
+    )
+    return guarded.select(group_col, key_col, "n_occurrences").orderBy(
+        group_col, F.col("n_occurrences").desc(), F.col(key_col).asc()
+    )
+
+
 def hll_rollup(
     df: DataFrame,
     keys: Sequence[str],

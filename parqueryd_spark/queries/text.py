@@ -922,3 +922,42 @@ def text_nb_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "predicted")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "text_heavy_hitters_by_lang",
+    oracle="""
+    SELECT lang, token, n_occurrences
+    FROM (
+      SELECT lang, token, count(*) AS n_occurrences,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY count(*) DESC, token ASC
+             ) AS rn
+      FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE lang IS NOT NULL
+      )
+      GROUP BY lang, token
+    )
+    WHERE rn <= 5
+    """,
+)
+def text_heavy_hitters_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT top-5 tokens PER LANGUAGE via the grouped two-pass Misra-Gries
+    confirm (operators/sketches.py heavy_hitters_exact_topk_grouped): one
+    bounded-state sketch pass keeps per-(partition, language) counters, a
+    broadcast (lang, token) semi-join exact-counts only the candidates, and
+    the group-wise refusal proof (eager short-candidate gate + in-plan
+    raise_error on any group whose 5th count fails to beat its eviction
+    error) makes the per-group cut provably exact — hash-matched here
+    against DuckDB's full groupBy + row_number. The 100 TB shape for
+    per-segment frequent-items reports (top tokens per language, hot URLs
+    per domain): the full (group, key) stream never shuffles; only bounded
+    summaries and candidate-grain partials do."""
+    from parqueryd_spark.operators.sketches import heavy_hitters_exact_topk_grouped
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(T.tokens("text")).alias("token"))
+    return heavy_hitters_exact_topk_grouped(
+        toks, "lang", "token", k=5, capacity=1024
+    )

@@ -108,8 +108,20 @@ def _bounded_build_ok() -> set[str]:
         "events_countmin_freq",      # sketch table: <= depth x width = 1024
                                      # counter cells regardless of SF
         "text_bm25_search",          # one corpus-stats row
-        "text_heavy_hitter_tokens",  # one max-undercount row
+        "text_heavy_hitter_tokens",  # one max-undercount row + MG candidate
+                                     # set (<= capacity x partitions keys —
+                                     # the sketch's bounded state, never the
+                                     # token stream)
+        "text_heavy_hitters_by_lang",  # per-group MG candidates (<= groups x
+                                     # capacity x partitions; group col is
+                                     # low-cardinality by contract) + one
+                                     # error row per group
         "heavy_hitter_bound",        # one max-undercount row + k=20 list
+        "text_nb_langid",            # dense NB model: n_buckets x n_classes
+                                     # rows + one prior row per class — a
+                                     # parameter-bounded reduction, the whole
+                                     # point of the broadcast-model design
+        "text_nb_incremental",       # same dense model, built from partials
         "text_unigram_logprob",      # one vocab-total row
         "text_bigram_logprob",       # one vocab-total row
         "text_ngram_lm_score",       # one vocab-size row (operators/lm.py:

@@ -118,6 +118,45 @@ def test_exact_topk_short_candidate_set_refuses(spark):
     assert got == [("k2", 4), ("k0", 3), ("k1", 1)]
 
 
+def test_grouped_exact_topk_matches_brute_force_and_refuses(spark):
+    """heavy_hitters_exact_topk_grouped: per-group exact top-k pinned
+    against the brute-force groupBy + row_number, and the group-wise
+    short-candidate gate must refuse when any group's candidates fall
+    short with nonzero eviction error."""
+    import pytest
+    from pyspark.sql import Window as W
+
+    from parqueryd_spark.operators.sketches import heavy_hitters_exact_topk_grouped
+
+    rows = [(g, f"k{i % (10 + g * 7)}") for g in range(3) for i in range(400 + 100 * g)]
+    df = spark.createDataFrame(rows, "g int, k string").repartition(6)
+    got = [
+        (r.g, r.k, r.n_occurrences)
+        for r in heavy_hitters_exact_topk_grouped(df, "g", "k", k=4, capacity=64).collect()
+    ]
+    brute = (
+        df.groupBy("g", "k")
+        .agg(F.count("*").alias("n_occurrences"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("g").orderBy(F.desc("n_occurrences"), F.asc("k"))
+            ),
+        )
+        .where(F.col("rn") <= 4)
+        .orderBy("g", F.desc("n_occurrences"), "k")
+        .collect()
+    )
+    assert got == [(r.g, r.k, r.n_occurrences) for r in brute]
+
+    # a near-uniform group under tiny capacity: the gate must name it
+    bad = spark.createDataFrame(
+        [(9, f"u{i % 300}") for i in range(900)] + [(1, "hot")] * 50, "g int, k string"
+    ).repartition(4)
+    with pytest.raises(ValueError, match="not provably exact"):
+        heavy_hitters_exact_topk_grouped(bad, "g", "k", k=5, capacity=2)
+
+
 def test_kmv_md5_mode_partition_invariant_and_externally_replayable(spark):
     """hash_fn="md5_52" makes the sketch a pure set function of public md5
     hashes: identical under any partitioning, and replayable outside Spark
