@@ -195,7 +195,13 @@ from parqueryd_spark.queries import tpch_extended  # noqa: E402,F401
 # (decontamination at substring grain against the substring index,
 # displacing pipeline_bloom_decontaminate whose broadcast-membership shape
 # it composes at finer grain; the Bloom mechanics stay registry-oracled via
-# pipeline_bloom_decontaminate + scan_bloom_lookup).
+# pipeline_bloom_decontaminate + scan_bloom_lookup). Also in r12b:
+# text_nb_langid (model-based classification — multinomial NB over hashed
+# token features, train+score+argmax replayed end-to-end by DuckDB — a
+# family nothing in-window covered) displaces text_hash_embeddings, whose
+# md5 feature-hash mechanics are exactly the NB row's bucketing and whose
+# array-generation shape stays in-window via ann_bruteforce_topk +
+# embedding_near_dup; it remains registry-oracled past the window.
 GATE_WINDOW = [
     "q1_pricing_summary",
     "groupby_agg_methods",
@@ -243,7 +249,7 @@ GATE_WINDOW = [
     "salted_skew_groupby",
     "asof_join_events",
     "text_bpe_train_encode",
-    "text_hash_embeddings",
+    "text_nb_langid",
     "scd2_events_asof",
     "text_curation_funnel",
     "text_bm25_search",

@@ -113,11 +113,13 @@ REQUIRED_IN_WINDOW = (
     "set_ops_summary",
     "rollup_cube_agg",
     # text / LM (r12: BPE train/encode + repeated-passages enter; the
-    # pure-Column scalar-stats shape stays via text_curation_funnel)
+    # pure-Column scalar-stats shape stays via text_curation_funnel; r12b:
+    # the NB classifier row replaces text_hash_embeddings, whose md5
+    # feature-hash mechanics it contains)
     "text_ngram_lm_score",
     "text_bpe_train_encode",
     "text_repeated_passages",
-    "text_hash_embeddings",
+    "text_nb_langid",
     "text_curation_funnel",
     "text_bm25_search",
     # history
@@ -168,6 +170,7 @@ REQUIRED_REGISTERED_PAST_WINDOW = (
     "ann_sq_recall_bound",
     "dedup_minhash_lsh",
     "pipeline_bloom_decontaminate",
+    "text_hash_embeddings",
 )
 
 
