@@ -61,26 +61,41 @@ def heavy_hitters(
     )
 
 
-def _mg_summaries(df: DataFrame, key_col: str, cap: int) -> DataFrame:
+def _mg_summaries(
+    df: DataFrame, key_col: str, cap: int, weight_col: str | None = None
+) -> DataFrame:
     """Per-partition Misra–Gries summaries of ``key_col`` as rows
     (key, cnt, err): ≤ ``cap`` counter rows per partition plus ONE NULL-key
-    marker row carrying that partition's accumulated eviction error."""
+    marker row carrying that partition's accumulated eviction error.
+
+    With ``weight_col`` (an integer, NON-NEGATIVE measure — scale decimals
+    to integer units first, e.g. cents, so every sum downstream stays exact)
+    the counters accumulate weight sums instead of occurrence counts: the
+    identical guarantee holds with "count" read as "total weight" (Misra–
+    Gries is linear in the increments, so decrement-by-the-(cap+1)-th-
+    largest preserves weight ≥ true − err per surviving key)."""
     if cap < 1:
         raise ValueError("capacity must be >= 1")
     # NULL keys are excluded (NULL marks the per-partition error rows below,
     # and SQL count semantics skip NULL groups in frequency contexts anyway)
     df = df.where(F.col(key_col).isNotNull())
+    if weight_col is not None:
+        df = df.where(F.col(weight_col).isNotNull())
 
     def summarize(batches):
-        # Misra–Gries with batch-vectorized counting: exact value_counts per
-        # Arrow batch fold into the bounded counter set; decrement step
-        # subtracts the minimum surviving count (the standard batched MG).
+        # Misra–Gries with batch-vectorized counting: exact value_counts
+        # (or per-key weight sums) per Arrow batch fold into the bounded
+        # counter set; decrement step subtracts the (cap+1)-th largest
+        # surviving value (the standard batched MG).
         import pandas as pd
 
         counters: dict = {}
         err = 0
         for pdf in batches:
-            vc = pdf.iloc[:, 0].value_counts()
+            if pdf.shape[1] == 2:
+                vc = pdf.groupby(pdf.columns[0], sort=False)[pdf.columns[1]].sum()
+            else:
+                vc = pdf.iloc[:, 0].value_counts()
             for key, cnt in vc.items():
                 counters[key] = counters.get(key, 0) + int(cnt)
             if len(counters) > cap:
@@ -102,11 +117,14 @@ def _mg_summaries(df: DataFrame, key_col: str, cap: int) -> DataFrame:
         )
 
     key_type = df.schema[key_col].dataType.simpleString()
+    cols = [F.col(key_col).alias("key")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("long").alias("w"))
     # merge semantics downstream: counts add across partitions; a key absent
     # from a partition's summary was undercounted there by at most that
     # partition's eviction error, so Σ err over all partitions bounds any
     # key's total undercount.
-    return df.select(F.col(key_col).alias("key")).mapInPandas(
+    return df.select(*cols).mapInPandas(
         summarize, schema=f"key {key_type}, cnt long, err long"
     )
 
@@ -116,9 +134,18 @@ def heavy_hitters_exact_topk(
     key_col: str,
     k: int = 10,
     capacity: int = 256,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """EXACT top-k most frequent values of ``key_col`` — the two-pass
     confirm pattern that makes the Misra–Gries sketch externally checkable.
+
+    With ``weight_col`` (integer, NON-NEGATIVE — scale decimals to integer
+    units like cents first; negative weights break the MG undercount
+    guarantee and are the caller's contract to exclude) the same machinery
+    answers top-k by TOTAL MEASURE — revenue by product, bytes by token,
+    spend by account — and the output column is ``weight_sum`` instead of
+    ``n_occurrences``. Every sum is integer, so the exactness proof and the
+    cross-engine replay carry over unchanged.
 
     Pass 1 (Misra–Gries, bounded memory) surfaces a candidate set of at most
     ``capacity × n_partitions`` keys plus the total eviction error E. Any key
@@ -142,7 +169,11 @@ def heavy_hitters_exact_topk(
     ≤ candidates × n_partitions partial rows: the frequent-token / hot-URL /
     heavy-user query at a cost independent of key cardinality.
     """
-    summaries = _mg_summaries(df, key_col, int(capacity)).persist()
+    out_col = "n_occurrences" if weight_col is None else "weight_sum"
+    measure = (
+        F.count("*") if weight_col is None else F.sum(F.col(weight_col).cast("long"))
+    ).alias(out_col)
+    summaries = _mg_summaries(df, key_col, int(capacity), weight_col).persist()
     bound = summaries.where(F.col("key").isNull()).agg(F.sum("err").alias("_max_under"))
     cands = summaries.where(F.col("key").isNotNull()).select("key").distinct()
     # Short-candidate gate, checked EAGERLY at plan-build time: the per-row
@@ -170,13 +201,13 @@ def heavy_hitters_exact_topk(
     exact = (
         df.join(F.broadcast(cands.withColumnRenamed("key", key_col)), key_col)
         .groupBy(key_col)
-        .agg(F.count("*").alias("n_occurrences"))
-        .orderBy(F.col("n_occurrences").desc(), F.col(key_col).asc())
+        .agg(measure)
+        .orderBy(F.col(out_col).desc(), F.col(key_col).asc())
         .limit(k)
     )
     from pyspark.sql import Window as W
 
-    kth = F.min("n_occurrences").over(W.partitionBy(F.lit(1)))
+    kth = F.min(out_col).over(W.partitionBy(F.lit(1)))
     guarded = (
         exact.join(F.broadcast(bound))
         .withColumn("_kth", kth)
@@ -203,8 +234,8 @@ def heavy_hitters_exact_topk(
             )
         )
     )
-    return guarded.select(key_col, "n_occurrences").orderBy(
-        F.col("n_occurrences").desc(), F.col(key_col).asc()
+    return guarded.select(key_col, out_col).orderBy(
+        F.col(out_col).desc(), F.col(key_col).asc()
     )
 
 

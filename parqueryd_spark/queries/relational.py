@@ -610,3 +610,41 @@ def band_join_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(F.col("au").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
+
+
+@query(
+    "topk_parts_by_revenue",
+    oracle="""
+    SELECT l_partkey, revenue_cents
+    FROM (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM lineitem
+      GROUP BY l_partkey
+      ORDER BY revenue_cents DESC, l_partkey ASC
+      LIMIT 10
+    )
+    """,
+)
+def topk_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 parts by TOTAL REVENUE via the WEIGHTED exact-heavy-hitter
+    route (operators/sketches.py heavy_hitters_exact_topk with weight_col):
+    the classic 'top products by measure' OLAP query answered at sketch
+    cost. Prices scale to integer cents before sketching so every sum —
+    the MG counters, the eviction error, the confirm aggregate — is exact
+    integer arithmetic, keeping the completeness proof sound and the DuckDB
+    replay bit-for-bit. At this SF the per-partition part cardinality sits
+    under the capacity, so no eviction occurs and the result is exact by
+    the E == 0 branch; the eviction-proof branch under zipfian weights is
+    pinned in tests/test_sketches.py. At 100 TB the posture is the global
+    top-k contract: one bounded-state pass plus a candidate-grain aggregate
+    instead of shuffling every (part, price) pair to rank 200M parts."""
+    from parqueryd_spark.operators.sketches import heavy_hitters_exact_topk
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "price_cents", F.round(F.col("l_extendedprice") * 100).cast("long")
+    )
+    out = heavy_hitters_exact_topk(
+        li, "l_partkey", k=10, capacity=4096, weight_col="price_cents"
+    )
+    return out.withColumnRenamed("weight_sum", "revenue_cents")

@@ -116,6 +116,10 @@ def _bounded_build_ok() -> set[str]:
                                      # capacity x partitions; group col is
                                      # low-cardinality by contract) + one
                                      # error row per group
+        "topk_parts_by_revenue",     # weighted MG candidates (<= capacity x
+                                     # partitions part keys) + one error row
+                                     # — the sketch's bounded state, never
+                                     # the (part, price) stream
         "heavy_hitter_bound",        # one max-undercount row + k=20 list
         "text_nb_langid",            # dense NB model: n_buckets x n_classes
                                      # rows + one prior row per class — a

@@ -118,6 +118,36 @@ def test_exact_topk_short_candidate_set_refuses(spark):
     assert got == [("k2", 4), ("k0", 3), ("k1", 1)]
 
 
+def test_weighted_exact_topk_matches_brute_force_under_eviction(spark):
+    """weight_col mode: zipfian integer weights with a capacity small enough
+    to force evictions — the confirmed top-k must equal the brute-force
+    top-k BY TOTAL WEIGHT, and an unprovable configuration must refuse."""
+    import pytest
+
+    from parqueryd_spark.operators.sketches import heavy_hitters_exact_topk
+
+    # key i carries weight ~ 3000/i spread over several rows: heavy keys
+    # dominate, the tail is wide enough that capacity 16 must evict
+    rows = [(i, 3000 // i) for i in range(1, 120) for _ in range(3)]
+    df = spark.createDataFrame(rows, "k long, w long").repartition(5)
+    got = [
+        (r.k, r.weight_sum)
+        for r in heavy_hitters_exact_topk(df, "k", k=5, capacity=16, weight_col="w").collect()
+    ]
+    want: dict[int, int] = {}
+    for k_, w in rows:
+        want[k_] = want.get(k_, 0) + w
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got == top, (got, top)
+
+    # near-uniform weights under tiny capacity: must refuse, not guess
+    flat = spark.createDataFrame(
+        [(i % 200, 7) for i in range(2000)], "k long, w long"
+    ).repartition(5)
+    with pytest.raises((ValueError, Exception), match="not provably exact"):
+        heavy_hitters_exact_topk(flat, "k", k=5, capacity=2, weight_col="w").collect()
+
+
 def test_grouped_exact_topk_matches_brute_force_and_refuses(spark):
     """heavy_hitters_exact_topk_grouped: per-group exact top-k pinned
     against the brute-force groupBy + row_number, and the group-wise
