@@ -273,6 +273,7 @@ def stream_maintain_heavy_hitters(
     checkpoint_dir: str,
     key_col: str = "user_id",
     capacity: int = 256,
+    weight_col: str | None = None,
 ):
     """Continuously-maintained FREQUENT-ITEMS state — the streaming face of
     operators/sketches.heavy_hitters, completing the sketch-maintenance
@@ -284,11 +285,15 @@ def stream_maintain_heavy_hitters(
     with errors adding, so merge-on-read over any set of batches is itself a
     valid MG summary of everything they saw: est ≤ true ≤ est + Σ err holds
     globally, replays overwrite their own partition, and state per batch is
-    bounded by capacity × partitions rows regardless of volume."""
+    bounded by capacity × partitions rows regardless of volume.
+    ``weight_col`` (integer, non-negative) switches the counters from
+    occurrence counts to weight sums — the streaming face of the weighted
+    top-k (running revenue-by-key / bytes-by-token state)."""
     from parqueryd_spark.operators.sketches import _mg_summaries
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        part = _mg_summaries(batch_df.select(key_col), key_col, int(capacity))
+        cols = [key_col] if weight_col is None else [key_col, weight_col]
+        part = _mg_summaries(batch_df.select(*cols), key_col, int(capacity), weight_col)
         part.write.mode("overwrite").parquet(os.path.join(hh_dir, f"batch={batch_id}"))
 
     return (

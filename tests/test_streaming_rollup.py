@@ -315,3 +315,44 @@ def test_stream_heavy_hitters_state_bounds_and_exact_at_capacity(spark, tmp_path
     stream_maintain_heavy_hitters(src2, hh2, ck2, capacity=8).awaitTermination()
     for r in read_heavy_hitters(spark, hh2, k=10).collect():
         assert r.est_count <= exact[r.user_id] <= r.est_count + r.max_undercount, r
+
+
+def test_stream_heavy_hitters_weighted_state(spark, tmp_path):
+    """weight_col maintenance: merged per-batch weighted summaries must give
+    exact weight sums when capacity never evicts (the count-mode contract,
+    read with 'count' as 'total weight')."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from parqueryd_spark.streaming.rollup import (
+        read_heavy_hitters,
+        stream_maintain_heavy_hitters,
+    )
+
+    stream_in = str(tmp_path / "in")
+    os.makedirs(stream_in)
+    rows = [(u, 100 - u) for u in range(1, 30) for _ in range(4)]
+    pd.DataFrame(rows[: len(rows) // 2], columns=["user_id", "spend"]).to_parquet(
+        os.path.join(stream_in, "b1.parquet")
+    )
+    pd.DataFrame(rows[len(rows) // 2 :], columns=["user_id", "spend"]).to_parquet(
+        os.path.join(stream_in, "b2.parquet")
+    )
+    schema = spark.read.parquet(os.path.join(stream_in, "b1.parquet")).schema
+    src = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stream_in)
+    hh_dir, ckpt = str(tmp_path / "hh"), str(tmp_path / "ck")
+    stream_maintain_heavy_hitters(
+        src, hh_dir, ckpt, capacity=256, weight_col="spend"
+    ).awaitTermination()
+
+    exact = {
+        r["user_id"]: r["w"]
+        for r in spark.read.parquet(stream_in)
+        .groupBy("user_id")
+        .agg(F.sum("spend").alias("w"))
+        .collect()
+    }
+    top = read_heavy_hitters(spark, hh_dir, k=5).collect()
+    want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(r.user_id, r.est_count) for r in top] == want
+    assert all(r.max_undercount == 0 for r in top)
