@@ -34,12 +34,17 @@ if REPO_DIR not in sys.path:
 
 TRIALS = 5
 
-# Driver-parseable final line: exactly these keys, in this order. shuffle_kb
-# (r12, VERDICT r11 item #3) is per-query shuffle read+write KiB from one
-# steady-state run — the 100 TB axis wall time can't see on local[32].
-FINAL_LINE_KEYS = ("metric", "value", "unit", "queries", "sf", "value_median", "shuffle_kb")
-# Stay far inside any plausible stdout tail capture (r7's lost line was >4 KiB).
-FINAL_LINE_MAX_BYTES = 3000
+# Driver-parseable final line: exactly these keys, in this order. NOTHING
+# else may ride this line: round 12 put per-query shuffle_kb on it, the line
+# grew past the driver's stdout tail capture, and BENCH_r12.json recorded
+# ``parsed: null`` (its ``tail`` field is exactly DRIVER_TAIL_WINDOW chars
+# starting mid-JSON — the measured capture window). shuffle_kb now rides the
+# EARLIER diagnostics line + BENCH_TRIALS.json sidecar (VERDICT r12 item #1).
+FINAL_LINE_KEYS = ("metric", "value", "unit", "queries", "sf", "value_median")
+# Measured: the driver keeps only the last ~2000 bytes of stdout. The final
+# line must fit ENTIRELY inside that window with margin for a trailing newline.
+DRIVER_TAIL_WINDOW = 2000
+FINAL_LINE_MAX_BYTES = 1500
 
 
 def build_outputs(
@@ -66,6 +71,10 @@ def build_outputs(
         "queries_trials": trials,
         "shuffle_read_bytes": {n: rw[0] for n, rw in shuffle.items()},
         "shuffle_write_bytes": {n: rw[1] for n, rw in shuffle.items()},
+        # per-query shuffle read+write KiB — the 100 TB axis wall time can't
+        # see on local[32] (VERDICT r11 item #3). Lives HERE, never on the
+        # final line (r12's parsed:null regression).
+        "shuffle_kb": {n: int((rw[0] + rw[1]) // 1024) for n, rw in shuffle.items()},
     }
     final = {
         "metric": "headline_queries_total_wall",
@@ -74,9 +83,12 @@ def build_outputs(
         "queries": timings,
         "sf": sf,
         "value_median": round(sum(medians.values()), 4),
-        "shuffle_kb": {n: int((rw[0] + rw[1]) // 1024) for n, rw in shuffle.items()},
     }
     assert tuple(final) == FINAL_LINE_KEYS
+    line_bytes = len(json.dumps(final).encode())
+    assert line_bytes <= FINAL_LINE_MAX_BYTES, (
+        f"driver line {line_bytes}B exceeds {FINAL_LINE_MAX_BYTES}B budget"
+    )
     return diagnostics, final
 
 

@@ -93,6 +93,17 @@ def _mg_summaries(
         err = 0
         for pdf in batches:
             if pdf.shape[1] == 2:
+                # the NON-NEGATIVE weight contract is enforced, not just
+                # documented (ADVICE r12): a negative measure (refund rows)
+                # breaks the MG undercount bound, so the "provably exact"
+                # claim downstream would be silently wrong
+                if (pdf.iloc[:, 1] < 0).any():
+                    bad = pdf.iloc[:, 1].min()
+                    raise ValueError(
+                        f"heavy_hitters weight_col must be non-negative "
+                        f"(found {bad}); exclude or split negative-measure "
+                        "rows before sketching"
+                    )
                 vc = pdf.groupby(pdf.columns[0], sort=False)[pdf.columns[1]].sum()
             else:
                 vc = pdf.iloc[:, 0].value_counts()
@@ -168,14 +179,30 @@ def heavy_hitters_exact_topk(
     bounded-state sketch pass plus one aggregate whose shuffle carries
     ≤ candidates × n_partitions partial rows: the frequent-token / hot-URL /
     heavy-user query at a cost independent of key cardinality.
+
+    Contract deviations from the otherwise-lazy registry convention, both
+    deliberate: (1) the sketch pass runs EAGERLY at plan-build time (the
+    refusal gate needs the candidate count before a plan can honestly
+    exist); (2) ``df`` must be a STATIC batch source between build and
+    execution — the confirm pass re-scans it, so a file landing in between
+    could hold a heavy key the snapshot candidates missed without tripping
+    either proof.
     """
     out_col = "n_occurrences" if weight_col is None else "weight_sum"
     measure = (
         F.count("*") if weight_col is None else F.sum(F.col(weight_col).cast("long"))
     ).alias(out_col)
-    summaries = _mg_summaries(df, key_col, int(capacity), weight_col).persist()
-    bound = summaries.where(F.col("key").isNull()).agg(F.sum("err").alias("_max_under"))
-    cands = summaries.where(F.col("key").isNotNull()).select("key").distinct()
+    # ONE eager pass over the MG summaries pulls the candidate set, the gate
+    # stats, and the eviction bound E from the SAME snapshot (ADVICE r12:
+    # the old persist()-based split never unpersisted, leaking cached blocks
+    # across a 150-query registry run, and read the gate from a different
+    # action than the plan). The summaries are bounded by construction —
+    # ≤ capacity counter rows + 1 marker per partition (256×1000 executors
+    # ≈ 256k tiny rows, a few MB) — so collecting them is the same volume a
+    # broadcast would ship to every executor anyway, and nothing stays cached.
+    summary_rows = _mg_summaries(df, key_col, int(capacity), weight_col).collect()
+    total_err = int(sum(r["err"] for r in summary_rows if r["key"] is None))
+    cand_keys = sorted({r["key"] for r in summary_rows if r["key"] is not None})
     # Short-candidate gate, checked EAGERLY at plan-build time: the per-row
     # proof below only covers the case where k candidates came back. If
     # FEWER than k candidates survived the sketch pass while eviction error
@@ -186,20 +213,25 @@ def heavy_hitters_exact_topk(
     # (and an in-plan gate on the empty side of a join can be skipped by
     # AQE's empty-relation propagation, so laziness is not safe here). E == 0
     # passes: no eviction anywhere means the candidate set is complete and
-    # counts exact, so fewer than k rows is the honest full answer. The
-    # aggregate runs on the persisted summaries, which the main plan then
-    # reuses from cache — no extra corpus scan.
-    n_cands, total_err = summaries.agg(
-        F.count_distinct("key"), F.coalesce(F.sum("err"), F.lit(0))
-    ).first()
-    if n_cands < int(k) and total_err > 0:
+    # counts exact, so fewer than k rows is the honest full answer.
+    if len(cand_keys) < int(k) and total_err > 0:
         raise ValueError(
-            f"heavy_hitters_exact_topk: only {n_cands} candidates survived for "
-            f"k={int(k)} with eviction error {total_err} — top-k not provably "
-            "exact; increase capacity"
+            f"heavy_hitters_exact_topk: only {len(cand_keys)} candidates "
+            f"survived for k={int(k)} with eviction error {total_err} — top-k "
+            "not provably exact; increase capacity"
         )
+    # Candidates travel as a broadcast-joined DataFrame (a LocalRelation of
+    # data rows), never as an inlined isin literal list — the plan stays
+    # bounded the way pq_lut_det keeps ADC tables out of the expression tree.
+    # NOTE the sketch pass ran above at plan-BUILD time while the confirm
+    # pass below re-scans df at EXECUTION time: df must be a static batch
+    # source between the two (the registry/bench contract), or a key added
+    # in between could miss the candidate set without tripping either proof.
+    cands = df.sparkSession.createDataFrame(
+        [(c,) for c in cand_keys], schema=df.select(key_col).schema
+    )
     exact = (
-        df.join(F.broadcast(cands.withColumnRenamed("key", key_col)), key_col)
+        df.join(F.broadcast(cands), key_col)
         .groupBy(key_col)
         .agg(measure)
         .orderBy(F.col(out_col).desc(), F.col(key_col).asc())
@@ -209,7 +241,7 @@ def heavy_hitters_exact_topk(
 
     kth = F.min(out_col).over(W.partitionBy(F.lit(1)))
     guarded = (
-        exact.join(F.broadcast(bound))
+        exact.withColumn("_max_under", F.lit(total_err))
         .withColumn("_kth", kth)
         # CASE WHEN guarantees the error branch is evaluated ONLY when the
         # proof fails (a bare OR may evaluate both sides). Kept as a filter
@@ -311,7 +343,22 @@ def heavy_hitters_exact_topk_grouped(
     deterministic and replayable by any exact SQL engine."""
     from pyspark.sql import Window as W
 
-    summaries = _mg_summaries_grouped(df, group_col, key_col, int(capacity)).persist()
+    # localCheckpoint, not persist (ADVICE r12): the summaries must be
+    # materialized once and shared by the gate collect, the bound, and the
+    # candidate set (snapshot consistency — a recompute could re-batch rows
+    # and produce a DIFFERENT valid MG summary for each consumer), but a
+    # CacheManager entry from .persist() lives until an explicit unpersist
+    # nobody is positioned to call after the caller executes the plan.
+    # Checkpoint blocks are instead freed by the ContextCleaner as soon as
+    # the returned plan is garbage-collected. Grouped summaries can reach
+    # groups × capacity × partitions rows, so they are NOT collected to the
+    # driver the way the global variant's are; the eager gate below is
+    # limit-guarded by max_groups (operators/selection.py convention). As
+    # with the global variant, the confirm pass re-scans df at execution
+    # time: df must be a static batch source between plan build and run.
+    summaries = _mg_summaries_grouped(df, group_col, key_col, int(capacity)).localCheckpoint(
+        eager=True
+    )
     gate = (
         summaries.groupBy("group")
         .agg(

@@ -202,57 +202,105 @@ from parqueryd_spark.queries import tpch_extended  # noqa: E402,F401
 # md5 feature-hash mechanics are exactly the NB row's bucketing and whose
 # array-generation shape stays in-window via ann_bruteforce_topk +
 # embedding_near_dup; it remains registry-oracled past the window.
+# Round 13 rotation (VERDICT r12 item #2: 58 registry rows had never been
+# inside a gate window — gate evidence is the hard signal). This round
+# rotates IN 32 of them, the largest batch the 50-slot window takes while
+# keeping one anchor per family: the ENTIRE never-gated TPC-H tail (q2, q7,
+# q8, q9, q11, q12, q13, q15, q16, q17, q20, q21, q22 — 13 rows), all five
+# value-checked ANN index-SERVING routes (ann_ivf_index_topk, ann_pq_topk,
+# ann_ivfpq_index_topk, ann_ivfpq_residual_topk, ann_ivfsq_index_topk — the
+# 100 TB query path: published partitioned indexes, DPP-pruned probes), the
+# two incremental lifecycles (events_kmv_incremental, text_nb_incremental),
+# the grouped heavy-hitter row (text_heavy_hitters_by_lang), the nine
+# never-gated pipeline curation rows (pii_redaction, chunk_documents,
+# exact_sample, source_caps, weighted_sample, domain_mixture,
+# leakage_safe_split, global_shuffle, data_card), the skew-join twin
+# skew_salted_join (salted_skew_groupby verified r12), and the RESHAPED
+# events_sketch_aggs (VERDICT r12 item #3: formerly the one rows-only row,
+# now exact n_events + in-query bound booleans — every one of the 150
+# registry rows is now value-checked; entering the window proves the
+# reshape under the driver's own gate). Displaced to make room — every one
+# verified in at least one prior gate (most in 3-5 consecutive gates) and
+# all still registered + pytest-oracled past the window, with in-window
+# twins: groupby_agg_methods / groupby_count_variants / global_agg_no_keys /
+# where-op parity rows beyond where_ops_raw_rows (multi-agg + count-variant
+# + empty-key shapes all exercised by q1 + the 13-row tail, e.g. q16's
+# grouped count-distinct, q13's left-join count, q17's global avg),
+# q5_local_volume / q19_disjunctive_filter (TPC-H anchors: 13 tail rows
+# in-window), events_kmv_distinct / events_kmv_overlap (same md5_52 sketch
+# machinery inside events_kmv_incremental, which ALSO gates the
+# publish+increment lifecycle), text_heavy_hitter_tokens (global MG+confirm ≡
+# text_heavy_hitters_by_lang's grouped superset), dedup_groups /
+# dedup_substrings_incremental / dedup_ngram_jaccard / text_repeated_passages
+# / pipeline_substring_decontaminate (dedup anchors stay via dedup_substrings
+# + dedup_minhash_incremental; banded-candidate and index-increment machinery
+# in-window through the minhash row), scan_metadata_stats /
+# scan_hive_partition_pruned (manifest serving ≡ scan_zonemap_pruned, kept),
+# events_exact_quantile / events_exact_quantile_cont_by_type /
+# events_gap_fill_rolling / events_incremental_rollup / events_anomaly_mad
+# (selection anchor stays via events_exact_quantile_by_type; window frames
+# via events_sessionization), ann_bruteforce_topk / ann_ivfpq_recall_bound
+# twin coverage note: recall_bound KEPT, bruteforce displaced (exact-cosine
+# shape inside every recall bound's exact side), join_broadcast_dims /
+# join_fact_fact_revenue / join_types_suite / topk_orders / set_ops_summary
+# / rollup_cube_agg (join+agg+semi/anti/outer+topk shapes all inside the
+# TPC-H tail: q21 anti/semi, q13 outer, q15 view-join+max, q2 correlated
+# min; grouping-arrangement stays registry-oracled), salted_skew_groupby
+# (≡ skew_salted_join, the join-side twin entering), pipeline_split_pack /
+# pipeline_k_anonymity (nine pipeline rows in-window), text_ngram_lm_score /
+# text_curation_funnel (LM scoring ≡ text_nb_* lifecycle rows; pure-Column
+# scalar stats ≡ text_bm25_search's tokenization, kept in-window).
 GATE_WINDOW = [
     "q1_pricing_summary",
-    "groupby_agg_methods",
-    "groupby_count_variants",
     "where_ops_raw_rows",
-    "global_agg_no_keys",
     "shard_schema_drift",
-    "q5_local_volume",
-    "ann_ivfpq_recall_bound",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q12_late_shipment_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_parts_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q20_promo_supplier_promotion",
+    "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
+    "events_sketch_aggs",
     "sketch_error_bounds",
-    "events_kmv_distinct",
-    "events_exact_quantile_by_type",
-    "q19_disjunctive_filter",
-    "text_heavy_hitter_tokens",
+    "ann_ivfpq_recall_bound",
+    "events_kmv_incremental",
+    "ann_ivf_index_topk",
+    "ann_pq_topk",
+    "ann_ivfpq_index_topk",
+    "ann_ivfpq_residual_topk",
+    "ann_ivfsq_index_topk",
     "dedup_substrings",
-    "dedup_ngram_jaccard",
     "dedup_minhash_incremental",
-    "dedup_groups",
-    "interval_join_user_windows",
-    "scan_metadata_stats",
-    "events_exact_quantile",
-    "events_gap_fill_rolling",
-    "events_sessionization",
-    "scan_hive_partition_pruned",
-    "events_incremental_rollup",
-    "ann_bruteforce_topk",
-    "events_anomaly_mad",
-    "scan_zonemap_pruned",
     "embedding_near_dup",
-    "events_exact_quantile_cont_by_type",
-    "multimodal_features",
-    "pipeline_split_pack",
-    "pipeline_k_anonymity",
-    "join_broadcast_dims",
-    "join_fact_fact_revenue",
-    "join_types_suite",
-    "topk_orders",
-    "text_ngram_lm_score",
-    "dedup_substrings_incremental",
-    "set_ops_summary",
-    "text_repeated_passages",
-    "rollup_cube_agg",
-    "pipeline_substring_decontaminate",
-    "events_kmv_overlap",
-    "salted_skew_groupby",
+    "events_exact_quantile_by_type",
+    "events_sessionization",
+    "interval_join_user_windows",
     "asof_join_events",
-    "text_bpe_train_encode",
+    "skew_salted_join",
+    "multimodal_features",
+    "pipeline_pii_redaction",
+    "pipeline_chunk_documents",
+    "pipeline_exact_sample",
+    "pipeline_source_caps",
+    "pipeline_weighted_sample",
+    "pipeline_domain_mixture",
+    "pipeline_leakage_safe_split",
+    "pipeline_global_shuffle",
+    "pipeline_data_card",
+    "text_nb_incremental",
     "text_nb_langid",
-    "scd2_events_asof",
-    "text_curation_funnel",
+    "text_heavy_hitters_by_lang",
+    "text_bpe_train_encode",
     "text_bm25_search",
+    "scan_zonemap_pruned",
+    "scd2_events_asof",
 ]
 
 

@@ -33,6 +33,12 @@ def test_final_line_is_compact_and_parseable():
 
     line = json.dumps(final)
     assert tuple(final) == bench.FINAL_LINE_KEYS
+    # r12 regression: the driver keeps only the last ~2000 bytes of stdout
+    # (BENCH_r12.json's tail is exactly 2000 chars starting mid-JSON). The
+    # budget must sit INSIDE that measured window with newline margin, and the
+    # real line must sit inside the budget.
+    assert bench.DRIVER_TAIL_WINDOW == 2000
+    assert bench.FINAL_LINE_MAX_BYTES <= bench.DRIVER_TAIL_WINDOW - 100
     assert len(line.encode()) < bench.FINAL_LINE_MAX_BYTES, (
         f"driver line {len(line)}B risks the stdout tail capture "
         f"(budget {bench.FINAL_LINE_MAX_BYTES}B) — trim bench set or keys"
@@ -43,9 +49,8 @@ def test_final_line_is_compact_and_parseable():
     assert parsed["sf"] == 0.1
     assert parsed["value"] == round(sum(timings.values()), 4)
     assert set(parsed["queries"]) == set(names)
-    # r12: per-query shuffle KiB rides the driver line (VERDICT r11 item #3)
-    assert set(parsed["shuffle_kb"]) == set(names)
-    assert parsed["shuffle_kb"][names[0]] == (123_456_789 + 987_654_321) // 1024
+    # r12's parsed:null root cause: shuffle_kb may NEVER ride the driver line
+    assert "shuffle_kb" not in parsed
 
 
 def test_diagnostics_are_separate_from_driver_line():
@@ -56,5 +61,10 @@ def test_diagnostics_are_separate_from_driver_line():
     assert "queries_trials" in diagnostics and "queries_spread" in diagnostics
     assert set(diagnostics["shuffle_read_bytes"]) == set(names)
     assert set(diagnostics["shuffle_write_bytes"]) == set(names)
+    # shuffle_kb lives on the diagnostics line since r13 (r12 parsed:null fix)
+    assert set(diagnostics["shuffle_kb"]) == set(names)
+    assert diagnostics["shuffle_kb"][names[0]] == (123_456_789 + 987_654_321) // 1024
     # none of the bulky diagnostic keys may leak into the final line
-    assert not set(final) & {"queries_trials", "queries_median", "queries_spread"}
+    assert not set(final) & {
+        "queries_trials", "queries_median", "queries_spread", "shuffle_kb"
+    }

@@ -18,24 +18,20 @@ def test_gate_window_is_50_oracle_backed():
     assert not missing, f"gate-window rows without a DuckDB oracle: {missing}"
 
 
-def test_estimate_rows_have_driver_checked_companions():
-    # every REMAINING rows-only (oracle=None) row has an oracle-backed
-    # error-bound companion somewhere in the registry. Round 11 value-checked
-    # the deterministic first-k IVF routes outright; round 12 extended the
-    # replay technique to BOTH PQ serving routes via deterministic spread
-    # codebooks (VERDICT r11 item #2), then to the heavy-hitter row (two-pass
-    # Misra-Gries -> exact confirm with in-plan completeness proof) and the
-    # KMV distinct/overlap estimates (md5_52 set-function sketches DuckDB
-    # replays bit-for-bit). The ONE left is genuinely engine-specific:
-    # Spark-internal HLL++/KLL binary sketch state no SQL engine can replay.
-    companions = {
-        "events_sketch_aggs": ["events_exact_distinct_pcts", "sketch_error_bounds"],
-    }
+def test_every_registry_row_is_value_checked():
+    # Round 11 value-checked the deterministic first-k IVF routes outright;
+    # round 12 extended the replay technique to BOTH PQ serving routes via
+    # deterministic spread codebooks (VERDICT r11 item #2), then to the
+    # heavy-hitter row (two-pass Misra-Gries -> exact confirm with in-plan
+    # completeness proof) and the KMV distinct/overlap estimates (md5_52
+    # set-function sketches DuckDB replays bit-for-bit). Round 13 closed the
+    # last asterisk (VERDICT r12 item #3): events_sketch_aggs — Spark-internal
+    # HLL++/KLL state no SQL engine can replay — was reshaped to emit the
+    # exact group count plus in-query estimate-within-envelope booleans, so
+    # the registry is now 150/150 oracle-backed. No row may ever regress to
+    # rows-only again.
     no_oracle = [n for n, q in Q.REGISTRY.items() if q.oracle is None]
-    assert set(no_oracle) == set(companions), no_oracle
-    for est, comps in companions.items():
-        for c in comps:
-            assert c in Q.REGISTRY and Q.REGISTRY[c].oracle is not None, (est, c)
+    assert no_oracle == [], f"rows-only registry rows reappeared: {no_oracle}"
     # every value-checked ANN route must KEEP its oracle
     for name in (
         "ann_ivf_topk", "ann_ivf_index_topk", "ann_ivfsq_index_topk",
@@ -46,82 +42,77 @@ def test_estimate_rows_have_driver_checked_companions():
 
 # family anchors that must stay INSIDE the window: at least one driver-gated
 # row per operator family (parqueryd parity, TPC-H, dedup/near-dup, joins,
-# events/windows, exact selection, ANN recall bounds, sketch bounds,
-# multimodal, pipeline curation, text, file skipping, history)
+# events/windows, exact selection, ANN recall bounds + serving, sketch
+# bounds, multimodal, pipeline curation, text, file skipping, history).
+# Round 13 shrank the anchor set to its per-family minimum (rotation history
+# + twin arguments live in the GATE_WINDOW comment): 32 slots went to
+# never-gated rows (VERDICT r12 item #2 — the whole TPC-H tail, all five ANN
+# index-serving routes, both incremental lifecycles, the nine pipeline
+# curation rows, the grouped heavy-hitter row, skew_salted_join) plus the
+# reshaped events_sketch_aggs (VERDICT r12 item #3).
 REQUIRED_IN_WINDOW = (
-    # parqueryd parity (O1-O7)
+    # parqueryd parity (O1-O7): scan+filter+groupby+agg via q1, raw-row
+    # aggregate=False via where_ops, mergeSchema drift via shard_schema_drift
     "q1_pricing_summary",
-    "groupby_agg_methods",
-    "groupby_count_variants",
     "where_ops_raw_rows",
-    "global_agg_no_keys",
     "shard_schema_drift",
-    # TPC-H anchors
-    "q5_local_volume",
-    "q19_disjunctive_filter",
-    # estimate/recall bounds (VERDICT r7 item #2: approximation quality is
-    # part of the hard driver gate) — r12b upgraded three bound rows to
-    # VALUE-checked estimate rows: heavy_hitter_bound -> the exact-confirmed
-    # text_heavy_hitter_tokens, ann_ivf/ann_sq recall bounds -> the md5_52
-    # KMV rows (their serving routes are value-checked registry rows);
-    # ann_ivfpq_recall_bound stays as the recall anchor for the hardest
-    # compression tier
+    # TPC-H: the full never-gated tail (13 rows) IS this round's anchor set
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q12_late_shipment_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_parts_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q20_promo_supplier_promotion",
+    "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
+    # estimate/recall bounds + the reshaped 150/150 closer
+    "events_sketch_aggs",
     "sketch_error_bounds",
     "ann_ivfpq_recall_bound",
-    "events_kmv_distinct",
-    "events_kmv_overlap",
-    "text_heavy_hitter_tokens",
-    # dedup family (r12: substring-grain exact dedup is the strictly more
-    # general exact route; dedup_exact stays registered past the window;
-    # r12b: the minhash slot is the incremental lifecycle row — same
-    # signature/banding machinery plus the published-index increment)
+    # sketch lifecycle (md5_52 KMV machinery + publish/increment)
+    "events_kmv_incremental",
+    # ANN serving: every published-index route (the 100 TB query path)
+    "ann_ivf_index_topk",
+    "ann_pq_topk",
+    "ann_ivfpq_index_topk",
+    "ann_ivfpq_residual_topk",
+    "ann_ivfsq_index_topk",
+    # dedup family: exact substring grain + incremental minhash lifecycle
     "dedup_substrings",
-    "dedup_substrings_incremental",
-    "dedup_ngram_jaccard",
     "dedup_minhash_incremental",
-    "dedup_groups",
     "embedding_near_dup",
-    # joins
-    "interval_join_user_windows",
-    "join_broadcast_dims",
-    "join_fact_fact_revenue",
-    "join_types_suite",
-    "asof_join_events",
-    "salted_skew_groupby",
-    # events / windows / exact selection (r10-r11 rotations)
-    "events_exact_quantile",
+    # events / windows / exact selection
     "events_exact_quantile_by_type",
-    "events_exact_quantile_cont_by_type",
-    "events_gap_fill_rolling",
     "events_sessionization",
-    "events_incremental_rollup",
-    "events_anomaly_mad",
-    # ANN serving
-    "ann_bruteforce_topk",
-    # file skipping / metadata serving (r8-r11 rotations)
-    "scan_zonemap_pruned",
-    "scan_hive_partition_pruned",
-    "scan_metadata_stats",
-    # multimodal / pipeline curation (r11: k-anonymity; r12b: decontamination
-    # at substring grain against the substring index)
+    # joins: range, as-of, skew-salted
+    "interval_join_user_windows",
+    "asof_join_events",
+    "skew_salted_join",
+    # multimodal
     "multimodal_features",
-    "pipeline_split_pack",
-    "pipeline_substring_decontaminate",
-    "pipeline_k_anonymity",
-    # relational breadth
-    "topk_orders",
-    "set_ops_summary",
-    "rollup_cube_agg",
-    # text / LM (r12: BPE train/encode + repeated-passages enter; the
-    # pure-Column scalar-stats shape stays via text_curation_funnel; r12b:
-    # the NB classifier row replaces text_hash_embeddings, whose md5
-    # feature-hash mechanics it contains)
-    "text_ngram_lm_score",
-    "text_bpe_train_encode",
-    "text_repeated_passages",
+    # pipeline curation: the nine never-gated rows
+    "pipeline_pii_redaction",
+    "pipeline_chunk_documents",
+    "pipeline_exact_sample",
+    "pipeline_source_caps",
+    "pipeline_weighted_sample",
+    "pipeline_domain_mixture",
+    "pipeline_leakage_safe_split",
+    "pipeline_global_shuffle",
+    "pipeline_data_card",
+    # text: classifier lifecycle, grouped heavy hitters, BPE, BM25
+    "text_nb_incremental",
     "text_nb_langid",
-    "text_curation_funnel",
+    "text_heavy_hitters_by_lang",
+    "text_bpe_train_encode",
     "text_bm25_search",
+    # file skipping / metadata serving
+    "scan_zonemap_pruned",
     # history
     "scd2_events_asof",
 )
@@ -171,6 +162,40 @@ REQUIRED_REGISTERED_PAST_WINDOW = (
     "dedup_minhash_lsh",
     "pipeline_bloom_decontaminate",
     "text_hash_embeddings",
+    # r13 rotation (VERDICT r12 item #2; twins in the GATE_WINDOW comment) —
+    # every one verified in at least one prior gate, most in 3-5
+    "groupby_agg_methods",
+    "groupby_count_variants",
+    "global_agg_no_keys",
+    "q5_local_volume",
+    "q19_disjunctive_filter",
+    "events_kmv_distinct",
+    "events_kmv_overlap",
+    "text_heavy_hitter_tokens",
+    "dedup_ngram_jaccard",
+    "dedup_groups",
+    "dedup_substrings_incremental",
+    "scan_metadata_stats",
+    "scan_hive_partition_pruned",
+    "events_exact_quantile",
+    "events_exact_quantile_cont_by_type",
+    "events_gap_fill_rolling",
+    "events_incremental_rollup",
+    "events_anomaly_mad",
+    "ann_bruteforce_topk",
+    "pipeline_split_pack",
+    "pipeline_k_anonymity",
+    "pipeline_substring_decontaminate",
+    "join_broadcast_dims",
+    "join_fact_fact_revenue",
+    "join_types_suite",
+    "topk_orders",
+    "set_ops_summary",
+    "rollup_cube_agg",
+    "salted_skew_groupby",
+    "text_ngram_lm_score",
+    "text_curation_funnel",
+    "text_repeated_passages",
 )
 
 

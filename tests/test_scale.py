@@ -98,13 +98,25 @@ def test_partition_pruning(spark, tmp_path):
 
 
 def test_sketch_aggs_error_bounds(spark):
-    """Sketch estimates must land near the exact answers: HLL++ within 5%
-    of true distinct counts, approx p50/p95 within the value range spanned
-    by neighboring exact quantiles."""
+    """events_sketch_aggs (r13 shape: exact n_events + in-query bound
+    booleans) must report every estimate inside its envelope, and the RAW
+    sketch estimates — no longer in the row's output — stay pinned here:
+    HLL++ within 5% of true distinct counts, approx p50/p95 within the value
+    range spanned by neighboring exact quantiles."""
     from parqueryd_spark.queries.events import events_sketch_aggs
 
-    approx = {r.event_type: r for r in events_sketch_aggs(spark, SF_SMOKE).collect()}
+    gated = {r.event_type: r for r in events_sketch_aggs(spark, SF_SMOKE).collect()}
     ev = load_table(spark, SF_SMOKE, "events")
+    raw = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.expr("percentile_approx(value, array(0.5, 0.95), 10000)").alias("ap"),
+        )
+        .collect()
+    }
     exact = {
         r.event_type: r
         for r in ev.groupBy("event_type")
@@ -114,11 +126,13 @@ def test_sketch_aggs_error_bounds(spark):
         )
         .collect()
     }
-    assert set(approx) == set(exact)
-    for et, a in approx.items():
-        e = exact[et]
+    assert set(gated) == set(exact) == set(raw)
+    for et, g in gated.items():
+        e, a = exact[et], raw[et]
+        assert g.users_ok and g.p50_ok and g.p95_ok, (et, g)
+        assert g.n_events == a.n, (et, g.n_events, a.n)
         assert abs(a.approx_users - e.users) / e.users <= 0.05, (et, a.approx_users, e.users)
-        p50, p95 = a.approx_p50, a.approx_p95
+        p50, p95 = a.ap[0], a.ap[1]
         assert e.pcts[0] <= p50 <= e.pcts[2], (et, p50, e.pcts)
         assert e.pcts[3] <= p95 <= e.pcts[5], (et, p95, e.pcts)
 

@@ -147,6 +147,15 @@ def test_weighted_exact_topk_matches_brute_force_under_eviction(spark):
     with pytest.raises((ValueError, Exception), match="not provably exact"):
         heavy_hitters_exact_topk(flat, "k", k=5, capacity=2, weight_col="w").collect()
 
+    # negative weights break the MG undercount bound: ENFORCED, not just
+    # documented (ADVICE r12) — the sketch pass is eager, so the refusal
+    # surfaces at plan-build time
+    refunds = spark.createDataFrame(
+        [(1, 100), (2, 50), (1, -30)], "k long, w long"
+    ).coalesce(1)
+    with pytest.raises(Exception, match="non-negative"):
+        heavy_hitters_exact_topk(refunds, "k", k=2, capacity=8, weight_col="w")
+
 
 def test_grouped_exact_topk_matches_brute_force_and_refuses(spark):
     """heavy_hitters_exact_topk_grouped: per-group exact top-k pinned
