@@ -254,3 +254,95 @@ def lm_load(spark, lm_dir: str) -> NgramLM:
     meta = spark.read.parquet(f"{lm_dir}/meta").collect()[0]
     parts = spark.read.parquet(f"{lm_dir}/counts").drop("batch")
     return lm_merge([parts], float(meta["k"]), int(meta["n"]))
+
+
+def kn_score(
+    docs: DataFrame,
+    id_col: str,
+    lm: NgramLM,
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document cross-entropy under an interpolated Kneser–Ney bigram
+    LM — the standard smoothing of the KenLM/CCNet curation stack (Kneser &
+    Ney 1995; Chen & Goodman 1999 for the interpolated form), derived from
+    the SAME published count table the add-k model serves from.
+
+    Add-k treats every unseen bigram alike; KN instead backs off to how many
+    distinct CONTEXTS a word completes (its continuation count), which is
+    what separates "rare but productive" words from corpus noise — the
+    curation-relevant distinction. With absolute discount D:
+
+        P(w2|w1) = max(c(w1 w2) - D, 0) / c(w1 ·)
+                 + D · N1+(w1 ·) / c(w1 ·) · Pc(w2)          if c(w1 ·) > 0
+        P(w2|w1) = Pc(w2)                                     otherwise
+        Pc(w2)   = (N1+(· w2) + 1) / (T + V)
+
+    where N1+(w1 ·) / N1+(· w2) are distinct continuation/context type
+    counts, T the number of distinct bigram types, and V the add-k model's
+    vocabulary size; the +1/+V floor gives unseen words nonzero continuation
+    mass (the held-out path add-k covers with k). Every quantity DERIVES
+    from the (gram, c) count table in two tiny re-aggregations — training,
+    publish/merge/append, and streaming maintenance are shared verbatim with
+    the add-k lifecycle (counts are the model; linearity is untouched).
+
+    Same determinism contract as :func:`lm_score` — integer counts, one
+    fixed double D, avg_nll rounded to 6 dp, ppl to 4 dp — so a SQL oracle
+    replays the ESTIMATES themselves. Bigram-only (``lm.n == 2``): the KN
+    recursion for higher orders needs per-order continuation tables; the
+    bigram form is the curation signal.
+
+    Plan shape mirrors lm_score: per-doc gram multiplicities, three left
+    equi-joins against count-derived tables (AQE broadcasts them when
+    small), one per-doc aggregation. Zero Python anywhere.
+    """
+    if lm.n != 2:
+        raise ValueError(f"kn_score is bigram-only (lm.n == 2), got n={lm.n}")
+    first_tok = F.element_at(F.split("gram", " "), 1)
+    last_tok = F.element_at(F.split("gram", " "), 2)
+    # per-context totals AND forward continuation type counts, one pass
+    ctx = lm.bigrams.groupBy(first_tok.alias("prev")).agg(
+        F.sum("c").cast("long").alias("cc"),
+        F.count(F.lit(1)).cast("long").alias("n1p_fwd"),
+    )
+    # backward continuation type counts: distinct contexts each word completes
+    # (bigrams has one row per distinct gram, so count(*) IS the type count)
+    cont = lm.bigrams.groupBy(last_tok.alias("w2")).agg(
+        F.count(F.lit(1)).cast("long").alias("n1p_bwd")
+    )
+    totals = lm.bigrams.agg(F.count(F.lit(1)).cast("long").alias("tt")).crossJoin(
+        F.broadcast(lm.vocab)
+    )
+
+    grams = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(ngrams_all(F.col(text_col), 2)).alias("gram"),
+    )
+    weighted = grams.groupBy("_id", "gram").agg(F.count(F.lit(1)).cast("long").alias("w"))
+    d = F.lit(float(discount))
+    pc = (F.coalesce(F.col("n1p_bwd"), F.lit(0)) + 1) / (F.col("tt") + F.col("vsz"))
+    seen_ctx = F.coalesce(F.col("cc"), F.lit(0)) > 0
+    p_kn = F.when(
+        seen_ctx,
+        F.greatest(F.coalesce(F.col("c"), F.lit(0)) - d, F.lit(0.0)) / F.col("cc")
+        + d * F.col("n1p_fwd") / F.col("cc") * pc,
+    ).otherwise(pc)
+    scored = (
+        weighted.join(lm.bigrams, "gram", "left")
+        .withColumn("prev", _context_of(F.col("gram"), 2))
+        .join(ctx, "prev", "left")
+        .withColumn("w2", F.element_at(F.split("gram", " "), 2))
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("lp", F.log2(p_kn))
+    )
+    avg_nll = F.round(-F.sum(F.col("w") * F.col("lp")) / F.sum("w"), 6)
+    return (
+        scored.groupBy("_id")
+        .agg(
+            F.sum("w").cast("long").alias("n_bigrams"),
+            avg_nll.alias("avg_nll"),
+            F.round(F.pow(F.lit(2.0), avg_nll), 4).alias("ppl"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )

@@ -250,3 +250,39 @@ def data_card(
         F.sum(F.col("_pii").cast("long")).alias("docs_with_pii"),
         F.count_distinct(F.col("_lang")).alias("n_langs"),
     )
+
+
+def quantile_calibrate(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    tiebreak_cols: list[str] | None = None,
+    calib_col: str = "calib",
+) -> DataFrame:
+    """Per-group quantile calibration of a quality score: replace each row's
+    raw ``score_col`` with its percent_rank WITHIN ``group_col`` — the
+    curation step that makes one keep-threshold comparable across sources
+    whose raw score distributions differ (a 0.9 calibrated score means "top
+    10% of its own source" for every source; Gopher/FineWeb-style per-source
+    quality gates are exactly this, and DoReMi-style mixture reweighting
+    consumes the same ranks).
+
+    ``tiebreak_cols`` (default: none) are appended to the ordering so equal
+    scores rank deterministically — REQUIRED for a replayable result when
+    scores collide (the registry row ties on the document id). percent_rank
+    is (rank-1)/(n-1), 0 for single-row groups, identical in Spark and ANSI
+    SQL, so the calibrated values themselves are oracle-checkable.
+
+    Scale: one shuffle on ``group_col`` (the window partition). Source-grain
+    groups are few and large — exactly the shape window exchange reuse and
+    AQE handle; there is no driver-side state and no second scan. Rounded to
+    6 dp (exact rational (rank-1)/(n-1) in double — cross-engine identical;
+    rounding is belt-and-braces for downstream float consumers).
+    """
+    from pyspark.sql import Window as W
+
+    order = [F.col(score_col).asc()] + [
+        F.col(c).asc() for c in (tiebreak_cols or [])
+    ]
+    w = W.partitionBy(group_col).orderBy(*order)
+    return df.withColumn(calib_col, F.round(F.percent_rank().over(w), 6))

@@ -465,3 +465,40 @@ def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return weighted_sample(docs, "doc_id", "n_chars", 50, salt="ws")
+
+
+@query(
+    "pipeline_quality_calibration",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(percent_rank() OVER (PARTITION BY source
+                                      ORDER BY n_tokens, doc_id), 6) AS calib,
+           (round(percent_rank() OVER (PARTITION BY source
+                                       ORDER BY n_tokens, doc_id), 6) >= 0.5) AS keep
+    FROM scored
+    """,
+)
+def pipeline_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile calibration of a quality score
+    (operators/quality.py:quantile_calibrate): each document's token-count
+    score becomes its percent_rank WITHIN its source, so one keep-threshold
+    ("top half of every source") is comparable across sources with different
+    raw score distributions — the Gopher/FineWeb per-source quality gate and
+    the rank input DoReMi-style mixture reweighting consumes. Ties rank
+    deterministically by doc_id; the oracle replays rank arithmetic exactly
+    ((rank-1)/(n-1) is the same rational in both engines). One shuffle on
+    source, no driver state — the same plan at 100 TB."""
+    from parqueryd_spark.operators.quality import quantile_calibrate
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    out = quantile_calibrate(scored, "source", "n_tokens", tiebreak_cols=["doc_id"])
+    return out.withColumn("keep", F.col("calib") >= 0.5)

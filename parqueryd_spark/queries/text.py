@@ -607,6 +607,68 @@ def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(docs.filter(F.col("doc_id") < 300), "doc_id", lm, "text")
 
 
+@query(
+    "text_kn_lm_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS gram
+      FROM toks WHERE len(t) >= 2
+    ), bg AS (
+      SELECT gram, count(*) AS c FROM grams GROUP BY gram
+    ), ctx AS (
+      SELECT string_split(gram, ' ')[1] AS prev, sum(c) AS cc, count(*) AS n1p_fwd
+      FROM bg GROUP BY 1
+    ), cont AS (
+      SELECT string_split(gram, ' ')[2] AS w2, count(*) AS n1p_bwd FROM bg GROUP BY 1
+    ), tot AS (
+      SELECT count(*) AS tt,
+             (SELECT count(DISTINCT string_split(gram, ' ')[2]) + 1 FROM bg) AS vsz
+      FROM bg
+    ), sc AS (
+      SELECT doc_id, gram, count(*) AS w FROM grams WHERE doc_id < 300
+      GROUP BY doc_id, gram
+    ), j AS (
+      SELECT sc.doc_id, sc.w,
+             log2(CASE WHEN coalesce(ctx.cc, 0) > 0
+                  THEN greatest(coalesce(bg.c, 0) - 0.75, 0) / ctx.cc
+                       + 0.75 * ctx.n1p_fwd / ctx.cc
+                         * ((coalesce(cont.n1p_bwd, 0) + 1) / (tot.tt + tot.vsz))
+                  ELSE (coalesce(cont.n1p_bwd, 0) + 1) / (tot.tt + tot.vsz)
+                  END) AS lp
+      FROM sc
+      LEFT JOIN bg USING (gram)
+      LEFT JOIN ctx ON string_split(sc.gram, ' ')[1] = ctx.prev
+      LEFT JOIN cont ON string_split(sc.gram, ' ')[2] = cont.w2
+      CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(sum(w) AS BIGINT) AS n_bigrams,
+           round(-sum(w * lp) / sum(w), 6) AS avg_nll,
+           round(pow(2, round(-sum(w * lp) / sum(w), 6)), 4) AS ppl
+    FROM j GROUP BY doc_id
+    """,
+)
+def text_kn_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney LM quality scoring (operators/lm.py:kn_score)
+    — the KenLM-standard smoothing, served from the SAME published count
+    dataset as text_ngram_lm_score (continuation/context type counts are two
+    tiny re-aggregations of the count table; the train/publish/append/stream
+    lifecycle is shared verbatim). Scores the doc_id < 300 slice; the oracle
+    rebuilds the full KN pipeline in SQL from the same integer counts, so
+    the driver value-checks the KN perplexities themselves. The held-out
+    unseen-gram/unseen-word paths (which this same-corpus slice cannot
+    exercise) are pinned against a pure-Python KN reference in
+    tests/test_lm.py."""
+    from parqueryd_spark.operators.lm import kn_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = _served_lm(spark, sf_dir)
+    return kn_score(docs.filter(F.col("doc_id") < 300), "doc_id", lm, "text")
+
+
 _LM_SERVE_CACHE: dict = {}
 
 

@@ -174,3 +174,95 @@ def test_trigram_publish_append_respects_persisted_order(spark, tmp_path):
     assert sorted(map(tuple, served.bigrams.collect())) == sorted(
         map(tuple, direct.bigrams.collect())
     )
+
+
+def _py_kn(train_rows, score_rows, D=0.75):
+    """Pure-Python interpolated KN bigram reference (Chen & Goodman 1999
+    eq. 4.25 with the +1/+V continuation floor kn_score documents)."""
+    from collections import Counter
+
+    bg = Counter()
+    for _, text in train_rows:
+        t = text.split(" ")
+        for i in range(len(t) - 1):
+            bg[(t[i], t[i + 1])] += 1
+    cc = Counter()
+    n1p_fwd = Counter()
+    n1p_bwd = Counter()
+    for (w1, w2), c in bg.items():
+        cc[w1] += c
+        n1p_fwd[w1] += 1
+        n1p_bwd[w2] += 1
+    tt = len(bg)
+    vsz = len({w2 for _, w2 in bg}) + 1
+    out = {}
+    for doc_id, text in score_rows:
+        t = text.split(" ")
+        grams = [(t[i], t[i + 1]) for i in range(len(t) - 1)]
+        if not grams:
+            continue
+        s = 0.0
+        for g in grams:
+            pc = (n1p_bwd.get(g[1], 0) + 1) / (tt + vsz)
+            if cc.get(g[0], 0) > 0:
+                p = max(bg.get(g, 0) - D, 0) / cc[g[0]] + D * n1p_fwd[g[0]] / cc[g[0]] * pc
+            else:
+                p = pc
+            s += math.log2(p)
+        out[doc_id] = round(-s / len(grams), 6)
+    return out
+
+
+def test_kn_score_matches_pure_python_incl_held_out(spark):
+    """kn_score vs the pure-Python KN reference, covering every smoothing
+    branch: seen grams, unseen gram under a seen context (discount + backoff
+    mass), unseen context (pure continuation), and a fully unseen word (the
+    +1/+V floor). Also pins that KN probabilities are a proper discount:
+    every scored document gets a finite avg_nll."""
+    from parqueryd_spark.operators.lm import kn_score, lm_train
+
+    train = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on a log"),
+        (3, "a cat and a dog"),
+    ]
+    held = [
+        (10, "the cat sat"),        # all seen
+        (11, "the log sat"),        # unseen gram "the log", seen contexts
+        (12, "mat mat mat"),        # "mat" never a context: backoff to Pc
+        (13, "zebra the cat"),      # unseen word: +1/+V floor path
+    ]
+    lm = lm_train(_docs(spark, train))
+    got = {
+        r["doc_id"]: r["avg_nll"]
+        for r in kn_score(_docs(spark, held), "doc_id", lm).collect()
+    }
+    want = _py_kn(train, held)
+    assert set(got) == set(want)
+    for doc_id, nll in want.items():
+        assert math.isfinite(got[doc_id]), doc_id
+        assert abs(got[doc_id] - nll) < 1e-6, (doc_id, got[doc_id], nll)
+
+
+def test_kn_prefers_productive_continuations(spark):
+    """The KN property add-k lacks: a word seen in MANY contexts gets more
+    backoff mass than one glued to a single collocation. 'francisco' appears
+    only after 'san' (high raw count, one context); 'day' follows many
+    different words. After an unseen context, KN must prefer 'day'."""
+    from parqueryd_spark.operators.lm import kn_score, lm_train
+
+    train = [(i, "san francisco") for i in range(8)] + [
+        (100, "good day"),
+        (101, "bad day"),
+        (102, "long day"),
+        (103, "nice day"),
+    ]
+    lm = lm_train(_docs(spark, train))
+    probe = [(1, "zzz day"), (2, "zzz francisco")]
+    got = {
+        r["doc_id"]: r["avg_nll"]
+        for r in kn_score(_docs(spark, probe), "doc_id", lm).collect()
+    }
+    # lower NLL = more probable: 'day' (4 contexts) beats 'francisco' (1)
+    assert got[1] < got[2], got
+    assert math.isfinite(got[1]) and math.isfinite(got[2])

@@ -120,3 +120,35 @@ def test_table_diff_detects_null_shifted_values(spark):
     b = spark.createDataFrame([(1, "x", None), (2, "y", "y")], "k long, c1 string, c2 string")
     out = {r.k: r.status for r in table_diff(a, b, ["k"]).collect()}
     assert out == {1: "changed"}
+
+
+def test_quantile_calibrate_ranks_within_group(spark):
+    """quantile_calibrate: percent_rank is per-group ((rank-1)/(n-1) with
+    deterministic tiebreaks), 0 for a single-row group, and a shared
+    threshold selects the same FRACTION of every group regardless of raw
+    score scale."""
+    from parqueryd_spark.operators.quality import quantile_calibrate
+
+    rows = (
+        # source a: scores 1..5 (small scale)
+        [(i, "a", i) for i in range(1, 6)]
+        # source b: scores 100..500 (different scale, same shape)
+        + [(i + 10, "b", 100 * i) for i in range(1, 6)]
+        # source c: single row -> calib 0
+        + [(99, "c", 7)]
+        # source d: all-equal scores -> ties broken by id, ranks still spread
+        + [(20, "d", 3), (21, "d", 3), (22, "d", 3)]
+    )
+    df = spark.createDataFrame(rows, "id long, source string, score long")
+    got = {
+        (r.source, r.id): r.calib
+        for r in quantile_calibrate(df, "source", "score", ["id"]).collect()
+    }
+    for i in range(1, 6):
+        assert got[("a", i)] == got[("b", i + 10)] == round((i - 1) / 4, 6)
+    assert got[("c", 99)] == 0.0
+    assert [got[("d", i)] for i in (20, 21, 22)] == [0.0, 0.5, 1.0]
+    # shared threshold keeps the same fraction of a and b
+    keep_a = sum(1 for (s, _), c in got.items() if s == "a" and c >= 0.5)
+    keep_b = sum(1 for (s, _), c in got.items() if s == "b" and c >= 0.5)
+    assert keep_a == keep_b == 3
