@@ -286,3 +286,80 @@ def quantile_calibrate(
     ]
     w = W.partitionBy(group_col).orderBy(*order)
     return df.withColumn(calib_col, F.round(F.percent_rank().over(w), 6))
+
+
+def calibration_cdf(
+    df: DataFrame, group_col: str, score_col: str
+) -> DataFrame:
+    """The frozen face of :func:`quantile_calibrate`: reduce a reference
+    window to its per-group empirical CDF — one row per (group, distinct
+    score) with ``cdf`` = fraction of reference rows at or below that score
+    (cume_dist, an exact rational k/n). Publish this table (it is
+    distinct-score-sized, not corpus-sized) and every future batch scores
+    against the SAME frozen distribution — the production quality gate,
+    where thresholds must not drift with each incoming batch."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(group_col).orderBy(F.col(score_col).asc())
+    return (
+        df.select(group_col, score_col)
+        .withColumn("cdf", F.cume_dist().over(w))
+        .distinct()
+    )
+
+
+def calibration_score(
+    ref_cdf: DataFrame,
+    new_df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    calib_col: str = "calib",
+) -> DataFrame:
+    """Score NEW rows against a published per-group CDF: each row's
+    ``calib_col`` is the frozen cdf at the LARGEST reference score ≤ its own
+    score (step-function lookup; 0.0 below every reference score — an
+    out-of-distribution low outlier).
+
+    Plan shape — a sort-merge step lookup, not a range join: union the
+    (tiny) reference CDF rows with the probe rows, window per group ordered
+    by (score, ref-before-probe so ties inherit the reference value), and
+    take the running last non-null cdf. ONE shuffle on ``group_col``,
+    linear in probes + reference rows; a broadcast range join would cost
+    O(probes × distinct-scores) instead. The same call inside foreachBatch
+    serves a stream against the frozen gate unchanged.
+
+    Returns (id_col, group_col, score_col, calib_col) rounded to 6 dp —
+    exact rationals in double, so an ANSI window replay hash-matches."""
+    from pyspark.sql import Window as W
+
+    ref = ref_cdf.select(
+        F.col(group_col).alias("_g"),
+        F.col(score_col).cast("double").alias("_s"),
+        F.col("cdf").alias("_cdf"),
+        F.lit(0).alias("_tag"),
+        F.lit(None).cast("long").alias("_pid"),
+    )
+    probe = new_df.select(
+        F.col(group_col).alias("_g"),
+        F.col(score_col).cast("double").alias("_s"),
+        F.lit(None).cast("double").alias("_cdf"),
+        F.lit(1).alias("_tag"),
+        F.col(id_col).cast("long").alias("_pid"),
+    )
+    w = (
+        W.partitionBy("_g")
+        .orderBy(F.col("_s").asc(), F.col("_tag").asc(), F.col("_pid").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = (
+        ref.unionByName(probe)
+        .withColumn("_run", F.last("_cdf", ignorenulls=True).over(w))
+        .where(F.col("_tag") == 1)
+    )
+    return out.select(
+        F.col("_pid").alias(id_col),
+        F.col("_g").alias(group_col),
+        F.col("_s").alias(score_col),
+        F.round(F.coalesce(F.col("_run"), F.lit(0.0)), 6).alias(calib_col),
+    )

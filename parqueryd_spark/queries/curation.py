@@ -502,3 +502,54 @@ def pipeline_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = quantile_calibrate(scored, "source", "n_tokens", tiebreak_cols=["doc_id"])
     return out.withColumn("keep", F.col("calib") >= 0.5)
+
+
+@query(
+    "pipeline_calibration_serve",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), refc AS (
+      SELECT DISTINCT source, n_tokens,
+             cume_dist() OVER (PARTITION BY source ORDER BY n_tokens) AS cdf
+      FROM scored WHERE doc_id < 400
+    ), probe AS (
+      SELECT doc_id, source, n_tokens FROM scored WHERE doc_id >= 400
+    )
+    SELECT p.doc_id, p.source, CAST(p.n_tokens AS BIGINT) AS n_tokens,
+           round(coalesce((SELECT max(r.cdf) FROM refc r
+                           WHERE r.source = p.source
+                             AND r.n_tokens <= p.n_tokens), 0.0), 6) AS calib
+    FROM probe p
+    """,
+)
+def pipeline_calibration_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FROZEN quality gate (operators/quality.py:calibration_cdf +
+    calibration_score): reduce a reference window (doc_id < 400) to its
+    per-source empirical CDF — distinct-score-sized, publishable — then
+    score the NEW batch (doc_id >= 400) against that frozen distribution by
+    step-function lookup (largest reference score ≤ the new score; 0.0
+    below all — an out-of-distribution low outlier). This is what
+    production curation needs that per-batch percent_rank
+    (pipeline_quality_calibration) can't give: thresholds that do NOT drift
+    as batches arrive. The lookup is a union + per-source running window —
+    one shuffle, linear in probes + reference rows, never a range join; the
+    oracle replays the step lookup with a correlated max over the same
+    CDF. The same calibration_score call inside foreachBatch serves a
+    document stream against the frozen gate unchanged."""
+    from parqueryd_spark.operators.quality import calibration_cdf, calibration_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    ref = calibration_cdf(scored.filter(F.col("doc_id") < 400), "source", "n_tokens")
+    out = calibration_score(
+        ref, scored.filter(F.col("doc_id") >= 400), "source", "n_tokens", "doc_id"
+    )
+    return out.select(
+        "doc_id", "source", F.col("n_tokens").cast("long").alias("n_tokens"), "calib"
+    )

@@ -152,3 +152,47 @@ def test_quantile_calibrate_ranks_within_group(spark):
     keep_a = sum(1 for (s, _), c in got.items() if s == "a" and c >= 0.5)
     keep_b = sum(1 for (s, _), c in got.items() if s == "b" and c >= 0.5)
     assert keep_a == keep_b == 3
+
+
+def test_calibration_frozen_serve_step_lookup(spark):
+    """calibration_cdf + calibration_score: new scores take the frozen cdf of
+    the largest reference score at or below them (ties inherit the reference
+    value), scores below every reference get 0.0, and — the point of the
+    frozen gate — the served values do NOT move when the new batch itself is
+    skewed (unlike a per-batch percent_rank refit)."""
+    from parqueryd_spark.operators.quality import calibration_cdf, calibration_score
+
+    ref_rows = [(i, "a", s) for i, s in enumerate([10, 20, 20, 40])]
+    ref = calibration_cdf(
+        spark.createDataFrame(ref_rows, "id long, g string, s long"), "g", "s"
+    )
+    # frozen CDF: 10 -> 1/4, 20 -> 3/4 (two rows at 20), 40 -> 1.0
+    cdf = {r.s: r.cdf for r in ref.collect()}
+    assert cdf == {10: 0.25, 20: 0.75, 40: 1.0}
+
+    probes = [
+        (1, "a", 5),    # below all -> 0.0
+        (2, "a", 10),   # exact lowest -> 0.25
+        (3, "a", 20),   # tie -> inherits 0.75
+        (4, "a", 25),   # between 20 and 40 -> steps down to 0.75
+        (5, "a", 99),   # above all -> 1.0
+    ]
+    new = spark.createDataFrame(probes, "doc long, g string, s long")
+    got = {
+        r.doc: r.calib
+        for r in calibration_score(ref, new, "g", "s", "doc").collect()
+    }
+    assert got == {1: 0.0, 2: 0.25, 3: 0.75, 4: 0.75, 5: 1.0}
+
+    # skewed second batch: same probe scores plus a flood of high scores —
+    # frozen calib for the original probes must be unchanged
+    flood = new.union(
+        spark.createDataFrame([(100 + i, "a", 1000) for i in range(20)],
+                              "doc long, g string, s long")
+    )
+    again = {
+        r.doc: r.calib
+        for r in calibration_score(ref, flood, "g", "s", "doc").collect()
+        if r.doc <= 5
+    }
+    assert again == got
