@@ -99,3 +99,35 @@ def stream_flag_outliers(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_calibrate_scores(
+    new_stream: DataFrame,
+    ref_cdf: DataFrame,
+    scores_dir: str,
+    checkpoint_dir: str,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+):
+    """Serve the FROZEN quality gate over a stream: each micro-batch is
+    scored against a published per-group CDF (operators/quality.py:
+    calibration_cdf) by the same step lookup the batch operator uses —
+    batch-equivalent row-for-row — landing (id, group, score, calib) in
+    idempotent ``batch=<id>`` partitions. This is the production shape of
+    pipeline_calibration_serve: thresholds stay fixed at the published
+    reference distribution no matter how skewed an arriving batch is; the
+    gate only moves when maintenance republishes the CDF (the frozen-model
+    contract shared with stream_score_documents / stream_flag_outliers)."""
+    from parqueryd_spark.operators.quality import calibration_score
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        out = calibration_score(ref_cdf, batch_df, group_col, score_col, id_col)
+        out.write.mode("overwrite").parquet(os.path.join(scores_dir, f"batch={batch_id}"))
+
+    return (
+        new_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
