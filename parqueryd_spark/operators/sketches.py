@@ -272,7 +272,11 @@ def heavy_hitters_exact_topk(
 
 
 def _mg_summaries_grouped(
-    df: DataFrame, group_col: str, key_col: str, cap: int
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    cap: int,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-partition Misra–Gries summaries per GROUP: rows
     (group, key, cnt, err) — ≤ ``cap`` counter rows per (partition, group)
@@ -281,10 +285,15 @@ def _mg_summaries_grouped(
     partition is groups-present × cap counters: bounded when the group
     column is low-cardinality (languages, sources, event types — the
     intended grain; for high-cardinality groups use a plain groupBy, whose
-    shuffle is then no larger than this sketch's candidate set anyway)."""
+    shuffle is then no larger than this sketch's candidate set anyway).
+    ``weight_col`` follows the global variant's contract: an integer,
+    NON-NEGATIVE measure (enforced in the fold), counters accumulate weight
+    sums, and the MG guarantee reads "count" as "total weight"."""
     if cap < 1:
         raise ValueError("capacity must be >= 1")
     df = df.where(F.col(key_col).isNotNull() & F.col(group_col).isNotNull())
+    if weight_col is not None:
+        df = df.where(F.col(weight_col).isNotNull())
 
     def summarize(batches):
         import pandas as pd
@@ -292,7 +301,19 @@ def _mg_summaries_grouped(
         counters: dict = {}  # group -> {key: cnt}
         errs: dict = {}  # group -> err
         for pdf in batches:
-            vc = pdf.groupby([pdf.columns[0], pdf.columns[1]], sort=False).size()
+            if pdf.shape[1] == 3:
+                if (pdf.iloc[:, 2] < 0).any():
+                    bad = pdf.iloc[:, 2].min()
+                    raise ValueError(
+                        f"heavy_hitters weight_col must be non-negative "
+                        f"(found {bad}); exclude or split negative-measure "
+                        "rows before sketching"
+                    )
+                vc = pdf.groupby(
+                    [pdf.columns[0], pdf.columns[1]], sort=False
+                )[pdf.columns[2]].sum()
+            else:
+                vc = pdf.groupby([pdf.columns[0], pdf.columns[1]], sort=False).size()
             for (g, key), cnt in vc.items():
                 c = counters.setdefault(g, {})
                 c[key] = c.get(key, 0) + int(cnt)
@@ -310,9 +331,12 @@ def _mg_summaries_grouped(
 
     g_type = df.schema[group_col].dataType.simpleString()
     k_type = df.schema[key_col].dataType.simpleString()
-    return df.select(
-        F.col(group_col).alias("group"), F.col(key_col).alias("key")
-    ).mapInPandas(summarize, schema=f"group {g_type}, key {k_type}, cnt long, err long")
+    cols = [F.col(group_col).alias("group"), F.col(key_col).alias("key")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("long").alias("w"))
+    return df.select(*cols).mapInPandas(
+        summarize, schema=f"group {g_type}, key {k_type}, cnt long, err long"
+    )
 
 
 def heavy_hitters_exact_topk_grouped(
@@ -322,6 +346,7 @@ def heavy_hitters_exact_topk_grouped(
     k: int = 10,
     capacity: int = 256,
     max_groups: int = 10_000,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """EXACT top-k most frequent ``key_col`` values PER ``group_col`` — the
     grouped face of :func:`heavy_hitters_exact_topk` (top tokens per
@@ -340,7 +365,12 @@ def heavy_hitters_exact_topk_grouped(
     in-plan via ``raise_error``. ``max_groups`` bounds the driver-side gate
     state (the operators/selection.py limit-guard convention). Returns
     (group_col, key_col, n_occurrences) ordered by group, count desc, key —
-    deterministic and replayable by any exact SQL engine."""
+    deterministic and replayable by any exact SQL engine.
+
+    With ``weight_col`` (integer, NON-NEGATIVE — the global variant's
+    contract, enforced in the sketch fold) the same machinery answers top-k
+    by TOTAL MEASURE per group — revenue by part per brand, spend by user
+    per tenant — and the output column is ``weight_sum``."""
     from pyspark.sql import Window as W
 
     # localCheckpoint, not persist (ADVICE r12): the summaries must be
@@ -356,9 +386,13 @@ def heavy_hitters_exact_topk_grouped(
     # limit-guarded by max_groups (operators/selection.py convention). As
     # with the global variant, the confirm pass re-scans df at execution
     # time: df must be a static batch source between plan build and run.
-    summaries = _mg_summaries_grouped(df, group_col, key_col, int(capacity)).localCheckpoint(
-        eager=True
-    )
+    out_col = "n_occurrences" if weight_col is None else "weight_sum"
+    measure = (
+        F.count("*") if weight_col is None else F.sum(F.col(weight_col).cast("long"))
+    ).alias(out_col)
+    summaries = _mg_summaries_grouped(
+        df, group_col, key_col, int(capacity), weight_col
+    ).localCheckpoint(eager=True)
     gate = (
         summaries.groupBy("group")
         .agg(
@@ -389,13 +423,13 @@ def heavy_hitters_exact_topk_grouped(
             [group_col, key_col],
         )
         .groupBy(group_col, key_col)
-        .agg(F.count("*").alias("n_occurrences"))
+        .agg(measure)
     )
     w_rank = W.partitionBy(group_col).orderBy(
-        F.col("n_occurrences").desc(), F.col(key_col).asc()
+        F.col(out_col).desc(), F.col(key_col).asc()
     )
     topk = exact.withColumn("_rn", F.row_number().over(w_rank)).where(F.col("_rn") <= int(k))
-    kth = F.min("n_occurrences").over(W.partitionBy(group_col))
+    kth = F.min(out_col).over(W.partitionBy(group_col))
     guarded = (
         topk.join(bound.withColumnRenamed("group", group_col), group_col, "left")
         .withColumn("_max_under", F.coalesce(F.col("_max_under"), F.lit(0)))
@@ -419,8 +453,8 @@ def heavy_hitters_exact_topk_grouped(
             )
         )
     )
-    return guarded.select(group_col, key_col, "n_occurrences").orderBy(
-        group_col, F.col("n_occurrences").desc(), F.col(key_col).asc()
+    return guarded.select(group_col, key_col, out_col).orderBy(
+        group_col, F.col(out_col).desc(), F.col(key_col).asc()
     )
 
 

@@ -375,7 +375,10 @@ def events_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     sk = count_min_sketch(ev, "user_id", width=256, depth=4)
-    keys = ev.select("user_id").distinct().filter(F.col("user_id") % 5 == 0)
+    # filter BEFORE distinct: the modulo predicate can't reach the parquet
+    # scan (expression predicate), but applying it pre-aggregation cuts the
+    # distinct's shuffle 5x — the lint's unpushed-filter WARN was this line
+    keys = ev.select("user_id").filter(F.col("user_id") % 5 == 0).distinct()
     est = count_min_query(sk, keys, "user_id", width=256, depth=4).select(
         "user_id", F.col("est").cast("bigint").alias("cm_est")
     )

@@ -684,3 +684,44 @@ def events_exact_quantile_cont_by_type(spark: SparkSession, sf_dir: str) -> Data
     return exact_group_quantiles_cont(
         spark, ev, ["event_type"], "value", [0.25, 0.5, 0.95], bins=16, exact_threshold=200
     )
+
+
+@query(
+    "events_heavy_spenders_by_type",
+    oracle="""
+    SELECT event_type, user_id, spend_cents
+    FROM (
+      SELECT event_type, user_id,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS spend_cents,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY sum(CAST(round(value * 100) AS BIGINT)) DESC, user_id ASC
+             ) AS rn
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL
+      GROUP BY event_type, user_id
+    ) WHERE rn <= 5
+    """,
+)
+def events_heavy_spenders_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 users by TOTAL SPEND per event_type via the GROUPED WEIGHTED
+    exact-heavy-hitter route (operators/sketches.py
+    heavy_hitters_exact_topk_grouped with weight_col — new in r13,
+    completing the heavy-hitter matrix: global/grouped × count/measure).
+    Values scale to integer cents before sketching so every sum — the
+    per-group MG counters, the eviction errors E_g, the confirm aggregate —
+    is exact integer arithmetic, keeping the group-wise completeness proof
+    sound and the DuckDB replay bit-for-bit. At this SF the per-type user
+    cardinality sits under the capacity, so E_g == 0 everywhere and the
+    result is exact by construction; the eviction-proof branch is pinned in
+    tests/test_sketches.py. At 100 TB this is heavy-spenders-per-tenant at
+    a shuffle of candidate grain, not (tenant, user, payment) grain."""
+    from parqueryd_spark.operators.sketches import heavy_hitters_exact_topk_grouped
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "spend_cents", F.round(F.col("value") * 100).cast("long")
+    )
+    out = heavy_hitters_exact_topk_grouped(
+        ev, "event_type", "user_id", k=5, capacity=4096, weight_col="spend_cents"
+    )
+    return out.withColumnRenamed("weight_sum", "spend_cents")

@@ -359,3 +359,55 @@ def test_count_min_null_keys_are_excluded(spark):
     keys = spark.createDataFrame([(1,), (2,)], "k int")
     est = {r["k"]: r["est"] for r in count_min_query(count_min_sketch(with_nulls, "k"), keys, "k").collect()}
     assert est[1] >= 2 and est[2] >= 1
+
+
+def test_grouped_weighted_topk_matches_brute_force(spark):
+    """grouped + weighted heavy hitters (r13): per-group top-k by TOTAL
+    integer measure equals brute force under eviction pressure; negative
+    weights refuse at plan-build; an unprovable group refuses by name."""
+    import pytest
+
+    from parqueryd_spark.operators.sketches import heavy_hitters_exact_topk_grouped
+
+    rows = [
+        (g, i, 3000 // i)
+        for g in ("ga", "gb")
+        for i in range(1, 80)
+        for _ in range(2)
+    ]
+    df = spark.createDataFrame(rows, "g string, k long, w long").repartition(5)
+    got = [
+        (r.g, r.k, r.weight_sum)
+        for r in heavy_hitters_exact_topk_grouped(
+            df, "g", "k", k=3, capacity=16, weight_col="w"
+        ).collect()
+    ]
+    want: dict = {}
+    for g, k_, w in rows:
+        want[(g, k_)] = want.get((g, k_), 0) + w
+    expect = []
+    for g in ("ga", "gb"):
+        top = sorted(
+            ((k_, tot) for (gg, k_), tot in want.items() if gg == g),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:3]
+        expect.extend((g, k_, tot) for k_, tot in top)
+    assert got == expect, (got, expect)
+
+    refunds = spark.createDataFrame(
+        [("ga", 1, 100), ("ga", 2, -5)], "g string, k long, w long"
+    ).coalesce(1)
+    with pytest.raises(Exception, match="non-negative"):
+        heavy_hitters_exact_topk_grouped(refunds, "g", "k", k=1, capacity=8, weight_col="w")
+
+    # near-uniform weights under tiny capacity: must refuse, not guess —
+    # either the eager short-candidate gate (build-time ValueError) or the
+    # in-plan k-th-vs-error proof (runtime raise_error), depending on how
+    # survivors land per partition
+    flat = spark.createDataFrame(
+        [("ga", i % 100, 7) for i in range(1000)], "g string, k long, w long"
+    ).repartition(5)
+    with pytest.raises(Exception, match="not provably exact"):
+        heavy_hitters_exact_topk_grouped(
+            flat, "g", "k", k=5, capacity=2, weight_col="w"
+        ).collect()
