@@ -302,6 +302,21 @@ from parqueryd_spark.queries import tpch_extended  # noqa: E402,F401
 # pipeline_k_anonymity (nine pipeline rows in-window), text_ngram_lm_score /
 # text_curation_funnel (LM scoring ≡ text_nb_* lifecycle rows; pure-Column
 # scalar stats ≡ text_bm25_search's tokenization, kept in-window).
+# Round 13b (late round 13, the r12b precedent: families born this round get
+# gated this round): the four new r13 rows enter — text_kn_lm_score
+# (Kneser-Ney scoring, full SQL replay), pipeline_quality_calibration
+# (per-source percent_rank), pipeline_calibration_serve (frozen-CDF step
+# lookup), events_heavy_spenders_by_type (grouped WEIGHTED heavy hitters).
+# Displaced, each with in-window twins and all still registered +
+# pytest-oracled: sketch_error_bounds (its exact checks are now INSIDE the
+# reshaped events_sketch_aggs row — same envelope booleans plus the exact
+# group count, strictly more), text_bm25_search (gated r9-r12; its
+# tokenization/scalar shapes ride text_nb_langid + text_heavy_hitters_by_lang;
+# BM25 mechanics stay registry-oracled), embedding_near_dup (gated r8-r12;
+# embedding machinery in-window via the five ANN serving routes, banding via
+# dedup_minhash_incremental), events_sessionization (gated r10-r12;
+# gaps-and-islands window mechanics stay registry-oracled, window-frame
+# coverage in-window via interval_join_user_windows + scd2_events_asof).
 GATE_WINDOW = [
     "q1_pricing_summary",
     "where_ops_raw_rows",
@@ -320,7 +335,7 @@ GATE_WINDOW = [
     "q21_waiting_supplier",
     "q22_global_sales_opportunity",
     "events_sketch_aggs",
-    "sketch_error_bounds",
+    "text_kn_lm_score",
     "ann_ivfpq_recall_bound",
     "events_kmv_incremental",
     "ann_ivf_index_topk",
@@ -330,9 +345,9 @@ GATE_WINDOW = [
     "ann_ivfsq_index_topk",
     "dedup_substrings",
     "dedup_minhash_incremental",
-    "embedding_near_dup",
+    "pipeline_calibration_serve",
     "events_exact_quantile_by_type",
-    "events_sessionization",
+    "events_heavy_spenders_by_type",
     "interval_join_user_windows",
     "asof_join_events",
     "skew_salted_join",
@@ -350,7 +365,7 @@ GATE_WINDOW = [
     "text_nb_langid",
     "text_heavy_hitters_by_lang",
     "text_bpe_train_encode",
-    "text_bm25_search",
+    "pipeline_quality_calibration",
     "scan_zonemap_pruned",
     "scd2_events_asof",
 ]

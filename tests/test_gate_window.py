@@ -71,8 +71,9 @@ REQUIRED_IN_WINDOW = (
     "q21_waiting_supplier",
     "q22_global_sales_opportunity",
     # estimate/recall bounds + the reshaped 150/150 closer
+    # (r13b: sketch_error_bounds displaced — its exact envelope checks now
+    # live INSIDE events_sketch_aggs, which adds the exact group count)
     "events_sketch_aggs",
-    "sketch_error_bounds",
     "ann_ivfpq_recall_bound",
     # sketch lifecycle (md5_52 KMV machinery + publish/increment)
     "events_kmv_incremental",
@@ -85,10 +86,11 @@ REQUIRED_IN_WINDOW = (
     # dedup family: exact substring grain + incremental minhash lifecycle
     "dedup_substrings",
     "dedup_minhash_incremental",
-    "embedding_near_dup",
-    # events / windows / exact selection
+    # events / windows / exact selection (r13b: sessionization displaced
+    # after three consecutive gates; heavy spenders = grouped WEIGHTED
+    # heavy hitters, new this round)
     "events_exact_quantile_by_type",
-    "events_sessionization",
+    "events_heavy_spenders_by_type",
     # joins: range, as-of, skew-salted
     "interval_join_user_windows",
     "asof_join_events",
@@ -105,12 +107,16 @@ REQUIRED_IN_WINDOW = (
     "pipeline_leakage_safe_split",
     "pipeline_global_shuffle",
     "pipeline_data_card",
-    # text: classifier lifecycle, grouped heavy hitters, BPE, BM25
+    # quality calibration (new r13 family: per-batch rank + frozen serve)
+    "pipeline_quality_calibration",
+    "pipeline_calibration_serve",
+    # text: classifier lifecycle, grouped heavy hitters, BPE, KN LM (r13b:
+    # bm25 displaced after four consecutive gates, mechanics registry-oracled)
     "text_nb_incremental",
     "text_nb_langid",
     "text_heavy_hitters_by_lang",
     "text_bpe_train_encode",
-    "text_bm25_search",
+    "text_kn_lm_score",
     # file skipping / metadata serving
     "scan_zonemap_pruned",
     # history
@@ -196,6 +202,11 @@ REQUIRED_REGISTERED_PAST_WINDOW = (
     "text_ngram_lm_score",
     "text_curation_funnel",
     "text_repeated_passages",
+    # r13b rotation (new r13 families enter; twins in the GATE_WINDOW comment)
+    "sketch_error_bounds",
+    "text_bm25_search",
+    "embedding_near_dup",
+    "events_sessionization",
 )
 
 
