@@ -192,17 +192,24 @@ def heavy_hitters_exact_topk(
     measure = (
         F.count("*") if weight_col is None else F.sum(F.col(weight_col).cast("long"))
     ).alias(out_col)
-    # ONE eager pass over the MG summaries pulls the candidate set, the gate
-    # stats, and the eviction bound E from the SAME snapshot (ADVICE r12:
-    # the old persist()-based split never unpersisted, leaking cached blocks
-    # across a 150-query registry run, and read the gate from a different
-    # action than the plan). The summaries are bounded by construction —
-    # ≤ capacity counter rows + 1 marker per partition (256×1000 executors
-    # ≈ 256k tiny rows, a few MB) — so collecting them is the same volume a
-    # broadcast would ship to every executor anyway, and nothing stays cached.
-    summary_rows = _mg_summaries(df, key_col, int(capacity), weight_col).collect()
-    total_err = int(sum(r["err"] for r in summary_rows if r["key"] is None))
-    cand_keys = sorted({r["key"] for r in summary_rows if r["key"] is not None})
+    # localCheckpoint materializes the MG summaries ONCE; the gate stats,
+    # the eviction bound E, and the candidate set all read the SAME snapshot
+    # (ADVICE r12: the old persist()-based split never unpersisted, leaking
+    # cached blocks across a 150-query registry run — checkpoint blocks are
+    # freed by the ContextCleaner when the plan is garbage-collected — and a
+    # recompute could re-batch rows into a DIFFERENT valid MG summary per
+    # consumer). The summaries are bounded by construction: ≤ capacity
+    # counter rows + 1 marker per partition (256×1000 executors ≈ 256k tiny
+    # rows). Only the two gate SCALARS come to the driver; the candidate
+    # set stays JVM-side (an earlier collect-and-recreate variant paid
+    # ~0.5 s/plan shipping candidate keys through Python both ways).
+    summaries = _mg_summaries(df, key_col, int(capacity), weight_col).localCheckpoint(
+        eager=True
+    )
+    n_cands, total_err = summaries.agg(
+        F.count_distinct("key"), F.coalesce(F.sum("err"), F.lit(0))
+    ).first()
+    total_err = int(total_err)
     # Short-candidate gate, checked EAGERLY at plan-build time: the per-row
     # proof below only covers the case where k candidates came back. If
     # FEWER than k candidates survived the sketch pass while eviction error
@@ -214,21 +221,23 @@ def heavy_hitters_exact_topk(
     # AQE's empty-relation propagation, so laziness is not safe here). E == 0
     # passes: no eviction anywhere means the candidate set is complete and
     # counts exact, so fewer than k rows is the honest full answer.
-    if len(cand_keys) < int(k) and total_err > 0:
+    if n_cands < int(k) and total_err > 0:
         raise ValueError(
-            f"heavy_hitters_exact_topk: only {len(cand_keys)} candidates "
+            f"heavy_hitters_exact_topk: only {n_cands} candidates "
             f"survived for k={int(k)} with eviction error {total_err} — top-k "
             "not provably exact; increase capacity"
         )
-    # Candidates travel as a broadcast-joined DataFrame (a LocalRelation of
-    # data rows), never as an inlined isin literal list — the plan stays
+    # Candidates travel as a broadcast-joined DataFrame over the checkpointed
+    # summaries, never as an inlined isin literal list — the plan stays
     # bounded the way pq_lut_det keeps ADC tables out of the expression tree.
     # NOTE the sketch pass ran above at plan-BUILD time while the confirm
     # pass below re-scans df at EXECUTION time: df must be a static batch
     # source between the two (the registry/bench contract), or a key added
     # in between could miss the candidate set without tripping either proof.
-    cands = df.sparkSession.createDataFrame(
-        [(c,) for c in cand_keys], schema=df.select(key_col).schema
+    cands = (
+        summaries.where(F.col("key").isNotNull())
+        .select(F.col("key").alias(key_col))
+        .distinct()
     )
     exact = (
         df.join(F.broadcast(cands), key_col)
