@@ -1,22 +1,26 @@
 """Driver-checkable error bounds for the estimate queries.
 
-The registry's sketch/ANN rows (``events_sketch_aggs``, ``ann_ivf_topk``,
-``ann_pq_topk``, ``text_heavy_hitter_tokens``) are rows-only by design — their
-outputs are engine-specific estimates DuckDB cannot reproduce bit-for-bit. The
-queries here close that external-verification gap the way VERDICT r6 item #6
-prescribed: each computes BOTH the estimate and the exact answer in Spark,
-reduces them to "is the error inside the documented bound?" booleans keyed by
-data-derived rows, and pairs that with a DuckDB oracle that asserts the bound
-holds (``TRUE``) for the same keys. A drifting sketch or a recall regression
-flips a boolean, the value hash mismatches, and the row fails.
+Historically the registry's sketch/ANN rows were rows-only — engine-specific
+estimates DuckDB cannot reproduce bit-for-bit — and the queries here closed
+that external-verification gap the way VERDICT r6 item #6 prescribed: each
+computes BOTH the estimate and the exact answer in Spark, reduces them to
+"is the error inside the documented bound?" booleans keyed by data-derived
+rows, and pairs that with a DuckDB oracle that asserts the bound holds
+(``TRUE``) for the same keys. A drifting sketch or a recall regression flips
+a boolean, the value hash mismatches, and the row fails.
 
-Since round 8, ``sketch_error_bounds`` / ``ann_ivf_recall_bound`` /
-``ann_pq_recall_bound`` / ``heavy_hitter_bound`` (and round 8's
-``ann_ivfpq_recall_bound``, queries/quantization.py) sit INSIDE the driver's
-50-row gate window (queries/__init__.py:GATE_WINDOW, VERDICT r7 item #2), so
-the DRIVER — not just pytest/driver_sim — executes them every round.
-``events_hll_rollup_bound`` stays past the window (pytest/driver_sim-checked;
-its merge∘split≡direct invariant is also pinned by tests/test_sketches.py).
+The estimate rows themselves have since been upgraded one family at a time
+(deterministic first-k IVF/SQ routes in r11, PQ spread-codebook replays and
+md5_52 KMV set-function sketches in r12, the exact-confirmed heavy hitters
+in r12b, and the reshaped ``events_sketch_aggs`` — in-query envelope
+booleans plus the exact group count — in r13), so every registry row is now
+value-checked and the bound rows here are COMPANIONS, not stand-ins: the
+recall anchor ``ann_ivfpq_recall_bound`` stays inside the driver's 50-row
+gate window (queries/__init__.py:GATE_WINDOW), while the rest remain
+registered and pytest/driver_sim-oracled past it (``sketch_error_bounds``
+was displaced in r13b because its exact checks now live inside the reshaped
+sketch row; ``events_hll_rollup_bound``'s merge∘split≡direct invariant is
+also pinned by tests/test_sketches.py).
 
 These rows cost an exact pass over the same data as the estimate, so they are
 gate/CI artifacts: at 100 TB you run the estimate queries alone and rely on
