@@ -135,13 +135,26 @@ def stream_score_documents(
     checkpoint_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    smoothing: str = "add_k",
 ):
     """Score an incoming document stream against a frozen LM, landing
     (id, n_bigrams, avg_nll, ppl) per batch in idempotent ``batch=<id>``
-    partitions — batch-equivalent to operators/lm.lm_score row-for-row."""
+    partitions — batch-equivalent to the batch scorer row-for-row.
+    ``smoothing`` selects the scorer over the SAME frozen count table:
+    ``"add_k"`` (operators/lm.lm_score) or ``"kn"`` (operators/lm.kn_score,
+    interpolated Kneser–Ney — bigram models only)."""
+    if smoothing not in ("add_k", "kn"):
+        raise ValueError(f"smoothing must be 'add_k' or 'kn', got {smoothing!r}")
+    if smoothing == "kn" and lm.n != 2:
+        raise ValueError("kn smoothing is bigram-only (lm.n == 2)")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        out = lm_score(batch_df, id_col, lm, text_col)
+        if smoothing == "kn":
+            from parqueryd_spark.operators.lm import kn_score
+
+            out = kn_score(batch_df, id_col, lm, text_col)
+        else:
+            out = lm_score(batch_df, id_col, lm, text_col)
         out.write.mode("overwrite").parquet(os.path.join(scores_dir, f"batch={batch_id}"))
 
     return (

@@ -266,3 +266,38 @@ def test_kn_prefers_productive_continuations(spark):
     # lower NLL = more probable: 'day' (4 contexts) beats 'francisco' (1)
     assert got[1] < got[2], got
     assert math.isfinite(got[1]) and math.isfinite(got[2])
+
+
+def test_stream_score_kn_smoothing_matches_batch(spark, tmp_path):
+    """stream_score_documents(smoothing="kn"): the streamed KN scores equal
+    the batch kn_score answer row-for-row over the same frozen counts, and
+    invalid configurations refuse eagerly."""
+    import pytest
+
+    from parqueryd_spark.operators.lm import kn_score
+
+    stream_in = str(tmp_path / "in")
+    os.makedirs(stream_in)
+    pd.DataFrame(DOCS[:1], columns=["doc_id", "text"]).to_parquet(
+        os.path.join(stream_in, "b1.parquet")
+    )
+    pd.DataFrame(DOCS[1:], columns=["doc_id", "text"]).to_parquet(
+        os.path.join(stream_in, "b2.parquet")
+    )
+    schema = "doc_id bigint, text string"
+    lm = lm_train(_docs(spark, DOCS))
+
+    scores_dir = str(tmp_path / "scores")
+    stream = spark.readStream.schema(schema).parquet(stream_in)
+    stream_score_documents(
+        stream, lm, scores_dir, str(tmp_path / "ckpt"), smoothing="kn"
+    ).awaitTermination()
+    streamed = sorted(map(tuple, spark.read.parquet(scores_dir).drop("batch").collect()))
+    batch = sorted(map(tuple, kn_score(_docs(spark, DOCS), "doc_id", lm).collect()))
+    assert streamed == batch
+
+    with pytest.raises(ValueError, match="add_k"):
+        stream_score_documents(stream, lm, scores_dir, "x", smoothing="laplace")
+    lm3 = lm_train(_docs(spark, DOCS), n=3)
+    with pytest.raises(ValueError, match="bigram-only"):
+        stream_score_documents(stream, lm3, scores_dir, "x", smoothing="kn")
