@@ -344,3 +344,81 @@ def read_countmin_estimates(
 
     merged = count_min_merge([spark.read.parquet(cm_dir)])
     return count_min_query(merged, keys, key_col, width=width, depth=depth, salt=salt)
+
+
+def stream_maintain_heavy_hitters_grouped(
+    event_stream: DataFrame,
+    hh_dir: str,
+    checkpoint_dir: str,
+    group_col: str,
+    key_col: str,
+    capacity: int = 256,
+    weight_col: str | None = None,
+):
+    """Continuously-maintained PER-GROUP frequent-items state — the grouped
+    face of :func:`stream_maintain_heavy_hitters` (running top tokens per
+    language, hot URLs per domain, heavy spenders per tenant). Each
+    micro-batch writes its grouped Misra-Gries summaries — ≤ capacity
+    counter rows per (partition, group) plus one NULL-key marker per
+    (partition, group) carrying that group's eviction error — into an
+    idempotent ``batch=<id>`` partition. Grouped MG summaries merge by
+    counter addition WITHIN each group with per-group errors adding, so
+    merge-on-read over any batch set is a valid grouped summary of
+    everything seen: est ≤ true ≤ est + Σ err_g holds per group.
+    ``weight_col`` (integer, NON-NEGATIVE — enforced in the sketch fold)
+    switches the counters to weight sums, mirroring
+    operators/sketches.heavy_hitters_exact_topk_grouped's weighted face."""
+    from parqueryd_spark.operators.sketches import _mg_summaries_grouped
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        cols = [group_col, key_col] + ([] if weight_col is None else [weight_col])
+        part = _mg_summaries_grouped(
+            batch_df.select(*cols), group_col, key_col, int(capacity), weight_col
+        )
+        part.write.mode("overwrite").parquet(os.path.join(hh_dir, f"batch={batch_id}"))
+
+    return (
+        event_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_heavy_hitters_grouped(
+    spark, hh_dir: str, group_col: str, key_col: str, k: int = 10
+) -> DataFrame:
+    """Approximate per-group top-k over ALL published batches: merge-on-read
+    of the grouped summaries (counter sums per (group, key) + per-group
+    summed eviction bounds), never touching raw events. Returns
+    (group_col, key_col, est_count, max_undercount) with at most k rows per
+    group, ordered by group, est desc, key asc — the per-group twin of
+    :func:`read_heavy_hitters`, so the undercount invariant stays checkable
+    at serve time group by group."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    parts = spark.read.parquet(hh_dir).drop("batch")
+    bound = (
+        parts.where(F.col("key").isNull())
+        .groupBy("group")
+        .agg(F.sum("err").alias("max_undercount"))
+    )
+    merged = (
+        parts.where(F.col("key").isNotNull())
+        .groupBy("group", "key")
+        .agg(F.sum("cnt").alias("est_count"))
+    )
+    w = W.partitionBy("group").orderBy(F.col("est_count").desc(), F.col("key").asc())
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= int(k))
+        .join(bound, "group", "left")
+        .select(
+            F.col("group").alias(group_col),
+            F.col("key").alias(key_col),
+            "est_count",
+            F.coalesce(F.col("max_undercount"), F.lit(0)).alias("max_undercount"),
+        )
+        .orderBy(group_col, F.col("est_count").desc(), F.col(key_col).asc())
+    )

@@ -356,3 +356,73 @@ def test_stream_heavy_hitters_weighted_state(spark, tmp_path):
     want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     assert [(r.user_id, r.est_count) for r in top] == want
     assert all(r.max_undercount == 0 for r in top)
+
+
+def test_stream_heavy_hitters_grouped_state(spark, tmp_path):
+    """Grouped streaming MG maintenance (r13): per-batch grouped summaries
+    merge-on-read to exact per-group counts when capacity never evicts
+    (zero bounds), the per-group MG invariant holds under a tight capacity,
+    and the weighted face returns exact per-group weight sums."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from parqueryd_spark.streaming.rollup import (
+        read_heavy_hitters_grouped,
+        stream_maintain_heavy_hitters_grouped,
+    )
+
+    stream_in = str(tmp_path / "in")
+    os.makedirs(stream_in)
+    # two groups with different zipf slopes; weight = 2 per occurrence
+    rows = [("ga", u, 2) for u in range(1, 20) for _ in range(20 - u)] + [
+        ("gb", u, 2) for u in range(1, 12) for _ in range(3 * u)
+    ]
+    pd.DataFrame(rows[: len(rows) // 2], columns=["g", "k", "w"]).to_parquet(
+        os.path.join(stream_in, "b1.parquet")
+    )
+    pd.DataFrame(rows[len(rows) // 2 :], columns=["g", "k", "w"]).to_parquet(
+        os.path.join(stream_in, "b2.parquet")
+    )
+    schema = spark.read.parquet(os.path.join(stream_in, "b1.parquet")).schema
+    exact = {
+        (r.g, r.k): r.n
+        for r in spark.read.parquet(stream_in)
+        .groupBy("g", "k")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+    # roomy capacity: exact per-group top-k, zero bounds; replay is a no-op
+    hh, ck = str(tmp_path / "hh"), str(tmp_path / "ck")
+    src = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stream_in)
+    stream_maintain_heavy_hitters_grouped(src, hh, ck, "g", "k", capacity=64).awaitTermination()
+    top = read_heavy_hitters_grouped(spark, hh, "g", "k", k=3).collect()
+    want = []
+    for g in ("ga", "gb"):
+        best = sorted(
+            ((k_, n) for (gg, k_), n in exact.items() if gg == g),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:3]
+        want.extend((g, k_, n, 0) for k_, n in best)
+    assert [(r.g, r.k, r.est_count, r.max_undercount) for r in top] == want
+    stream_maintain_heavy_hitters_grouped(src, hh, ck, "g", "k", capacity=64).awaitTermination()
+    assert [(r.g, r.k, r.est_count) for r in read_heavy_hitters_grouped(spark, hh, "g", "k", k=3).collect()] == [
+        (g, k_, n) for g, k_, n, _ in want
+    ]
+
+    # tight capacity: per-group invariant est <= true <= est + bound_g
+    hh2, ck2 = str(tmp_path / "hh2"), str(tmp_path / "ck2")
+    src2 = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stream_in)
+    stream_maintain_heavy_hitters_grouped(src2, hh2, ck2, "g", "k", capacity=4).awaitTermination()
+    for r in read_heavy_hitters_grouped(spark, hh2, "g", "k", k=8).collect():
+        assert r.est_count <= exact[(r.g, r.k)] <= r.est_count + r.max_undercount, r
+
+    # weighted face: exact weight sums at roomy capacity (w=2 per row)
+    hh3, ck3 = str(tmp_path / "hh3"), str(tmp_path / "ck3")
+    src3 = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stream_in)
+    stream_maintain_heavy_hitters_grouped(
+        src3, hh3, ck3, "g", "k", capacity=64, weight_col="w"
+    ).awaitTermination()
+    for r in read_heavy_hitters_grouped(spark, hh3, "g", "k", k=3).collect():
+        assert r.est_count == 2 * exact[(r.g, r.k)], r
+        assert r.max_undercount == 0
