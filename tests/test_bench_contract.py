@@ -22,14 +22,17 @@ def _fake_results(names):
     medians = {n: sorted(ts)[2] for n, ts in trials.items()}
     # realistic upper-end shuffle volumes (hundreds of MB -> 6-7 digit KiB)
     shuffle = {n: (123_456_789, 987_654_321) for n in names}
-    return timings, medians, trials, shuffle
+    calib = [0.0456, 0.0321, 0.0333, 0.0345, 0.0311]
+    return timings, medians, trials, shuffle, calib
 
 
 def test_final_line_is_compact_and_parseable():
     names = list(Q.bench_queries())
     assert len(names) >= 15
-    timings, medians, trials, shuffle = _fake_results(names)
-    diagnostics, final = bench.build_outputs(timings, medians, trials, 0.1, shuffle)
+    timings, medians, trials, shuffle, calib = _fake_results(names)
+    diagnostics, final = bench.build_outputs(
+        timings, medians, trials, 0.1, shuffle, calib
+    )
 
     line = json.dumps(final)
     assert tuple(final) == bench.FINAL_LINE_KEYS
@@ -51,14 +54,40 @@ def test_final_line_is_compact_and_parseable():
     assert set(parsed["queries"]) == set(names)
     # r12's parsed:null root cause: shuffle_kb may NEVER ride the driver line
     assert "shuffle_kb" not in parsed
+    # r14: the host-noise normalizer rides the final line (min of its trials)
+    assert parsed["calib"] == 0.0311
+    # calib is a normalizer, never part of the headline totals
+    assert parsed["value"] == round(sum(timings.values()), 4)
+    assert parsed["value_median"] == round(sum(medians.values()), 4)
+
+
+def test_contract_gates_survive_python_O():
+    """ADVICE r13: the final-line gates must raise RuntimeError (assert
+    statements vanish under ``python -O``)."""
+    import pytest
+
+    names = list(Q.bench_queries())
+    timings, medians, trials, shuffle, calib = _fake_results(names)
+    # inflate one key so the byte budget blows: gate must RAISE, not assert
+    fat = dict(timings)
+    fat["x" * 2000] = 1.0
+    trials_fat = dict(trials)
+    trials_fat["x" * 2000] = trials[names[0]]
+    medians_fat = dict(medians)
+    medians_fat["x" * 2000] = 0.1
+    with pytest.raises(RuntimeError, match="exceeds"):
+        bench.build_outputs(fat, medians_fat, trials_fat, 0.1, shuffle, calib)
 
 
 def test_diagnostics_are_separate_from_driver_line():
     names = list(Q.bench_queries())
-    timings, medians, trials, shuffle = _fake_results(names)
-    diagnostics, final = bench.build_outputs(timings, medians, trials, 0.1, shuffle)
+    timings, medians, trials, shuffle, calib = _fake_results(names)
+    diagnostics, final = bench.build_outputs(
+        timings, medians, trials, 0.1, shuffle, calib
+    )
     assert diagnostics["bench_diagnostics"] is True
     assert "queries_trials" in diagnostics and "queries_spread" in diagnostics
+    assert diagnostics["calib_trials"] == calib
     assert set(diagnostics["shuffle_read_bytes"]) == set(names)
     assert set(diagnostics["shuffle_write_bytes"]) == set(names)
     # shuffle_kb lives on the diagnostics line since r13 (r12 parsed:null fix)
