@@ -256,6 +256,12 @@ def lm_load(spark, lm_dir: str) -> NgramLM:
     return lm_merge([parts], float(meta["k"]), int(meta["n"]))
 
 
+def _suffix(col, start: int, length: int):
+    """Tokens ``start``..``start+length-1`` (1-based) of a space-joined gram,
+    re-joined — unambiguous under the whitespace token convention."""
+    return F.array_join(F.slice(F.split(col, " "), start, length), " ")
+
+
 def kn_score(
     docs: DataFrame,
     id_col: str,
@@ -263,79 +269,113 @@ def kn_score(
     text_col: str = "text",
     discount: float = 0.75,
 ) -> DataFrame:
-    """Per-document cross-entropy under an interpolated Kneser–Ney bigram
+    """Per-document cross-entropy under an interpolated Kneser–Ney order-n
     LM — the standard smoothing of the KenLM/CCNet curation stack (Kneser &
     Ney 1995; Chen & Goodman 1999 for the interpolated form), derived from
     the SAME published count table the add-k model serves from.
 
-    Add-k treats every unseen bigram alike; KN instead backs off to how many
-    distinct CONTEXTS a word completes (its continuation count), which is
-    what separates "rare but productive" words from corpus noise — the
-    curation-relevant distinction. With absolute discount D:
+    Add-k treats every unseen n-gram alike; KN instead backs off to how many
+    distinct CONTEXTS a word (or suffix) completes — its continuation count
+    — which is what separates "rare but productive" words from corpus noise,
+    the curation-relevant distinction. With absolute discount D, level k
+    (2 <= k <= n, scoring the last k tokens g_k = (u, w) of each n-gram):
 
-        P(w2|w1) = max(c(w1 w2) - D, 0) / c(w1 ·)
-                 + D · N1+(w1 ·) / c(w1 ·) · Pc(w2)          if c(w1 ·) > 0
-        P(w2|w1) = Pc(w2)                                     otherwise
-        Pc(w2)   = (N1+(· w2) + 1) / (T + V)
+        P_k(w|u) = max(C_k(u w) - D, 0) / CC_k(u)
+                 + D · N1+_k(u) / CC_k(u) · P_{k-1}(w|tail(u))   if CC_k(u) > 0
+        P_k(w|u) = P_{k-1}(w|tail(u))                            otherwise
+        P_1(w)   = (C_1(w) + 1) / (T + V)
 
-    where N1+(w1 ·) / N1+(· w2) are distinct continuation/context type
-    counts, T the number of distinct bigram types, and V the add-k model's
-    vocabulary size; the +1/+V floor gives unseen words nonzero continuation
-    mass (the held-out path add-k covers with k). Every quantity DERIVES
-    from the (gram, c) count table in two tiny re-aggregations — training,
+    where C_n is the raw n-gram count and, per Chen & Goodman, every lower
+    C_k is a CONTINUATION type count: the number of distinct (k+1)-gram
+    types ending in g_k — derived by grouping the level-(k+1) key set by its
+    length-k suffix. CC_k(u) = sum_w C_k(u w), N1+_k(u) = distinct w with
+    C_k(u w) > 0, T = |level-2 key set|, V = the add-k model's vocabulary
+    size; the +1/+V floor gives unseen words nonzero continuation mass (the
+    held-out path add-k covers with k). Every quantity DERIVES from the
+    (gram, c) count table in tiny per-order re-aggregations — training,
     publish/merge/append, and streaming maintenance are shared verbatim with
     the add-k lifecycle (counts are the model; linearity is untouched).
+    Boundary approximation, standard when deriving lower orders from a
+    highest-order-only table: sub-gram types occurring ONLY in the last
+    n-k-1 positions of a document are invisible to the suffix derivation
+    (KenLM's adjusted counts make the same trade).
 
     Same determinism contract as :func:`lm_score` — integer counts, one
     fixed double D, avg_nll rounded to 6 dp, ppl to 4 dp — so a SQL oracle
-    replays the ESTIMATES themselves. Bigram-only (``lm.n == 2``): the KN
-    recursion for higher orders needs per-order continuation tables; the
-    bigram form is the curation signal.
+    replays the ESTIMATES themselves (text_kn_lm_score at n=2,
+    text_kn3_lm_score at n=3 replay the full recursion in DuckDB). CCNet
+    parity (order 5) is the same call at n=5 — a parameter, not a rewrite.
 
-    Plan shape mirrors lm_score: per-doc gram multiplicities, three left
+    Plan shape mirrors lm_score: per-doc gram multiplicities, 2n-1 left
     equi-joins against count-derived tables (AQE broadcasts them when
-    small), one per-doc aggregation. Zero Python anywhere.
+    small), one per-doc aggregation. Zero Python anywhere. The output
+    column keeps the historical name ``n_bigrams`` (= n-gram occurrences
+    scored) so the n=2 serving row's schema is stable.
     """
-    if lm.n != 2:
-        raise ValueError(f"kn_score is bigram-only (lm.n == 2), got n={lm.n}")
-    first_tok = F.element_at(F.split("gram", " "), 1)
-    last_tok = F.element_at(F.split("gram", " "), 2)
-    # per-context totals AND forward continuation type counts, one pass
-    ctx = lm.bigrams.groupBy(first_tok.alias("prev")).agg(
-        F.sum("c").cast("long").alias("cc"),
-        F.count(F.lit(1)).cast("long").alias("n1p_fwd"),
-    )
-    # backward continuation type counts: distinct contexts each word completes
-    # (bigrams has one row per distinct gram, so count(*) IS the type count)
-    cont = lm.bigrams.groupBy(last_tok.alias("w2")).agg(
-        F.count(F.lit(1)).cast("long").alias("n1p_bwd")
-    )
-    totals = lm.bigrams.agg(F.count(F.lit(1)).cast("long").alias("tt")).crossJoin(
+    n = lm.n
+    if n < 2:
+        raise ValueError(f"kn_score needs lm.n >= 2, got n={n}")
+    d = F.lit(float(discount))
+
+    # per-order count tables: level[n] = raw counts keyed by the full gram;
+    # level[k] = continuation type counts keyed by the length-k suffix
+    level: dict[int, DataFrame] = {
+        n: lm.bigrams.select(F.col("gram").alias("key"), F.col("c").alias("ck"))
+    }
+    for k in range(n - 1, 0, -1):
+        level[k] = (
+            level[k + 1]
+            .select(_suffix(F.col("key"), 2, k).alias("key"))
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).cast("long").alias("ck"))
+        )
+    # per-order context denominators + forward continuation type counts
+    ctxs: dict[int, DataFrame] = {
+        k: level[k]
+        .groupBy(_suffix(F.col("key"), 1, k - 1).alias("ctx"))
+        .agg(
+            F.sum("ck").cast("long").alias("cc"),
+            F.count(F.lit(1)).cast("long").alias("nfwd"),
+        )
+        for k in range(2, n + 1)
+    }
+    totals = level[2].agg(F.count(F.lit(1)).cast("long").alias("tt")).crossJoin(
         F.broadcast(lm.vocab)
     )
 
     grams = docs.select(
         F.col(id_col).alias("_id"),
-        F.explode(ngrams_all(F.col(text_col), 2)).alias("gram"),
+        F.explode(ngrams_all(F.col(text_col), n)).alias("gram"),
     )
-    weighted = grams.groupBy("_id", "gram").agg(F.count(F.lit(1)).cast("long").alias("w"))
-    d = F.lit(float(discount))
-    pc = (F.coalesce(F.col("n1p_bwd"), F.lit(0)) + 1) / (F.col("tt") + F.col("vsz"))
-    seen_ctx = F.coalesce(F.col("cc"), F.lit(0)) > 0
-    p_kn = F.when(
-        seen_ctx,
-        F.greatest(F.coalesce(F.col("c"), F.lit(0)) - d, F.lit(0.0)) / F.col("cc")
-        + d * F.col("n1p_fwd") / F.col("cc") * pc,
-    ).otherwise(pc)
-    scored = (
-        weighted.join(lm.bigrams, "gram", "left")
-        .withColumn("prev", _context_of(F.col("gram"), 2))
-        .join(ctx, "prev", "left")
-        .withColumn("w2", F.element_at(F.split("gram", " "), 2))
-        .join(cont, "w2", "left")
-        .crossJoin(F.broadcast(totals))
-        .withColumn("lp", F.log2(p_kn))
-    )
+    cur = grams.groupBy("_id", "gram").agg(F.count(F.lit(1)).cast("long").alias("w"))
+    for k in range(1, n + 1):
+        counts_k = level[k].select(
+            F.col("key").alias(f"_k{k}"), F.col("ck").alias(f"_c{k}")
+        )
+        cur = cur.withColumn(f"_k{k}", _suffix(F.col("gram"), n - k + 1, k)).join(
+            counts_k, f"_k{k}", "left"
+        )
+    for k in range(2, n + 1):
+        ctx_k = ctxs[k].select(
+            F.col("ctx").alias(f"_x{k}"),
+            F.col("cc").alias(f"_cc{k}"),
+            F.col("nfwd").alias(f"_nf{k}"),
+        )
+        cur = cur.withColumn(
+            f"_x{k}", _suffix(F.col("gram"), n - k + 1, k - 1)
+        ).join(ctx_k, f"_x{k}", "left")
+    cur = cur.crossJoin(F.broadcast(totals))
+
+    # interpolation fold, bottom-up: P_1 -> P_n as one Column expression
+    p = (F.coalesce(F.col("_c1"), F.lit(0)) + 1) / (F.col("tt") + F.col("vsz"))
+    for k in range(2, n + 1):
+        p = F.when(
+            F.coalesce(F.col(f"_cc{k}"), F.lit(0)) > 0,
+            F.greatest(F.coalesce(F.col(f"_c{k}"), F.lit(0)) - d, F.lit(0.0))
+            / F.col(f"_cc{k}")
+            + d * F.col(f"_nf{k}") / F.col(f"_cc{k}") * p,
+        ).otherwise(p)
+    scored = cur.withColumn("lp", F.log2(p))
     avg_nll = F.round(-F.sum(F.col("w") * F.col("lp")) / F.sum("w"), 6)
     return (
         scored.groupBy("_id")

@@ -330,22 +330,30 @@ def calibration_score(
     serves a stream against the frozen gate unchanged.
 
     Returns (id_col, group_col, score_col, calib_col) rounded to 6 dp —
-    exact rationals in double, so an ANSI window replay hash-matches."""
+    exact rationals in double, so an ANSI window replay hash-matches.
+
+    ``id_col`` is carried through UNTOUCHED in its original type (string /
+    UUID / long ids all work — ADVICE r13: an earlier cast-to-long silently
+    nulled non-numeric ids). It also serves as the within-tie ordering key;
+    the result is tie-order-independent anyway (tied probe rows all read the
+    same running reference cdf, since reference rows sort before probes at
+    equal score), so the ordering only pins plan determinism."""
     from pyspark.sql import Window as W
 
+    id_type = new_df.schema[id_col].dataType
     ref = ref_cdf.select(
         F.col(group_col).alias("_g"),
         F.col(score_col).cast("double").alias("_s"),
         F.col("cdf").alias("_cdf"),
         F.lit(0).alias("_tag"),
-        F.lit(None).cast("long").alias("_pid"),
+        F.lit(None).cast(id_type).alias("_pid"),
     )
     probe = new_df.select(
         F.col(group_col).alias("_g"),
         F.col(score_col).cast("double").alias("_s"),
         F.lit(None).cast("double").alias("_cdf"),
         F.lit(1).alias("_tag"),
-        F.col(id_col).cast("long").alias("_pid"),
+        F.col(id_col).alias("_pid"),
     )
     w = (
         W.partitionBy("_g")

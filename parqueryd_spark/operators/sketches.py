@@ -195,7 +195,7 @@ def heavy_hitters_exact_topk(
     # localCheckpoint materializes the MG summaries ONCE; the gate stats,
     # the eviction bound E, and the candidate set all read the SAME snapshot
     # (ADVICE r12: the old persist()-based split never unpersisted, leaking
-    # cached blocks across a 150-query registry run — checkpoint blocks are
+    # cached blocks across a full registry run — checkpoint blocks are
     # freed by the ContextCleaner when the plan is garbage-collected — and a
     # recompute could re-batch rows into a DIFFERENT valid MG summary per
     # consumer). The summaries are bounded by construction: ≤ capacity

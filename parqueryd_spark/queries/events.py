@@ -217,34 +217,53 @@ def events_sketch_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     p95, NEXT TO their exact twins, and emits the bound checks:
 
     - users_ok: |approx - exact| <= 6% * exact (3 sigma of the 2% rsd);
-    - p50_ok/p95_ok: the approximate percentile lies between the exact
-      interpolated quantiles at p±0.02 — generous cover for the
-      1/accuracy = 1e-4 rank-error guarantee plus interpolation slack.
+    - p50_ok/p95_ok: RANK-based (ADVICE r13 — the earlier "between the exact
+      interpolated quantiles at p±0.02" envelope was unsound for small
+      groups, where the interpolated band can exclude every actual element).
+      percentile_approx returns an actual element v whose rank error is
+      bounded by n/accuracy = 1e-4*n, so the sound check is on v's exact
+      rank interval: count(x < v) <= (p+0.02)*n + 1 AND
+      count(x <= v) >= (p-0.02)*n - 1 (the ±1 covers tie-block boundary
+      rounding, making the bound valid for EVERY group size — at n=1 it
+      degenerates to trivially true, which is correct: a single element
+      always satisfies any rank tolerance).
 
-    Until round 12 this row emitted the raw estimates and was the registry's
-    one rows-only entry; reshaping it to (exact n_events, bound booleans)
-    makes every one of the 150 registry rows value-checked against DuckDB
-    (VERDICT r12 item #3). The raw-estimate projection stays pinned by
-    tests/test_sketches.py. At 100 TB you run the sketch side alone —
-    fixed-size mergeable state per group instead of a distinct-shuffle of
-    every user id — relying on the envelope verified here at gate scale
-    (the bounds are sketch parameters, not data sizes, so they transfer)."""
+    The rank counts need v itself, so the plan is two passes over events
+    (aggregate -> broadcast the per-type v back -> count comparisons); the
+    exact-twin columns already forced a full pass, and at 100 TB you run
+    the sketch side alone — fixed-size mergeable state per group instead of
+    a distinct-shuffle of every user id — relying on the envelope verified
+    here at gate scale (the bounds are sketch parameters, not data sizes,
+    so they transfer). The raw-estimate projection stays pinned by
+    tests/test_sketches.py."""
     ev = load_table(spark, sf_dir, "events")
     agg = ev.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("_au"),
         F.count_distinct("user_id").alias("_nu"),
         F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95)), 10000).alias("_ap"),
-        F.percentile(
-            "value", F.array(F.lit(0.48), F.lit(0.52), F.lit(0.93), F.lit(0.97))
-        ).alias("_ep"),
     )
-    return agg.select(
+    ranks = (
+        ev.join(F.broadcast(agg.select("event_type", "_ap")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("value") < F.col("_ap")[0]).cast("long")).alias("_lt50"),
+            F.sum((F.col("value") <= F.col("_ap")[0]).cast("long")).alias("_le50"),
+            F.sum((F.col("value") < F.col("_ap")[1]).cast("long")).alias("_lt95"),
+            F.sum((F.col("value") <= F.col("_ap")[1]).cast("long")).alias("_le95"),
+        )
+    )
+    n = F.col("n_events").cast("double")
+    return agg.join(ranks, "event_type").select(
         "event_type",
         "n_events",
         (F.abs(F.col("_au") - F.col("_nu")) <= 0.06 * F.col("_nu")).alias("users_ok"),
-        F.col("_ap")[0].between(F.col("_ep")[0], F.col("_ep")[1]).alias("p50_ok"),
-        F.col("_ap")[1].between(F.col("_ep")[2], F.col("_ep")[3]).alias("p95_ok"),
+        (
+            (F.col("_lt50") <= 0.52 * n + 1) & (F.col("_le50") >= 0.48 * n - 1)
+        ).alias("p50_ok"),
+        (
+            (F.col("_lt95") <= 0.97 * n + 1) & (F.col("_le95") >= 0.93 * n - 1)
+        ).alias("p95_ok"),
     )
 
 
@@ -352,6 +371,86 @@ def events_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(3)
     ]
     return kmv_distinct(kmv_merge(parts, ["event_type"], k=k), k=k)
+
+
+_KMV_STATE_CACHE: dict = {}
+_KMV_STATE_LOCK = __import__("threading").Lock()
+
+
+def _served_kmv_state(spark: SparkSession, sf_dir: str, k: int = 128) -> str:
+    """Published per-batch KMV state for the events table, built ONCE per
+    (process, sf_dir) into a temp dir — the `served_minhash_index`
+    amortization posture applied to sketch state: three disjoint increments
+    (event_id mod 3, a stand-in for daily partitions) each sketched with
+    kmv_sketch (md5_52) into the EXACT ``batch=<id>`` parquet layout
+    streaming/rollup.py:stream_maintain_kmv writes, so the serving read
+    path below is the streaming reader itself."""
+    import os
+    import tempfile
+
+    from parqueryd_spark.operators.sketches import kmv_sketch
+
+    key = (os.path.abspath(sf_dir), k)
+    with _KMV_STATE_LOCK:
+        path = _KMV_STATE_CACHE.get(key)
+        if path is None or not os.path.isdir(path):
+            path = tempfile.mkdtemp(prefix="parqueryd_spark_kmv_")
+            ev = load_table(spark, sf_dir, "events")
+            for i in range(3):
+                kmv_sketch(
+                    ev.where(F.pmod(F.col("event_id"), F.lit(3)) == i),
+                    ["event_type"],
+                    "user_id",
+                    k=k,
+                    hash_fn="md5_52",
+                ).write.mode("overwrite").parquet(os.path.join(path, f"batch={i}"))
+            _KMV_STATE_CACHE[key] = path
+    return path
+
+
+@query(
+    "events_kmv_served",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT)
+               / 4503599627370496.0 AS u
+      FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, u,
+             row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS nd
+      FROM h
+    ),
+    agg AS (
+      SELECT event_type, max(nd) AS nd,
+             min(CASE WHEN rn = 128 THEN u END) AS theta
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(round(CASE WHEN nd < 128 THEN CAST(nd AS DOUBLE)
+                           ELSE 127.0 / theta END) AS BIGINT) AS n_distinct
+    FROM agg
+    """,
+)
+def events_kmv_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct counts SERVED from standing published sketch state
+    (VERDICT r12 item #6 / r13 item #5): the query plan reads ONLY the
+    kilobyte ``batch=<id>`` sketch partitions through the streaming reader
+    (streaming/rollup.py:read_kmv_distinct — merge-on-read of the k-value
+    arrays) and never touches the raw events table (plan-asserted in
+    tests/test_plans.py). The oracle is the SAME full-corpus md5_52 replay
+    as events_kmv_distinct: a KMV sketch is a pure SET function of the
+    hashed distinct values, so serve-from-batches is bit-identical to
+    sketching everything at once. This is the 100 TB steady state: segments
+    sketch once at ingest (streaming maintenance), any range query answers
+    by merging state, raw ids are never re-read."""
+    from parqueryd_spark.streaming.rollup import read_kmv_distinct
+
+    path = _served_kmv_state(spark, sf_dir, k=128)
+    return read_kmv_distinct(spark, path, ("event_type",), k=128)
 
 
 @query(

@@ -142,11 +142,9 @@ def stream_score_documents(
     partitions — batch-equivalent to the batch scorer row-for-row.
     ``smoothing`` selects the scorer over the SAME frozen count table:
     ``"add_k"`` (operators/lm.lm_score) or ``"kn"`` (operators/lm.kn_score,
-    interpolated Kneser–Ney — bigram models only)."""
+    interpolated Kneser–Ney — any order n >= 2 since r14)."""
     if smoothing not in ("add_k", "kn"):
         raise ValueError(f"smoothing must be 'add_k' or 'kn', got {smoothing!r}")
-    if smoothing == "kn" and lm.n != 2:
-        raise ValueError("kn smoothing is bigram-only (lm.n == 2)")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if smoothing == "kn":

@@ -244,6 +244,115 @@ def test_kn_score_matches_pure_python_incl_held_out(spark):
         assert abs(got[doc_id] - nll) < 1e-6, (doc_id, got[doc_id], nll)
 
 
+def _py_kn_n(train_rows, score_rows, n=3, D=0.75):
+    """Pure-Python interpolated KN reference for ANY order n >= 2, with the
+    per-order continuation tables derived from the highest-order counts the
+    same way kn_score documents (lower C_k = distinct (k+1)-gram types
+    grouped by length-k suffix; +1/+V floor at level 1)."""
+    from collections import Counter
+
+    raw = Counter()
+    for _, text in train_rows:
+        t = text.split(" ")
+        for i in range(len(t) - n + 1):
+            raw[tuple(t[i : i + n])] += 1
+    level = {n: dict(raw)}
+    for k in range(n - 1, 0, -1):
+        ck = Counter()
+        for key in level[k + 1]:
+            ck[key[1:]] += 1
+        level[k] = dict(ck)
+    ctx = {}
+    for k in range(2, n + 1):
+        cc, nf = Counter(), Counter()
+        for key, c in level[k].items():
+            cc[key[:-1]] += c
+            nf[key[:-1]] += 1
+        ctx[k] = (cc, nf)
+    tt = len(level[2])
+    vsz = len({key[-1] for key in raw}) + 1
+    out = {}
+    for doc_id, text in score_rows:
+        t = text.split(" ")
+        grams = [tuple(t[i : i + n]) for i in range(len(t) - n + 1)]
+        if not grams:
+            continue
+        s = 0.0
+        for g in grams:
+            p = (level[1].get(g[-1:], 0) + 1) / (tt + vsz)
+            for k in range(2, n + 1):
+                gk = g[n - k :]
+                cck, nfk = ctx[k]
+                u = gk[:-1]
+                if cck.get(u, 0) > 0:
+                    p = (
+                        max(level[k].get(gk, 0) - D, 0) / cck[u]
+                        + D * nfk[u] / cck[u] * p
+                    )
+            s += math.log2(p)
+        out[doc_id] = round(-s / len(grams), 6)
+    return out
+
+
+def test_py_kn_references_agree_at_n2():
+    """The order-n reference specializes to the bigram reference at n=2 —
+    ties the two independent formulations together."""
+    train = [(1, "the cat sat on the mat"), (2, "a cat and a dog sat")]
+    held = [(10, "the cat sat"), (11, "zebra mat sat"), (12, "mat mat")]
+    assert _py_kn(train, held) == _py_kn_n(train, held, n=2)
+
+
+def test_kn3_score_matches_pure_python_incl_held_out(spark):
+    """Order-3 kn_score vs the pure-Python order-n KN reference, covering
+    every smoothing branch: fully seen trigram, unseen trigram under a seen
+    bigram context (top-level discount + backoff), unseen bigram context
+    (middle-level continuation), and a fully unseen word (+1/+V floor)."""
+    from parqueryd_spark.operators.lm import kn_score, lm_train
+
+    train = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on a log"),
+        (3, "a cat and a dog sat on grass"),
+        (4, "the cat sat on grass"),
+    ]
+    held = [
+        (10, "the cat sat on the mat"),   # seen trigrams
+        (11, "the cat sat on a log"),     # seen pieces, some unseen trigrams
+        (12, "the dog sat on grass now"), # unseen continuation word 'now'
+        (13, "zebra quagga okapi train"), # fully unseen everything
+        (14, "mat grass log"),            # words never in context position
+    ]
+    lm3 = lm_train(_docs(spark, train), n=3)
+    got = {
+        r["doc_id"]: r["avg_nll"]
+        for r in kn_score(_docs(spark, held), "doc_id", lm3).collect()
+    }
+    want = _py_kn_n(train, held, n=3)
+    assert set(got) == set(want)
+    for doc_id, nll in want.items():
+        assert math.isfinite(got[doc_id]), doc_id
+        assert abs(got[doc_id] - nll) < 1e-6, (doc_id, got[doc_id], nll)
+
+
+def test_kn5_order_is_a_parameter(spark):
+    """CCNet parity: order 5 is the same call — finite scores, correct gram
+    counts, and agreement with the pure-Python reference."""
+    from parqueryd_spark.operators.lm import kn_score, lm_train
+
+    train = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d x y z w"),
+        (3, "b c d e f q r s"),
+    ]
+    held = [(10, "a b c d e f"), (11, "q r s t u v")]
+    lm5 = lm_train(_docs(spark, train), n=5)
+    rows = {r["doc_id"]: r for r in kn_score(_docs(spark, held), "doc_id", lm5).collect()}
+    want = _py_kn_n(train, held, n=5)
+    assert rows[10]["n_bigrams"] == 2  # 6 tokens -> two 5-grams
+    for doc_id in want:
+        assert abs(rows[doc_id]["avg_nll"] - want[doc_id]) < 1e-6
+
+
 def test_kn_prefers_productive_continuations(spark):
     """The KN property add-k lacks: a word seen in MANY contexts gets more
     backoff mass than one glued to a single collocation. 'francisco' appears
@@ -298,6 +407,15 @@ def test_stream_score_kn_smoothing_matches_batch(spark, tmp_path):
 
     with pytest.raises(ValueError, match="add_k"):
         stream_score_documents(stream, lm, scores_dir, "x", smoothing="laplace")
+
+    # r14: KN is order-n now — a trigram KN stream must equal batch kn_score
     lm3 = lm_train(_docs(spark, DOCS), n=3)
-    with pytest.raises(ValueError, match="bigram-only"):
-        stream_score_documents(stream, lm3, scores_dir, "x", smoothing="kn")
+    scores3_dir = str(tmp_path / "scores3")
+    stream_score_documents(
+        stream, lm3, scores3_dir, str(tmp_path / "ckpt3"), smoothing="kn"
+    ).awaitTermination()
+    streamed3 = sorted(
+        map(tuple, spark.read.parquet(scores3_dir).drop("batch").collect())
+    )
+    batch3 = sorted(map(tuple, kn_score(_docs(spark, DOCS), "doc_id", lm3).collect()))
+    assert streamed3 == batch3

@@ -439,6 +439,28 @@ def test_ivf_index_search_is_partition_pruned(spark):
     assert any("dynamicpruningexpression" in l and "centroid_id" in l for l in pf), pf
 
 
+def test_kmv_served_plan_never_touches_raw_events(spark):
+    """events_kmv_served (VERDICT r12 item #6): the serving plan must read
+    ONLY the published batch=<id> sketch partitions — the raw events table
+    is absent from every scan. That's the whole point of standing sketch
+    state: answering distinct counts without re-reading raw ids."""
+    from parqueryd_spark.queries.events import events_kmv_served
+
+    plan = explain_str(events_kmv_served(spark, SF_SMOKE), "formatted")
+    assert "events.parquet" not in plan, "serving plan scans the raw table"
+    assert "parqueryd_spark_kmv_" in plan, "serving plan lost the state dir"
+
+
+def test_hh_served_plan_never_touches_raw_documents(spark):
+    """text_hh_served: the grouped heavy-hitter serve must read ONLY the
+    published Misra-Gries summaries, never the documents table."""
+    from parqueryd_spark.queries.text import text_hh_served
+
+    plan = explain_str(text_hh_served(spark, SF_SMOKE), "formatted")
+    assert "documents.parquet" not in plan, "serving plan scans the raw table"
+    assert "parqueryd_spark_hh_" in plan, "serving plan lost the state dir"
+
+
 def test_ivfpq_index_search_is_partition_pruned(spark):
     """Same DPP contract as the IVF row: the served IVF-PQ search's codes
     scan must be pruned to the probed centroid buckets."""

@@ -196,3 +196,32 @@ def test_calibration_frozen_serve_step_lookup(spark):
         if r.doc <= 5
     }
     assert again == got
+
+
+def test_calibration_score_preserves_string_ids(spark):
+    """ADVICE r13 regression: a string/UUID id column must survive
+    calibration_score untouched — the earlier cast-to-long silently nulled
+    every non-numeric id (and with it the deterministic tiebreak)."""
+    from parqueryd_spark.operators.quality import calibration_cdf, calibration_score
+
+    ref_rows = [(f"r{i}", "a", s) for i, s in enumerate([10, 20, 20, 40])]
+    ref = calibration_cdf(
+        spark.createDataFrame(ref_rows, "id string, g string, s long"), "g", "s"
+    )
+    probes = [
+        ("doc-005", "a", 5),
+        ("7f1c2e3a-0000-4000-8000-000000000001", "a", 10),
+        ("doc-020", "a", 20),
+        ("doc-099", "a", 99),
+    ]
+    new = spark.createDataFrame(probes, "doc string, g string, s long")
+    out = calibration_score(ref, new, "g", "s", "doc")
+    assert dict(out.dtypes)["doc"] == "string"
+    got = {r.doc: r.calib for r in out.collect()}
+    assert got == {
+        "doc-005": 0.0,
+        "7f1c2e3a-0000-4000-8000-000000000001": 0.25,
+        "doc-020": 0.75,
+        "doc-099": 1.0,
+    }
+    assert all(k is not None for k in got)

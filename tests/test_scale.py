@@ -137,6 +137,41 @@ def test_sketch_aggs_error_bounds(spark):
         assert e.pcts[3] <= p95 <= e.pcts[5], (et, p95, e.pcts)
 
 
+def test_sketch_aggs_envelope_sound_for_small_groups(spark, tmp_path):
+    """ADVICE r13 regression: the p50_ok/p95_ok envelope must hold for groups
+    so small/spread that the OLD interpolated-quantile band excluded every
+    actual element (e.g. 2 rows at values 0 and 1000: interpolated [p48,p52]
+    = [960, 1000]... percentile_approx returns an element, which the band can
+    miss). The rank-based bound degenerates to trivially-true for tiny
+    groups, which is the correct semantics of a rank-error guarantee."""
+    import datetime as dt
+
+    from parqueryd_spark.queries.events import events_sketch_aggs
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # 2-row spread group (the old-band killer) and a 1-row group
+        (1, t0, 1, "tiny2", 0.0, "{}"),
+        (2, t0, 2, "tiny2", 1000.0, "{}"),
+        (3, t0, 3, "tiny1", 42.0, "{}"),
+        # 3-row group with heavy ties
+        (4, t0, 4, "ties", 5.0, "{}"),
+        (5, t0, 5, "ties", 5.0, "{}"),
+        (6, t0, 6, "ties", 7.0, "{}"),
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    spark.createDataFrame(rows, schema).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = {r.event_type: r for r in events_sketch_aggs(spark, str(tmp_path)).collect()}
+    assert set(out) == {"tiny2", "tiny1", "ties"}
+    for et, r in out.items():
+        assert r.users_ok and r.p50_ok and r.p95_ok, (et, r)
+
+
 def test_atomic_publish_and_compact(spark, tmp_path):
     """atomic_publish swaps generations without partial visibility;
     compact_parquet rewrites many small files into few, in place, preserving

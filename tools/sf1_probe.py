@@ -150,11 +150,34 @@ def build_sf1(spark) -> str:
     return SCRATCH
 
 
+# Non-bench rows that still need a 10x measurement (VERDICT r13 item #4):
+# every model-SERVING family — NB classifier scoring, grouped heavy hitters,
+# KN LM scoring (n=2 and the r14 n=3), and the frozen calibration gate —
+# plus the r14 published-sketch-state serves. Probed with the same warm+min
+# protocol as the bench rows.
+EXTRA_ROWS = (
+    "text_nb_langid",
+    "text_heavy_hitters_by_lang",
+    "text_kn_lm_score",
+    "text_kn3_lm_score",
+    "pipeline_calibration_serve",
+    "events_kmv_served",
+    "text_hh_served",
+)
+
+
+def probe_rows(Q) -> dict:
+    rows = dict(Q.bench_queries())
+    for name in EXTRA_ROWS:
+        rows[name] = Q.REGISTRY[name].fn
+    return rows
+
+
 def time_rows(spark, sf_dir: str, trials: int) -> dict[str, float]:
     from parqueryd_spark import queries as Q
 
     out = {}
-    for name, fn in Q.bench_queries().items():
+    for name, fn in probe_rows(Q).items():
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
         best = None
         for _ in range(trials):
