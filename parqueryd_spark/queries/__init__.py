@@ -68,10 +68,14 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     comparable across rounds regardless of how the correctness gate rotates.
     """
     flagged = {name for name, q in REGISTRY.items() if q.bench}
-    assert flagged == set(BENCH_ORDER), (
-        f"bench flags and BENCH_ORDER diverged: "
-        f"{sorted(flagged ^ set(BENCH_ORDER))}"
-    )
+    if flagged != set(BENCH_ORDER):
+        # RuntimeError, not assert: this consistency gate must survive
+        # ``python -O`` (ADVICE r13 — the r12 parsed:null regression class
+        # would otherwise go unchecked at runtime)
+        raise RuntimeError(
+            f"bench flags and BENCH_ORDER diverged: "
+            f"{sorted(flagged ^ set(BENCH_ORDER))}"
+        )
     return {name: REGISTRY[name].fn for name in BENCH_ORDER}
 
 
@@ -317,55 +321,105 @@ from parqueryd_spark.queries import tpch_extended  # noqa: E402,F401
 # dedup_minhash_incremental), events_sessionization (gated r10-r12;
 # gaps-and-islands window mechanics stay registry-oracled, window-frame
 # coverage in-window via interval_join_user_windows + scd2_events_asof).
+# Round 14 rotation (VERDICT r13 item #1 — the coverage closer): rotates IN
+# the final 28 registry rows that had NEVER been inside a driver gate window
+# (after this round the union of CORRECTNESS_r1..r14 covers the registry
+# completely) plus the four rows born in r14 (text_kn3_lm_score — order-3
+# Kneser-Ney with a full per-order SQL replay; text_kn_lm_incremental —
+# merged-increment KN counts under the one-shot oracle;
+# events_kmv_served / text_hh_served — answers served from standing
+# published sketch state with raw-table-absent plans, VERDICT r12 item #6).
+# 18 anchors stay, one per family, preferring rows whose operators CHANGED
+# this round (events_sketch_aggs: rank-based envelope rewrite, ADVICE r13;
+# pipeline_calibration_serve: id-type fix, ADVICE r13; text_kn_lm_score:
+# kn_score generalized to order-n — all three must re-prove under the
+# driver's own gate). Displaced (32, every one gated in r13, all still
+# registered + pytest-oracled past the window, with in-window twins): the
+# 12-row TPC-H tail q2/q7/q8/q11-q13/q15-q17/q20-q22 (join+agg+semi/anti/
+# outer/correlated shapes ride q1 + q9 + the registry suite), four of the
+# five ANN serving routes ann_ivf_index_topk / ann_pq_topk /
+# ann_ivfpq_residual_topk / ann_ivfsq_index_topk (the richest route
+# ann_ivfpq_index_topk stays; incoming ann_ivf_topk + four recall-bound
+# rows cover the rest of the family), ann_ivfpq_recall_bound (incoming
+# ann_ivfpq_residual_recall_bound + ann_ivfsq_recall_bound are the same
+# machinery at harder tiers), events_kmv_incremental (events_kmv_served is
+# the same md5_52 sketch + merge machinery PLUS the published-state read),
+# interval_join_user_windows (asof_join_events stays; incoming
+# fuzzy_join_part_names adds the join family's missing member),
+# eight pipeline curation rows pii_redaction / chunk_documents /
+# source_caps / weighted_sample / domain_mixture / leakage_safe_split /
+# global_shuffle / data_card (pipeline_exact_sample stays as the curation
+# anchor; incoming quality_checks / table_stats_part / table_diff_snapshots
+# gate the quality family), pipeline_quality_calibration
+# (pipeline_calibration_serve stays — the serve path subsumes the rank
+# mechanics), text_nb_incremental (text_nb_langid stays — same NB count
+# tables), text_heavy_hitters_by_lang (text_hh_served is the same grouped
+# MG machinery PLUS the published-state serve), text_bpe_train_encode
+# (incoming text_bpe_pair_stats + text_encode_ids split the same BPE
+# lifecycle), events_heavy_spenders_by_type (grouped MG in-window via
+# text_hh_served; weighted counters pytest-pinned).
 GATE_WINDOW = [
+    # parity anchors (O1-O7)
     "q1_pricing_summary",
     "where_ops_raw_rows",
     "shard_schema_drift",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
+    # TPC-H anchor
     "q9_product_type_profit",
-    "q11_important_stock",
-    "q12_late_shipment_priority",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_parts_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q20_promo_supplier_promotion",
-    "q21_waiting_supplier",
-    "q22_global_sales_opportunity",
+    # sketch envelope (reshaped r14: rank-based bound) + served sketch state
     "events_sketch_aggs",
+    "events_kmv_served",
+    "text_hh_served",
+    # KN LM family: n=2 anchor (operator generalized r14) + the r14 rows
     "text_kn_lm_score",
-    "ann_ivfpq_recall_bound",
-    "events_kmv_incremental",
-    "ann_ivf_index_topk",
-    "ann_pq_topk",
+    "text_kn3_lm_score",
+    "text_kn_lm_incremental",
+    # ANN: serving anchor + the never-gated recall/serving tail
     "ann_ivfpq_index_topk",
-    "ann_ivfpq_residual_topk",
-    "ann_ivfsq_index_topk",
+    "ann_ivf_topk",
+    "ann_ivfpq_residual_recall_bound",
+    "ann_ivfsq_recall_bound",
+    "ann_margin_match",
+    # dedup anchors + never-gated dedup rows
     "dedup_substrings",
     "dedup_minhash_incremental",
-    "pipeline_calibration_serve",
-    "events_exact_quantile_by_type",
-    "events_heavy_spenders_by_type",
-    "interval_join_user_windows",
+    "dedup_ngram_capped",
+    "text_normalize_dedup",
+    "embedding_semantic_dedup",
+    # embeddings / hybrid retrieval (never-gated)
+    "embedding_label_centroids",
+    "embedding_prototypes",
+    "hybrid_search_rerank",
+    # joins
     "asof_join_events",
     "skew_salted_join",
+    "fuzzy_join_part_names",
+    # events / windows / selection
+    "events_exact_quantile_by_type",
+    "events_funnel",
+    "events_cohort_retention",
+    "events_anomaly_zscore",
+    "events_histogram_quantiles",
+    "events_hll_rollup_bound",
+    "events_countmin_freq",
+    "part_price_quantiles",
+    "topk_parts_by_revenue",
+    # multimodal
     "multimodal_features",
-    "pipeline_pii_redaction",
-    "pipeline_chunk_documents",
+    # pipeline curation + quality
     "pipeline_exact_sample",
-    "pipeline_source_caps",
-    "pipeline_weighted_sample",
-    "pipeline_domain_mixture",
-    "pipeline_leakage_safe_split",
-    "pipeline_global_shuffle",
-    "pipeline_data_card",
-    "text_nb_incremental",
+    "pipeline_calibration_serve",
+    "quality_checks",
+    "table_stats_part",
+    "table_diff_snapshots",
+    # text: classifier anchor + never-gated text rows
     "text_nb_langid",
-    "text_heavy_hitters_by_lang",
-    "text_bpe_train_encode",
-    "pipeline_quality_calibration",
+    "text_bigram_logprob",
+    "text_unigram_logprob",
+    "text_encode_ids",
+    "text_bpe_pair_stats",
+    "text_winnow_overlap",
+    "text_source_divergence",
+    # file skipping / history
     "scan_zonemap_pruned",
     "scd2_events_asof",
 ]

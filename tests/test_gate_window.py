@@ -28,8 +28,8 @@ def test_every_registry_row_is_value_checked():
     # last asterisk (VERDICT r12 item #3): events_sketch_aggs — Spark-internal
     # HLL++/KLL state no SQL engine can replay — was reshaped to emit the
     # exact group count plus in-query estimate-within-envelope booleans, so
-    # the registry is now 150/150 oracle-backed. No row may ever regress to
-    # rows-only again.
+    # every registry row (158 as of r14 — derive from len(REGISTRY), never
+    # hard-code) is oracle-backed. No row may ever regress to rows-only.
     no_oracle = [n for n, q in Q.REGISTRY.items() if q.oracle is None]
     assert no_oracle == [], f"rows-only registry rows reappeared: {no_oracle}"
     # every value-checked ANN route must KEEP its oracle
@@ -44,82 +44,76 @@ def test_every_registry_row_is_value_checked():
 # row per operator family (parqueryd parity, TPC-H, dedup/near-dup, joins,
 # events/windows, exact selection, ANN recall bounds + serving, sketch
 # bounds, multimodal, pipeline curation, text, file skipping, history).
-# Round 13 shrank the anchor set to its per-family minimum (rotation history
-# + twin arguments live in the GATE_WINDOW comment): 32 slots went to
-# never-gated rows (VERDICT r12 item #2 — the whole TPC-H tail, all five ANN
-# index-serving routes, both incremental lifecycles, the nine pipeline
-# curation rows, the grouped heavy-hitter row, skew_salted_join) plus the
-# reshaped events_sketch_aggs (VERDICT r12 item #3).
+# Round 14 (VERDICT r13 item #1, the coverage closer): the final 28
+# never-gated registry rows enter, plus the four rows born in r14
+# (text_kn3_lm_score, text_kn_lm_incremental, events_kmv_served,
+# text_hh_served). The 18 anchors prefer rows whose OPERATORS changed this
+# round (events_sketch_aggs' rank-based envelope, pipeline_calibration_serve's
+# id-type fix, text_kn_lm_score's order-n generalization) so the driver's
+# own gate re-proves every behavioral change. Twin arguments for the 32
+# displaced rows live in the GATE_WINDOW comment.
 REQUIRED_IN_WINDOW = (
-    # parqueryd parity (O1-O7): scan+filter+groupby+agg via q1, raw-row
-    # aggregate=False via where_ops, mergeSchema drift via shard_schema_drift
+    # parqueryd parity (O1-O7) + the TPC-H anchor
     "q1_pricing_summary",
     "where_ops_raw_rows",
     "shard_schema_drift",
-    # TPC-H: the full never-gated tail (13 rows) IS this round's anchor set
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
     "q9_product_type_profit",
-    "q11_important_stock",
-    "q12_late_shipment_priority",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_parts_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q20_promo_supplier_promotion",
-    "q21_waiting_supplier",
-    "q22_global_sales_opportunity",
-    # estimate/recall bounds + the reshaped 150/150 closer
-    # (r13b: sketch_error_bounds displaced — its exact envelope checks now
-    # live INSIDE events_sketch_aggs, which adds the exact group count)
+    # sketch envelope (reshaped r14) + served-state rows (raw-scan-absent)
     "events_sketch_aggs",
-    "ann_ivfpq_recall_bound",
-    # sketch lifecycle (md5_52 KMV machinery + publish/increment)
-    "events_kmv_incremental",
-    # ANN serving: every published-index route (the 100 TB query path)
-    "ann_ivf_index_topk",
-    "ann_pq_topk",
+    "events_kmv_served",
+    "text_hh_served",
+    # KN LM family: generalized operator + both new rows
+    "text_kn_lm_score",
+    "text_kn3_lm_score",
+    "text_kn_lm_incremental",
+    # ANN: serving anchor + the never-gated recall/serving tail
     "ann_ivfpq_index_topk",
-    "ann_ivfpq_residual_topk",
-    "ann_ivfsq_index_topk",
-    # dedup family: exact substring grain + incremental minhash lifecycle
+    "ann_ivf_topk",
+    "ann_ivfpq_residual_recall_bound",
+    "ann_ivfsq_recall_bound",
+    "ann_margin_match",
+    # dedup: exact substring + minhash lifecycle anchors + never-gated rows
     "dedup_substrings",
     "dedup_minhash_incremental",
-    # events / windows / exact selection (r13b: sessionization displaced
-    # after three consecutive gates; heavy spenders = grouped WEIGHTED
-    # heavy hitters, new this round)
-    "events_exact_quantile_by_type",
-    "events_heavy_spenders_by_type",
-    # joins: range, as-of, skew-salted
-    "interval_join_user_windows",
+    "dedup_ngram_capped",
+    "text_normalize_dedup",
+    "embedding_semantic_dedup",
+    # embeddings / hybrid retrieval
+    "embedding_label_centroids",
+    "embedding_prototypes",
+    "hybrid_search_rerank",
+    # joins: as-of, skew-salted, fuzzy
     "asof_join_events",
     "skew_salted_join",
+    "fuzzy_join_part_names",
+    # events / windows / selection
+    "events_exact_quantile_by_type",
+    "events_funnel",
+    "events_cohort_retention",
+    "events_anomaly_zscore",
+    "events_histogram_quantiles",
+    "events_hll_rollup_bound",
+    "events_countmin_freq",
+    "part_price_quantiles",
+    "topk_parts_by_revenue",
     # multimodal
     "multimodal_features",
-    # pipeline curation: the nine never-gated rows
-    "pipeline_pii_redaction",
-    "pipeline_chunk_documents",
+    # pipeline curation + quality
     "pipeline_exact_sample",
-    "pipeline_source_caps",
-    "pipeline_weighted_sample",
-    "pipeline_domain_mixture",
-    "pipeline_leakage_safe_split",
-    "pipeline_global_shuffle",
-    "pipeline_data_card",
-    # quality calibration (new r13 family: per-batch rank + frozen serve)
-    "pipeline_quality_calibration",
     "pipeline_calibration_serve",
-    # text: classifier lifecycle, grouped heavy hitters, BPE, KN LM (r13b:
-    # bm25 displaced after four consecutive gates, mechanics registry-oracled)
-    "text_nb_incremental",
+    "quality_checks",
+    "table_stats_part",
+    "table_diff_snapshots",
+    # text: classifier anchor + never-gated text rows
     "text_nb_langid",
-    "text_heavy_hitters_by_lang",
-    "text_bpe_train_encode",
-    "text_kn_lm_score",
-    # file skipping / metadata serving
+    "text_bigram_logprob",
+    "text_unigram_logprob",
+    "text_encode_ids",
+    "text_bpe_pair_stats",
+    "text_winnow_overlap",
+    "text_source_divergence",
+    # file skipping / history
     "scan_zonemap_pruned",
-    # history
     "scd2_events_asof",
 )
 
@@ -207,6 +201,40 @@ REQUIRED_REGISTERED_PAST_WINDOW = (
     "text_bm25_search",
     "embedding_near_dup",
     "events_sessionization",
+    # r14 rotation (VERDICT r13 item #1; twins in the GATE_WINDOW comment) —
+    # every one gated in r13
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q11_important_stock",
+    "q12_late_shipment_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_parts_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q20_promo_supplier_promotion",
+    "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
+    "ann_ivfpq_recall_bound",
+    "ann_ivf_index_topk",
+    "ann_pq_topk",
+    "ann_ivfpq_residual_topk",
+    "ann_ivfsq_index_topk",
+    "events_kmv_incremental",
+    "interval_join_user_windows",
+    "pipeline_pii_redaction",
+    "pipeline_chunk_documents",
+    "pipeline_source_caps",
+    "pipeline_weighted_sample",
+    "pipeline_domain_mixture",
+    "pipeline_leakage_safe_split",
+    "pipeline_global_shuffle",
+    "pipeline_data_card",
+    "pipeline_quality_calibration",
+    "text_nb_incremental",
+    "text_heavy_hitters_by_lang",
+    "text_bpe_train_encode",
+    "events_heavy_spenders_by_type",
 )
 
 
