@@ -357,7 +357,12 @@ from parqueryd_spark.queries import tpch_extended  # noqa: E402,F401
 # MG machinery PLUS the published-state serve), text_bpe_train_encode
 # (incoming text_bpe_pair_stats + text_encode_ids split the same BPE
 # lifecycle), events_heavy_spenders_by_type (grouped MG in-window via
-# text_hh_served; weighted counters pytest-pinned).
+# text_hh_served; weighted counters pytest-pinned). Late-r14 swap:
+# events_countmin_served (born r14 — the served-sketch trio's third member,
+# fixed literal probe keys so the plan is raw-table-absent) enters,
+# displacing scd2_events_asof (gated r13; its as-of window mechanics stay
+# in-window via asof_join_events, snapshot history via the incoming
+# table_diff_snapshots).
 GATE_WINDOW = [
     # parity anchors (O1-O7)
     "q1_pricing_summary",
@@ -419,9 +424,10 @@ GATE_WINDOW = [
     "text_bpe_pair_stats",
     "text_winnow_overlap",
     "text_source_divergence",
-    # file skipping / history
+    # served count-min (born late r14)
+    "events_countmin_served",
+    # file skipping
     "scan_zonemap_pruned",
-    "scd2_events_asof",
 ]
 
 

@@ -393,3 +393,78 @@ def events_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cm_est",
         (F.col("cm_est") >= F.col("exact_cnt")).alias("never_under"),
     )
+
+
+_CM_STATE_CACHE: dict = {}
+_CM_STATE_LOCK = __import__("threading").Lock()
+
+
+def _served_cm_state(spark: SparkSession, sf_dir: str) -> str:
+    """Published per-batch Count-Min state for events.user_id, built ONCE
+    per (process, sf_dir) into a temp dir: three disjoint increments
+    (event_id mod 3) each sketched with count_min_sketch (width=256,
+    depth=4, md5 cells) into the EXACT ``batch=<id>`` parquet layout
+    streaming/rollup.py:stream_maintain_countmin writes, so the serving
+    read path below is the streaming reader itself."""
+    import os
+    import tempfile
+
+    from parqueryd_spark.operators.sketches import count_min_sketch
+
+    key = os.path.abspath(sf_dir)
+    with _CM_STATE_LOCK:
+        path = _CM_STATE_CACHE.get(key)
+        if path is None or not os.path.isdir(path):
+            path = tempfile.mkdtemp(prefix="parqueryd_spark_cm_")
+            ev = load_table(spark, sf_dir, "events")
+            for i in range(3):
+                count_min_sketch(
+                    ev.where(F.pmod(F.col("event_id"), F.lit(3)) == i),
+                    "user_id",
+                    width=256,
+                    depth=4,
+                ).write.mode("overwrite").parquet(os.path.join(path, f"batch={i}"))
+            _CM_STATE_CACHE[key] = path
+    return path
+
+
+@query(
+    "events_countmin_served",
+    oracle="""
+    WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+    ks AS (SELECT unnest(range(0, 1500, 5)) AS user_id),
+    cells AS (
+      SELECT j,
+             CAST(CAST(('0x' || substr(md5(e.user_id::VARCHAR || 'cm:' || j::VARCHAR), 1, 8)) AS BIGINT) % 256 AS INT) AS cell
+      FROM events e CROSS JOIN js
+      WHERE e.user_id IS NOT NULL
+    ),
+    sketch AS (SELECT j, cell, CAST(count(*) AS BIGINT) AS c FROM cells GROUP BY j, cell),
+    probes AS (
+      SELECT ks.user_id, js.j,
+             CAST(CAST(('0x' || substr(md5(ks.user_id::VARCHAR || 'cm:' || js.j::VARCHAR), 1, 8)) AS BIGINT) % 256 AS INT) AS cell
+      FROM ks CROSS JOIN js
+    )
+    SELECT p.user_id AS user_id, CAST(MIN(COALESCE(s.c, 0)) AS BIGINT) AS cm_est
+    FROM probes p LEFT JOIN sketch s ON s.j = p.j AND s.cell = p.cell
+    GROUP BY p.user_id
+    """,
+)
+def events_countmin_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point frequencies SERVED from standing published sketch
+    state — the third member of the served-sketch trio (events_kmv_served:
+    distinct counts, text_hh_served: top-k, here: any-key frequency). The
+    probe keys are a FIXED literal set (user_id 0,5,...,1495 — independent
+    of the data, so the serving plan touches NO raw table: it reads only
+    the <= depth x width counter cells per batch through the streaming
+    reader, streaming/rollup.py:read_countmin_estimates, which merges by
+    plain cell sums — CM linearity makes merged-batches bit-identical to a
+    one-shot sketch). Keys unseen at small SFs come back with their honest
+    small-collision estimate (usually 0), exactly as the DuckDB replay
+    computes. Plan-asserted raw-table-absent in tests/test_plans.py."""
+    from parqueryd_spark.streaming.rollup import read_countmin_estimates
+
+    path = _served_cm_state(spark, sf_dir)
+    keys = spark.range(0, 1500, 5).select(F.col("id").alias("user_id"))
+    est = read_countmin_estimates(spark, path, keys, "user_id", width=256, depth=4)
+    return est.select("user_id", F.col("est").cast("bigint").alias("cm_est"))

@@ -1152,7 +1152,6 @@ def _served_hh_state(spark: SparkSession, sf_dir: str, capacity: int = 1024) -> 
     streaming/rollup.py:stream_maintain_heavy_hitters_grouped writes, so
     the serving read path is the streaming reader itself."""
     import tempfile
-    import threading  # noqa: F401  (lock pattern parity)
 
     from parqueryd_spark.operators.sketches import _mg_summaries_grouped
 

@@ -112,9 +112,12 @@ REQUIRED_IN_WINDOW = (
     "text_bpe_pair_stats",
     "text_winnow_overlap",
     "text_source_divergence",
-    # file skipping / history
+    # served count-min (born late r14; scd2_events_asof displaced — as-of
+    # mechanics in-window via asof_join_events, history via
+    # table_diff_snapshots)
+    "events_countmin_served",
+    # file skipping
     "scan_zonemap_pruned",
-    "scd2_events_asof",
 )
 
 # displaced rows (every rotation so far): must stay registered AND
@@ -235,6 +238,7 @@ REQUIRED_REGISTERED_PAST_WINDOW = (
     "text_heavy_hitters_by_lang",
     "text_bpe_train_encode",
     "events_heavy_spenders_by_type",
+    "scd2_events_asof",
 )
 
 

@@ -451,6 +451,19 @@ def test_kmv_served_plan_never_touches_raw_events(spark):
     assert "parqueryd_spark_kmv_" in plan, "serving plan lost the state dir"
 
 
+def test_countmin_served_plan_never_touches_raw_events(spark):
+    """events_countmin_served: the frequency serve probes a FIXED literal
+    key set against the published counter cells — the raw events table must
+    be absent from the plan entirely (the other two serving rows still read
+    their probe keys from published state; this one proves the any-key
+    regime: frequency answers with zero raw-data access)."""
+    from parqueryd_spark.queries.estimates import events_countmin_served
+
+    plan = explain_str(events_countmin_served(spark, SF_SMOKE), "formatted")
+    assert "events.parquet" not in plan, "serving plan scans the raw table"
+    assert "parqueryd_spark_cm_" in plan, "serving plan lost the state dir"
+
+
 def test_hh_served_plan_never_touches_raw_documents(spark):
     """text_hh_served: the grouped heavy-hitter serve must read ONLY the
     published Misra-Gries summaries, never the documents table."""

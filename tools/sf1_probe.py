@@ -163,6 +163,7 @@ EXTRA_ROWS = (
     "pipeline_calibration_serve",
     "events_kmv_served",
     "text_hh_served",
+    "events_countmin_served",
 )
 
 
