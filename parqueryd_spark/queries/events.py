@@ -243,8 +243,12 @@ def events_sketch_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("_nu"),
         F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95)), 10000).alias("_ap"),
     )
+    # no broadcast HINT on the per-type aggregate: it is tiny (one row per
+    # event type) so the estimate-driven planner broadcasts it anyway at any
+    # sane scale, and an un-hinted join REVERTS to shuffle if event_type
+    # cardinality ever explodes (the test_plans.py hint-force guard)
     ranks = (
-        ev.join(F.broadcast(agg.select("event_type", "_ap")), "event_type")
+        ev.join(agg.select("event_type", "_ap"), "event_type")
         .groupBy("event_type")
         .agg(
             F.sum((F.col("value") < F.col("_ap")[0]).cast("long")).alias("_lt50"),

@@ -131,6 +131,12 @@ def _bounded_build_ok() -> set[str]:
         "text_ngram_lm_score",       # one vocab-size row (operators/lm.py:
                                      # lm.vocab is a single aggregated row;
                                      # the count tables join un-hinted)
+        "text_kn_lm_incremental",    # kn_score's totals crossJoin: ONE row
+                                     # (type-count x vocab-size) — the
+                                     # per-order count tables join un-hinted;
+                                     # only this row trains from raw docs
+                                     # in-plan (the serve rows read published
+                                     # counts, so their scans aren't flagged)
         "text_source_divergence",    # one corpus-total row
         "hybrid_search_rerank",      # 20-row shortlist + 1-row query vector
         # parameter- or calendar-bounded lists
