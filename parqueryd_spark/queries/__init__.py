@@ -114,6 +114,14 @@ BENCH_ORDER = [
     "events_hll_rollup_bound",
     "q9_product_type_profit",
     "q21_waiting_supplier",
+    # r14 additions (appended at END per the rule above): the serving rows —
+    # the 100 TB-relevant latency axis (answers from standing published
+    # state / published count tables, raw tables absent or never re-read)
+    "events_kmv_served",
+    "text_hh_served",
+    "events_countmin_served",
+    "text_kn_lm_score",
+    "text_kn3_lm_score",
 ]
 
 

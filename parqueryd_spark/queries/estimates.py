@@ -430,6 +430,7 @@ def _served_cm_state(spark: SparkSession, sf_dir: str) -> str:
 
 @query(
     "events_countmin_served",
+    bench=True,
     oracle="""
     WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),
     ks AS (SELECT unnest(range(0, 1500, 5)) AS user_id),

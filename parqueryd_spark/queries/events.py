@@ -414,6 +414,7 @@ def _served_kmv_state(spark: SparkSession, sf_dir: str, k: int = 128) -> str:
 
 @query(
     "events_kmv_served",
+    bench=True,
     oracle="""
     WITH h AS (
       SELECT DISTINCT event_type,

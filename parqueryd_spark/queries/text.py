@@ -654,7 +654,7 @@ _KN2_SQL = """
     """
 
 
-@query("text_kn_lm_score", oracle=_KN2_SQL)
+@query("text_kn_lm_score", oracle=_KN2_SQL, bench=True)
 def text_kn_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser–Ney LM quality scoring (operators/lm.py:kn_score)
     — the KenLM-standard smoothing, served from the SAME published count
@@ -675,6 +675,7 @@ def text_kn_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_kn3_lm_score",
+    bench=True,
     oracle="""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -1280,6 +1281,7 @@ def _served_hh_state(spark: SparkSession, sf_dir: str, capacity: int = 1024) -> 
 
 @query(
     "text_hh_served",
+    bench=True,
     oracle="""
     SELECT lang, token, est_count, CAST(0 AS BIGINT) AS max_undercount
     FROM (
