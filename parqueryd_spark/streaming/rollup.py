@@ -422,3 +422,85 @@ def read_heavy_hitters_grouped(
         )
         .orderBy(group_col, F.col("est_count").desc(), F.col(key_col).asc())
     )
+
+
+def compact_kmv_state(
+    spark, kmv_dir: str, keys: tuple[str, ...] = ("event_type",), k: int = 1024
+) -> int:
+    """Fold accumulated per-batch KMV partitions into one ``batch=-1``
+    generation (the :func:`compact_rollup` contract: atomic_publish swap,
+    hive ``batch`` layout kept so future micro-batches land beside it).
+
+    Why it matters at 100 TB: merge-on-read cost grows with batches x keys
+    rows; after a year of 5-minute triggers that is ~10^5 partitions per
+    key. KMV union is itself a KMV state (k smallest of the combined
+    distinct hashes), so the compacted row per key IS the sketch of
+    everything the batches saw — serve answers are bit-identical before and
+    after (pinned in tests). Run between availableNow drains; a checkpointed
+    stream never replays batches that predate the compaction."""
+    from parqueryd_spark.operators.sketches import kmv_merge
+    from parqueryd_spark.sources.sinks import atomic_publish
+
+    parts = spark.read.parquet(kmv_dir).drop("batch")
+    merged = kmv_merge([parts], list(keys), k).withColumn("batch", F.lit(-1))
+    atomic_publish(merged, kmv_dir, partition_by=["batch"])
+    return spark.read.parquet(kmv_dir).count()
+
+
+def compact_countmin_state(spark, cm_dir: str) -> int:
+    """Fold per-batch Count-Min cell partitions into one ``batch=-1``
+    generation. CM is linear (merge = cell sums), so the compacted
+    <= depth x width cells are bit-identical state — estimates unchanged."""
+    from parqueryd_spark.operators.sketches import count_min_merge
+    from parqueryd_spark.sources.sinks import atomic_publish
+
+    parts = spark.read.parquet(cm_dir).drop("batch")
+    merged = count_min_merge([parts]).withColumn("batch", F.lit(-1))
+    atomic_publish(merged, cm_dir, partition_by=["batch"])
+    return spark.read.parquet(cm_dir).count()
+
+
+def _compact_mg(spark, hh_dir: str, group_cols: list[str]) -> int:
+    """Shared Misra-Gries compaction: counter rows sum per (group?, key);
+    eviction errors sum per group (NULL-key marker rows). Summed-counter +
+    summed-error is itself a valid MG summary of everything the batches saw
+    (the merge the read path performs anyway), so serve answers — est
+    counts, undercount bounds, top-k order — are identical before and
+    after."""
+    from parqueryd_spark.sources.sinks import atomic_publish
+
+    parts = spark.read.parquet(hh_dir).drop("batch")
+    counters = (
+        parts.where(F.col("key").isNotNull())
+        .groupBy(*group_cols, "key")
+        .agg(F.sum("cnt").alias("cnt"), F.lit(0).cast("long").alias("err"))
+    )
+    markers = (
+        parts.where(F.col("key").isNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.first(F.col("key")).alias("key"),  # NULL, keeps the schema slot
+            F.lit(0).cast("long").alias("cnt"),
+            F.coalesce(F.sum("err"), F.lit(0)).cast("long").alias("err"),
+        )
+        .select(*group_cols, "key", "cnt", "err")
+    )
+    merged = counters.select(*group_cols, "key", "cnt", "err").unionByName(
+        markers
+    ).withColumn("batch", F.lit(-1))
+    atomic_publish(merged, hh_dir, partition_by=["batch"])
+    return spark.read.parquet(hh_dir).count()
+
+
+def compact_heavy_hitters_state(spark, hh_dir: str) -> int:
+    """Fold per-batch global Misra-Gries partitions (rows (key, cnt, err),
+    one NULL-key error marker per partition) into one ``batch=-1``
+    generation — state shrinks from batches x partitions x capacity rows to
+    distinct-keys + 1, bounds and answers unchanged."""
+    return _compact_mg(spark, hh_dir, [])
+
+
+def compact_heavy_hitters_grouped_state(spark, hh_dir: str) -> int:
+    """Grouped twin of :func:`compact_heavy_hitters_state`: counters sum per
+    (group, key), eviction errors per group — one marker row per group."""
+    return _compact_mg(spark, hh_dir, ["group"])
