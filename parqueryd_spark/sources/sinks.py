@@ -56,6 +56,7 @@ def atomic_publish(
     dataset_dir: str,
     partition_by: list[str] | None = None,
     max_records_per_file: int | None = None,
+    sidecars: list[tuple[DataFrame, str]] | None = None,
 ) -> None:
     """All-or-nothing dataset publication — the Spark analog of the
     reference's moveparquet barrier (worker.py:689-779): files become visible
@@ -74,6 +75,14 @@ def atomic_publish(
     On true object stores rename is copy+delete — promote this pattern to a
     manifest/table-format commit (Delta/Iceberg) where the swap is a single
     metadata operation.
+
+    ``sidecars`` publishes auxiliary datasets INSIDE the same generation:
+    each (df, relative_path) is written under the incoming directory before
+    the swap, so the main data and its sidecars become visible together —
+    never a new generation serving an old (or missing) sidecar. Use
+    underscore-prefixed relative paths (``_meta``) so parquet listing hides
+    them from merge-on-read readers; this is how the streaming LM/NB
+    compactions carry their (k, n)/(n_buckets, salt) meta through the swap.
     """
     fs = HadoopFS(df.sparkSession, dataset_dir)
     target = fs.qualify(dataset_dir)
@@ -86,6 +95,10 @@ def atomic_publish(
         write_parquet(
             df, incoming, partition_by=partition_by, max_records_per_file=max_records_per_file
         )
+        for side_df, rel in sidecars or []:
+            if rel.startswith("/") or ".." in rel.split("/"):
+                raise ValueError(f"sidecar path must be relative and inside the dataset: {rel!r}")
+            write_parquet(side_df, f"{incoming}/{rel}")
     except Exception:
         # a failed write must not orphan a half-written generation next to
         # the target (repeated failures would accumulate full dataset copies)

@@ -99,6 +99,38 @@ def read_nb_model(spark, nb_dir: str, alpha: float = 1.0) -> DataFrame:
     return nb_model_from_partials(parts, n_buckets, alpha)
 
 
+def compact_nb_state(spark, nb_dir: str) -> int:
+    """Fold accumulated per-batch NB count partitions into one ``batch=-1``
+    generation — the count-table compaction contract (streaming/lm.py
+    compact_lm_state) for the classifier's sufficient statistics. Partials
+    are integer counts per (label, bucket) — token counts at bucket >= 0,
+    per-class document counts at the bucket = -1 marker — and both kinds
+    merge by plain addition (the exact fold nb_model_from_partials performs
+    on every serve), so the compacted table finalizes to a bit-identical
+    model while state shrinks from batches x sparse-rows to the global
+    sparse table (<= classes x (n_buckets + 1) rows). The ``_meta``
+    (n_buckets, salt) sidecar rides inside the atomic_publish generation —
+    no reader window ever sees counts detached from their feature-hash
+    parameters. Run between availableNow drains; new batches land beside
+    ``batch=-1`` in the kept hive layout."""
+    from pyspark.sql import functions as F
+
+    from parqueryd_spark.sources.sinks import atomic_publish
+
+    stored = _read_meta(spark, nb_dir)
+    if stored is None:
+        raise ValueError(f"NB store at {nb_dir} has no _meta — nothing maintained yet?")
+    parts = spark.read.parquet(nb_dir).drop("batch")
+    merged = (
+        parts.groupBy("label", "bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
+        .withColumn("batch", F.lit(-1))
+    )
+    meta_df = spark.createDataFrame([stored], "n_buckets int, salt string")
+    atomic_publish(merged, nb_dir, partition_by=["batch"], sidecars=[(meta_df, "_meta")])
+    return spark.read.parquet(nb_dir).count()
+
+
 def stream_classify_documents(
     doc_stream: DataFrame,
     model: DataFrame,

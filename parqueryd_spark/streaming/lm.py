@@ -128,6 +128,39 @@ def read_lm(spark, lm_dir: str, k: float | None = None, n: int | None = None) ->
     return lm_merge([parts], k, n)
 
 
+def compact_lm_state(spark, lm_dir: str) -> int:
+    """Fold accumulated per-batch LM count partitions into one ``batch=-1``
+    generation — the sketch-compaction contract (streaming/rollup.py
+    compact_kmv_state) applied to the count-table model family. N-gram
+    counts are LINEAR (merge = sum matching gram rows — the exact fold
+    :func:`read_lm` performs on every serve), so the compacted (gram, c)
+    table is bit-identical model state: scores are unchanged while the
+    store shrinks from batches x distinct-grams-per-batch rows to global
+    distinct grams, and serve-time scan planning stops paying a file
+    listing that grows with maintenance age (~1e5 partitions after a year
+    of 5-minute triggers). The ``_meta`` (k, n) sidecar travels INSIDE the
+    atomic_publish generation, so no reader window ever sees counts without
+    their model parameters (or defaults silently substituted). Run between
+    availableNow drains; a checkpointed stream never replays batches that
+    predate the compaction, and new batches land beside ``batch=-1`` in
+    the kept hive layout."""
+    from parqueryd_spark.sources.sinks import atomic_publish
+
+    stored = _read_meta(spark, lm_dir)
+    parts = spark.read.parquet(lm_dir).drop("batch")
+    merged = (
+        parts.groupBy("gram")
+        .agg(F.sum("c").cast("long").alias("c"))
+        .withColumn("batch", F.lit(-1))
+    )
+    sidecars = None
+    if stored is not None:
+        meta_df = spark.createDataFrame([stored], "k double, n int")
+        sidecars = [(meta_df, "_meta")]
+    atomic_publish(merged, lm_dir, partition_by=["batch"], sidecars=sidecars)
+    return spark.read.parquet(lm_dir).count()
+
+
 def stream_score_documents(
     doc_stream: DataFrame,
     lm: NgramLM,

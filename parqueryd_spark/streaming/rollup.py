@@ -492,6 +492,45 @@ def _compact_mg(spark, hh_dir: str, group_cols: list[str]) -> int:
     return spark.read.parquet(hh_dir).count()
 
 
+def compact_histogram_state(
+    spark, hist_dir: str, keys: tuple[str, ...] = ("event_type",)
+) -> int:
+    """Fold accumulated per-batch histogram partitions into one ``batch=-1``
+    generation — the :func:`compact_kmv_state` contract applied to the
+    quantile state. Bin counts are LINEAR (merge = sum matching
+    (grain, keys, bin) rows — exactly the fold :func:`read_histogram_quantiles`
+    performs on every query), so the compacted state is bit-identical input
+    to the cumulative walk: quantile answers are unchanged while state
+    shrinks from batches x bins x grains x keys rows to bins x grains x keys.
+    Run between availableNow drains; future micro-batches land beside
+    ``batch=-1`` in the kept hive layout and merge in as before."""
+    from parqueryd_spark.operators.rollup import merge_histograms
+    from parqueryd_spark.sources.sinks import atomic_publish
+
+    parts = spark.read.parquet(hist_dir).drop("batch")
+    merged = merge_histograms(parts, keys=keys).withColumn("batch", F.lit(-1))
+    atomic_publish(merged, hist_dir, partition_by=["batch"])
+    return spark.read.parquet(hist_dir).count()
+
+
+def compact_hll_state(
+    spark, hll_dir: str, keys: tuple[str, ...] = ("event_type",)
+) -> int:
+    """Fold accumulated per-batch HLL partitions into one ``batch=-1``
+    generation. HLL union is register-wise max (associative, commutative,
+    idempotent), so the compacted sketch per key IS the sketch of everything
+    the batches saw — :func:`read_hll_distinct` performs this exact union on
+    every read, compaction just persists it once. Estimates and n_rows are
+    unchanged; state shrinks from batches x keys sketches to keys."""
+    from parqueryd_spark.operators.sketches import hll_rollup_merge
+    from parqueryd_spark.sources.sinks import atomic_publish
+
+    parts = spark.read.parquet(hll_dir).drop("batch")
+    merged = hll_rollup_merge([parts], list(keys)).withColumn("batch", F.lit(-1))
+    atomic_publish(merged, hll_dir, partition_by=["batch"])
+    return spark.read.parquet(hll_dir).count()
+
+
 def compact_heavy_hitters_state(spark, hh_dir: str) -> int:
     """Fold per-batch global Misra-Gries partitions (rows (key, cnt, err),
     one NULL-key error marker per partition) into one ``batch=-1``
