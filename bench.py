@@ -73,9 +73,18 @@ def build_outputs(
     shuffle = shuffle or {}
     calib_trials = calib_trials or []
     spreads = {n: round(max(ts) - min(ts), 4) for n, ts in trials.items()}
+    # cross-round comparable subtotal (VERDICT r14 item #7): the bench set
+    # grows by appending at END (BENCH_ORDER rule), so the sum over the
+    # frozen first-32 historical rows is the number to compare against
+    # BENCH_r13-and-earlier totals without hand-summing. Diagnostics only —
+    # the driver line's byte budget stays reserved for the compact keys.
+    from parqueryd_spark.queries import BENCH_ORDER
+
+    hist32 = [n for n in BENCH_ORDER[:32] if n in timings]
     diagnostics = {
         "bench_diagnostics": True,  # marker: NOT the driver line
         "trials_per_query": TRIALS,
+        "value_32row": round(sum(timings[n] for n in hist32), 4),
         "queries_median": medians,
         "queries_spread": spreads,
         "queries_trials": trials,

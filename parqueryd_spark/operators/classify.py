@@ -139,31 +139,44 @@ def nb_score(
 ) -> DataFrame:
     """Score every document against every class and pick the argmax:
     returns (id_col, label, score) — one row per document, score =
-    logprior + Σ_tokens logp(bucket | class), ties broken by label asc so
-    the cut is deterministic cross-engine.
+    logprior + Σ_tokens logp(bucket | class) quantized to micro-nats, ties
+    broken by label asc so the cut is deterministic cross-engine.
 
     Plan shape: explode tokens -> bucket (pure Column) -> broadcast-join the
     dense model (n_buckets x n_classes rows) -> ONE partial-aggregated
     shuffle at (doc, class) grain -> per-doc max_by. Raw text crosses no
-    shuffle; the shuffled rows carry only (id, label, partial-sum). Scores
-    are rounded to 4 decimals INSIDE the argmax comparison as well as the
-    output, keeping cross-engine float-sum noise (~1e-12) far below the
-    decision threshold."""
+    shuffle; the shuffled rows carry only (id, label, partial-sum).
+
+    Exactness contract (r15, retiring the 4-dp float-sum rounding vector):
+    each model cell is quantized ONCE to an integer micro-nat value
+    round(logp * 1e6) (HALF_UP — Spark round / DuckDB round / the pytest
+    replay all round half away from zero), and the per-document score is an
+    exact BIGINT sum of those integers — associative, order-independent,
+    identical on any engine and any partitioning. The only float ever
+    compared is score_n / 1e6 at the very end, derived from the same
+    integer on both sides. The residual cross-engine vector is a single
+    ln() call per MODEL CELL landing within ~1 ulp (~2e-9 at this
+    magnitude) of a .5 quantization boundary — tests/test_classify.py
+    asserts every cell of the actual gate model clears the boundary by
+    > 1e-3, six orders above ulp noise, so the gate cannot flake."""
+    logp_n = F.round(F.col("logp") * F.lit(1e6)).cast("long")
+    logprior_n = F.round(F.col("logprior") * F.lit(1e6)).cast("long")
     tok = docs.select(
         F.col(id_col), F.explode(F.split(text_col, " ")).alias("token")
     ).select(id_col, _bucket(F.col("token"), n_buckets, salt).alias("bucket"))
     scored = (
         tok.join(F.broadcast(model), "bucket")
         .groupBy(id_col, "label")
-        .agg(F.round(F.sum("logp") + F.first("logprior"), 4).alias("score"))
+        .agg((F.sum(logp_n) + F.first(logprior_n)).alias("score_n"))
     )
     # argmax without a window over the full doc set: max score per doc, then
     # a join back with a min(label) tiebreak — both sides are the same
-    # (doc, class)-grain aggregate, map-side combined
-    top = scored.groupBy(id_col).agg(F.max("score").alias("score"))
+    # (doc, class)-grain aggregate, map-side combined; the join key is the
+    # exact integer score
+    top = scored.groupBy(id_col).agg(F.max("score_n").alias("score_n"))
     return (
-        scored.join(top, [id_col, "score"])
-        .groupBy(id_col, "score")
+        scored.join(top, [id_col, "score_n"])
+        .groupBy(id_col, "score_n")
         .agg(F.min("label").alias("label"))
-        .select(id_col, "label", "score")
+        .select(id_col, "label", (F.col("score_n") / F.lit(1e6)).alias("score"))
     )

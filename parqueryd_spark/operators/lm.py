@@ -318,17 +318,36 @@ def kn_score(
     d = F.lit(float(discount))
 
     # per-order count tables: level[n] = raw counts keyed by the full gram;
-    # level[k] = continuation type counts keyed by the length-k suffix
+    # level[k] = continuation type counts keyed by the length-k suffix.
+    # For n >= 3 each derived level is persist()-ed (ADVICE r14): every
+    # level[k] is consumed two-to-three times (the level[k-1] derivation, the
+    # ctxs[k] derivation, the counts join), so left fully lazy the k-th level
+    # would re-run the whole suffix-aggregation chain from the published
+    # count table once per consumer — ~9 redundant re-aggregations at n=5, a
+    # real cost when the count table is large. A LAZY persist (not an eager
+    # localCheckpoint: measured +0.5 s/call at sf0.1 from the extra
+    # materialization jobs) computes each level once inside the scoring job
+    # and serves every other consumer from cache; the levels are type-count
+    # tables, small relative to the corpus, and MEMORY_AND_DISK spills
+    # rather than OOMs if a level outgrows executor memory. level[n] itself
+    # stays lazy — it is the published parquet scan, and re-scanning parquet
+    # beats materializing the full count table. n=2 keeps the fully-lazy
+    # plan (one derived level, nothing re-aggregates).
     level: dict[int, DataFrame] = {
         n: lm.bigrams.select(F.col("gram").alias("key"), F.col("c").alias("ck"))
     }
     for k in range(n - 1, 0, -1):
-        level[k] = (
+        lk = (
             level[k + 1]
             .select(_suffix(F.col("key"), 2, k).alias("key"))
             .groupBy("key")
             .agg(F.count(F.lit(1)).cast("long").alias("ck"))
         )
+        if n >= 3:
+            from pyspark import StorageLevel
+
+            lk = lk.persist(StorageLevel.MEMORY_AND_DISK)
+        level[k] = lk
     # per-order context denominators + forward continuation type counts
     ctxs: dict[int, DataFrame] = {
         k: level[k]

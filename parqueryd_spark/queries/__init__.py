@@ -49,6 +49,21 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def increment_of(key_col: str, i: int, n: int = 3):
+    """Membership predicate for the disjoint-increment splits the
+    incremental/served-state rows use (``key mod n == i``, a stand-in for
+    daily partitions). NULL keys route deterministically to increment 0
+    (ADVICE r14: a bare ``pmod(key, n) == i`` evaluates NULL for NULL keys
+    and silently drops those rows from EVERY increment, so the served state
+    would diverge from the full-corpus oracle the moment the key column
+    turns nullable). With the coalesce the increments PARTITION the table —
+    their union is the whole corpus for any key content — which is the
+    property every merge-equals-one-shot oracle in this registry relies on."""
+    from pyspark.sql import functions as F
+
+    return F.coalesce(F.pmod(F.col(key_col), F.lit(n)), F.lit(0)) == i
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
@@ -122,6 +137,10 @@ BENCH_ORDER = [
     "events_countmin_served",
     "text_kn_lm_score",
     "text_kn3_lm_score",
+    # r15 addition (END per the rule above): the post-compaction serve — the
+    # same kilobyte-state latency axis as events_kmv_served, measured against
+    # a batch=-1 generation (the long-lived-maintenance steady state)
+    "events_kmv_compacted",
 ]
 
 
@@ -371,6 +390,20 @@ from parqueryd_spark.queries import tpch_extended  # noqa: E402,F401
 # displacing scd2_events_asof (gated r13; its as-of window mechanics stay
 # in-window via asof_join_events, snapshot history via the incoming
 # table_diff_snapshots).
+# Round 15 rotation (VERDICT r14 items #2-#3): text_kn5_lm_score enters —
+# the ONE registry row with no driver-gate evidence (born after the r14
+# window froze; four-level SQL-replay oracle) — displacing
+# text_kn_lm_incremental (gated r14; the KN merge machinery stays pinned by
+# the in-window n=2/n=3/n=5 trio plus pytest). events_kmv_compacted enters —
+# born r15, serves from a POST-compaction batch=-1 generation under the
+# same md5_52 hash oracle, putting the compaction contract under the
+# driver's gate rather than pytest alone — displacing events_kmv_served
+# (gated r14; its read path is a strict subset of the compacted row's
+# build-fold-serve lifecycle and stays plan-asserted + benched). Anchors
+# whose operators changed in r15 are already in-window and re-prove under
+# this gate: text_nb_langid (nb_score 1-ulp rounding retirement, VERDICT
+# item #6), events_sketch_aggs (non-null rank-bound fix, ADVICE r15),
+# text_kn_lm_score / text_kn3_lm_score (kn_score level caching, ADVICE r15).
 GATE_WINDOW = [
     # parity anchors (O1-O7)
     "q1_pricing_summary",
@@ -380,12 +413,12 @@ GATE_WINDOW = [
     "q9_product_type_profit",
     # sketch envelope (reshaped r14: rank-based bound) + served sketch state
     "events_sketch_aggs",
-    "events_kmv_served",
+    "events_kmv_compacted",
     "text_hh_served",
-    # KN LM family: n=2 anchor (operator generalized r14) + the r14 rows
+    # KN LM family: n=2 anchor + n=3 + the n=5 CCNet-parity row (r15)
     "text_kn_lm_score",
     "text_kn3_lm_score",
-    "text_kn_lm_incremental",
+    "text_kn5_lm_score",
     # ANN: serving anchor + the never-gated recall/serving tail
     "ann_ivfpq_index_topk",
     "ann_ivf_topk",

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from parqueryd_spark.queries import query
+from parqueryd_spark.queries import increment_of, query
 from parqueryd_spark.sources.parquet import load_table
 
 
@@ -419,7 +419,7 @@ def _served_cm_state(spark: SparkSession, sf_dir: str) -> str:
             ev = load_table(spark, sf_dir, "events")
             for i in range(3):
                 count_min_sketch(
-                    ev.where(F.pmod(F.col("event_id"), F.lit(3)) == i),
+                    ev.where(increment_of("event_id", i)),
                     "user_id",
                     width=256,
                     depth=4,

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from parqueryd_spark.queries import query
+from parqueryd_spark.queries import increment_of, query
 from parqueryd_spark.sources.parquet import load_table
 
 
@@ -226,7 +226,10 @@ def events_sketch_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
       count(x <= v) >= (p-0.02)*n - 1 (the ±1 covers tie-block boundary
       rounding, making the bound valid for EVERY group size — at n=1 it
       degenerates to trivially true, which is correct: a single element
-      always satisfies any rank tolerance).
+      always satisfies any rank tolerance). n here is the NON-NULL value
+      count (ADVICE r14): percentile_approx and the rank counts both skip
+      NULL values, so the bound normalizes by the same population — with
+      count(*) the lower bound could spuriously fail on NULL-bearing data.
 
     The rank counts need v itself, so the plan is two passes over events
     (aggregate -> broadcast the per-type v back -> count comparisons); the
@@ -239,6 +242,11 @@ def events_sketch_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     agg = ev.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
+        # the rank bounds compare against the NON-NULL value count (ADVICE
+        # r14): percentile_approx and the rank counts both ignore NULL
+        # values, so normalizing by count(*) would spuriously fail the
+        # lower bound on data with NULL values
+        F.count("value").alias("_nv"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("_au"),
         F.count_distinct("user_id").alias("_nu"),
         F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95)), 10000).alias("_ap"),
@@ -257,7 +265,7 @@ def events_sketch_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("value") <= F.col("_ap")[1]).cast("long")).alias("_le95"),
         )
     )
-    n = F.col("n_events").cast("double")
+    n = F.col("_nv").cast("double")
     return agg.join(ranks, "event_type").select(
         "event_type",
         "n_events",
@@ -366,7 +374,7 @@ def events_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     parts = [
         kmv_sketch(
-            ev.where(F.pmod(F.col("event_id"), F.lit(3)) == i),
+            ev.where(increment_of("event_id", i)),
             ["event_type"],
             "user_id",
             k=k,
@@ -402,7 +410,7 @@ def _served_kmv_state(spark: SparkSession, sf_dir: str, k: int = 128) -> str:
             ev = load_table(spark, sf_dir, "events")
             for i in range(3):
                 kmv_sketch(
-                    ev.where(F.pmod(F.col("event_id"), F.lit(3)) == i),
+                    ev.where(increment_of("event_id", i)),
                     ["event_type"],
                     "user_id",
                     k=k,
@@ -455,6 +463,85 @@ def events_kmv_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parqueryd_spark.streaming.rollup import read_kmv_distinct
 
     path = _served_kmv_state(spark, sf_dir, k=128)
+    return read_kmv_distinct(spark, path, ("event_type",), k=128)
+
+
+def _served_kmv_compacted_state(spark: SparkSession, sf_dir: str, k: int = 128) -> str:
+    """The :func:`_served_kmv_state` layout taken one lifecycle step further:
+    after the three increments land, :func:`compact_kmv_state` folds them
+    into a single ``batch=-1`` generation (atomic_publish swap). Built once
+    per (process, sf_dir) into its own temp dir (prefix ``kmvc``) so the
+    uncompacted twin's state stays untouched and the two rows stay
+    independently plan-assertable."""
+    import os
+    import tempfile
+
+    from parqueryd_spark.operators.sketches import kmv_sketch
+    from parqueryd_spark.streaming.rollup import compact_kmv_state
+
+    key = (os.path.abspath(sf_dir), k, "compacted")
+    with _KMV_STATE_LOCK:
+        path = _KMV_STATE_CACHE.get(key)
+        if path is None or not os.path.isdir(path):
+            path = tempfile.mkdtemp(prefix="parqueryd_spark_kmvc_")
+            ev = load_table(spark, sf_dir, "events")
+            for i in range(3):
+                kmv_sketch(
+                    ev.where(increment_of("event_id", i)),
+                    ["event_type"],
+                    "user_id",
+                    k=k,
+                    hash_fn="md5_52",
+                ).write.mode("overwrite").parquet(os.path.join(path, f"batch={i}"))
+            compact_kmv_state(spark, path, ("event_type",), k=k)
+            _KMV_STATE_CACHE[key] = path
+    return path
+
+
+@query(
+    "events_kmv_compacted",
+    bench=True,
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT)
+               / 4503599627370496.0 AS u
+      FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, u,
+             row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS nd
+      FROM h
+    ),
+    agg AS (
+      SELECT event_type, max(nd) AS nd,
+             min(CASE WHEN rn = 128 THEN u END) AS theta
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(round(CASE WHEN nd < 128 THEN CAST(nd AS DOUBLE)
+                           ELSE 127.0 / theta END) AS BIGINT) AS n_distinct
+    FROM agg
+    """,
+)
+def events_kmv_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct counts served from a POST-COMPACTION ``batch=-1``
+    generation (VERDICT r14 item #3): the state is built as three increments
+    then folded by streaming/rollup.py:compact_kmv_state — the bounded-
+    state-growth lever for long-lived maintenance — and served through the
+    UNCHANGED streaming reader. The oracle is the same full-corpus md5_52
+    replay as events_kmv_served: KMV union is "k smallest of the combined
+    distinct hashes", so the compacted row per key IS the sketch of
+    everything the increments saw, and this row puts that equivalence under
+    the driver's hash gate rather than pytest alone. The plan reads only
+    the compacted kilobyte state — raw events absent (tests/test_plans.py).
+    At 100 TB this is the steady state after a year of 5-minute triggers:
+    compaction keeps the serve O(sketch) instead of O(maintenance age)."""
+    from parqueryd_spark.streaming.rollup import read_kmv_distinct
+
+    path = _served_kmv_compacted_state(spark, sf_dir, k=128)
     return read_kmv_distinct(spark, path, ("event_type",), k=128)
 
 

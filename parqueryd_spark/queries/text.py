@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parqueryd_spark.operators import text as T
-from parqueryd_spark.queries import query
+from parqueryd_spark.queries import increment_of, query
 from parqueryd_spark.sources.parquet import load_table
 
 _STOP_SQL = "('the','a','an','and','of','to','in','is','it')"
@@ -883,7 +883,7 @@ def text_kn_lm_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     parts = [
-        ngram_counts(docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == i), "text", 2)
+        ngram_counts(docs.where(increment_of("doc_id", i)), "text", 2)
         for i in range(3)
     ]
     lm = lm_merge(parts, k=0.5, n=2)
@@ -1068,16 +1068,17 @@ def text_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scores AS (
       SELECT s.doc_id, m.lang AS label,
-             round(sum(m.logp) + any_value(p.logprior), 4) AS score
+             sum(CAST(round(m.logp * 1000000.0) AS BIGINT))
+               + any_value(CAST(round(p.logprior * 1000000.0) AS BIGINT)) AS score_n
       FROM score_in s
       JOIN model m ON m.bucket = s.bucket
       JOIN priors p ON p.lang = m.lang
       GROUP BY s.doc_id, m.lang
     ),
-    top AS (SELECT doc_id, max(score) AS score FROM scores GROUP BY doc_id),
+    top AS (SELECT doc_id, max(score_n) AS score_n FROM scores GROUP BY doc_id),
     pred AS (
       SELECT s.doc_id, min(s.label) AS predicted
-      FROM scores s JOIN top t ON t.doc_id = s.doc_id AND t.score = s.score
+      FROM scores s JOIN top t ON t.doc_id = s.doc_id AND t.score_n = s.score_n
       GROUP BY s.doc_id
     )
     SELECT d.lang, p.predicted, count(*) AS n
@@ -1093,8 +1094,9 @@ def text_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     training counts, smoothing, priors, per-document scores, argmax with
     label tiebreak — is replayed by DuckDB from the same parquet, so the
     driver's hash gate verifies a trained classifier end-to-end, not just a
-    heuristic. Scores round to 4 decimals before the argmax (cross-engine
-    ln()/float-sum noise is ~1e-12, eight orders below the threshold).
+    heuristic. Scores are exact integer micro-nat sums (each model cell
+    quantized once to round(logp*1e6) BIGINT — r15, retiring the float-sum
+    rounding vector; see operators/classify.nb_score).
     Contrast with text_token_lang_stats' marker-list heuristic: this is the
     fasttext-shaped route — retrains by adding count tables, broadcasts a
     few-MB dense model, and scores with one (doc, class)-grain shuffle that
@@ -1155,16 +1157,17 @@ def text_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scores AS (
       SELECT s.doc_id, m.lang AS label,
-             round(sum(m.logp) + any_value(p.logprior), 4) AS score
+             sum(CAST(round(m.logp * 1000000.0) AS BIGINT))
+               + any_value(CAST(round(p.logprior * 1000000.0) AS BIGINT)) AS score_n
       FROM score_in s
       JOIN model m ON m.bucket = s.bucket
       JOIN priors p ON p.lang = m.lang
       GROUP BY s.doc_id, m.lang
     ),
-    top AS (SELECT doc_id, max(score) AS score FROM scores GROUP BY doc_id),
+    top AS (SELECT doc_id, max(score_n) AS score_n FROM scores GROUP BY doc_id),
     pred AS (
       SELECT s.doc_id, min(s.label) AS predicted
-      FROM scores s JOIN top t ON t.doc_id = s.doc_id AND t.score = s.score
+      FROM scores s JOIN top t ON t.doc_id = s.doc_id AND t.score_n = s.score_n
       GROUP BY s.doc_id
     )
     SELECT d.lang, p.predicted, count(*) AS n
@@ -1269,7 +1272,7 @@ def _served_hh_state(spark: SparkSession, sf_dir: str, capacity: int = 1024) -> 
             path = tempfile.mkdtemp(prefix="parqueryd_spark_hh_")
             docs = load_table(spark, sf_dir, "documents")
             for i in range(3):
-                toks = docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == i).select(
+                toks = docs.where(increment_of("doc_id", i)).select(
                     "lang", F.explode(T.tokens("text")).alias("token")
                 )
                 _mg_summaries_grouped(toks, "lang", "token", capacity).write.mode(

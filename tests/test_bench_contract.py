@@ -87,6 +87,12 @@ def test_diagnostics_are_separate_from_driver_line():
     )
     assert diagnostics["bench_diagnostics"] is True
     assert "queries_trials" in diagnostics and "queries_spread" in diagnostics
+    # r15 (VERDICT r14 item #7): the cross-round comparable 32-row subtotal
+    # rides the DIAGNOSTICS line; the driver line's budget never pays for it
+    assert diagnostics["value_32row"] == round(
+        sum(timings[n] for n in Q.BENCH_ORDER[:32]), 4
+    )
+    assert "value_32row" not in final
     assert diagnostics["calib_trials"] == calib
     assert set(diagnostics["shuffle_read_bytes"]) == set(names)
     assert set(diagnostics["shuffle_write_bytes"]) == set(names)

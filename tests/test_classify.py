@@ -69,3 +69,31 @@ def test_nb_null_labels_excluded_from_training(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
     model = nb_train(docs, "lang", n_buckets=16)
     assert {r.label for r in model.collect()} == {"A", "B"}
+
+
+def test_nb_gate_model_clears_quantization_boundaries(spark):
+    """The r15 exactness contract's ONE residual cross-engine vector is a
+    single ln() per model cell landing within ~1 ulp (~2e-9 at micro-nat
+    magnitude) of a .5 quantization boundary, where Spark's and DuckDB's
+    ln() could round the integer differently. This pins the ACTUAL gate
+    model (sf0.01 documents, even-doc_id training half, n_buckets=1024 —
+    exactly what text_nb_langid / text_nb_incremental score with): every
+    logp and logprior cell's micro-nat value must clear the nearest .5
+    boundary by > 1e-3 — six orders of magnitude above ulp noise. The
+    corpus is a deterministic fixture, so this is a proof for the gate,
+    not a probabilistic argument. (If testdata regeneration ever lands a
+    cell inside the margin, this fails loudly BEFORE the driver gate can
+    flake — change the quantization scale, don't widen the margin.)"""
+    from tests.conftest import SF_CORRECT
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    model = nb_train(docs.where(F.col("doc_id") % 2 == 0), "lang", n_buckets=1024)
+    dist = F.abs(F.abs(F.col("v") * 1e6 - F.floor(F.col("v") * 1e6)) - 0.5)
+    cells = model.select(F.col("logp").alias("v")).unionByName(
+        model.select(F.col("logprior").alias("v")).distinct()
+    )
+    min_margin = cells.select(F.min(dist).alias("m")).collect()[0]["m"]
+    assert min_margin > 1e-3, (
+        f"a model cell sits {min_margin} from a micro-nat rounding boundary "
+        "— the cross-engine ln() ulp vector is live; rescale the quantization"
+    )

@@ -58,14 +58,16 @@ REQUIRED_IN_WINDOW = (
     "where_ops_raw_rows",
     "shard_schema_drift",
     "q9_product_type_profit",
-    # sketch envelope (reshaped r14) + served-state rows (raw-scan-absent)
+    # sketch envelope (reshaped r14) + served-state rows (raw-scan-absent);
+    # r15: the compacted-state serve replaces its uncompacted read-only twin
     "events_sketch_aggs",
-    "events_kmv_served",
+    "events_kmv_compacted",
     "text_hh_served",
-    # KN LM family: generalized operator + both new rows
+    # KN LM family (r15: n=5 enters — the one row with no gate evidence;
+    # the merge machinery stays pinned by the trio + pytest)
     "text_kn_lm_score",
     "text_kn3_lm_score",
-    "text_kn_lm_incremental",
+    "text_kn5_lm_score",
     # ANN: serving anchor + the never-gated recall/serving tail
     "ann_ivfpq_index_topk",
     "ann_ivf_topk",
@@ -239,6 +241,10 @@ REQUIRED_REGISTERED_PAST_WINDOW = (
     "text_bpe_train_encode",
     "events_heavy_spenders_by_type",
     "scd2_events_asof",
+    # r15 rotation (VERDICT r14 items #2-#3; twins in the GATE_WINDOW
+    # comment) — both gated green in r14
+    "events_kmv_served",
+    "text_kn_lm_incremental",
 )
 
 

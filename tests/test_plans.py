@@ -457,6 +457,23 @@ def test_kmv_served_plan_never_touches_raw_events(spark):
     assert "parqueryd_spark_kmv_" in plan, "serving plan lost the state dir"
 
 
+def test_kmv_compacted_plan_serves_batch_minus_1_only(spark):
+    """events_kmv_compacted (r15): the post-compaction serve must read ONLY
+    the compacted kilobyte state — raw events absent from every scan, and
+    the state dir is the dedicated compacted generation (kmvc prefix), whose
+    only partition is batch=-1 (asserted on disk, not just in the plan)."""
+    import os
+
+    from parqueryd_spark.queries.events import _served_kmv_compacted_state, events_kmv_compacted
+
+    plan = explain_str(events_kmv_compacted(spark, SF_SMOKE), "formatted")
+    assert "events.parquet" not in plan, "serving plan scans the raw table"
+    assert "parqueryd_spark_kmvc_" in plan, "serving plan lost the compacted state dir"
+    state = _served_kmv_compacted_state(spark, SF_SMOKE, k=128)
+    batches = [d for d in os.listdir(state) if d.startswith("batch=")]
+    assert batches == ["batch=-1"], batches
+
+
 def test_countmin_served_plan_never_touches_raw_events(spark):
     """events_countmin_served: the frequency serve probes a FIXED literal
     key set against the published counter cells — the raw events table must

@@ -34,18 +34,26 @@ def _py_nb(train: list[tuple[list[str], str]], score: list[list[str]]):
             counts[(lab, b)] = counts.get((lab, b), 0) + 1
             totals[lab] = totals.get(lab, 0) + 1
     nd = sum(docs.values())
+
+    def _half_up(x: float) -> int:
+        # Spark round() / DuckDB round(): half away from zero (NOT Python's
+        # banker's rounding) — replicate it exactly
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
     out = []
     for words in score:
         best = None
         for lab in sorted(docs):
-            s = math.log(docs[lab] / nd)
+            # exact integer micro-nat sum (the r15 nb_score contract): each
+            # model cell quantized once, then integer addition only
+            s_n = _half_up(math.log(docs[lab] / nd) * 1e6)
             for w in words:
                 c = counts.get((lab, _bucket(w)), 0)
-                s += math.log((c + 1.0) / (totals[lab] + 1.0 * N_BUCKETS))
-            s = round(s, 4)
-            if best is None or s > best[1] or (s == best[1] and lab < best[0]):
-                best = (lab, s)
-        out.append(best)
+                s_n += _half_up(math.log((c + 1.0) / (totals[lab] + 1.0 * N_BUCKETS)) * 1e6)
+            s = s_n / 1e6
+            if best is None or s_n > best[2] or (s_n == best[2] and lab < best[0]):
+                best = (lab, s, s_n)
+        out.append((best[0], best[1]))
     return out
 
 

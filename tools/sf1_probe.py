@@ -164,6 +164,11 @@ EXTRA_ROWS = (
     "events_kmv_served",
     "text_hh_served",
     "events_countmin_served",
+    # r15 (VERDICT r14 item #5): the order-5 KN scorer (the deepest
+    # level-derivation chain) and the post-compaction serve both get
+    # in-session 10x rows
+    "text_kn5_lm_score",
+    "events_kmv_compacted",
 )
 
 
