@@ -137,10 +137,13 @@ BENCH_ORDER = [
     "events_countmin_served",
     "text_kn_lm_score",
     "text_kn3_lm_score",
-    # r15 addition (END per the rule above): the post-compaction serve — the
-    # same kilobyte-state latency axis as events_kmv_served, measured against
-    # a batch=-1 generation (the long-lived-maintenance steady state)
+    # r15 additions (END per the rule above): the post-compaction serves —
+    # the same published-state latency axis as events_kmv_served, measured
+    # against batch=-1 generations (the long-lived-maintenance steady
+    # state) for both merge classes: idempotent sketch state (KMV) and
+    # linear count-table state (LM)
     "events_kmv_compacted",
+    "text_lm_compacted_score",
 ]
 
 

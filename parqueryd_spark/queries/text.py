@@ -557,9 +557,12 @@ def text_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_ngram_lm_score",
-    oracle="""
+# Full add-0.5 bigram train+score replay in SQL: train on the whole corpus,
+# score doc_id < 300. Shared by text_ngram_lm_score (one-shot published
+# counts) and text_lm_compacted_score (per-increment counts folded to a
+# batch=-1 generation) — count linearity plus the pinned compaction fold
+# make both plans answer the SAME oracle bit-for-bit.
+_LM2_SQL = """
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ), grams AS (
@@ -588,9 +591,10 @@ def text_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(-sum(w * lp) / sum(w), 6) AS avg_nll,
            round(pow(2, round(-sum(w * lp) / sum(w), 6)), 4) AS ppl
     FROM j GROUP BY doc_id
-    """,
-    bench=True,
-)
+    """
+
+
+@query("text_ngram_lm_score", oracle=_LM2_SQL, bench=True)
 def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality scoring (operators/lm.py): an add-0.5 bigram LM
     trained on the WHOLE documents corpus in one scan (counts are the model),
@@ -917,6 +921,65 @@ def _served_lm(spark: SparkSession, sf_dir: str, n: int = 2):
             lm_publish(spark, path, docs, "text", k=0.5, n=n)
             _LM_SERVE_CACHE[key] = path
     return lm_load(spark, path)
+
+
+def _served_lm_compacted(spark: SparkSession, sf_dir: str) -> str:
+    """Streaming-layout LM count state taken through its FULL lifecycle
+    once per (process, sf_dir): three disjoint document increments
+    (``increment_of`` — the daily-partition stand-in) each counted with
+    ngram_counts into the EXACT ``batch=<id>`` + ``_meta`` layout
+    streaming/lm.py:stream_maintain_lm writes, then folded to one
+    ``batch=-1`` generation by compact_lm_state (the r15 count-table
+    compaction, ``_meta`` riding inside the atomic swap). The serving read
+    below is the streaming reader itself (read_lm) — so the registry row
+    gates maintain→compact→serve end to end."""
+    import tempfile
+    import threading
+
+    from parqueryd_spark.operators.lm import ngram_counts
+    from parqueryd_spark.queries import increment_of
+    from parqueryd_spark.streaming.lm import compact_lm_state
+
+    lock = _LM_SERVE_CACHE.setdefault("__lock", threading.Lock())
+    key = (os.path.abspath(sf_dir), "compacted")
+    with lock:
+        path = _LM_SERVE_CACHE.get(key)
+        if path is None or not os.path.isdir(path):
+            docs = load_table(spark, sf_dir, "documents")
+            path = tempfile.mkdtemp(prefix="parqueryd_spark_lmc_")
+            spark.createDataFrame([(0.5, 2)], "k double, n int").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(path, "_meta"))
+            for i in range(3):
+                ngram_counts(docs.where(increment_of("doc_id", i)), "text", 2).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(path, f"batch={i}"))
+            compact_lm_state(spark, path)
+            _LM_SERVE_CACHE[key] = path
+    return path
+
+
+@query("text_lm_compacted_score", oracle=_LM2_SQL, bench=True)
+def text_lm_compacted_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-k LM scoring served from a POST-COMPACTION ``batch=-1`` count
+    generation — the count-table twin of events_kmv_compacted (VERDICT r14
+    items #1/#3): where the KMV row gates compaction of idempotent-merge
+    sketch state, this row gates the LINEAR count-table fold
+    (streaming/lm.py:compact_lm_state) plus the ``_meta``-through-the-swap
+    contract, end to end under the driver. Counts are linear, so increments
+    folded to one generation are bit-exactly the one-shot count table and
+    this row shares text_ngram_lm_score's full train+score SQL replay
+    verbatim (the text_nb_incremental sharing pattern): a hash match PROVES
+    maintain→compact→serve, not just resembles it. At 100 TB this is the
+    LM serving steady state after a year of 5-minute maintenance triggers:
+    scan planning reads one compacted generation plus the recent tail, and
+    the model parameters can never detach from the counts."""
+    from parqueryd_spark.operators.lm import lm_score
+    from parqueryd_spark.streaming.lm import read_lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = read_lm(spark, _served_lm_compacted(spark, sf_dir))
+    return lm_score(docs.filter(F.col("doc_id") < 300), "doc_id", lm, "text")
 
 
 @query(

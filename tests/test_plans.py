@@ -474,6 +474,29 @@ def test_kmv_compacted_plan_serves_batch_minus_1_only(spark):
     assert batches == ["batch=-1"], batches
 
 
+def test_lm_compacted_serve_reads_state_not_retrain(spark):
+    """text_lm_compacted_score (r15): the scoring plan must read the model
+    from the COMPACTED count generation (lmc state dir, whose only
+    partition is batch=-1) — documents.parquet appears ONLY as the
+    doc_id < 300 scoring slice, never re-aggregated into counts. The scan
+    count pins that: exactly one documents scan (the slice), with the
+    count/context/vocab tables all fed from the state dir."""
+    import os
+
+    from parqueryd_spark.queries.text import _served_lm_compacted, text_lm_compacted_score
+
+    plan = explain_str(text_lm_compacted_score(spark, SF_SMOKE), "formatted")
+    assert "parqueryd_spark_lmc_" in plan, "serving plan lost the compacted state dir"
+    assert plan.count("documents.parquet") <= 1, (
+        "documents scanned more than once — the model is being re-derived "
+        "from raw text instead of served from published counts"
+    )
+    state = _served_lm_compacted(spark, SF_SMOKE)
+    batches = [d for d in os.listdir(state) if d.startswith("batch=")]
+    assert batches == ["batch=-1"], batches
+    assert os.path.isdir(os.path.join(state, "_meta")), "_meta lost in the swap"
+
+
 def test_countmin_served_plan_never_touches_raw_events(spark):
     """events_countmin_served: the frequency serve probes a FIXED literal
     key set against the published counter cells — the raw events table must

@@ -51,6 +51,7 @@ PROBE_ROWS = (
     "text_kn3_lm_score",
     "text_kn5_lm_score",
     "events_kmv_compacted",
+    "text_lm_compacted_score",
 )
 
 # only what the probed rows scan; everything else is skipped on purpose

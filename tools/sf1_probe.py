@@ -165,10 +165,10 @@ EXTRA_ROWS = (
     "text_hh_served",
     "events_countmin_served",
     # r15 (VERDICT r14 item #5): the order-5 KN scorer (the deepest
-    # level-derivation chain) and the post-compaction serve both get
-    # in-session 10x rows
+    # level-derivation chain) gets an in-session 10x row; the two
+    # post-compaction serves (events_kmv_compacted, text_lm_compacted_score)
+    # are bench rows, so bench_queries() already carries them
     "text_kn5_lm_score",
-    "events_kmv_compacted",
 )
 
 
