@@ -173,17 +173,44 @@ def mad_outliers(
     scale to judge against; screen those groups with exact predicates
     instead.
 
-    Scale shape: two exact-percentile aggregations (median of values, then
-    median of absolute deviations) and two key-equi-joins back — groups
-    aggregate in parallel, nothing global. Exact single-pass medians are
-    sort-based per group; at extreme per-group cardinality pass
-    ``approx=True`` to switch both medians to percentile_approx (bounded
-    memory, rank error <= 1/accuracy) — same plan shape, estimates instead
-    of exact medians. NULL values pass through unflagged (no deviation to
-    judge).
+    Scale shape (r15 optimization, guide §2.4 "window functions partitioned
+    by the same key as a preceding aggregation do not need a second
+    shuffle"): ONE exchange on the group keys, then both medians as chained
+    unbounded-window aggregates over that same partitioning — the previous
+    aggregate+join-back formulation shuffled the input three times (median
+    aggregation, deviation join probe, flag join probe) for identical
+    answers. Memory posture is unchanged: an exact percentile buffers the
+    whole group's values on one task whether it runs as an aggregate or a
+    window, so the window form costs no extra skew exposure; at extreme
+    per-group cardinality pass ``approx=True`` to switch both medians to
+    percentile_approx (bounded memory, rank error <= 1/accuracy) — same
+    plan shape, estimates instead of exact medians. NULL values pass
+    through unflagged (no deviation to judge). The decomposed
+    :func:`mad_baselines` + :func:`flag_with_baselines` pair (the
+    frozen-baseline / streaming architecture) keeps the join formulation —
+    there the baseline table is computed on a DIFFERENT window than the
+    scored rows, so a join is fundamental.
     """
-    return flag_with_baselines(
-        df, mad_baselines(df, keys, value_col, approx), keys, value_col, threshold, scale
+    from pyspark.sql import Window as W
+
+    ks = list(keys)
+    v = F.col(value_col).cast("double")
+
+    def _median(col):
+        return F.percentile_approx(col, 0.5, 10000) if approx else F.percentile(col, 0.5)
+
+    w = W.partitionBy(*ks)
+    dev = df.withColumn("med", _median(v).over(w)).withColumn(
+        "_absdev", F.abs(v - F.col("med"))
+    )
+    dev = dev.withColumn("mad", _median(F.col("_absdev")).over(w))
+    z = F.col("_absdev") / (F.lit(scale) * F.col("mad"))
+    return (
+        dev.withColumn("robust_z", F.when(F.col("mad") > 0, z))
+        .withColumn(
+            "is_outlier", F.coalesce(F.col("robust_z") > F.lit(threshold), F.lit(False))
+        )
+        .drop("_absdev")
     )
 
 

@@ -135,8 +135,9 @@ def substring_dedup(
     shuffle as 128-bit md5 digests (never raw text); keep-first is
     groupBy(digest).agg(min(struct)) — map-side partials, so boilerplate
     repeated 10^9 times reduces locally; coverage is an explode of DUP
-    windows only (dup-volume x N, not corpus x N) followed by (doc, idx)
-    distinct + anti-join; the rebuild regroups kept tokens per doc. No
+    windows only (dup-volume x N, not corpus x N) folded by ONE
+    (doc, idx) aggregation (max over the covering windows' keeper flags —
+    map-side partials again); the rebuild regroups kept tokens per doc. No
     window function touches an unbounded partition, no driver collect.
     """
     n = int(min_tokens)
@@ -146,9 +147,22 @@ def substring_dedup(
     wins = _substr_windows(base, n)
     marked = _mark_keepers(wins)
     cover = _cover(n)
-    dup_cov = marked.where(~F.col("is_keep")).select("doc", cover).distinct()
-    keep_cov = marked.where(F.col("is_keep")).select("doc", cover).distinct()
-    dropped = dup_cov.join(keep_cov, ["doc", "idx"], "left_anti")
+    # a token is dropped iff >= 1 duplicated window covers it and NONE of
+    # its covering windows is the keeper — i.e. max(is_keep) over the
+    # covering windows is false. One explode + one (doc, idx) aggregation;
+    # the previous dup_cov/keep_cov formulation (two filtered branches, each
+    # explode+distinct, anti-joined) executed the whole _mark_keepers join
+    # pipeline TWICE and shuffled (doc, idx) three times for the same set
+    # (r15 optimization, guide §2.4 — measured 2 digest-join executions -> 1,
+    # 3 (doc, idx) exchanges -> 1, identical answers pinned by the oracle
+    # gate and tests/test_operators.py).
+    dropped = (
+        marked.select("doc", cover, "is_keep")
+        .groupBy("doc", "idx")
+        .agg(F.max("is_keep").alias("_any_keep"))
+        .where(~F.col("_any_keep"))
+        .select("doc", "idx")
+    )
     return _substr_finish(base, dropped, mode)
 
 
@@ -360,13 +374,18 @@ def substring_dedup_increment(
     fresh = wins.join(standing, "digest", "left_anti")
     fresh_marked = _mark_keepers(fresh)
     cover = _cover(n)
-    dup_cov = (
-        hits.select("doc", cover)
-        .unionByName(fresh_marked.where(~F.col("is_keep")).select("doc", cover))
-        .distinct()
+    # same single-aggregation coverage resolution as the one-shot path (r15,
+    # lockstep contract): standing-index hits are never keepers (the global
+    # keeper lives in the past), fresh windows carry their computed flag;
+    # a token survives iff some covering window is a keeper.
+    dropped = (
+        hits.select("doc", cover, F.lit(False).alias("is_keep"))
+        .unionByName(fresh_marked.select("doc", cover, "is_keep"))
+        .groupBy("doc", "idx")
+        .agg(F.max("is_keep").alias("_any_keep"))
+        .where(~F.col("_any_keep"))
+        .select("doc", "idx")
     )
-    keep_cov = fresh_marked.where(F.col("is_keep")).select("doc", cover).distinct()
-    dropped = dup_cov.join(keep_cov, ["doc", "idx"], "left_anti")
     return _substr_finish(base, dropped, mode)
 
 
@@ -647,6 +666,8 @@ def _prefix_candidates(
         F.size("sh").alias("n"),
         F.explode(F.slice("sh", F.lit(1), prefix_len)).alias("s"),
     )
+    # left side of the self-join; the hot-key cap filters only this side
+    prefix_a = prefix
     if max_prefix_df is not None:
         # Hot-key cap (VERDICT r6 #4): a corpus-wide boilerplate shingle in
         # many prefixes is a join hot key generating ~df^2/2 candidates. Drop
@@ -654,15 +675,21 @@ def _prefix_candidates(
         # non-discriminative (PPJoin suffix-filter argument). The hot list is
         # tiny (<= prefix_rows/cap tokens); AQE broadcasts the anti join while
         # it fits — no hint, so the plan reverts if the list ever grows.
+        # Filtering ONE side suffices (r15, guide §2.4): the pair join is on
+        # token EQUALITY, so a pair sharing only a hot token can't match once
+        # the token is absent from side a — identical candidate set to
+        # filtering both sides, at half the hot-aggregation executions (the
+        # before plan ran the Generate+HashAggregate+Exchange hot derivation
+        # and its anti-join TWICE, once per self-join side).
         hot = (
             prefix.groupBy("s")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_prefix_df)
             .select("s")
         )
-        prefix = prefix.join(hot, "s", "left_anti")
+        prefix_a = prefix.join(hot, "s", "left_anti")
     return (
-        prefix.alias("a")
+        prefix_a.alias("a")
         .join(
             prefix.alias("b"),
             (F.col("a.s") == F.col("b.s"))

@@ -763,7 +763,10 @@ def ivfpq_search(
         # published with codebook="spread" — VERDICT r11 item #2)
         lut_fn = pq_lut_det if lut_mode == "det" else pq_lut
         luts = lut_fn(queries, codebooks, id_col=id_col, vec_col=vec_col)
-        probe_luts = probes.drop("qv", "cv").join(luts, "query_id")
+        # broadcast: |queries| LUT rows by construction (BOUNDED_BUILD_OK) —
+        # unhinted this planned a SortMergeJoin that shuffled+sorted both
+        # tiny sides into 32 partitions, twice (main plan + DPP subquery)
+        probe_luts = probes.drop("qv", "cv").join(F.broadcast(luts), "query_id")
     approx = F.lit(0.0)
     for j in range(mm):
         approx = approx + F.element_at(F.element_at("lut", j + 1), F.col("codes")[j] + 1)
@@ -784,10 +787,14 @@ def ivfpq_search(
     )
     if refine <= 0 or corpus is None:
         return shortlist
-    cand = shortlist.select("query_id", "neighbor_id").join(
-        corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nv")),
-        "neighbor_id",
-    )
+    # the BOUNDED side (refine*k*|queries| shortlist rows) is the broadcast
+    # build; the sf-growing corpus streams un-shuffled past it. Estimate-driven
+    # planning at toy SF broadcast the CORPUS instead — scale-backwards: at
+    # 100 TB the full-precision vectors would be shuffled (or worse,
+    # broadcast) by neighbor_id for a <=100-row probe (guide §3.1).
+    cand = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nv")
+    ).join(F.broadcast(shortlist.select("query_id", "neighbor_id")), "neighbor_id")
     qv = F.broadcast(q)
     rer = cand.join(qv, "query_id").withColumn("cosine_sim", F.round(cosine("qv", "nv"), 6))
     w2 = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())

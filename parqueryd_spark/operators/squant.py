@@ -219,10 +219,12 @@ def sq_topk(
     shortlist = sq_search(
         codes, queries, lo, step, id_col=id_col, vec_col=vec_col, k=refine * k
     ).select("query_id", "neighbor_id")
-    cand = shortlist.join(
-        corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nv")),
-        "neighbor_id",
-    )
+    # broadcast the BOUNDED refine*k*|queries| shortlist; the sf-growing
+    # corpus streams un-shuffled (guide §3.1 — estimate-driven planning at
+    # toy SF would pick the corpus as build side, scale-backwards)
+    cand = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nv")
+    ).join(F.broadcast(shortlist), "neighbor_id")
     qside = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
     )
@@ -433,10 +435,11 @@ def ivfsq_search(
     )
     if refine <= 0 or corpus is None:
         return shortlist
-    cand = shortlist.select("query_id", "neighbor_id").join(
-        corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nv")),
-        "neighbor_id",
-    )
+    # bounded shortlist broadcast, corpus streamed — same rationale as
+    # sq_topk above (guide §3.1)
+    cand = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nv")
+    ).join(F.broadcast(shortlist.select("query_id", "neighbor_id")), "neighbor_id")
     rer = cand.join(F.broadcast(q), "query_id").withColumn(
         "cosine_sim", F.round(cosine("qv", "nv"), 6)
     )

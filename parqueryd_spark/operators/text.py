@@ -54,14 +54,51 @@ def lang_scores(text: Column | str) -> dict[str, Column]:
 
 
 def predict_lang(text: Column | str) -> Column:
-    """argmax over lang_scores with deterministic tie-break (LANG_ORDER);
-    'unknown' when no marker hits at all."""
-    scores = lang_scores(text)
-    best = F.greatest(*scores.values())
-    expr = F.lit("unknown")
-    for lang in reversed(LANG_ORDER):  # earlier langs overwrite later on ties
-        expr = F.when((scores[lang] > 0) & (scores[lang] == best), lang).otherwise(expr)
-    return expr
+    """argmax over the per-language marker-hit counts with deterministic
+    tie-break (LANG_ORDER); 'unknown' when no marker hits at all.
+
+    Single-pass formulation (r15, guide §1.2 step 2 / §4.1): higher-order
+    functions are not whole-stage-codegen'd, so common subtrees among them
+    are NOT eliminated — the previous CASE-over-lang_scores() expression
+    textually repeated size(filter(split(text)...)) per branch and
+    re-evaluated split(text) ~40x per row (visible verbatim in
+    plans/r15/text_token_lang_stats_before.txt node (2)). This form
+    tokenizes ONCE and folds the token array once, counting all four
+    languages' marker hits in a single aggregate; the argmax + tie-break is
+    array_max over (count, -priority, lang) structs with an 'unknown'
+    sentinel at (0, +1) — lexicographic struct ordering reproduces the old
+    CASE semantics exactly (higher count wins; on ties the earlier
+    LANG_ORDER entry; all-zero -> 'unknown')."""
+    toks = tokens(text)
+    marker_arrs = [
+        F.array(*[F.lit(m) for m in LANG_MARKERS[lang]]) for lang in LANG_ORDER
+    ]
+    counts = F.aggregate(
+        toks,
+        F.array(*[F.lit(0) for _ in LANG_ORDER]),
+        lambda acc, t: F.array(
+            *[
+                acc[i] + F.array_contains(marker_arrs[i], t).cast("int")
+                for i in range(len(LANG_ORDER))
+            ]
+        ),
+    )
+    scored = F.zip_with(
+        counts,
+        F.array(
+            *[
+                F.struct(F.lit(-i).alias("ni"), F.lit(lang).alias("lang"))
+                for i, lang in enumerate(LANG_ORDER)
+            ]
+        ),
+        lambda c, m: F.struct(c.alias("c"), m["ni"].alias("ni"), m["lang"].alias("lang")),
+    )
+    sentinel = F.array(
+        F.struct(F.lit(0).alias("c"), F.lit(1).alias("ni"), F.lit("unknown").alias("lang"))
+    )
+    # coalesce: NULL text short-circuits the whole fold to NULL; the previous
+    # expression's when(NULL > 0) chain fell through to 'unknown' — keep that
+    return F.coalesce(F.array_max(F.concat(scored, sentinel))["lang"], F.lit("unknown"))
 
 
 def stopword_ratio(text: Column | str) -> Column:
@@ -390,16 +427,32 @@ def bm25_scores(
     toks = tokens(text_col)
     nq = len(query_terms)
 
-    def _tf(term: str):
-        # one-arg lambda on purpose: F.filter treats a second parameter as
-        # the element index, not a closure slot
-        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
-
-    base = df.select(
-        F.col(id_col).alias("doc"),
-        F.size(toks).alias("dl"),
-        *[_tf(term).alias(f"tf_{i}") for i, term in enumerate(query_terms)],
+    # Single-fold tf+dl (r15, guide §1.2 step 2): higher-order functions are
+    # not codegen'd and get no common-subexpression elimination, so the
+    # previous per-term size(filter(toks, ...)) columns re-evaluated
+    # split(text) nq+1 times in the projection and 4 more in the pushed-down
+    # n_match filter (plans/r15/text_bm25_search_before.txt nodes (2)-(3)).
+    # One aggregate() folds every term's tf plus dl in a single token pass;
+    # the finish lambda packs them into a struct, and routing it through
+    # inline(array(...)) makes the fields REAL attributes behind a Generate —
+    # an optimizer barrier neither CollapseProject nor filter pushdown can
+    # substitute the fold through, so it is evaluated exactly once per row
+    # (differential-tested equal to the old columns at sf0.1).
+    packed = F.aggregate(
+        toks,
+        F.array(*([F.lit(0)] * (nq + 1))),
+        lambda acc, t: F.array(
+            *[
+                acc[i] + (t == F.lit(term)).cast("int")
+                for i, term in enumerate(query_terms)
+            ],
+            acc[nq] + F.lit(1),
+        ),
+        lambda acc: F.struct(
+            *[acc[i].alias(f"tf_{i}") for i in range(nq)], acc[nq].alias("dl")
+        ),
     )
+    base = df.select(F.col(id_col).alias("doc"), F.inline(F.array(packed)))
     stats = base.agg(
         F.count("*").alias("n_docs"),
         F.avg("dl").alias("avgdl"),

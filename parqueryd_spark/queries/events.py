@@ -773,12 +773,21 @@ def events_exact_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     max-of-the-r-smallest inside the engine. bins/exact_threshold are set
     low here so the gate exercises REAL narrowing passes at sf0.01 (10k
     rows), not just the small-n direct path; the answers are the actual data
-    elements, so the oracle's quantile_disc must agree bit-for-bit."""
+    elements, so the oracle's quantile_disc must agree bit-for-bit.
+
+    bins=1024 (r15 optimization, guide §2.4 "remove shuffles outright"):
+    the answer is EXACT for any bins — the knob only sets the narrowing
+    fan-out, i.e. the number of sequential full-scan passes. The historical
+    bins=16 ran 2 passes at sf0.1 (100k -> 6.3k -> 391) and would run 4+ at
+    sf10; 1024 reaches the threshold in 1 pass at sf0.1 and keeps pass depth
+    log_1024(n) at any scale, while the per-pass driver collect stays ~1024
+    count rows. sf0.01 (10k rows > threshold 500) still exercises a real
+    narrowing pass at the gate."""
     from parqueryd_spark.operators.selection import exact_quantiles
 
     ev = load_table(spark, sf_dir, "events")
     return exact_quantiles(
-        spark, ev, "value", [0.1, 0.25, 0.5, 0.9, 0.99], bins=16, exact_threshold=500
+        spark, ev, "value", [0.1, 0.25, 0.5, 0.9, 0.99], bins=1024, exact_threshold=500
     )
 
 
@@ -804,14 +813,21 @@ def events_exact_quantile_by_type(spark: SparkSession, sf_dir: str) -> DataFrame
     exact_group_quantiles): every event type's exact p50/p90/p99 — the
     dashboard shape — with ALL (group, prob) units narrowed simultaneously:
     one shared aggregation per level, one distributed window resolve for
-    everything at once, answers never funneling through the driver. Low
-    bins/threshold force real narrowing passes at sf0.01; the oracle's
-    per-group quantile_disc must agree bit-for-bit at every prob."""
+    everything at once, answers never funneling through the driver.
+
+    bins=256 (r15 optimization): exactness is bins-independent — the knob
+    trades sequential full-scan passes against per-pass driver rows
+    (groups x bins counts). bins=16 ran 2 passes at sf0.1 (20k/group -> 1.3k
+    -> 78) and 4 at sf10; 256 reaches threshold 200 in 1 pass at sf0.1
+    (20k -> 78) and halves pass depth at sf10, at 5x256=1280 driver rows per
+    pass. sf0.01 (2k/group > 200) still exercises a real narrowing pass at
+    the gate; the oracle's per-group quantile_disc must agree bit-for-bit
+    at every prob."""
     from parqueryd_spark.operators.selection import exact_group_quantiles
 
     ev = load_table(spark, sf_dir, "events")
     return exact_group_quantiles(
-        spark, ev, ["event_type"], "value", [0.5, 0.9, 0.99], bins=16, exact_threshold=200
+        spark, ev, ["event_type"], "value", [0.5, 0.9, 0.99], bins=256, exact_threshold=200
     )
 
 
@@ -837,8 +853,10 @@ def events_exact_quantile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parqueryd_spark.operators.selection import exact_quantiles_cont
 
     ev = load_table(spark, sf_dir, "events")
+    # bins=1024 (r15): same pass-depth optimization as events_exact_quantile
+    # — the interpolated answer is exact for any bins, fewer full-scan passes
     return exact_quantiles_cont(
-        spark, ev, "value", [0.5, 0.95, 0.999], bins=16, exact_threshold=500
+        spark, ev, "value", [0.5, 0.95, 0.999], bins=1024, exact_threshold=500
     )
 
 
@@ -872,8 +890,9 @@ def events_exact_quantile_cont_by_type(spark: SparkSession, sf_dir: str) -> Data
     from parqueryd_spark.operators.selection import exact_group_quantiles_cont
 
     ev = load_table(spark, sf_dir, "events")
+    # bins=256 (r15): same pass-depth optimization as the grouped disc row
     return exact_group_quantiles_cont(
-        spark, ev, ["event_type"], "value", [0.25, 0.5, 0.95], bins=16, exact_threshold=200
+        spark, ev, ["event_type"], "value", [0.25, 0.5, 0.95], bins=256, exact_threshold=200
     )
 
 
