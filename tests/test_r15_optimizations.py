@@ -1,0 +1,144 @@
+"""Pins for the r15 optimization rewrites (OPTIMIZATION_r15.md): the
+shapes the optimizations bought must not silently regress, and the
+expression rewrites' tricky semantics (struct-ordering argmax, optimizer
+barriers) must stay exact."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import spark  # noqa: F401 (fixture re-export convention)
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------- predict_lang
+
+
+@pytest.mark.parametrize(
+    "text,expected",
+    [
+        ("the and of dog", "en"),
+        ("el la de que", "es"),
+        ("der die und", "de"),
+        ("le les des", "fr"),
+        # 'la' is a marker for BOTH es and fr: tie -> earlier LANG_ORDER (es)
+        ("la la la", "es"),
+        # all four tie at 1 -> en (first in LANG_ORDER)
+        ("the el der le", "en"),
+        # 'de' is an es marker, not a de marker
+        ("de de de", "es"),
+        ("xyz qqq", "unknown"),
+        ("", "unknown"),
+        (None, "unknown"),
+    ],
+)
+def test_predict_lang_argmax_tiebreak_and_unknown(spark, text, expected):
+    """The r15 single-fold rewrite encodes argmax + LANG_ORDER tie-break as
+    lexicographic struct ordering with an 'unknown' sentinel; these are the
+    exact cases that ordering must reproduce (incl. NULL text, which the
+    fold short-circuits to NULL and coalesce restores to 'unknown')."""
+    from parqueryd_spark.operators.text import predict_lang
+
+    df = spark.createDataFrame([(text,)], "text string")
+    assert df.select(predict_lang("text").alias("p")).collect()[0]["p"] == expected
+
+
+def test_predict_lang_single_tokenize_in_plan(spark):
+    """The point of the rewrite: ONE split(text) evaluation per row (the old
+    CASE expression carried ~40). The executed plan for a projection of
+    predict_lang must contain exactly one split( occurrence."""
+    from parqueryd_spark.operators.text import predict_lang
+
+    df = spark.createDataFrame([("the and of",)], "text string")
+    # alias: an unaliased column's NAME embeds the expression text and would
+    # double-count split( in the plan string
+    plan = _executed_plan(df.select(predict_lang("text").alias("p")))
+    assert plan.count("split(") == 1, plan
+
+
+# ---------------------------------------------------------------- bm25_scores
+
+
+def test_bm25_base_single_tokenize_per_side(spark):
+    """The inline(array(struct)) barrier keeps the tf/dl fold single-
+    evaluated: the executed plan must hold one split( per corpus pass (one
+    scoring side, one stats side) — not nq+1 per projection plus more in a
+    pushed-down filter."""
+    from parqueryd_spark.operators.text import bm25_scores
+
+    df = spark.createDataFrame(
+        [(1, "hash join"), (2, "stream vector hash"), (3, "none here")],
+        "doc_id long, text string",
+    )
+    plan = _executed_plan(bm25_scores(df, "doc_id", "text", ["hash", "join"]))
+    assert plan.count("split(") == 2, plan
+
+
+def test_bm25_scores_values_unchanged(spark):
+    """Exact score pin (independent recomputation) so the fold rewrite can
+    never drift from the Okapi formula the oracle replays."""
+    import math
+
+    from parqueryd_spark.operators.text import bm25_scores
+
+    rows = [(1, "a b a"), (2, "a c"), (3, "d d d d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc"]: (r["n_match"], r["score"])
+        for r in bm25_scores(df, "doc_id", "text", ["a", "d"]).collect()
+    }
+    n, avgdl, k1, b = 3, 3.0, 1.2, 0.75
+
+    def s(tf, dl, dfreq):
+        idf = math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
+        return idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert got[1][0] == 1 and abs(got[1][1] - s(2, 3, 2)) < 1e-12
+    assert got[2][0] == 1 and abs(got[2][1] - s(1, 2, 2)) < 1e-12
+    assert got[3][0] == 1 and abs(got[3][1] - s(4, 4, 1)) < 1e-12
+
+
+# --------------------------------------------------------------- mad_outliers
+
+
+def test_mad_outliers_single_exchange_no_join(spark):
+    """The r15 window rewrite: one hash exchange on the group keys, zero
+    joins (the old aggregate+join-back plan carried 5 exchanges and 2
+    SortMergeJoins at bench scale)."""
+    from parqueryd_spark.operators.analytics import mad_outliers
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(20)] + [("b", 5.0), ("b", 100.0), ("b", 6.0)],
+        "k string, v double",
+    )
+    plan = _executed_plan(mad_outliers(df, ["k"], "v"))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert node not in plan, plan
+
+
+# --------------------------------------------- substring_dedup coverage fold
+
+
+def test_substring_dedup_coverage_single_digest_join(spark):
+    """The r15 single-aggregation coverage resolution executes the
+    _mark_keepers digest join ONCE: the executed plan of the droplist mode
+    must contain exactly one join against the keeper aggregation (the old
+    dup_cov/keep_cov formulation ran it twice and anti-joined)."""
+    from parqueryd_spark.operators.dedup import substring_dedup
+
+    df = spark.createDataFrame(
+        [(1, "x y z w a b"), (2, "x y z w c d"), (3, "q r s t u v")],
+        "doc_id long, text string",
+    )
+    out = substring_dedup(df, "doc_id", "text", min_tokens=4, mode="droplist")
+    plan = _executed_plan(out)
+    joins = sum(plan.count(n) for n in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    # one digest join (windows vs keepers) + one droplist attach join back
+    # to the doc grain = 2; the pre-r15 plan carried 2 digest joins + an
+    # anti-join + the attach = 4
+    assert joins <= 2, plan
