@@ -56,8 +56,15 @@ from pyspark.sql import functions as F
 
 def _bin_col(v, lo: float, hi: float, bins: int):
     """Monotone bin assignment over the inclusive interval [lo, hi]: floor
-    arithmetic capped into [0, bins-1] (v == hi computes bins and caps)."""
-    width = (hi - lo) / bins
+    arithmetic capped into [0, bins-1] (v == hi computes bins and caps).
+
+    The width clamp to the smallest positive subnormal keeps the divisor
+    nonzero when (hi - lo) / bins underflows (a subnormal-thin interval with
+    hi > lo) — ANSI mode turns the 0-width division into DIVIDE_BY_ZERO.
+    Any positive width keeps floor((v - lo) / width) monotone in v and the
+    cap bounds it into [0, bins-1], so the clamp only coarsens granularity
+    (worst case: everything in one bin -> the no-progress resolve path)."""
+    width = max((hi - lo) / bins, 5e-324)
     return F.least(
         F.lit(bins - 1), F.greatest(F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width)).cast("int"))
     )
@@ -168,6 +175,35 @@ _IDF_SCHEMA_SUFFIX = [
 ]
 
 
+def _exponent_bucket(v):
+    """ORDER-PRESERVING coarse bucket of a double, computable without
+    knowing the data range: sign x (1100 + clamped floor(log2(|v|))), 0 for
+    zero. v1 <= v2 implies eb(v1) <= eb(v2) (negatives get mirrored
+    exponents, every positive bucket > 0 > every negative bucket; the
+    +/-1100 clamp absorbs subnormals at -1074 and infinities), which is the
+    ONLY property the narrowing walk needs from a binning — _walk consumes
+    per-bucket exact (count, min, max), so coarse sign+exponent granularity
+    costs extra passes at worst, never exactness."""
+    mag = F.floor(F.greatest(F.lit(-1100.0), F.least(F.lit(1100.0), F.log2(F.abs(v)))))
+    return F.when(v == 0, F.lit(0)).otherwise(
+        (F.signum(v) * (F.lit(1100) + mag)).cast("long")
+    )
+
+
+def _walk_buckets(counts: dict, offset: int, rank: int):
+    """_walk over ARBITRARY ascending bucket ids (the exponent pass's id
+    space is sparse, unlike the dense range(bins) of interval passes). A
+    None id (NaN values' bucket under the exponent map) sorts last, matching
+    the dense walk's NaN-in-last-bin placement."""
+    cum = offset
+    for b in sorted(counts, key=lambda k: (k is None, k)):
+        c, bmin, bmax = counts[b]
+        if cum + c >= rank:
+            return cum, c, bmin, bmax
+        cum += c
+    raise AssertionError("rank fell past the interval — count drift")
+
+
 def exact_quantiles(
     spark: SparkSession,
     df: DataFrame,
@@ -187,26 +223,79 @@ def exact_quantiles(
     window over its ≤ exact_threshold survivors. The result is the actual
     data element — exact, bit-for-bit reproducible by any engine's
     quantile_disc.
+
+    Fused first pass (r15, guide §2.4 "remove passes outright"): the
+    (lo, hi, n) stats aggregation and the first narrowing level run as ONE
+    job by binning pass 0 on the data-independent ORDER-PRESERVING
+    sign+exponent bucket (:func:`_exponent_bucket`) instead of an interval
+    bin that would need lo/hi up front. One full-scan job returns per-bucket
+    (count, min, max); n/lo/hi fall out of the same rows, and walking the
+    ascending buckets seeds every rank's interval exactly as an interval
+    pass would — 3 sequential full scans (stats, narrow, resolve) become 2
+    for the common one-narrowing-pass case, at ANY scale. Exactness is
+    untouched: binning only navigates; the answers come from exact
+    per-bucket min/max and the resolve step.
     """
-    v = F.col(value_col).cast("double")
-    base = df.filter(v.isNotNull()).select(v.alias("_v"))
-    first = base.agg(
-        F.min("_v").alias("lo"), F.max("_v").alias("hi"), F.count("_v").alias("n")
-    ).collect()[0]
-    n = first["n"]
+    base = _nonnull_base(df, value_col)
+    n, counts0 = _global_pass0(base)
     if n == 0:
         return spark.createDataFrame(
             [(float(p), None) for p in probs], "prob double, value double"
         )
+    rank_by_pid = {i: quantile_rank(p, n) for i, p in enumerate(probs)}
+    answers = _global_rank_values(
+        spark, base, counts0, rank_by_pid, bins, exact_threshold
+    )
+    return spark.createDataFrame(
+        [(float(p), answers.get(i)) for i, p in enumerate(probs)], "prob double, value double"
+    )
 
-    # per-prob narrowing state: pid -> [lo, hi, offset, in_interval, rank]
-    state = {
-        i: [first["lo"], first["hi"], 0, n, quantile_rank(p, n)] for i, p in enumerate(probs)
-    }
-    # ranks answered without a resolve sort (degenerate one-value intervals)
+
+def _nonnull_base(df: DataFrame, value_col: str) -> DataFrame:
+    v = F.col(value_col).cast("double")
+    return df.filter(v.isNotNull()).select(v.alias("_v"))
+
+
+def _global_pass0(base: DataFrame):
+    """The fused stats+first-narrowing job over a ``_v`` base: one full scan
+    returning (n, {exponent_bucket: (count, min, max)})."""
+    bucket_rows = (
+        base.groupBy(_exponent_bucket(F.col("_v")).alias("_b"))
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.min("_v").alias("_bmin"),
+            F.max("_v").alias("_bmax"),
+        )
+        .collect()
+    )
+    n = sum(r["_c"] for r in bucket_rows)
+    return n, {r["_b"]: (r["_c"], r["_bmin"], r["_bmax"]) for r in bucket_rows}
+
+
+def _global_rank_values(
+    spark: SparkSession,
+    base: DataFrame,
+    counts0: dict,
+    rank_by_pid: dict[int, int],
+    bins: int,
+    exact_threshold: int,
+) -> dict[int, float]:
+    """The shared global narrowing engine: resolve the exact rank-th-smallest
+    value for every (pid -> rank) unit, seeded from a fused pass-0 bucket
+    map (:func:`_global_pass0`), narrowing all units in shared interval
+    passes and resolving the survivors in one windowed job. Returns
+    pid -> value."""
+    # per-pid narrowing state: pid -> [lo, hi, offset, in_interval, rank],
+    # seeded from the fused pass-0 walk (each rank's landing bucket)
+    state: dict[int, list] = {}
+    # units answered without a resolve sort (degenerate one-value intervals)
     resolved: dict[int, float] = {}
-    if first["lo"] == first["hi"]:
-        resolved = {i: first["lo"] for i in state}
+    for pid, rank in rank_by_pid.items():
+        below, in_bin, bmin, bmax = _walk_buckets(counts0, 0, rank)
+        if bmin == bmax:
+            resolved[pid] = bmin
+            continue
+        state[pid] = [bmin, bmax, below, in_bin, rank]
 
     def _intervals_df(pids):
         rows = [(pid, st[0], st[1], st[4] - st[2]) for pid, st in state.items() if pid in pids]
@@ -214,8 +303,10 @@ def exact_quantiles(
 
     in_window = (F.col("_v") >= F.col("_lo")) & (F.col("_v") <= F.col("_hi"))
     # per-interval bin over its own [lo, hi] — column-side arithmetic so one
-    # expression serves every interval in the broadcast frame
-    width = (F.col("_hi") - F.col("_lo")) / bins
+    # expression serves every interval in the broadcast frame; the subnormal
+    # clamp keeps the divisor nonzero when (hi - lo) / bins underflows on a
+    # subnormal-thin interval (see _bin_col — ANSI DIVIDE_BY_ZERO otherwise)
+    width = F.greatest((F.col("_hi") - F.col("_lo")) / bins, F.lit(5e-324))
     rel_bin = F.least(
         F.lit(bins - 1),
         F.greatest(F.lit(0), F.floor((F.col("_v") - F.col("_lo")) / width).cast("int")),
@@ -271,9 +362,7 @@ def exact_quantiles(
             .select("_pid", "_v")
             .collect()
         )
-    return spark.createDataFrame(
-        [(float(p), answers.get(i)) for i, p in enumerate(probs)], "prob double, value double"
-    )
+    return answers
 
 
 def exact_group_quantiles(
@@ -394,7 +483,8 @@ def _group_rank_values(
         return spark.createDataFrame(rows, _key_schema())
 
     in_window = (F.col("_v") >= F.col("_lo")) & (F.col("_v") <= F.col("_hi"))
-    width = (F.col("_hi") - F.col("_lo")) / bins
+    # subnormal clamp: see _bin_col (ANSI DIVIDE_BY_ZERO on 0-width underflow)
+    width = F.greatest((F.col("_hi") - F.col("_lo")) / bins, F.lit(5e-324))
     rel_bin = F.least(
         F.lit(bins - 1),
         F.greatest(F.lit(0), F.floor((F.col("_v") - F.col("_lo")) / width).cast("int")),
@@ -575,8 +665,13 @@ def exact_quantiles_cont(
     consumer expects SQL AVG-style medians; ``exact_quantiles`` returns
     actual data elements (quantile_disc) and needs no rounding at all.
     """
-    v = F.col(value_col).cast("double")
-    n = df.filter(v.isNotNull()).count()
+    # r15: ride the fused pass-0 directly (previously this ran its own
+    # count() job to learn n, then delegated to exact_quantiles which
+    # re-scanned for stats — 4 sequential full scans; now 2 in the common
+    # one-narrowing-pass case, sharing _global_pass0/_global_rank_values
+    # with the disc path)
+    base = _nonnull_base(df, value_col)
+    n, counts0 = _global_pass0(base)
     if n == 0:
         return spark.createDataFrame(
             [(float(p), None) for p in probs], "prob double, value double"
@@ -591,20 +686,14 @@ def exact_quantiles_cont(
         frac = pos - int(pos)
         want[p] = (lo_r, hi_r, frac)
         ranks.update((lo_r, hi_r))
+    # dense pid -> rank map (the _pid interval-frame column is int-typed;
+    # raw ranks grow with n and would overflow it at scale)
     ordered = sorted(ranks)
-    # resolve every needed rank through the shared-pass machinery by
-    # expressing each as a disc prob hitting exactly that rank: p=(r-0.5)/n
-    # gives ceil(p*n) = r with a 0.5 margin on both sides, so no float
-    # rounding of the prob can shift the rank (p = r/n exactly would sit ON
-    # the ceil boundary)
-    disc_probs = [(r - 0.5) / n for r in ordered]
-    resolved = {
-        row["prob"]: row["value"]
-        for row in exact_quantiles(
-            spark, df, value_col, disc_probs, bins, exact_threshold
-        ).collect()
-    }
-    got = {r: resolved[float(p)] for r, p in zip(ordered, disc_probs)}
+    pid_of = {r: i for i, r in enumerate(ordered)}
+    vals = _global_rank_values(
+        spark, base, counts0, {i: r for i, r in enumerate(ordered)}, bins, exact_threshold
+    )
+    got = {r: vals[pid_of[r]] for r in ordered}
     rows = []
     for p in probs:
         lo_r, hi_r, frac = want[p]

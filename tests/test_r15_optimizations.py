@@ -142,3 +142,124 @@ def test_substring_dedup_coverage_single_digest_join(spark):
     # to the doc grain = 2; the pre-r15 plan carried 2 digest joins + an
     # anti-join + the attach = 4
     assert joins <= 2, plan
+
+
+# ------------------------------------------- exact_quantiles fused pass-0
+
+
+def test_exponent_bucket_is_order_preserving(spark):
+    """The fused pass-0 bins on _exponent_bucket, whose ONLY load-bearing
+    property is order preservation (v1 <= v2 => bucket(v1) <= bucket(v2)) so
+    the bucket ranges partition the value axis and cumulative counts are
+    valid. Pin it over the adversarial axis: subnormals, power-of-two
+    boundaries and their float neighbors, +/-0, +/-inf, full-range
+    magnitudes."""
+    import math
+
+    from parqueryd_spark.operators.selection import _exponent_bucket
+
+    vals = sorted(
+        [
+            float("-inf"), -1.8e308, -1e9, -3.5, -2.0,
+            math.nextafter(-2.0, 0.0), -1.0, math.nextafter(-1.0, 0.0),
+            -2.3e-308, -5e-324, -0.0, 0.0, 5e-324, 2.3e-308,
+            math.nextafter(1.0, 0.0), 1.0, math.nextafter(2.0, 0.0), 2.0,
+            math.nextafter(2.0, 3.0), 4.0, 1e9, 1.8e308, float("inf"),
+        ]
+    )
+    arr = F.array(*[F.lit(v).cast("double") for v in vals])
+    bs = (
+        spark.range(1)
+        .select(F.transform(arr, lambda c: _exponent_bucket(c)).alias("bs"))
+        .head()["bs"]
+    )
+    assert bs == sorted(bs), list(zip(vals, bs))
+    zero_bucket = bs[vals.index(0.0)]
+    for v, b in zip(vals, bs):
+        if v < 0:
+            assert b < zero_bucket, (v, b)
+        elif v > 0:
+            assert b > zero_bucket, (v, b)
+
+
+def test_global_pass0_buckets_partition_the_value_axis(spark):
+    """_global_pass0's bucket map must cover every non-null row exactly once
+    in disjoint, ordered value ranges — the invariant the seeding walk
+    consumes (count drift or range overlap would silently misplace a
+    rank)."""
+    from parqueryd_spark.operators.selection import _global_pass0, _nonnull_base
+
+    vals = [5e-324, 2.3e-308, 0.0, -0.0, 1.0, 1.5, 2.0, -2.0, -1e300,
+            1e300, 0.1, 0.1, 0.1, -0.25, None, None, 7.0, 1024.0, 1025.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    n, counts = _global_pass0(_nonnull_base(df, "v"))
+    present = [v for v in vals if v is not None]
+    assert n == len(present)
+    assert sum(c for c, _, _ in counts.values()) == n
+    ordered = [counts[b] for b in sorted(counts)]
+    for c, bmin, bmax in ordered:
+        assert bmin <= bmax and c >= 1
+    for (_, _, prev_max), (_, next_min, _) in zip(ordered, ordered[1:]):
+        assert prev_max <= next_min  # ranges ordered; equal only at +/-0.0
+
+
+def test_subnormal_thin_interval_does_not_divide_by_zero(spark):
+    """Regression (latent pre-r15 bug surfaced by the hypothesis suite): a
+    narrowing interval with hi > lo but (hi - lo) / bins underflowing to 0.0
+    (values packed into a few subnormal ulps) made the bin expression divide
+    by zero — a hard ArithmeticException under Spark 4 ANSI mode, in all
+    three narrowing paths. The width clamp to 5e-324 must keep the walk
+    alive and the answers exact."""
+    from parqueryd_spark.operators.selection import (
+        exact_group_quantiles,
+        exact_quantiles,
+        exact_rank_value,
+        quantile_rank,
+    )
+
+    tiny = 5e-324
+    vals = [0.0, tiny, tiny, tiny, 2 * tiny, 2 * tiny, 3 * tiny]
+    s = sorted(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {
+        r["prob"]: r["value"]
+        for r in exact_quantiles(
+            spark, df, "v", [0.0, 0.5, 1.0], bins=4, exact_threshold=2
+        ).collect()
+    }
+    for p in [0.0, 0.5, 1.0]:
+        assert got[p] == s[quantile_rank(p, len(s)) - 1], p
+    assert exact_rank_value(df, "v", 4, bins=4, exact_threshold=2) == s[3]
+
+    gdf = spark.createDataFrame([("g", v) for v in vals], "grp string, v double")
+    grow = exact_group_quantiles(
+        spark, gdf, ["grp"], "v", 0.5, bins=4, exact_threshold=2
+    ).collect()
+    assert [(r["grp"], r["value"]) for r in grow] == [
+        ("g", s[quantile_rank(0.5, len(s)) - 1])
+    ]
+
+
+def test_fused_quantiles_extreme_magnitudes_match_sorted_oracle(spark):
+    """End-to-end through the fused pass-0 + shared narrowing + resolve with
+    values spanning subnormal to inf and a forced multi-pass threshold: the
+    answers must be the literal sorted-index elements (quantile_disc)."""
+    from parqueryd_spark.operators.selection import exact_quantiles, quantile_rank
+
+    vals = (
+        [5e-324, 2.3e-308, -5e-324, 0.0, -0.0, float("inf"), float("-inf")]
+        + [2.0**k for k in range(-8, 9)]
+        + [-(2.0**k) for k in range(-8, 9)]
+        + [3.14159, -3.14159, 1e300, -1e300]
+    ) * 3
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    probs = [0.0, 0.1, 0.5, 0.9, 1.0]
+    got = {
+        r["prob"]: r["value"]
+        for r in exact_quantiles(
+            spark, df, "v", probs, bins=4, exact_threshold=2
+        ).collect()
+    }
+    s = sorted(vals)
+    for p in probs:
+        assert got[p] == s[quantile_rank(p, len(s)) - 1], p
