@@ -398,25 +398,33 @@ def exact_group_quantiles(
     no non-null values are absent from the output, and NULL-keyed groups are
     real groups (null-safe interval joins), both matching SQL GROUP BY
     aggregate semantics.
+
+    Fused first pass (r15, guide §2.4, mirroring the global paths): the
+    per-group stats job and the first narrowing level run as ONE full-scan
+    aggregation on the data-independent sign+exponent bucket
+    (:func:`_group_pass0`) — per-group n and every (group, rank) seed
+    interval fall out of the same per-(group, bucket) exact (count, min,
+    max) rows, so the common one-narrowing-pass case costs 2 full scans
+    instead of 3. Exactness is bins/bucket-independent as always.
     """
     ks = list(keys)
     probs = [p] if isinstance(p, (int, float)) else list(p)
-    base, gstats, srows = _group_stats(df, ks, value_col, max_groups)
+    base, groups = _group_pass0(df, ks, value_col, max_groups, bins)
     # quantile_disc's rank ceil(p*n) per (group, prob); distinct probs can
     # land on the SAME rank for small groups — the engine computes each
     # (group, rank) once and the prob->rank metadata join fans the value out
     state: dict = {}
     meta_rows = []
-    for r in srows:
-        g = tuple(r[k] for k in ks)
+    for g, buckets in groups.items():
+        n = sum(c for c, _, _ in buckets.values())
         for prob in probs:
-            rank = quantile_rank(prob, r["n"])
-            state[(g, rank)] = [r["lo"], r["hi"], 0, r["n"]]
+            rank = quantile_rank(prob, n)
+            _seed_unit(state, g, rank, buckets)
             meta_rows.append((*g, float(prob), rank))
-    vals = _group_rank_values(spark, base, ks, gstats, state, bins, exact_threshold)
+    vals = _group_rank_values(spark, base, ks, state, bins, exact_threshold)
     if len(probs) == 1:
         return vals.select(*ks, F.lit(float(probs[0])).alias("prob"), "value")
-    meta_schema = gstats.select(*ks).schema.add("prob", "double").add("rank", "long")
+    meta_schema = base.select(*ks).schema.add("prob", "double").add("rank", "long")
     meta = spark.createDataFrame(meta_rows, meta_schema)
     cond = vals["rank"] == meta["rank"]
     for k in ks:
@@ -427,46 +435,84 @@ def exact_group_quantiles(
     return joined.select(*ks, "prob", "value")
 
 
-def _group_stats(df: DataFrame, ks: list[str], value_col: str, max_groups: int):
-    """Shared head of the grouped selection paths: non-null base, per-group
-    (lo, hi, n) stats. ONE bounded collect gives both the stats rows and the
-    driver-OOM protection: limit(max_groups + 1) caps what can ever reach
-    the driver, and an over-limit result raises before any use."""
+def _group_pass0(df: DataFrame, ks: list[str], value_col: str, max_groups: int, bins: int):
+    """Fused head of the grouped selection paths (r15, guide §2.4 "remove
+    passes outright"): the per-group (lo, hi, n) stats job and the first
+    narrowing level run as ONE full-scan aggregation by binning pass 0 on
+    the data-independent ORDER-PRESERVING sign+exponent bucket
+    (:func:`_exponent_bucket`, the same fusion as the global paths'
+    :func:`_global_pass0`). One job returns per-(group, bucket) exact
+    (count, min, max); each group's n is the sum of its bucket counts and
+    every (group, rank) seeds its interval by walking that group's ascending
+    buckets exactly as an interval pass would. Returns (base, {group-tuple:
+    {bucket: (count, min, max)}}).
+
+    Driver-OOM protection (the old limit(max_groups + 1) contract, adapted):
+    the collect is bounded by limit(max_groups * bins + 1) — the same
+    groups x bins budget every NARROWING pass already commits to — enforced
+    BEFORE any driver-side use; either truncation at that budget or more
+    than max_groups distinct groups raises."""
     v = F.col(value_col).cast("double")
     base = df.filter(v.isNotNull()).select(*ks, v.alias("_v"))
-    gstats = base.groupBy(*ks).agg(
-        F.min("_v").alias("lo"), F.max("_v").alias("hi"), F.count("_v").alias("n")
-    )
-    srows = gstats.limit(max_groups + 1).collect()
-    if len(srows) > max_groups:
-        raise ValueError(
-            f"group count exceeds max_groups={max_groups} — the per-pass "
-            "driver-side count collect is groups x bins; use the mergeable "
-            "histogram quantiles (operators/rollup.py) for high-cardinality keys"
+    budget = max_groups * bins
+    rows = (
+        base.groupBy(*ks, _exponent_bucket(F.col("_v")).alias("_b"))
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.min("_v").alias("_bmin"),
+            F.max("_v").alias("_bmax"),
         )
-    return base, gstats, srows
+        .limit(budget + 1)
+        .collect()
+    )
+    groups: dict[tuple, dict] = {}
+    for r in rows:
+        groups.setdefault(tuple(r[k] for k in ks), {})[r["_b"]] = (
+            r["_c"],
+            r["_bmin"],
+            r["_bmax"],
+        )
+    if len(rows) > budget or len(groups) > max_groups:
+        raise ValueError(
+            f"group count exceeds max_groups={max_groups} (or the pass-0 "
+            f"bucket rows exceed the max_groups x bins = {budget} driver "
+            "budget) — the per-pass driver-side count collect is groups x "
+            "bins; use the mergeable histogram quantiles "
+            "(operators/rollup.py) for high-cardinality keys"
+        )
+    return base, groups
+
+
+def _seed_unit(state: dict, g: tuple, rank: int, buckets: dict) -> None:
+    """Seed one (group, rank) narrowing unit from its group's pass-0 bucket
+    walk (idempotent — duplicate ranks from different probs share the
+    entry). Degenerate one-value landing buckets seed lo == hi, which
+    :func:`_group_rank_values` answers directly without a sort."""
+    if (g, rank) not in state:
+        below, in_bin, bmin, bmax = _walk_buckets(buckets, 0, rank)
+        state[(g, rank)] = [bmin, bmax, below, in_bin]
 
 
 def _group_rank_values(
     spark: SparkSession,
     base: DataFrame,
     ks: list[str],
-    gstats: DataFrame,
     state: dict,
     bins: int,
     exact_threshold: int,
 ) -> DataFrame:
     """The shared grouped narrowing engine, generalized to MULTIPLE ranks per
     group (the cont path needs two bracketing order statistics): ``state``
-    maps (group-tuple, rank) -> [lo, hi, offset, in_interval]; returns a
-    DataFrame (keys..., rank, value). Every pass is ONE aggregation shared by
+    maps (group-tuple, rank) -> [lo, hi, offset, in_interval] (seeded from
+    the fused pass-0 bucket walk since r15); returns a DataFrame
+    (keys..., rank, value). Every pass is ONE aggregation shared by
     every still-active (group, rank); adjacent ranks' intervals coincide
     until the final subdivisions, so the second rank rides nearly free. The
     resolve is one distributed windowed job over all open units; degenerate
     one-value intervals answer directly (no sort)."""
 
     def _key_schema():
-        schema = gstats.select(*ks).schema
+        schema = base.select(*ks).schema
         for name, typ in [("_rank", "long")] + _IDF_SCHEMA_SUFFIX:
             schema = schema.add(name, typ)
         return schema
@@ -547,7 +593,7 @@ def _group_rank_values(
     from pyspark.sql import Window as W
 
     def _out_schema():
-        return gstats.select(*ks).schema.add("rank", "long").add("value", "double")
+        return base.select(*ks).schema.add("rank", "long").add("value", "double")
 
     unresolved = set(state) - set(resolved)
     out = None
@@ -600,12 +646,11 @@ def exact_group_quantiles_cont(
     GROUP BY semantics, same as the disc path."""
     ks = list(keys)
     probs = [p] if isinstance(p, (int, float)) else list(p)
-    base, gstats, srows = _group_stats(df, ks, value_col, max_groups)
+    base, groups = _group_pass0(df, ks, value_col, max_groups, bins)
     state: dict = {}
     meta_rows = []
-    for r in srows:
-        g = tuple(r[k] for k in ks)
-        n = r["n"]
+    for g, buckets in groups.items():
+        n = sum(c for c, _, _ in buckets.values())
         for prob in probs:
             # float (not Fraction) position arithmetic on purpose: DuckDB's
             # quantile_cont computes p*(n-1) in IEEE double, so matching it
@@ -614,12 +659,12 @@ def exact_group_quantiles_cont(
             lo_r = int(pos) + 1
             hi_r = min(lo_r + 1, n)
             frac = pos - int(pos)
-            state[(g, lo_r)] = [r["lo"], r["hi"], 0, n]
-            state[(g, hi_r)] = [r["lo"], r["hi"], 0, n]
+            _seed_unit(state, g, lo_r, buckets)
+            _seed_unit(state, g, hi_r, buckets)
             meta_rows.append((*g, float(prob), lo_r, hi_r, float(frac)))
-    vals = _group_rank_values(spark, base, ks, gstats, state, bins, exact_threshold)
+    vals = _group_rank_values(spark, base, ks, state, bins, exact_threshold)
     meta_schema = (
-        gstats.select(*ks)
+        base.select(*ks)
         .schema.add("prob", "double")
         .add("_lo_r", "long")
         .add("_hi_r", "long")

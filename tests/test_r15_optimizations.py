@@ -5,6 +5,8 @@ barriers) must stay exact."""
 
 from __future__ import annotations
 
+import random
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -201,6 +203,83 @@ def test_global_pass0_buckets_partition_the_value_axis(spark):
         assert bmin <= bmax and c >= 1
     for (_, _, prev_max), (_, next_min, _) in zip(ordered, ordered[1:]):
         assert prev_max <= next_min  # ranges ordered; equal only at +/-0.0
+
+
+def test_group_pass0_buckets_partition_each_group(spark):
+    """_group_pass0's per-group bucket maps must cover every non-null row of
+    that group exactly once in disjoint ordered ranges (the invariant each
+    (group, rank) seed walk consumes), with NULL keys kept as a real
+    group and all-null-value groups absent."""
+    from parqueryd_spark.operators.selection import _group_pass0
+
+    data = {
+        "a": [0.0, 5e-324, -1e300, 1e300, 2.0, 2.0, 3.0],
+        "b": [7.5],
+        None: [1.0, -1.0, None],
+        "d": [None, None],
+    }
+    rows = [(g, v) for g, vals in data.items() for v in vals]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    _, groups = _group_pass0(df, ["grp"], "v", max_groups=10, bins=4)
+    assert set(groups) == {("a",), ("b",), (None,)}  # "d" all-null -> absent
+    for g, buckets in groups.items():
+        present = [v for v in data[g[0]] if v is not None]
+        assert sum(c for c, _, _ in buckets.values()) == len(present)
+        ordered = [buckets[b] for b in sorted(buckets)]
+        for (_, _, pmax), (_, nmin, _) in zip(ordered, ordered[1:]):
+            assert pmax <= nmin
+        assert min(m for _, m, _ in ordered) == min(present)
+        assert max(m for _, _, m in ordered) == max(present)
+
+
+def test_grouped_fused_multiprob_matches_duckdb(spark):
+    """End-to-end grouped disc+cont through the fused pass-0 against DuckDB
+    on skewed per-group distributions with forced narrowing."""
+    import duckdb
+    import pandas as pd
+
+    from parqueryd_spark.operators.selection import (
+        exact_group_quantiles,
+        exact_group_quantiles_cont,
+    )
+
+    random.seed(77)
+    rows = []
+    for g, n in (("x", 900), ("y", 340), ("z", 7)):
+        rows += [(g, random.choice([0.0, 0.25, 3.5, -2e5, 1e5, 9.75])) for _ in range(n)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    pdf = pd.DataFrame(rows, columns=["grp", "value"])
+    probs = [0.1, 0.5, 0.99]
+
+    got = {
+        (r["grp"], r["prob"]): r["value"]
+        for r in exact_group_quantiles(
+            spark, df, ["grp"], "value", probs, bins=4, exact_threshold=8
+        ).collect()
+    }
+    for p in probs:
+        duck = dict(
+            duckdb.sql(
+                f"SELECT grp, quantile_disc(value, {p}) FROM pdf GROUP BY grp"
+            ).fetchall()
+        )
+        for g in duck:
+            assert got[(g, p)] == duck[g], (g, p)
+
+    gotc = {
+        (r["grp"], r["prob"]): r["value"]
+        for r in exact_group_quantiles_cont(
+            spark, df, ["grp"], "value", probs, bins=4, exact_threshold=8
+        ).collect()
+    }
+    for p in probs:
+        duck = dict(
+            duckdb.sql(
+                f"SELECT grp, round(quantile_cont(value, {p}), 6) FROM pdf GROUP BY grp"
+            ).fetchall()
+        )
+        for g in duck:
+            assert gotc[(g, p)] == duck[g], (g, p)
 
 
 def test_subnormal_thin_interval_does_not_divide_by_zero(spark):
