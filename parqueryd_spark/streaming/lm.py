@@ -48,6 +48,32 @@ def _read_meta(spark, lm_dir: str) -> tuple[float, int] | None:
     return float(meta["k"]), int(meta["n"])
 
 
+def _validate_order(spark, lm_dir: str, n: int) -> None:
+    """Full-scan gram-width validation: EVERY stored gram's token count must
+    equal ``n`` (min == max == n in one aggregation, not a sampled row) —
+    raises on a store at a different or mixed order. A missing or
+    batch-less store has nothing to validate."""
+    try:
+        parts = spark.read.parquet(lm_dir).drop("batch")
+    except AnalysisException as e:
+        cls = getattr(e, "getErrorClass", lambda: "")() or ""
+        if (
+            "PATH_NOT_FOUND" in cls
+            or "UNABLE_TO_INFER_SCHEMA" in cls
+            or "Path does not exist" in str(e)
+        ):
+            return  # nothing stored yet
+        raise
+    toks = F.size(F.split("gram", " "))
+    probe = parts.agg(F.min(toks).alias("lo"), F.max(toks).alias("hi")).collect()[0]
+    if probe["lo"] is not None and not (probe["lo"] == probe["hi"] == n):
+        raise ValueError(
+            f"stored grams have {probe['lo']}..{probe['hi']} tokens but the "
+            f"requested order is n={n} — the model was maintained at a "
+            "different (or mixed) order"
+        )
+
+
 def stream_maintain_lm(
     doc_stream: DataFrame,
     lm_dir: str,
@@ -64,7 +90,15 @@ def stream_maintain_lm(
     EXISTING store validates against its recorded (k, n) instead of
     overwriting — different parameters would leave older batch partitions at
     the old order while the meta claims the new one, exactly the silent
-    mixed-order store the meta exists to prevent."""
+    mixed-order store the meta exists to prevent.
+
+    Write-time order enforcement (r15): adopting a PRE-meta store (batches
+    present, no ``_meta``) runs the full gram-width validation ONCE, before
+    this stream's (k, n) meta is written — so a present ``_meta`` always
+    certifies that every batch beneath it was either validated against or
+    written at the recorded order, and ``read_lm`` can serve meta-bearing
+    stores without re-scanning the count table (guide §2.4: the validation
+    moves from every serve to the one maintenance restart that needs it)."""
 
     meta_checked = False
 
@@ -85,6 +119,9 @@ def stream_maintain_lm(
                     "fresh lm_dir to retrain"
                 )
             if stored is None:
+                # adopting a pre-meta store: its existing grams must BE at
+                # this stream's order before the meta certifies them
+                _validate_order(spark, lm_dir, int(n))
                 spark.createDataFrame([(float(k), int(n))], "k double, n int").write.mode(
                     "overwrite"
                 ).parquet(os.path.join(lm_dir, "_meta"))
@@ -100,7 +137,13 @@ def stream_maintain_lm(
     )
 
 
-def read_lm(spark, lm_dir: str, k: float | None = None, n: int | None = None) -> NgramLM:
+def read_lm(
+    spark,
+    lm_dir: str,
+    k: float | None = None,
+    n: int | None = None,
+    validate: bool | None = None,
+) -> NgramLM:
     """The served LM over ALL published batches: merge-on-read of the count
     partials (sum per gram — linear, so this equals one-shot ``lm_train``
     over the full corpus bit-exactly).
@@ -108,23 +151,35 @@ def read_lm(spark, lm_dir: str, k: float | None = None, n: int | None = None) ->
     (k, n) default to the persisted ``_meta`` written by
     :func:`stream_maintain_lm` (only a genuinely missing ``_meta`` — the
     documented pre-meta layout — falls back to the 0.5/2 defaults; corrupt
-    meta or IO errors propagate); explicit arguments override. Either way
-    EVERY stored gram's token count is validated against n (min == max == n
-    in one aggregation, not a sampled row) — a model maintained at one order,
-    or a store that ever mixed orders, can never be silently served (grams
-    would split at the wrong position and score garbage without an error)."""
+    meta or IO errors propagate); explicit arguments override.
+
+    Order validation is WRITE-TIME-ENFORCED for meta-bearing stores (r15,
+    guide §2.4 — the serve path sheds a full count-table scan per call): a
+    present ``_meta`` certifies every batch was written at (or validated
+    against) the recorded order by :func:`stream_maintain_lm`, so when the
+    effective n equals the stored one the serve trusts it and runs ZERO
+    jobs beyond the 1-row meta read before scoring. The full gram-width
+    scan (min == max == n over EVERY stored gram, never a sampled row)
+    still runs whenever that certificate doesn't apply: a pre-meta store,
+    or an explicit ``n`` overriding the recorded order. ``validate=True``
+    forces the scan regardless (e.g. serving a store whose files were
+    manipulated outside the maintenance contract); ``validate=False``
+    skips it even for pre-meta stores (caller-asserted order)."""
     stored = _read_meta(spark, lm_dir)
     k = k if k is not None else (stored[0] if stored is not None else 0.5)
     n = n if n is not None else (stored[1] if stored is not None else 2)
     parts = spark.read.parquet(lm_dir).drop("batch")
-    toks = F.size(F.split("gram", " "))
-    probe = parts.agg(F.min(toks).alias("lo"), F.max(toks).alias("hi")).collect()[0]
-    if probe["lo"] is not None and not (probe["lo"] == probe["hi"] == n):
-        raise ValueError(
-            f"stored grams have {probe['lo']}..{probe['hi']} tokens but the "
-            f"requested order is n={n} — the model was maintained at a "
-            "different (or mixed) order"
-        )
+    if validate is None:
+        validate = stored is None or int(n) != stored[1]
+    if validate:
+        toks = F.size(F.split("gram", " "))
+        probe = parts.agg(F.min(toks).alias("lo"), F.max(toks).alias("hi")).collect()[0]
+        if probe["lo"] is not None and not (probe["lo"] == probe["hi"] == n):
+            raise ValueError(
+                f"stored grams have {probe['lo']}..{probe['hi']} tokens but the "
+                f"requested order is n={n} — the model was maintained at a "
+                "different (or mixed) order"
+            )
     return lm_merge([parts], k, n)
 
 

@@ -205,6 +205,76 @@ def test_global_pass0_buckets_partition_the_value_axis(spark):
         assert prev_max <= next_min  # ranges ordered; equal only at +/-0.0
 
 
+# --------------------------------------- read_lm write-time-enforced order
+
+
+def test_read_lm_trusts_meta_and_validate_flag_forces_scan(tmp_path, spark):
+    """r15: a meta-bearing store serves WITHOUT the per-serve gram-width
+    scan (write-time enforcement makes it redundant), while validate=True
+    restores the scan for stores manipulated outside the maintenance
+    contract, an explicit n override still scans (and raises on mismatch),
+    and pre-meta stores scan as before."""
+    import os
+
+    import pytest
+
+    from parqueryd_spark.streaming.lm import read_lm
+
+    lm_dir = str(tmp_path / "lm")
+    spark.createDataFrame([(0.5, 2)], "k double, n int").write.parquet(
+        os.path.join(lm_dir, "_meta")
+    )
+    spark.createDataFrame([("a b", 1)], "gram string, c long").write.parquet(
+        os.path.join(lm_dir, "batch=0")
+    )
+    # out-of-contract tamper: a wrong-order gram written directly
+    spark.createDataFrame([("x y z", 1)], "gram string, c long").write.parquet(
+        os.path.join(lm_dir, "batch=1")
+    )
+    # the mixed store is the proof: the old per-serve scan RAISED here, so
+    # serving without an error demonstrates the scan no longer runs
+    lm = read_lm(spark, lm_dir)  # trusts meta: no scan, no raise
+    assert lm.n == 2
+    with pytest.raises(ValueError, match="mixed"):
+        read_lm(spark, lm_dir, validate=True)  # escape hatch scans
+    with pytest.raises(ValueError, match="mixed"):
+        read_lm(spark, lm_dir, n=3)  # override disagrees with meta -> scans
+
+
+def test_stream_maintain_validates_premeta_store_at_adoption(tmp_path, spark):
+    """r15: adopting a PRE-meta store at a conflicting order raises at WRITE
+    time (before _meta certifies the batches), and at the matching order
+    proceeds — the enforcement read_lm's serve-path trust rests on."""
+    import os
+
+    import pytest
+
+    from parqueryd_spark.streaming.lm import read_lm, stream_maintain_lm
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([("a b c",)], "text string").write.parquet(src)
+
+    def maintain(lm_dir, ckpt, n):
+        return stream_maintain_lm(
+            spark.readStream.schema("text string").parquet(src),
+            str(tmp_path / lm_dir), str(tmp_path / ckpt), n=n,
+        ).awaitTermination()
+
+    # pre-meta store at order 3
+    for d in ("lm_bad", "lm_ok"):
+        spark.createDataFrame([("x y z", 1)], "gram string, c long").write.parquet(
+            os.path.join(str(tmp_path / d), "batch=99")
+        )
+    with pytest.raises(Exception, match="different .or mixed. order"):
+        maintain("lm_bad", "ck_bad", n=2)
+    assert not os.path.isdir(os.path.join(str(tmp_path / "lm_bad"), "_meta"))
+    maintain("lm_ok", "ck_ok", n=3)  # matching order: adopted and certified
+    served = read_lm(spark, str(tmp_path / "lm_ok"))
+    assert served.n == 3
+    grams = {r["gram"] for r in served.bigrams.collect()}
+    assert "x y z" in grams and "a b c" in grams
+
+
 def test_group_pass0_buckets_partition_each_group(spark):
     """_group_pass0's per-group bucket maps must cover every non-null row of
     that group exactly once in disjoint ordered ranges (the invariant each
