@@ -185,9 +185,23 @@ def _exponent_bucket(v):
     per-bucket exact (count, min, max), so coarse sign+exponent granularity
     costs extra passes at worst, never exactness."""
     mag = F.floor(F.greatest(F.lit(-1100.0), F.least(F.lit(1100.0), F.log2(F.abs(v)))))
-    return F.when(v == 0, F.lit(0)).otherwise(
-        (F.signum(v) * (F.lit(1100) + mag)).cast("long")
+    # NaN maps EXPLICITLY to the NULL bucket (_walk_buckets sorts it last,
+    # matching Spark's NaN-greatest sort order): without the isnan branch the
+    # arithmetic yields NaN and the .cast("long") throws CAST_OVERFLOW under
+    # Spark 4's default ANSI mode (ADVICE r15) — the docstring's None-bucket
+    # contract was otherwise unreachable.
+    return (
+        F.when(F.isnan(v), F.lit(None).cast("long"))
+        .when(v == 0, F.lit(0))
+        .otherwise((F.signum(v) * (F.lit(1100) + mag)).cast("long"))
     )
+
+
+def _nan_pair(lo, hi) -> bool:
+    """True iff a pass-0 landing bucket is the all-NaN NULL bucket (its
+    exact min and max are both NaN — Python NaN != NaN, so the lo == hi
+    degenerate check misses it). The rank-th value in that bucket IS NaN."""
+    return lo != lo and hi != hi
 
 
 def _walk_buckets(counts: dict, offset: int, rank: int):
@@ -292,7 +306,7 @@ def _global_rank_values(
     resolved: dict[int, float] = {}
     for pid, rank in rank_by_pid.items():
         below, in_bin, bmin, bmax = _walk_buckets(counts0, 0, rank)
-        if bmin == bmax:
+        if bmin == bmax or _nan_pair(bmin, bmax):
             resolved[pid] = bmin
             continue
         state[pid] = [bmin, bmax, below, in_bin, rank]
@@ -448,13 +462,19 @@ def _group_pass0(df: DataFrame, ks: list[str], value_col: str, max_groups: int, 
     {bucket: (count, min, max)}}).
 
     Driver-OOM protection (the old limit(max_groups + 1) contract, adapted):
-    the collect is bounded by limit(max_groups * bins + 1) — the same
-    groups x bins budget every NARROWING pass already commits to — enforced
-    BEFORE any driver-side use; either truncation at that budget or more
-    than max_groups distinct groups raises."""
+    the collect is bounded by limit(max_groups x max(bins, exponent-bucket
+    space) + 1) — pass 0 bins on the ~4402-id exponent space regardless of
+    ``bins`` (ADVICE r15), so the budget uses whichever space is larger —
+    enforced BEFORE any driver-side use; either truncation at that budget or
+    more than max_groups distinct groups raises."""
     v = F.col(value_col).cast("double")
     base = df.filter(v.isNotNull()).select(*ks, v.alias("_v"))
-    budget = max_groups * bins
+    # the pass-0 bucket id space is the EXPONENT space, not range(bins): ids
+    # span [-2200, 2200] plus the NaN NULL bucket (~4402 values), independent
+    # of bins — budgeting max_groups x bins alone would spuriously reject
+    # in-contract wide-dynamic-range data at small bins (ADVICE r15). The
+    # driver-side bound is max_groups x the LARGER of the two spaces.
+    budget = max_groups * max(bins, 4402)
     rows = (
         base.groupBy(*ks, _exponent_bucket(F.col("_v")).alias("_b"))
         .agg(
@@ -475,10 +495,10 @@ def _group_pass0(df: DataFrame, ks: list[str], value_col: str, max_groups: int, 
     if len(rows) > budget or len(groups) > max_groups:
         raise ValueError(
             f"group count exceeds max_groups={max_groups} (or the pass-0 "
-            f"bucket rows exceed the max_groups x bins = {budget} driver "
-            "budget) — the per-pass driver-side count collect is groups x "
-            "bins; use the mergeable histogram quantiles "
-            "(operators/rollup.py) for high-cardinality keys"
+            f"bucket rows exceed the max_groups x max(bins, exponent-bucket "
+            f"space) = {budget} driver budget) — the per-pass driver-side "
+            "count collect is groups x bins; use the mergeable histogram "
+            "quantiles (operators/rollup.py) for high-cardinality keys"
         )
     return base, groups
 
@@ -517,8 +537,13 @@ def _group_rank_values(
             schema = schema.add(name, typ)
         return schema
 
-    # units answered without a resolve sort (degenerate one-value intervals)
-    resolved: dict[tuple, float] = {gr: st[0] for gr, st in state.items() if st[0] == st[1]}
+    # units answered without a resolve sort (degenerate one-value intervals;
+    # _nan_pair: a unit seeded in the all-NaN NULL bucket answers NaN)
+    resolved: dict[tuple, float] = {
+        gr: st[0]
+        for gr, st in state.items()
+        if st[0] == st[1] or _nan_pair(st[0], st[1])
+    }
 
     def _intervals_df(names):
         rows = [
