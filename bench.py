@@ -58,6 +58,7 @@ def build_outputs(
     sf: float,
     shuffle: dict[str, tuple[int, int]] | None = None,
     calib_trials: list[float] | None = None,
+    calib_samples: dict[str, float] | None = None,
 ) -> tuple[dict, dict]:
     """Split results into (diagnostics payload, compact final payload).
 
@@ -89,6 +90,14 @@ def build_outputs(
         "queries_spread": spreads,
         "queries_trials": trials,
         "calib_trials": calib_trials,
+        # MID-RUN calibration re-probes (VERDICT r15 item #1b): the same
+        # fixed calib query re-timed after every K bench rows, keyed by the
+        # last row completed before the probe. The start-of-run calib cannot
+        # see a mid-run host-degradation window (r15's 32-core tail block —
+        # a contiguous 0.2-0.4x stretch in BENCH_ORDER with byte-identical
+        # plans); these samples make such a window detectable from the
+        # artifact itself. Diagnostics-only: the driver line is unchanged.
+        "calib_samples": calib_samples or {},
         "shuffle_read_bytes": {n: rw[0] for n, rw in shuffle.items()},
         "shuffle_write_bytes": {n: rw[1] for n, rw in shuffle.items()},
         # per-query shuffle read+write KiB — the 100 TB axis wall time can't
@@ -170,7 +179,13 @@ def main() -> None:
     medians: dict[str, float] = {}
     trials: dict[str, list[float]] = {}
     shuffle: dict[str, tuple[int, int]] = {}
-    for name, fn in bench.items():
+    # mid-run host-noise re-probes (VERDICT r15 item #1b): one calib timing
+    # after every CALIB_EVERY rows and after the final row, so a degradation
+    # window confined to part of the run is visible in the diagnostics
+    calib_samples: dict[str, float] = {}
+    CALIB_EVERY = 8
+    n_rows = len(bench)
+    for i, (name, fn) in enumerate(bench.items()):
         fn(spark, sf_dir).count()  # warm-up: JVM, codegen, file listing, caches
         # shuffle bytes around the FIRST timed trial (steady-state; volumes
         # are deterministic per plan so one measurement suffices)
@@ -181,9 +196,11 @@ def main() -> None:
         trials[name] = ts
         timings[name] = min(ts)
         medians[name] = round(statistics.median(ts), 4)
+        if (i + 1) % CALIB_EVERY == 0 or i == n_rows - 1:
+            calib_samples[name] = round(run_once(calib_fn), 4)
 
     diagnostics, final = build_outputs(
-        timings, medians, trials, float(sf), shuffle, calib_ts
+        timings, medians, trials, float(sf), shuffle, calib_ts, calib_samples
     )
     # Sidecar goes to an UNTRACKED dir (VERDICT r13 item #8): writing it into
     # a committed path meant the driver's own close bench dirtied the tree.

@@ -103,3 +103,19 @@ def test_diagnostics_are_separate_from_driver_line():
     assert not set(final) & {
         "queries_trials", "queries_median", "queries_spread", "shuffle_kb"
     }
+
+
+def test_mid_run_calib_samples_ride_diagnostics_only():
+    """VERDICT r15 item #1b: the mid-run calib re-probes must appear in the
+    diagnostics payload (keyed by bench row) and NEVER on the driver line."""
+    names = list(Q.bench_queries())
+    timings, medians, trials, shuffle, calib = _fake_results(names)
+    samples = {names[7]: 0.21, names[15]: 0.22, names[-1]: 0.2}
+    diagnostics, final = bench.build_outputs(
+        timings, medians, trials, 0.1, shuffle, calib, samples
+    )
+    assert diagnostics["calib_samples"] == samples
+    assert "calib_samples" not in final
+    # omitted -> empty dict, not a crash (build_outputs stays pure/optional)
+    d2, _ = bench.build_outputs(timings, medians, trials, 0.1, shuffle, calib)
+    assert d2["calib_samples"] == {}
