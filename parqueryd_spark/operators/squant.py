@@ -221,14 +221,24 @@ def sq_topk(
     ).select("query_id", "neighbor_id")
     # broadcast the BOUNDED refine*k*|queries| shortlist; the sf-growing
     # corpus streams un-shuffled (guide §3.1 — estimate-driven planning at
-    # toy SF would pick the corpus as build side, scale-backwards)
-    cand = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nv")
-    ).join(F.broadcast(shortlist), "neighbor_id")
-    qside = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
+    # toy SF would pick the corpus as build side, scale-backwards).
+    # r16 (VERDICT r15 item #4): shortlist and query vectors are FUSED into
+    # one pre-joined broadcast frame, so the corpus-side row pays ONE
+    # broadcast exchange + ONE probe instead of two — the refine side's
+    # extra exchange was the one real toy-scale regression of r15. The fused
+    # payload stays bounded: refine*k rows per query, each carrying the
+    # query vector.
+    qside = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
-    rer = cand.join(qside, "query_id").withColumn("cosine_sim", F.round(cosine("qv", "nv"), 6))
+    plan = shortlist.join(qside, "query_id")
+    rer = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nv")
+        )
+        .join(F.broadcast(plan), "neighbor_id")
+        .withColumn("cosine_sim", F.round(cosine("qv", "nv"), 6))
+    )
     w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
     return (
         rer.withColumn("rank", F.row_number().over(w))
@@ -436,12 +446,16 @@ def ivfsq_search(
     if refine <= 0 or corpus is None:
         return shortlist
     # bounded shortlist broadcast, corpus streamed — same rationale as
-    # sq_topk above (guide §3.1)
-    cand = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nv")
-    ).join(F.broadcast(shortlist.select("query_id", "neighbor_id")), "neighbor_id")
-    rer = cand.join(F.broadcast(q), "query_id").withColumn(
-        "cosine_sim", F.round(cosine("qv", "nv"), 6)
+    # sq_topk above (guide §3.1); shortlist and query vectors fused into ONE
+    # broadcast frame (r16, VERDICT r15 item #4) so the corpus pays a single
+    # exchange + probe instead of two.
+    plan = shortlist.select("query_id", "neighbor_id").join(q, "query_id")
+    rer = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nv")
+        )
+        .join(F.broadcast(plan), "neighbor_id")
+        .withColumn("cosine_sim", F.round(cosine("qv", "nv"), 6))
     )
     w2 = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
     return (

@@ -44,6 +44,34 @@ def get_spark(
         # dims are far below 10 MB; AQE still upgrades to broadcast from accurate
         # runtime stats when a shuffle side turns out tiny.
         .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        # Runtime Bloom-filter join pre-filtering (guide §3.2, VERDICT r15
+        # item #2): for a fact-fact equi-join where one side carries a
+        # selective filter (q3/q5/q21's date- or status-filtered orders), the
+        # optimizer injects bloom_filter_agg over the creation side's join
+        # keys and drops definitely-non-matching rows from the other fact
+        # BEFORE its shuffle. Stock thresholds are sized for estimate-driven
+        # clusters: creation side must be < 10 MB and the application-side
+        # scan > 10 GB, so the injection never fires on a single box and
+        # rarely at cluster scale (post-filter size estimates overshoot).
+        # Both are parameterized (env), defaults chosen so the engine's
+        # fact-fact joins qualify at ANY scale: creation side up to 256 MB
+        # (a date-filtered orders key projection at ~100 TB SF stays well
+        # under the 8 GB broadcast cap; the bloom itself is ~9.6 bits/key),
+        # application side from 8 MB (every fact scan qualifies — the filter
+        # costs one extra scan of the already-filtered creation side, noise
+        # against the shuffle bytes it removes; sf0.1 bench deltas recorded
+        # in OPTIMIZATION_r16.md).
+        .config(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+        )
+        .config(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            os.environ.get("SPARK_GRAFT_BLOOM_CREATION", "256MB"),
+        )
+        .config(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            os.environ.get("SPARK_GRAFT_BLOOM_APPLY", "8MB"),
+        )
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/parqueryd_spark_warehouse"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -97,3 +97,50 @@ def test_group_pass0_budget_uses_exponent_space(spark):
         spark, df, ["k"], "v", 0.5, bins=4, exact_threshold=2, max_groups=1
     ).collect()
     assert rows[0]["value"] == _sorted_oracle([v for (v,) in vals], 0.5)
+
+
+# ------------------------------------------- r16: pruned KN stat derivation
+
+
+def test_kn_pruned_stats_see_full_context_groups(spark):
+    """The r16 kn_score restructure prunes every per-order stat table to the
+    scored grams' suffix/context key sets BEFORE aggregation. The hazard is
+    under-aggregation: a context denominator (cc) or fan-out (nfwd) computed
+    over only the scored keys instead of the FULL key group sharing that
+    context. This fixture makes the two diverge hard — context 'a' continues
+    into many words, the scored slice references exactly one of them — and
+    pins the result to the pure-Python reference, which always aggregates the
+    full table. Covered at n=2 and n=3 (n=3 also exercises the pruned
+    continuation-type levels derived directly from the raw table)."""
+    from tests.test_lm import _docs, _py_kn, _py_kn_n
+    from parqueryd_spark.operators.lm import kn_score, lm_train
+
+    train = [
+        (1, "a b a c a d a e a f"),   # 'a' fans out to 5 continuations
+        (2, "x a y a z a b q"),       # 'a b' seen in a second context chain
+        (3, "b c d e f g h i"),
+    ]
+    held = [
+        (10, "a b"),          # one gram: cc('a') must count ALL 'a *' grams
+        (11, "q a b c"),      # mixes seen/unseen contexts
+        (12, "zz a b"),       # unseen word entering a heavy context
+    ]
+    lm2 = lm_train(_docs(spark, train), n=2)
+    got2 = {
+        r["doc_id"]: r["avg_nll"]
+        for r in kn_score(_docs(spark, held), "doc_id", lm2).collect()
+    }
+    want2 = _py_kn(train, held)
+    assert set(got2) == set(want2)
+    for doc_id, nll in want2.items():
+        assert abs(got2[doc_id] - nll) < 1e-6, (doc_id, got2[doc_id], nll)
+
+    lm3 = lm_train(_docs(spark, train), n=3)
+    got3 = {
+        r["doc_id"]: r["avg_nll"]
+        for r in kn_score(_docs(spark, held), "doc_id", lm3).collect()
+    }
+    want3 = _py_kn_n(train, held, n=3)
+    assert set(got3) == set(want3)
+    for doc_id, nll in want3.items():
+        assert abs(got3[doc_id] - nll) < 1e-6, (doc_id, got3[doc_id], nll)

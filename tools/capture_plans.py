@@ -1,4 +1,5 @@
-"""Capture .explain("formatted") for bench queries into plans/r15/.
+"""Capture .explain("formatted") for bench queries into plans/<round>/ 
+(default r16; override with $SPARK_GRAFT_PLANS_ROUND).
 
 Usage: python tools/capture_plans.py <suffix> [name ...]
   suffix: 'before' or 'after' (file name suffix)
@@ -30,7 +31,7 @@ def main() -> None:
     from parqueryd_spark.session import get_spark
 
     spark = get_spark("parqueryd_spark-plans")
-    out_dir = os.path.join(REPO, "plans", "r15")
+    out_dir = os.path.join(REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16"))
     os.makedirs(out_dir, exist_ok=True)
 
     bench = Q.bench_queries()
