@@ -86,7 +86,14 @@ def span_dedup(
     digest, never by raw span text. Rebuild is a per-doc groupBy on the id —
     the same key the scan is usually already partitioned by.
     """
-    toks = tokens(F.col(text_col))
+    # Pre-project the token array ONCE per doc (r16, guide §4.1): the span
+    # builder slices it inside a transform lambda, where Catalyst does no
+    # CSE — inlining tokens(text_col) there re-ran split(text) per SPAN
+    # (measured 2x on the sf0.1 span derivation). The extra projection is
+    # not collapsed back because _toks is referenced more than once and is
+    # not cheap (the CollapseProject guard).
+    pre = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
     # greatest(..., 1): sequence(0, -1) would DESCEND, fabricating two phantom
     # spans for a zero-token doc (split never returns an empty array today,
     # but this mirrors chunk_documents' guard rather than rely on that)
@@ -97,7 +104,7 @@ def span_dedup(
         F.sequence(F.lit(0), n_spans - 1),
         lambda i: F.concat_ws(" ", F.slice(toks, i * span_tokens + 1, span_tokens)),
     )
-    return _keep_first_unit_dedup(df, id_col, spans, " ", rebuild, drop_join)
+    return _keep_first_unit_dedup(pre, id_col, spans, " ", rebuild, drop_join)
 
 
 def substring_dedup(
@@ -487,12 +494,36 @@ def _keep_first_unit_dedup(
     Keep-first in both is ``groupBy(digest).agg(min(struct(doc, pos)))`` —
     map-side partials, so a span repeated 10^9 times reduces locally instead
     of piling one window partition (the reason this is not a ROW_NUMBER).
+
+    r16 (guide §4.1/§1.2, the predict_lang lesson applied to generators):
+    callers must hand in a ``units`` expression whose token/array source is
+    a PRE-PROJECTED column of ``df`` (see span_dedup's ``_toks``) — lambdas
+    get no CSE, so an inlined ``slice(split(text))`` re-ran split(text) PER
+    SPAN (~12x per doc at span_tokens=3; measured 1.09 -> 0.53 s for the
+    sf0.1 span derivation). The carry path's keeper join-back is also cut
+    to DUPLICATED digests only (count >= 2, the _mark_keepers posture):
+    singleton spans are their own keepers by definition, so a left join
+    with null keep => kept is identical — and the join build side shrinks
+    from every distinct span to just the duplicated ones (~10x at sf0.1,
+    more at scale where boilerplate is the small fraction).
     """
+    # Explode the units EXPRESSION directly (no intermediate _units
+    # projection, no isNotNull pre-filter on the exploding side): projecting
+    # the array first looked equivalent, but Generate's inferred
+    # size(...) > 0 filter then pushed below BOTH projections and
+    # re-inlined the full span-builder — split(text) per span, per doc,
+    # just to test emptiness (measured: the whole carry row 1.9-2.1 s in
+    # that shape vs 0.95-1.1 s in this one at sf0.1).
+    spans = df.select(F.col(id_col).alias("doc"), F.posexplode(units).alias("pos", "span"))
     if rebuild == "droplist":
-        spans = df.select(
-            F.col(id_col).alias("doc"),
-            F.posexplode(units).alias("pos", "span"),
-        ).select("doc", "pos", F.md5("span").alias("digest"))
+        spans = spans.select("doc", "pos", F.md5("span").alias("digest"))
+        # NOTE: unlike the carry path below, keepers here stay UNFILTERED
+        # (every digest, not just duplicated ones). The dup-only cut made the
+        # keepers size estimate corpus-dependent enough that AQE flipped the
+        # spans⋈keepers strategy between broadcast and SMJ across otherwise
+        # identical corpora, destabilizing the pinned text-size-invariant
+        # shuffle contract (test_shuffle_telemetry) for no measured win —
+        # this path's join probe is the digest-only spans either way.
         keepers = spans.groupBy("digest").agg(F.min(F.struct("doc", "pos")).alias("keep"))
         drops = (
             spans.join(keepers, "digest")
@@ -521,14 +552,19 @@ def _keep_first_unit_dedup(
             (F.size("_units") - F.size("drop_arr")).cast("long").alias("n_kept"),
             F.concat_ws(join_sep, kept).alias("dedup_text"),
         )
-    spans = df.select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(units).alias("pos", "span"),
-    ).withColumn("digest", F.md5("span"))
-    keepers = spans.groupBy("digest").agg(F.min(F.struct("doc", "pos")).alias("keep"))
-    marked = spans.join(keepers, "digest").withColumn(
+    spans = spans.withColumn("digest", F.md5("span"))
+    keepers = (
+        spans.groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("_c"), F.min(F.struct("doc", "pos")).alias("keep"))
+        .where(F.col("_c") >= 2)
+        .select("digest", "keep")
+    )
+    # left join: a span whose digest is NOT duplicated has no keeper row and
+    # is kept by definition (it IS its first occurrence)
+    marked = spans.join(keepers, "digest", "left").withColumn(
         "is_kept",
-        (F.col("doc") == F.col("keep.doc")) & (F.col("pos") == F.col("keep.pos")),
+        F.col("keep").isNull()
+        | ((F.col("doc") == F.col("keep.doc")) & (F.col("pos") == F.col("keep.pos"))),
     )
     return marked.groupBy("doc").agg(
         F.count("*").alias("n_spans"),

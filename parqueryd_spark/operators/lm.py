@@ -306,142 +306,86 @@ def kn_score(
     text_kn3_lm_score at n=3 replay the full recursion in DuckDB). CCNet
     parity (order 5) is the same call at n=5 — a parameter, not a rewrite.
 
-    Plan shape (r16 restructure, VERDICT r15 item #3 / guide §3.2+§8):
-    every per-gram statistic depends only on the GRAM STRING, so scoring
-    first reduces to the distinct scored grams, computes one log-prob per
-    gram, and attaches it back with a single equi-join. Each per-order
-    lookup table (top-level counts, continuation type counts, context
-    denominators) is PRUNED to the scored grams' suffix/context key sets by
-    a semi-join against the published count table BEFORE any aggregation —
-    the decision data (doc suffix sets) is tiny whenever the scored slice
-    is, so the count table is scanned a handful of times but never shuffled
-    whole, and the 2n-1 stat joins all run over slice-bounded tables (AQE
-    broadcasts both sides). The old shape instead derived each level by
-    chained full-table aggregations — 2(n-1) corpus-vocabulary-sized
-    shuffles plus full-table broadcasts at score time, the measured
-    superlinear term at 100x scale (SCALE_r15: kn5 curvature 1.71). When
-    the scored slice is NOT small the semi-joins degrade gracefully: AQE
-    falls back to shuffle semi-joins and the plan is the old chain's cost,
-    not worse. The only full-table pass left is the model constant ``tt``
-    (|level-2 type set|), which no pruning can shrink. Zero Python
-    anywhere; the output column keeps the historical name ``n_bigrams``
-    (= n-gram occurrences scored) so the n=2 serving row's schema is
-    stable. Exactness: a pruned table contains EVERY row whose key the
-    slice can reference (counts keyed by a doc-gram suffix; contexts keyed
-    by a doc-gram context, including the full key set sharing that context,
-    so cc/nfwd are the full-table values), hence every join result —
-    including the null → backoff path — is bit-identical to the unpruned
-    chain (pinned against the pure-Python KN reference and the n=2/3/5
-    oracle rows).
+    Plan shape mirrors lm_score: per-doc gram multiplicities, 2n-1 left
+    equi-joins against count-derived tables (AQE broadcasts them when
+    small), one per-doc aggregation. Zero Python anywhere. The output
+    column keeps the historical name ``n_bigrams`` (= n-gram occurrences
+    scored) so the n=2 serving row's schema is stable.
     """
-    from pyspark import StorageLevel
-
     n = lm.n
     if n < 2:
         raise ValueError(f"kn_score needs lm.n >= 2, got n={n}")
     d = F.lit(float(discount))
-    raw = lm.bigrams  # (gram, c): the published top-level count table
+
+    # per-order count tables: level[n] = raw counts keyed by the full gram;
+    # level[k] = continuation type counts keyed by the length-k suffix.
+    # For n >= 3 each derived level is persist()-ed (ADVICE r14): every
+    # level[k] is consumed two-to-three times (the level[k-1] derivation, the
+    # ctxs[k] derivation, the counts join), so left fully lazy the k-th level
+    # would re-run the whole suffix-aggregation chain from the published
+    # count table once per consumer — ~9 redundant re-aggregations at n=5, a
+    # real cost when the count table is large. A LAZY persist (not an eager
+    # localCheckpoint: measured +0.5 s/call at sf0.1 from the extra
+    # materialization jobs) computes each level once inside the scoring job
+    # and serves every other consumer from cache; the levels are type-count
+    # tables, small relative to the corpus, and MEMORY_AND_DISK spills
+    # rather than OOMs if a level outgrows executor memory. level[n] itself
+    # stays lazy — it is the published parquet scan, and re-scanning parquet
+    # beats materializing the full count table. n=2 keeps the fully-lazy
+    # plan (one derived level, nothing re-aggregates).
+    level: dict[int, DataFrame] = {
+        n: lm.bigrams.select(F.col("gram").alias("key"), F.col("c").alias("ck"))
+    }
+    for k in range(n - 1, 0, -1):
+        lk = (
+            level[k + 1]
+            .select(_suffix(F.col("key"), 2, k).alias("key"))
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).cast("long").alias("ck"))
+        )
+        if n >= 3:
+            from pyspark import StorageLevel
+
+            lk = lk.persist(StorageLevel.MEMORY_AND_DISK)
+        level[k] = lk
+    # per-order context denominators + forward continuation type counts
+    ctxs: dict[int, DataFrame] = {
+        k: level[k]
+        .groupBy(_suffix(F.col("key"), 1, k - 1).alias("ctx"))
+        .agg(
+            F.sum("ck").cast("long").alias("cc"),
+            F.count(F.lit(1)).cast("long").alias("nfwd"),
+        )
+        for k in range(2, n + 1)
+    }
+    totals = level[2].agg(F.count(F.lit(1)).cast("long").alias("tt")).crossJoin(
+        F.broadcast(lm.vocab)
+    )
 
     grams = docs.select(
         F.col(id_col).alias("_id"),
         F.explode(ngrams_all(F.col(text_col), n)).alias("gram"),
     )
-    # per-doc gram multiplicities; consumed twice (distinct-gram derivation +
-    # final attach) — lazy persist so the doc scan/explode runs once
-    cur = grams.groupBy("_id", "gram").agg(
-        F.count(F.lit(1)).cast("long").alias("w")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    # the distinct scored grams with every per-order suffix (_k*) and
-    # context (_x*) key precomputed; feeds n pruning sets + the stat joins
-    gs = cur.select("gram").distinct()
-    for k in range(1, n + 1):
-        gs = gs.withColumn(f"_k{k}", _suffix(F.col("gram"), n - k + 1, k))
-    for k in range(2, n + 1):
-        gs = gs.withColumn(f"_x{k}", _suffix(F.col("gram"), n - k + 1, k - 1))
-    gs = gs.persist(StorageLevel.MEMORY_AND_DISK)
-
-    def _pruning_set(col_name: str) -> DataFrame:
-        return gs.select(F.col(col_name).alias("_p")).distinct()
-
-    # Pruned per-order count tables, keyed by the length-k suffix. level[k]
-    # (k < n) is a continuation TYPE count: # distinct length-(k+1) suffixes
-    # of the raw key set per length-k suffix — derived DIRECTLY from the raw
-    # table (distinct suffix sets compose, so skipping the intermediate
-    # levels is exact), filtered before aggregation. The k >= 2 filter keeps
-    # every key whose (k-1)-prefix is a scored context — a superset of the
-    # scored suffix set — so ONE pruned table serves both the counts join
-    # (keys in S_k) and the ctxs derivation (full prefix groups). The filter
-    # column is a function of the retained suffix, so filter-then-distinct
-    # equals distinct-then-filter: counts are the full-table values.
-    level: dict[int, DataFrame] = {}
-    ctxs: dict[int, DataFrame] = {}
-    for k in range(1, n):
-        if k >= 2:
-            guard = _suffix(F.col("gram"), n - k + 1, k - 1)  # prefix of suffix_k
-            pset = _pruning_set(f"_x{k}")
-        else:
-            guard = _suffix(F.col("gram"), n, 1)  # the last token itself
-            pset = _pruning_set("_k1")
-        pruned = raw.join(pset, guard == F.col("_p"), "left_semi")
-        sel = pruned.select(_suffix(F.col("gram"), n - k, k + 1).alias("s"))
-        if k + 1 < n:
-            # the length-(k+1) suffixes repeat across raw keys; for k = n-1
-            # they ARE the (distinct-by-construction) raw keys — no exchange
-            sel = sel.distinct()
-        lk = (
-            sel.groupBy(_suffix(F.col("s"), 2, k).alias("key"))
-            .agg(F.count(F.lit(1)).cast("long").alias("ck"))
-        )
-        if k >= 2:
-            # consumed twice (counts join + ctxs derivation); slice-bounded
-            lk = lk.persist(StorageLevel.MEMORY_AND_DISK)
-            ctxs[k] = lk.groupBy(_suffix(F.col("key"), 1, k - 1).alias("ctx")).agg(
-                F.sum("ck").cast("long").alias("cc"),
-                F.count(F.lit(1)).cast("long").alias("nfwd"),
-            )
-        level[k] = lk
-    # top level: raw counts at scored keys; context denominators over the
-    # full prefix groups of scored contexts
-    level[n] = raw.join(gs.select(F.col("_k" + str(n)).alias("gram")), "gram", "left_semi").select(
-        F.col("gram").alias("key"), F.col("c").alias("ck")
-    )
-    ctxs[n] = (
-        raw.join(_pruning_set(f"_x{n}"), _suffix(F.col("gram"), 1, n - 1) == F.col("_p"), "left_semi")
-        .groupBy(_suffix(F.col("gram"), 1, n - 1).alias("ctx"))
-        .agg(
-            F.sum("c").cast("long").alias("cc"),
-            F.count(F.lit(1)).cast("long").alias("nfwd"),
-        )
-    )
-    # model constant: |level-2 type set| — the one full-table aggregation
-    # pruning cannot shrink (it normalizes the unigram continuation floor)
-    if n == 2:
-        tt_df = raw.agg(F.count(F.lit(1)).cast("long").alias("tt"))
-    else:
-        tt_df = (
-            raw.select(_suffix(F.col("gram"), n - 1, 2).alias("s2"))
-            .distinct()
-            .agg(F.count(F.lit(1)).cast("long").alias("tt"))
-        )
-    totals = tt_df.crossJoin(F.broadcast(lm.vocab))
-
-    stats = gs
+    cur = grams.groupBy("_id", "gram").agg(F.count(F.lit(1)).cast("long").alias("w"))
     for k in range(1, n + 1):
         counts_k = level[k].select(
             F.col("key").alias(f"_k{k}"), F.col("ck").alias(f"_c{k}")
         )
-        stats = stats.join(counts_k, f"_k{k}", "left")
+        cur = cur.withColumn(f"_k{k}", _suffix(F.col("gram"), n - k + 1, k)).join(
+            counts_k, f"_k{k}", "left"
+        )
     for k in range(2, n + 1):
         ctx_k = ctxs[k].select(
             F.col("ctx").alias(f"_x{k}"),
             F.col("cc").alias(f"_cc{k}"),
             F.col("nfwd").alias(f"_nf{k}"),
         )
-        stats = stats.join(ctx_k, f"_x{k}", "left")
-    stats = stats.crossJoin(F.broadcast(totals))
+        cur = cur.withColumn(
+            f"_x{k}", _suffix(F.col("gram"), n - k + 1, k - 1)
+        ).join(ctx_k, f"_x{k}", "left")
+    cur = cur.crossJoin(F.broadcast(totals))
 
-    # interpolation fold, bottom-up: P_1 -> P_n as one Column expression,
-    # evaluated once per DISTINCT gram; only (gram, lp) rides the attach join
+    # interpolation fold, bottom-up: P_1 -> P_n as one Column expression
     p = (F.coalesce(F.col("_c1"), F.lit(0)) + 1) / (F.col("tt") + F.col("vsz"))
     for k in range(2, n + 1):
         p = F.when(
@@ -450,9 +394,7 @@ def kn_score(
             / F.col(f"_cc{k}")
             + d * F.col(f"_nf{k}") / F.col(f"_cc{k}") * p,
         ).otherwise(p)
-    glp = stats.select("gram", F.log2(p).alias("lp"))
-    # inner join is exact: the distinct-gram set derives from cur itself
-    scored = cur.join(glp, "gram")
+    scored = cur.withColumn("lp", F.log2(p))
     avg_nll = F.round(-F.sum(F.col("w") * F.col("lp")) / F.sum("w"), 6)
     return (
         scored.groupBy("_id")

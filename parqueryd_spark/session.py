@@ -45,32 +45,28 @@ def get_spark(
         # runtime stats when a shuffle side turns out tiny.
         .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         # Runtime Bloom-filter join pre-filtering (guide §3.2, VERDICT r15
-        # item #2): for a fact-fact equi-join where one side carries a
-        # selective filter (q3/q5/q21's date- or status-filtered orders), the
-        # optimizer injects bloom_filter_agg over the creation side's join
-        # keys and drops definitely-non-matching rows from the other fact
-        # BEFORE its shuffle. Stock thresholds are sized for estimate-driven
-        # clusters: creation side must be < 10 MB and the application-side
-        # scan > 10 GB, so the injection never fires on a single box and
-        # rarely at cluster scale (post-filter size estimates overshoot).
-        # Both are parameterized (env), defaults chosen so the engine's
-        # fact-fact joins qualify at ANY scale: creation side up to 256 MB
-        # (a date-filtered orders key projection at ~100 TB SF stays well
-        # under the 8 GB broadcast cap; the bloom itself is ~9.6 bits/key),
-        # application side from 8 MB (every fact scan qualifies — the filter
-        # costs one extra scan of the already-filtered creation side, noise
-        # against the shuffle bytes it removes; sf0.1 bench deltas recorded
-        # in OPTIMIZATION_r16.md).
-        .config(
-            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
-        )
+        # item #2) — EXAMINED, MEASURED, left at stock thresholds. The two
+        # sizing knobs are exposed as env parameters so a cluster deployment
+        # can widen them without code changes, but the local defaults stay
+        # Spark's stock values after measurement (OPTIMIZATION_r16.md):
+        # at sf0.1 the injection CANNOT fire for the engine's fact-fact
+        # joins (the date-filtered orders side is small enough that
+        # isProbablyShuffleJoin refuses — the SMJ only exists because of the
+        # scale-correctness merge hint), and at sf1, where it DOES fire
+        # (might_contain on the lineitem scan, plans/r16/
+        # q5_local_volume_sf1_bloom.txt), it costs a reproducible ~10% on
+        # q3/q5: the ~40-60%-selective date predicates do not drop enough
+        # big-side rows to pay for the second creation-side scan when the
+        # shuffle is local-disk-bound rather than network-bound. Raise
+        # SPARK_GRAFT_BLOOM_CREATION (and lower SPARK_GRAFT_BLOOM_APPLY) on
+        # network-bound clusters with genuinely selective build sides.
         .config(
             "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
-            os.environ.get("SPARK_GRAFT_BLOOM_CREATION", "256MB"),
+            os.environ.get("SPARK_GRAFT_BLOOM_CREATION", "10MB"),
         )
         .config(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-            os.environ.get("SPARK_GRAFT_BLOOM_APPLY", "8MB"),
+            os.environ.get("SPARK_GRAFT_BLOOM_APPLY", "10GB"),
         )
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/parqueryd_spark_warehouse"))

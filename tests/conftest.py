@@ -60,3 +60,29 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "examples: executes examples/*.py end-to-end against sf0.001"
     )
+
+
+def _slow_manifest() -> set[str]:
+    """Test IDs marked `slow` (see tests/slow_tests.txt for the policy)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "slow_tests.txt")
+    ids: set[str] = set()
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line and not line.startswith("#"):
+                ids.add(line)
+    return ids
+
+
+def pytest_collection_modifyitems(config, items):
+    """Apply the `slow` marker from the manifest so the default run
+    (`addopts = -m "not slow"`, pytest.ini) fits the driver's verification
+    window (VERDICT r15 item #1a). Matching is on the repo-root-relative
+    nodeid, exactly as recorded by --durations."""
+    slow_ids = _slow_manifest()
+    for item in items:
+        nodeid = item.nodeid.replace(os.sep, "/")
+        if not nodeid.startswith("tests/"):
+            nodeid = "tests/" + nodeid.split("tests/")[-1]
+        if nodeid in slow_ids:
+            item.add_marker(pytest.mark.slow)

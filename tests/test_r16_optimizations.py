@@ -102,16 +102,18 @@ def test_group_pass0_budget_uses_exponent_space(spark):
 # ------------------------------------------- r16: pruned KN stat derivation
 
 
-def test_kn_pruned_stats_see_full_context_groups(spark):
-    """The r16 kn_score restructure prunes every per-order stat table to the
-    scored grams' suffix/context key sets BEFORE aggregation. The hazard is
-    under-aggregation: a context denominator (cc) or fan-out (nfwd) computed
-    over only the scored keys instead of the FULL key group sharing that
-    context. This fixture makes the two diverge hard — context 'a' continues
-    into many words, the scored slice references exactly one of them — and
-    pins the result to the pure-Python reference, which always aggregates the
-    full table. Covered at n=2 and n=3 (n=3 also exercises the pruned
-    continuation-type levels derived directly from the raw table)."""
+def test_kn_stats_see_full_context_groups(spark):
+    """Guards kn_score's stat derivation against slice-local
+    under-aggregation: every context denominator (cc) and fan-out (nfwd)
+    must aggregate the FULL key group sharing that context, not just the
+    keys the scored slice references. (Pinned while evaluating — and
+    ultimately REVERTING — an r16 restructure that derived the per-order
+    tables pruned to the scored grams' suffix/context sets: exact, but
+    measured 0.6x at sf0.1 and 0.7-0.9x at sf1 against the chained
+    derivation, see OPTIMIZATION_r16.md. The fixture stays as a permanent
+    equivalence pin: context 'a' continues into many words while the scored
+    slice references exactly one of them.) Covered at n=2 and n=3 against
+    the pure-Python reference, which always aggregates the full table."""
     from tests.test_lm import _docs, _py_kn, _py_kn_n
     from parqueryd_spark.operators.lm import kn_score, lm_train
 
