@@ -135,8 +135,52 @@ def time_rows(spark, sf_dir: str, trials: int, label: str) -> dict[str, float]:
     return out
 
 
+# r16 (VERDICT r15 item #8): per-row CORE-scaling evidence at a scale where
+# rows are compute-bound rather than job-overhead-bound. The sf0.1 8v32
+# ratios were ~1 because every row is fixed-overhead dominated there; at
+# sf10 the top wall-clock rows have real parallel work, so ratio ~ core
+# ratio is the claim to check. Run the probe twice (scratch reused via the
+# _COMPLETE marker):
+#     SPARK_GRAFT_CPUS=32 python tools/sf10_probe.py 2 --cores-pair
+#     SPARK_GRAFT_CPUS=8  python tools/sf10_probe.py 2 --cores-pair
+PAIR_ROWS = (
+    "dedup_substrings",
+    "text_kn5_lm_score",
+    "skew_salted_join",
+    "dedup_minhash_lsh",
+    "events_exact_quantile_by_type",
+)
+
+
+def cores_pair(trials: int) -> None:
+    from parqueryd_spark import queries as Q
+    from parqueryd_spark.session import get_spark
+
+    spark = get_spark("sf10_probe_cores")
+    cores = spark.sparkContext.master
+    sf10_dir = build_sf10(spark)
+    out = {}
+    for name in PAIR_ROWS:
+        fn = Q.REGISTRY[name].fn
+        fn(spark, sf10_dir).write.format("noop").mode("overwrite").save()  # warm
+        best = None
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            fn(spark, sf10_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 4)
+        print(f"  sf10 {cores} {name}: {out[name]}s", flush=True)
+    print(json.dumps({"master": cores, "sf10_rows": out}))
+    spark.stop()
+
+
 def main() -> None:
-    trials = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    nums = [a for a in sys.argv[1:] if a.isdigit()]
+    trials = int(nums[0]) if nums else 2
+    if "--cores-pair" in sys.argv:
+        cores_pair(trials)
+        return
     from parqueryd_spark.session import get_spark
 
     spark = get_spark("sf10_probe")
